@@ -1,0 +1,105 @@
+"""AST for the soq query language.
+
+Mirrors the expression classes of the reference
+(``/root/reference/src/query/statement.go``, ``src/query/filter.go``,
+``src/query/location.go``) but as inert dataclasses: compilation to a Ray
+Data plan happens in ``pipelines/query.py`` instead of a per-feature
+interpreter.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Union
+
+
+class BinOp(enum.Enum):
+    EQ = "="
+    NEQ = "!="
+    GT = ">"
+    GTE = ">="
+    LT = "<"
+    LTE = "<="
+
+    @property
+    def is_comparison(self) -> bool:
+        # reference operator.go:36-39: > >= < <= but not = / !=
+        return self in (BinOp.GT, BinOp.GTE, BinOp.LT, BinOp.LTE)
+
+
+class LogicOp(enum.Enum):
+    AND = "AND"
+    OR = "OR"
+
+
+@dataclass(frozen=True)
+class BboxLocation:
+    minlon: float
+    minlat: float
+    maxlon: float
+    maxlat: float
+
+
+@dataclass(frozen=True)
+class ContextAwareLocation:
+    """`this` — candidate cells derive from the outer feature's geometry."""
+
+
+Location = Union[BboxLocation, ContextAwareLocation]
+
+
+@dataclass(frozen=True)
+class TagFilter:
+    """key <op> value on dictionary-encoded tags (filter.go:103-128).
+
+    ``key_index`` / ``value_index`` are resolved dictionary indices
+    (NOT_FOUND = -1 when the string is absent). A feature without the key
+    never matches — including for ``!=``.
+    """
+
+    key_index: int
+    value_index: int
+    op: BinOp
+
+
+@dataclass(frozen=True)
+class KeyFilter:
+    """key=* / key!=* — key presence (filter.go:150-156)."""
+
+    key_index: int
+    should_be_set: bool
+
+
+@dataclass(frozen=True)
+class LogicalFilter:
+    a: "FilterExpr"
+    b: "FilterExpr"
+    op: LogicOp
+
+
+@dataclass(frozen=True)
+class NegatedFilter:
+    base: "FilterExpr"
+
+
+@dataclass(frozen=True)
+class SubStatementFilter:
+    """this.<type>{...} semi-join (filter.go:182-337)."""
+
+    statement: "Statement"
+
+
+FilterExpr = Union[TagFilter, KeyFilter, LogicalFilter, NegatedFilter, SubStatementFilter]
+
+
+@dataclass(frozen=True)
+class Statement:
+    location: Location
+    query_type: str  # nodes | ways | relations | child_relations
+    filter: FilterExpr
+
+
+@dataclass(frozen=True)
+class Query:
+    statements: tuple[Statement, ...]

@@ -1,0 +1,406 @@
+"""Feature-graph construction: nodes -> ways -> relations + reverse membership.
+
+Ray-Data re-expression of the reference's import passes
+(``/root/reference/src/importing/import.go:17-163`` and
+``src/index/grid_writer.go:50-330``): instead of ordered file scans and
+in-memory maps, membership assembly is a keyed shuffle (``bucket_collect``)
+and reverse membership is explode + collect + hash join (SURVEY.md J3/J4/J5).
+No ordering assumptions (the reference needs members-before-parents file
+order; we iterate relation-bbox assembly to a bounded fixed point instead).
+
+Synthetic membership graph (FIXTURES.md section 2): every NODES_PER_WAY
+consecutive node ids form a way; every WAYS_PER_REL consecutive way groups
+form a relation; relations directly contain their range's first 3 nodes;
+relation groups with g % 4 == 0 are parents of groups g+1..g+3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.segments import list_parts
+from ..model import (
+    NODES_PER_REL,
+    NODES_PER_WAY,
+    REL_ID_BASE,
+    REL_NEST,
+    WAY_ID_BASE,
+    WAYS_PER_REL,
+)
+from ..sources.synthetic import (
+    rel_tags_for_groups,
+    way_tags_for_groups,
+)
+from ..stages.group_collect import bucket_collect, collect_list_column, segment_unique_lists
+from ..stages.joins import attach_list_column, collect_edge_lists, explode_list
+
+
+def build_ways(raw_nodes: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Assemble way features from member nodes (one shuffle keyed on way group).
+
+    Output: id, node_ids, node_lons, node_lats, cells (unique member cells,
+    the reference's multi-cell replication rule ``grid_writer.go:125-129``),
+    bound (minlon..maxlat), tag_keys_str/tag_vals_str, relation_ids.
+    """
+
+    def add_wg(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        t = batch.select(["id", "lon", "lat", "cell"])
+        return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
+
+    def assemble(tbl: pa.Table, wgs: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        lon = np.asarray(tbl["lon"], dtype=np.float64)
+        lat = np.asarray(tbl["lat"], dtype=np.float64)
+        cells = np.asarray(tbl["cell"], dtype=np.int64)
+        n = len(wgs)
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+        ucells, uoff = segment_unique_lists(group_idx, cells, n)
+        tag_keys, tag_vals = way_tags_for_groups(wgs)
+        rel_ids = REL_ID_BASE + wgs // WAYS_PER_REL
+
+        def seg_reduce(vals, fn):
+            return fn.reduceat(vals, starts)
+
+        return pa.table(
+            {
+                "id": pa.array(WAY_ID_BASE + wgs, type=pa.int64()),
+                "node_ids": collect_list_column(ids, starts, ends, pa.int64()),
+                "node_lons": collect_list_column(lon, starts, ends, pa.float64()),
+                "node_lats": collect_list_column(lat, starts, ends, pa.float64()),
+                "cells": collect_list_column(
+                    ucells, uoff[:-1], uoff[1:], pa.int64()
+                ),
+                "minlon": pa.array(seg_reduce(lon, np.minimum), type=pa.float64()),
+                "minlat": pa.array(seg_reduce(lat, np.minimum), type=pa.float64()),
+                "maxlon": pa.array(seg_reduce(lon, np.maximum), type=pa.float64()),
+                "maxlat": pa.array(seg_reduce(lat, np.maximum), type=pa.float64()),
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+                "relation_ids": collect_list_column(
+                    rel_ids, np.arange(n), np.arange(1, n + 1), pa.int64()
+                ),
+            }
+        )
+
+    return bucket_collect(
+        raw_nodes.map_batches(add_wg, batch_format="pyarrow"),
+        "wg",
+        assemble,
+        sort_col="id",
+        num_buckets=num_buckets,
+    )
+
+
+def build_relations(
+    raw_nodes: ray.data.Dataset, ways: ray.data.Dataset, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Assemble relation features from member edges (J5 bbox-union aggregation).
+
+    Member edges: direct node members (first 3 ids of each relation range) and
+    way members. Bound/cells are the union over member bounds/cells
+    (reference ``grid_writer.go:94-106,146-244``); parent/child bbox nesting
+    is applied afterwards by :func:`nest_relations` as a bounded fixed point.
+    """
+
+    def node_edges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        keep = ids % NODES_PER_REL < 3
+        ids = ids[keep]
+        lon = np.asarray(batch["lon"], dtype=np.float64)[keep]
+        lat = np.asarray(batch["lat"], dtype=np.float64)[keep]
+        cell = np.asarray(batch["cell"], dtype=np.int64)[keep]
+        one = np.ones(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "rg": pa.array(ids // NODES_PER_REL),
+                "member_id": pa.array(ids),
+                "member_type": pa.array(one * 0),  # 0 = node
+                "minlon": pa.array(lon),
+                "minlat": pa.array(lat),
+                "maxlon": pa.array(lon),
+                "maxlat": pa.array(lat),
+                "cells": pa.ListArray.from_arrays(
+                    pa.array(np.arange(len(ids) + 1, dtype=np.int32)), pa.array(cell)
+                ),
+            }
+        )
+
+    def way_edges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        wg = ids - WAY_ID_BASE
+        return pa.table(
+            {
+                "rg": pa.array(wg // WAYS_PER_REL),
+                "member_id": pa.array(ids),
+                "member_type": pa.array(np.ones(len(ids), dtype=np.int64)),  # 1 = way
+                "minlon": batch["minlon"],
+                "minlat": batch["minlat"],
+                "maxlon": batch["maxlon"],
+                "maxlat": batch["maxlat"],
+                "cells": batch["cells"],
+            }
+        )
+
+    edges = raw_nodes.map_batches(node_edges, batch_format="pyarrow").union(
+        ways.map_batches(way_edges, batch_format="pyarrow")
+    )
+
+    def assemble(tbl: pa.Table, rgs: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = len(rgs)
+        member_id = np.asarray(tbl["member_id"], dtype=np.int64)
+        member_type = np.asarray(tbl["member_type"], dtype=np.int64)
+        # member lists split by type: encode (segment, type) and re-collect.
+        flat_cells, cell_offsets = list_parts(tbl["cells"])
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+        cell_group_idx = np.repeat(group_idx, np.diff(cell_offsets))
+        ucells, uoff = segment_unique_lists(cell_group_idx, np.asarray(flat_cells, dtype=np.int64), n)
+
+        def typed_lists(type_code: int) -> pa.ListArray:
+            mask = member_type == type_code
+            lens = np.add.reduceat(mask.astype(np.int64), starts)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            return collect_list_column(member_id[mask], offs[:-1], offs[1:], pa.int64())
+
+        tag_keys, tag_vals = rel_tags_for_groups(rgs)
+        return pa.table(
+            {
+                "id": pa.array(REL_ID_BASE + rgs, type=pa.int64()),
+                "node_ids": typed_lists(0),
+                "way_ids": typed_lists(1),
+                "cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+                "minlon": pa.array(np.minimum.reduceat(np.asarray(tbl["minlon"]), starts)),
+                "minlat": pa.array(np.minimum.reduceat(np.asarray(tbl["minlat"]), starts)),
+                "maxlon": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlon"]), starts)),
+                "maxlat": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlat"]), starts)),
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+            }
+        )
+
+    return bucket_collect(edges, "rg", assemble, sort_col="member_id", num_buckets=num_buckets)
+
+
+def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.Dataset:
+    """Add child/parent relation edges and expand parent bounds/cells.
+
+    The reference relies on members-appearing-before-parents file order
+    (``grid_writer.go:94-97``); here parent-child edges are formulaic
+    (group g % REL_NEST == 0 parents g+1..g+REL_NEST-1, existence resolved by
+    a self semi-join on the relation table) and bbox/cell expansion flows
+    child bounds to parents through a keyed shuffle, iterated ``max_depth``
+    times — our synthetic graph nests exactly one level, deeper graphs raise
+    ``max_depth`` (fully distributed; no driver-side loops).
+    """
+
+    def add_cand(batch: pa.Table) -> pa.Table:
+        rg = np.asarray(batch["id"], dtype=np.int64) - REL_ID_BASE
+        is_parent = rg % REL_NEST == 0
+        n = len(rg)
+        child_lens = np.where(is_parent, REL_NEST - 1, 0)
+        child_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(child_lens, out=child_off[1:])
+        # children of parent g are g+1 .. g+REL_NEST-1
+        reps = np.repeat(rg[is_parent], REL_NEST - 1) if is_parent.any() else np.array([], dtype=np.int64)
+        k = (
+            np.tile(np.arange(1, REL_NEST, dtype=np.int64), int(is_parent.sum()))
+            if is_parent.any()
+            else np.array([], dtype=np.int64)
+        )
+        flat_children = REL_ID_BASE + reps + k
+        parent_lens = np.where(is_parent, 0, 1)
+        parent_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(parent_lens, out=parent_off[1:])
+        flat_parents = (REL_ID_BASE + rg - rg % REL_NEST)[~is_parent]
+        batch = batch.append_column(
+            "cand_child_ids", collect_list_column(flat_children, child_off[:-1], child_off[1:], pa.int64())
+        )
+        return batch.append_column(
+            "cand_parent_ids", collect_list_column(flat_parents, parent_off[:-1], parent_off[1:], pa.int64())
+        )
+
+    with_cand = relations.map_batches(add_cand, batch_format="pyarrow")
+
+    # Existence semi-join: keep candidate ids present in the relation table.
+    # Relation ids are 1/NODES_PER_REL of the node count; the id *set* is still
+    # compact (int64 array) — broadcast a sorted array and probe with
+    # searchsorted (the reference's map-probe, src/query/filter.go:273-331,
+    # set-oriented). A partitioned join is the fallback for id sets too big to
+    # broadcast; candidate edges are formulaic +-REL_NEST so either works.
+    from ..stages.semi_join import filter_list_to_idset, sorted_id_array
+
+    ids_ref = sorted_id_array(relations)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "child_relation_ids", filter_list_to_idset(batch["cand_child_ids"], ids_ref)
+        )
+        batch = batch.append_column(
+            "parent_relation_ids", filter_list_to_idset(batch["cand_parent_ids"], ids_ref)
+        )
+        return batch.drop_columns(["cand_child_ids", "cand_parent_ids"])
+
+    resolved = with_cand.map_batches(resolve, batch_format="pyarrow")
+
+    # Bounded fixed-point: child bounds/cells flow up to parents via
+    # explode -> bucket_collect(parent) -> hash join (same shape as J5).
+    for _ in range(max_depth):
+        child_edges = resolved.map_batches(
+            lambda b: _parent_bound_edges(b), batch_format="pyarrow"
+        )
+
+        def assemble(tbl: pa.Table, pids: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+            n = len(pids)
+            flat_cells, coff = list_parts(tbl["cells"])
+            group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+            cgi = np.repeat(group_idx, np.diff(coff))
+            ucells, uoff = segment_unique_lists(cgi, np.asarray(flat_cells, dtype=np.int64), n)
+            return pa.table(
+                {
+                    "parent_id": pa.array(pids, type=pa.int64()),
+                    "c_minlon": pa.array(np.minimum.reduceat(np.asarray(tbl["minlon"]), starts)),
+                    "c_minlat": pa.array(np.minimum.reduceat(np.asarray(tbl["minlat"]), starts)),
+                    "c_maxlon": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlon"]), starts)),
+                    "c_maxlat": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlat"]), starts)),
+                    "c_cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+                }
+            )
+
+        updates = bucket_collect(child_edges, "parent_id", assemble, num_buckets=8)
+        from ..stages.joins import hash_join_attach
+
+        joined = hash_join_attach(
+            resolved,
+            "id",
+            updates,
+            "parent_id",
+            {
+                "c_minlon": pa.float64(),
+                "c_minlat": pa.float64(),
+                "c_maxlon": pa.float64(),
+                "c_maxlat": pa.float64(),
+                "c_cells": pa.list_(pa.int64()),
+            },
+            num_buckets=8,
+        )
+        resolved = joined.map_batches(_apply_parent_updates, batch_format="pyarrow")
+
+    return resolved
+
+
+def _parent_bound_edges(b: pa.Table) -> pa.Table:
+    flat_p, off_p = list_parts(b["parent_relation_ids"])
+    reps = np.diff(off_p)
+    idx = np.repeat(np.arange(len(reps)), reps)
+    take = pa.array(idx)
+    sub = b.select(["minlon", "minlat", "maxlon", "maxlat", "cells"]).take(take)
+    return sub.append_column("parent_id", pa.array(np.asarray(flat_p, dtype=np.int64)))
+
+
+_UPDATE_COLS = ["c_minlon", "c_minlat", "c_maxlon", "c_maxlat", "c_cells"]
+
+
+def _apply_parent_updates(batch: pa.Table) -> pa.Table:
+    has = ~np.asarray(pa.compute.is_null(batch["c_minlon"]))
+    if not has.any():
+        return batch.drop_columns(_UPDATE_COLS)
+    for name, cname, fn in (
+        ("minlon", "c_minlon", np.fmin),
+        ("minlat", "c_minlat", np.fmin),
+        ("maxlon", "c_maxlon", np.fmax),
+        ("maxlat", "c_maxlat", np.fmax),
+    ):
+        cur = np.asarray(batch[name], dtype=np.float64)
+        upd = np.asarray(batch[cname].combine_chunks().fill_null(np.nan), dtype=np.float64)
+        batch = batch.set_column(batch.column_names.index(name), name, pa.array(fn(cur, upd)))
+    # merge cell lists: concat then per-row unique
+    flat_a, off_a = list_parts(batch["cells"])
+    cc = batch["c_cells"].combine_chunks()
+    flat_b, off_b = list_parts(_nulls_to_empty(cc))
+    n = len(off_a) - 1
+    gi = np.concatenate(
+        [
+            np.repeat(np.arange(n, dtype=np.int64), np.diff(off_a)),
+            np.repeat(np.arange(n, dtype=np.int64), np.diff(off_b)),
+        ]
+    )
+    vals = np.concatenate([np.asarray(flat_a, dtype=np.int64), np.asarray(flat_b, dtype=np.int64)])
+    ucells, uoff = segment_unique_lists(gi, vals, n)
+    batch = batch.set_column(
+        batch.column_names.index("cells"),
+        "cells",
+        collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+    )
+    return batch.drop_columns(_UPDATE_COLS)
+
+
+def _nulls_to_empty(col: pa.ListArray) -> pa.ListArray:
+    if col.null_count == 0:
+        return col
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    valid = ~np.asarray(col.is_null())
+    lengths = np.where(valid, np.diff(offsets), 0)
+    starts = np.where(valid, offsets[:-1], 0)
+    total = int(lengths.sum())
+    if total:
+        base = np.repeat(starts, lengths)
+        within = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+        flat = np.asarray(col.values, dtype=np.int64)[base + within]
+    else:
+        flat = np.array([], dtype=np.int64)
+    new_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=new_off[1:])
+    return collect_list_column(flat, new_off[:-1], new_off[1:], pa.int64())
+
+
+def attach_reverse_membership(
+    raw_nodes: ray.data.Dataset,
+    ways: ray.data.Dataset,
+    relations: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """node.way_ids / node.relation_ids / way.relation_ids via explode+collect+join.
+
+    Reference J3/J4 (``grid_writer.go:254-330``). Returns (nodes, ways) with
+    the reverse lists attached. way.relation_ids already exists formulaically
+    on the synthetic ways; it is recomputed here from relation member lists to
+    exercise the real path, and overrides the formula column.
+    """
+    node_way = collect_edge_lists(
+        explode_list(ways, "node_ids", "id", out_val="way_id", out_key="node_id"),
+        "node_id",
+        "way_id",
+        "way_ids",
+    )
+    node_rel = collect_edge_lists(
+        explode_list(relations, "node_ids", "id", out_val="rel_id", out_key="node_id"),
+        "node_id",
+        "rel_id",
+        "relation_ids",
+    )
+    way_rel = collect_edge_lists(
+        explode_list(relations, "way_ids", "id", out_val="rel_id", out_key="way_id"),
+        "way_id",
+        "rel_id",
+        "relation_ids",
+    )
+
+    nodes = attach_list_column(
+        raw_nodes, "id", node_way, "node_id", "way_ids", num_partitions=num_partitions
+    )
+    nodes = attach_list_column(
+        nodes, "id", node_rel, "node_id", "relation_ids", num_partitions=num_partitions
+    )
+    ways2 = attach_list_column(
+        ways.drop_columns(["relation_ids"]),
+        "id",
+        way_rel,
+        "way_id",
+        "relation_ids",
+        num_partitions=num_partitions,
+    )
+    return nodes, ways2

@@ -1,0 +1,218 @@
+"""Query execution: soq AST -> Ray Data plan.
+
+Replaces the reference's per-feature interpreter loop
+(``/root/reference/src/query/statement.go:39-70``,
+``src/index/grid_reader.go:39-78``) with a set-oriented plan:
+
+1. cell prune: keep features whose cell(s) hit the bbox cell rectangle
+   (reference reads exactly those cell files) — vectorized searchsorted;
+2. bbox refine: keep features whose geometry bound intersects the bbox
+   (``grid_reader.go:180-184``, inclusive bounds as in orb);
+3. sub-statements (J1/J2): decorrelated — candidate cells are the union of
+   the outer candidates' cells (a superset of the per-feature union the
+   reference walks, which cannot change probe results: a related feature is
+   always present in its outer feature's own cells by the replication rule),
+   the inner filter runs over those cells, matched IDs are broadcast and
+   probed against membership lists;
+4. filter mask -> result projection. Multi-statement queries union without
+   dedup (``src/query/query.go:29-35``).
+
+Divergence (documented): multi-cell ways/relations are stored once with a
+``cells`` list instead of being replicated per cell file, so our results are
+naturally distinct by id; the reference emits one copy per overlapped cell
+file it reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.segments import list_parts, segment_any
+from ..model import (
+    OSM_NODE,
+    OSM_RELATION,
+    OSM_WAY,
+    QUERY_CHILD_RELATIONS,
+    QUERY_NODES,
+    QUERY_RELATIONS,
+    QUERY_TYPE_TO_OBJECT_TYPE,
+    QUERY_WAYS,
+    cells_for_bbox,
+)
+from ..parser import BboxLocation, Query, Statement, parse_query
+from ..sources.repo import FeatureRepo
+from ..stages.semi_join import isin_sorted, sorted_id_array
+from ..stages.tag_filter import eval_filter_mask, find_substatements
+from ..state.broadcast import get as bget
+
+# membership column of the OUTER feature probed for a given inner query type
+# (reference filter.go:265-331; invalid combinations error there too)
+_MEMBERSHIP = {
+    (OSM_NODE, QUERY_WAYS): "way_ids",
+    (OSM_NODE, QUERY_RELATIONS): "relation_ids",
+    (OSM_WAY, QUERY_NODES): "node_ids",
+    (OSM_WAY, QUERY_RELATIONS): "relation_ids",
+    (OSM_RELATION, QUERY_NODES): "node_ids",
+    (OSM_RELATION, QUERY_WAYS): "way_ids",
+    (OSM_RELATION, QUERY_RELATIONS): "parent_relation_ids",
+    (OSM_RELATION, QUERY_CHILD_RELATIONS): "child_relation_ids",
+}
+
+
+class QueryEngine:
+    def __init__(self, repo: FeatureRepo):
+        self.repo = repo
+
+    # -- public API -------------------------------------------------------
+    def execute_string(self, text: str) -> ray.data.Dataset:
+        return self.execute(parse_query(text, self.repo.tag_index))
+
+    def execute(self, query: Query) -> ray.data.Dataset:
+        results = [self.execute_statement(s) for s in query.statements]
+        out = results[0]
+        for r in results[1:]:
+            out = out.union(r)
+        return out
+
+    # -- statement plan ---------------------------------------------------
+    def execute_statement(self, stmt: Statement) -> ray.data.Dataset:
+        if not isinstance(stmt.location, BboxLocation):
+            raise ValueError("Top-level statements need a bbox location")
+        obj_type = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
+        if stmt.query_type == QUERY_CHILD_RELATIONS:
+            raise ValueError("child_relations is only valid inside sub-statements")
+
+        candidates = self._bbox_candidates(stmt.location, obj_type)
+        probes = self._resolve_substatements(stmt, candidates, obj_type)
+        filt = stmt.filter
+
+        def apply_filter(batch: pa.Table) -> pa.Table:
+            mask = eval_filter_mask(filt, batch, probes)
+            return batch.filter(pa.array(mask))
+
+        result = candidates.map_batches(apply_filter, batch_format="pyarrow")
+        return self._project(result, obj_type)
+
+    # -- helpers ----------------------------------------------------------
+    def _bbox_candidates(self, loc: BboxLocation, obj_type: str) -> ray.data.Dataset:
+        cellset = np.sort(cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat))
+        cells_ref = ray.put(cellset)
+        bbox = (loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
+        ds = self.repo.table(obj_type)
+
+        if obj_type == OSM_NODE:
+
+            def prune(batch: pa.Table) -> pa.Table:
+                cs = bget(cells_ref)
+                in_cells = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), cs)
+                lon = np.asarray(batch["lon"], dtype=np.float64)
+                lat = np.asarray(batch["lat"], dtype=np.float64)
+                inside = (
+                    (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+                )
+                return batch.filter(pa.array(in_cells & inside))
+
+        else:
+
+            def prune(batch: pa.Table) -> pa.Table:
+                cs = bget(cells_ref)
+                flat, offsets = list_parts(batch["cells"])
+                hit = isin_sorted(np.asarray(flat, dtype=np.int64), cs)
+                in_cells = segment_any(hit, offsets)
+                intersects = (
+                    (np.asarray(batch["minlon"]) <= bbox[2])
+                    & (np.asarray(batch["maxlon"]) >= bbox[0])
+                    & (np.asarray(batch["minlat"]) <= bbox[3])
+                    & (np.asarray(batch["maxlat"]) >= bbox[1])
+                )
+                return batch.filter(pa.array(in_cells & intersects))
+
+        return ds.map_batches(prune, batch_format="pyarrow")
+
+    def _resolve_substatements(
+        self, stmt: Statement, candidates: ray.data.Dataset, obj_type: str
+    ) -> dict[int, tuple[str, object]]:
+        subs = find_substatements(stmt.filter)
+        if not subs:
+            return {}
+        # all sub-statements share the same outer candidate cell set
+        cells_needed_ref = self._distinct_cells_ref(candidates, obj_type)
+        probes: dict[tuple, tuple[str, object]] = {}
+        for path, sub in subs:
+            inner_stmt = sub.statement
+            col = _MEMBERSHIP.get((obj_type, inner_stmt.query_type))
+            if col is None:
+                raise ValueError(
+                    f"Invalid query type {inner_stmt.query_type} requested for {obj_type} "
+                    "in sub-statement expression"
+                )
+            ids_ref = self._matched_ids(inner_stmt, cells_needed_ref)
+            probes[path] = (col, ids_ref)
+        return probes
+
+    def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
+        inner_obj = QUERY_TYPE_TO_OBJECT_TYPE[inner_stmt.query_type]
+        inner_ds = self.repo.table(inner_obj)
+
+        if inner_obj == OSM_NODE:
+
+            def prune(batch: pa.Table) -> pa.Table:
+                cs = bget(cells_needed_ref)
+                mask = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), cs)
+                return batch.filter(pa.array(mask))
+
+        else:
+
+            def prune(batch: pa.Table) -> pa.Table:
+                cs = bget(cells_needed_ref)
+                flat, offsets = list_parts(batch["cells"])
+                hit = isin_sorted(np.asarray(flat, dtype=np.int64), cs)
+                return batch.filter(pa.array(segment_any(hit, offsets)))
+
+        inner_candidates = inner_ds.map_batches(prune, batch_format="pyarrow")
+        # nested `this` inside the inner filter: context switches to the inner
+        # feature (filter.go:193-196) — recurse with the inner candidates
+        probes = self._resolve_substatements(inner_stmt, inner_candidates, inner_obj)
+        filt = inner_stmt.filter
+
+        def apply_filter(batch: pa.Table) -> pa.Table:
+            mask = eval_filter_mask(filt, batch, probes)
+            return batch.filter(pa.array(mask))
+
+        matched = inner_candidates.map_batches(apply_filter, batch_format="pyarrow")
+        return sorted_id_array(matched)
+
+    def _distinct_cells_ref(self, candidates: ray.data.Dataset, obj_type: str) -> "ray.ObjectRef":
+        if obj_type == OSM_NODE:
+
+            def cells_of(batch: pa.Table) -> pa.Table:
+                return pa.table({"cell": np.unique(np.asarray(batch["cell"], dtype=np.int64))})
+
+        else:
+
+            def cells_of(batch: pa.Table) -> pa.Table:
+                flat, _ = list_parts(batch["cells"])
+                return pa.table({"cell": np.unique(np.asarray(flat, dtype=np.int64))})
+
+        parts = [
+            np.asarray(b["cell"], dtype=np.int64)
+            for b in candidates.map_batches(cells_of, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        cells = (
+            np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        )
+        return ray.put(cells)
+
+    @staticmethod
+    def _project(ds: ray.data.Dataset, obj_type: str) -> ray.data.Dataset:
+        cols = (
+            ["id", "lon", "lat"]
+            if obj_type == OSM_NODE
+            else ["id", "minlon", "minlat", "maxlon", "maxlat"]
+        )
+        return ds.select_columns(cols)

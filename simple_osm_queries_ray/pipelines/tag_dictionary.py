@@ -1,0 +1,57 @@
+"""Distributed TagIndex construction (SURVEY.md A2 + M9).
+
+Reference pass 1 scans all objects collecting per-key distinct value sets,
+then natural-sorts each value list (``/root/reference/src/index/tag.go:73-98``,
+sort at ``tag.go:58-67``). Ray-native: per-batch partial dedup of (key, value)
+pairs inside ``map_batches`` (combiner), a small ``groupby`` on the already
+deduplicated pairs, driver-side natural sort of the (tiny) dictionary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.segments import list_parts
+from ..functions.tags import TagIndex
+
+
+def _distinct_pairs_batch(batch: pa.Table) -> pa.Table:
+    flat_keys, _ = list_parts(batch["tag_keys_str"])
+    flat_vals, _ = list_parts(batch["tag_vals_str"])
+    df = pd.DataFrame(
+        {
+            "key": np.asarray(flat_keys, dtype=object),
+            "value": np.asarray(flat_vals, dtype=object),
+        }
+    ).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
+    """Distinct (key, value) pairs across all feature datasets -> TagIndex.
+
+    The shuffle moves only pre-deduplicated pairs; the final dictionary is
+    driver-side state by design (it is broadcast, never sharded — ST1).
+    """
+    parts = [
+        ds.select_columns(["tag_keys_str", "tag_vals_str"]).map_batches(
+            _distinct_pairs_batch, batch_format="pyarrow"
+        )
+        for ds in datasets
+    ]
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.union(p)
+    distinct = pairs.groupby(["key", "value"]).count()
+    per_key: dict[str, list[str]] = {}
+    for b in distinct.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b["key"].to_pylist(), b["value"].to_pylist()):
+            per_key.setdefault(k, []).append(v)
+    # Deterministic key order: first-appearance order is scan-order-dependent
+    # in a parallel engine, so we fix key order lexicographically (key order
+    # carries no semantics — only value order does).
+    ordered = {k: per_key[k] for k in sorted(per_key)}
+    return TagIndex.from_tag_lists(ordered)

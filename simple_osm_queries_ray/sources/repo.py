@@ -1,0 +1,83 @@
+"""FeatureRepo: the engine's handle to the node/way/relation tables + TagIndex.
+
+Builds (or loads) the full feature graph for an ``sf_dir`` and materializes
+the three tables in the object store, mirroring the reference's loaded index
+(``GridIndexReader`` + ``TagIndex``, ``/root/reference/src/main.go:90-93``).
+A module-level cache keeps one repo per (sf_dir, replicate) so repeated
+queries (the driver's correctness harness calls many) reuse the build.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ..pipelines.build_graph import (
+    attach_reverse_membership,
+    build_relations,
+    build_ways,
+    nest_relations,
+)
+from ..pipelines.tag_dictionary import build_tag_index
+from ..stages.tag_encode import encode_tags
+from ..functions.tags import TagIndex
+from ..model import OSM_NODE, OSM_RELATION, OSM_WAY
+from .synthetic import raw_nodes
+
+
+class FeatureRepo:
+    def __init__(
+        self,
+        nodes: ray.data.Dataset,
+        ways: ray.data.Dataset,
+        relations: ray.data.Dataset,
+        tag_index: TagIndex,
+    ):
+        self.nodes = nodes
+        self.ways = ways
+        self.relations = relations
+        self.tag_index = tag_index
+        self.tag_index_ref = ray.put(tag_index)
+
+    def table(self, object_type: str) -> ray.data.Dataset:
+        return {
+            OSM_NODE: self.nodes,
+            OSM_WAY: self.ways,
+            OSM_RELATION: self.relations,
+        }[object_type]
+
+
+_CACHE: dict[tuple[str, int], FeatureRepo] = {}
+
+
+def build_repo(sf_dir: str, replicate: int = 1, materialize: bool = True) -> FeatureRepo:
+    key = (sf_dir, replicate)
+    if key in _CACHE:
+        return _CACHE[key]
+
+    nodes0 = raw_nodes(sf_dir, replicate)
+    if materialize:
+        nodes0 = nodes0.materialize()
+    ways0 = build_ways(nodes0)
+    if materialize:
+        ways0 = ways0.materialize()
+    rels0 = nest_relations(build_relations(nodes0, ways0))
+    if materialize:
+        rels0 = rels0.materialize()
+
+    nodes1, ways1 = attach_reverse_membership(nodes0, ways0, rels0)
+
+    tag_index = build_tag_index(nodes1, ways1, rels0)
+    ti_ref = ray.put(tag_index)
+
+    nodes = encode_tags(nodes1, ti_ref)
+    ways = encode_tags(ways1, ti_ref)
+    rels = encode_tags(rels0, ti_ref)
+    if materialize:
+        nodes = nodes.materialize()
+        ways = ways.materialize()
+        rels = rels.materialize()
+
+    repo = FeatureRepo(nodes, ways, rels, tag_index)
+    _CACHE[key] = repo
+    return repo

@@ -1,0 +1,101 @@
+"""Bucketed vectorized group-collect: the engine's grouped list-assembly shuffle.
+
+``Dataset.groupby(key).map_groups(fn)`` calls Python once per *group*; with
+millions of tiny groups (e.g. one way per 5 nodes) that is a Python-loop
+disguised as a shuffle. Instead we shuffle once on a hash *bucket* of the key
+(``groupby("__bucket")``) and assemble **all** groups of a bucket in one
+vectorized call: ``np.lexsort`` + ``np.unique`` segment offsets +
+``pa.ListArray.from_arrays``.
+
+Scale notes (100 TB design):
+- one all-to-all shuffle keyed on ``hash(key) % num_buckets``; pick
+  ``num_buckets`` so a bucket (≈ total_rows / num_buckets) fits a worker heap;
+- group sizes are bounded by the data model (way member lists), so no single
+  group can blow a bucket — skewed *keys* are impossible here by construction;
+  skewed cells are handled separately (stages/skew.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def bucket_collect(
+    ds: ray.data.Dataset,
+    key: str,
+    assemble: Callable[[pa.Table, np.ndarray, np.ndarray, np.ndarray], pa.Table],
+    *,
+    sort_col: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Group ``ds`` by ``key`` and assemble each bucket's groups vectorized.
+
+    ``assemble(sorted_tbl, group_keys, starts, ends) -> pa.Table`` receives the
+    bucket's rows sorted by (key, sort_col) plus the per-group segment bounds
+    and must emit one row per group. No per-group Python.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key], dtype=np.int64)
+        # Cheap integer hash spread (Fibonacci hashing) so consecutive keys
+        # don't all land in one bucket.
+        b = ((k * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return batch.append_column("__bucket", pa.array(np.abs(b).astype(np.int64)))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__bucket"])
+        k = np.asarray(tbl[key], dtype=np.int64)
+        if sort_col is not None:
+            s = np.asarray(tbl[sort_col], dtype=np.int64)
+            order = np.lexsort((s, k))
+        else:
+            order = np.argsort(k, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        k = k[order]
+        group_keys, starts = np.unique(k, return_index=True)
+        ends = np.append(starts[1:], len(k))
+        return assemble(tbl, group_keys, starts, ends)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def collect_list_column(
+    flat: pa.Array | np.ndarray, starts: np.ndarray, ends: np.ndarray, type_: pa.DataType
+) -> pa.ListArray:
+    """Build a list column from already-sorted flat values and segment bounds.
+
+    Segments must be contiguous ([starts[i], ends[i]) covering the array in
+    order), which ``bucket_collect`` guarantees.
+    """
+    offsets = np.concatenate([starts, ends[-1:]]).astype(np.int64)
+    if isinstance(flat, np.ndarray):
+        flat = pa.array(flat, type=type_)
+    elif flat.type != type_:
+        flat = flat.cast(type_)
+    return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat).cast(
+        pa.list_(type_)
+    )
+
+
+def segment_unique_lists(
+    group_idx: np.ndarray, values: np.ndarray, n_groups: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-group sorted-unique values -> (flat_unique, offsets len n_groups+1).
+
+    Vectorized: one np.unique over (group_idx, value) pairs + a bincount.
+    ``values`` must be non-negative int64 (packed cell ids are).
+    """
+    group_idx = np.asarray(group_idx, dtype=np.int64)
+    values = np.asarray(values, dtype=np.int64)
+    pairs = np.stack([group_idx, values], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=n_groups)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return uniq[:, 1], offsets

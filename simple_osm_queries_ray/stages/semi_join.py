@@ -1,0 +1,79 @@
+"""Semi-/anti-join probes over membership-ID lists (SURVEY.md J1/J2).
+
+The reference's headline feature — context-aware sub-statements
+(``this.<type>{filter}``) — qualifies an outer feature iff at least one of
+its related features satisfies the inner filter
+(``/root/reference/src/query/filter.go:182-337``). Set-oriented decorrelation:
+
+1. inner side: filter the inner-type table to the candidate cells and the
+   inner predicate, project ``id`` -> a sorted int64 array (the reference's
+   ``idCache`` memo, filter.go:256);
+2. broadcast it once (``ray.put``), probe each outer batch's membership list
+   column with ``searchsorted`` + segment-any — vectorized, no per-row work.
+
+The broadcast path assumes the matched-ID set fits in memory (the inner side
+is filter-pruned; for the rare huge case the explode+hash-join fallback in
+``stages/joins.py`` applies — same semantics, one more shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.segments import list_parts, segment_any
+from ..state.broadcast import get as bget
+from .group_collect import collect_list_column
+
+
+def sorted_id_array(ds: ray.data.Dataset, id_col: str = "id") -> "ray.ObjectRef":
+    """Collect a dataset's id column into a sorted numpy array and broadcast it."""
+    parts = [
+        np.asarray(b[id_col], dtype=np.int64)
+        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+    ]
+    ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+    return ray.put(ids)
+
+
+def isin_sorted(values: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of values in a sorted id array."""
+    if len(sorted_ids) == 0 or len(values) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_ids, values)
+    pos = np.clip(pos, 0, len(sorted_ids) - 1)
+    return sorted_ids[pos] == values
+
+
+def probe_membership_lists(list_col: pa.ChunkedArray | pa.Array, ids_ref) -> np.ndarray:
+    """Per-row: does any id in the row's membership list hit the matched set?
+
+    This is the probe half of the semi-join (filter.go:265-331); wrap the
+    result with ``~`` for the anti-join (``!this...``, filter.go:27-34).
+    """
+    sorted_ids = bget(ids_ref)
+    flat, offsets = list_parts(list_col)
+    hit = isin_sorted(np.asarray(flat, dtype=np.int64), sorted_ids)
+    return segment_any(hit, offsets)
+
+
+def probe_scalar(values: np.ndarray, ids_ref) -> np.ndarray:
+    sorted_ids = bget(ids_ref)
+    return isin_sorted(np.asarray(values, dtype=np.int64), sorted_ids)
+
+
+def filter_list_to_idset(list_col: pa.ChunkedArray | pa.Array, ids_ref) -> pa.ListArray:
+    """Keep only list elements present in the broadcast id set (existence join)."""
+    sorted_ids = bget(ids_ref)
+    flat, offsets = list_parts(list_col)
+    flat = np.asarray(flat, dtype=np.int64)
+    keep = isin_sorted(flat, sorted_ids)
+    n = len(offsets) - 1
+    cs = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cs[1:])
+    lens = cs[offsets[1:]] - cs[offsets[:-1]]
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    return collect_list_column(flat[keep], new_off[:-1], new_off[1:], pa.int64())

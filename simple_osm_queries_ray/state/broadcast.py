@@ -1,0 +1,32 @@
+"""Broadcast helpers: ship small lookup state to every task/actor exactly once.
+
+The reference keeps its TagIndex and sub-statement ID memo as in-process
+shared state (``/root/reference/src/index/tag.go:100-108``,
+``src/query/filter.go:166-179``). The Ray-native analogue is ``ray.put`` on
+the driver + ``ray.get`` inside the stage (cached per worker process), never
+re-shipped per batch and never shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray
+
+# Per-worker-process cache of resolved broadcast objects, so stateless
+# map_batches functions don't call ray.get on every batch. ray.get of the same
+# ref is already zero-copy from the local object store, but the dict also
+# skips deserialization of non-Arrow payloads.
+_CACHE: dict[Any, Any] = {}
+
+
+def put(obj: Any) -> "ray.ObjectRef":
+    return ray.put(obj)
+
+
+def get(ref: Any) -> Any:
+    if isinstance(ref, ray.ObjectRef):
+        if ref not in _CACHE:
+            _CACHE[ref] = ray.get(ref)
+        return _CACHE[ref]
+    return ref  # plain object (tests / driver-side use)

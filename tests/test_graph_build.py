@@ -1,0 +1,85 @@
+"""Pipeline-vs-oracle conformance of the feature-graph build (J3/J4/J5)."""
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_ray.sources.repo import build_repo
+
+import oracle
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def repo():
+    return build_repo(SF)
+
+
+@pytest.fixture(scope="module")
+def oracle_graph():
+    return oracle.build_oracle_graph(SF)
+
+
+def _df(ds):
+    return ds.to_pandas()
+
+
+def test_nodes_match_oracle(repo, oracle_graph):
+    nodes_df, _, _ = oracle_graph
+    got = _df(repo.nodes).sort_values("id").reset_index(drop=True)
+    exp = nodes_df.sort_values("id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+    np.testing.assert_array_equal(got["lon"].to_numpy(), exp["lon"].to_numpy())
+    np.testing.assert_array_equal(got["lat"].to_numpy(), exp["lat"].to_numpy())
+    np.testing.assert_array_equal(got["cell"].to_numpy(), exp["cell"].to_numpy())
+    for g, e in zip(got["way_ids"], exp["way_ids"]):
+        assert list(g) == list(e)
+    for g, e in zip(got["relation_ids"], exp["relation_ids"]):
+        assert list(g) == list(e)
+
+
+def test_hot_cell_skew_planted(repo):
+    got = _df(repo.nodes)
+    counts = got.groupby("cell").size()
+    assert counts.max() >= 0.25 * len(got)  # the planted hot cell
+
+
+def test_ways_match_oracle(repo, oracle_graph):
+    _, ways_df, _ = oracle_graph
+    got = _df(repo.ways).sort_values("id").reset_index(drop=True)
+    exp = ways_df.sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(exp["id"])
+    for g, e in zip(got["node_ids"], exp["node_ids"]):
+        assert list(g) == list(e)
+    for g, e in zip(got["cells"], exp["cells"]):
+        assert sorted(g) == sorted(e)
+    np.testing.assert_array_equal(got["minlon"].to_numpy(), exp["minlon"].to_numpy())
+    np.testing.assert_array_equal(got["maxlat"].to_numpy(), exp["maxlat"].to_numpy())
+    for g, e in zip(got["relation_ids"], exp["relation_ids"]):
+        assert list(g) == list(e)
+
+
+def test_relations_match_oracle(repo, oracle_graph):
+    _, _, rels_df = oracle_graph
+    got = _df(repo.relations).sort_values("id").reset_index(drop=True)
+    exp = rels_df.sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(exp["id"])
+    for col in ("node_ids", "way_ids", "child_relation_ids", "parent_relation_ids"):
+        for g, e in zip(got[col], exp[col]):
+            assert sorted(g) == sorted(e), col
+    for g, e in zip(got["cells"], exp["cells"]):
+        assert sorted(g) == sorted(e)
+    np.testing.assert_array_equal(got["minlon"].to_numpy(), exp["minlon"].to_numpy())
+    np.testing.assert_array_equal(got["minlat"].to_numpy(), exp["minlat"].to_numpy())
+    np.testing.assert_array_equal(got["maxlon"].to_numpy(), exp["maxlon"].to_numpy())
+    np.testing.assert_array_equal(got["maxlat"].to_numpy(), exp["maxlat"].to_numpy())
+
+
+def test_tag_index_contents(repo):
+    ti = repo.tag_index
+    assert "lang" in ti.keys and "wtype" in ti.keys and "rtype" in ti.keys
+    # n_chars values must be natural-sorted (numeric order), not lexicographic
+    ki = ti.key_index("n_chars")
+    vals = [int(v) for v in ti.values[ki]]
+    assert vals == sorted(vals)

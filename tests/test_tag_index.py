@@ -1,0 +1,57 @@
+"""TagIndex semantics: next-lower-value lookup and dictionaries.
+
+Vectors from /root/reference/src/index/tag_test.go:8-86.
+"""
+
+from simple_osm_queries_ray.functions.tags import TagIndex
+from simple_osm_queries_ray.model import NOT_FOUND
+
+
+def _ti(values):
+    return TagIndex(keys=["k"], values=[values])
+
+
+def test_next_lower_value_index_plain():
+    ti = _ti(["v1", "v2", "v4"])
+    assert ti.next_lower_value_index(0, "v1") == (0, True)
+    assert ti.next_lower_value_index(0, "v2") == (1, True)
+    assert ti.next_lower_value_index(0, "v4") == (2, True)
+    assert ti.next_lower_value_index(0, "v3") == (1, False)
+    assert ti.next_lower_value_index(0, "v0") == (NOT_FOUND, False)
+    assert ti.next_lower_value_index(0, "v5") == (2, False)
+    assert ti.next_lower_value_index(0, "v2.5") == (1, False)
+
+
+def test_next_lower_value_index_mixed_numbers_and_strings():
+    ti = _ti(["1", "1m", "1.5 m", "2.5"])
+    assert ti.next_lower_value_index(0, "1") == (0, True)
+    assert ti.next_lower_value_index(0, "1m") == (1, True)
+    assert ti.next_lower_value_index(0, "1.5 m") == (2, True)
+    assert ti.next_lower_value_index(0, "1.5") == (1, False)
+    assert ti.next_lower_value_index(0, "0") == (NOT_FOUND, False)
+    assert ti.next_lower_value_index(0, "2") == (2, False)
+    assert ti.next_lower_value_index(0, "2m") == (2, False)
+    assert ti.next_lower_value_index(0, "2.5m") == (3, False)
+
+
+def test_build_sorts_values_naturally():
+    ti = TagIndex.from_tag_lists({"width": ["2", "10", "1.5 m", "1"]})
+    assert ti.values[0] == ["1", "1.5 m", "2", "10"]
+
+
+def test_save_load_roundtrip(tmp_path):
+    ti = TagIndex(keys=["a", "weird=key"], values=[["x", "y|z"], ["new\nline"]])
+    p = str(tmp_path / "tag-index")
+    ti.save(p)
+    back = TagIndex.load(p)
+    assert back.keys == ti.keys
+    assert back.values == ti.values
+
+
+def test_lookups():
+    ti = TagIndex(keys=["amenity"], values=[["bench", "tree"]])
+    assert ti.key_index("amenity") == 0
+    assert ti.key_index("nope") == NOT_FOUND
+    assert ti.value_index("amenity", "tree") == 1
+    assert ti.value_index("amenity", "nope") == NOT_FOUND
+    assert ti.value_index("nope", "tree") == NOT_FOUND
