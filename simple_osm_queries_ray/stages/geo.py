@@ -1,0 +1,111 @@
+"""Geospatial graft operators: raster-tile assignment and point-in-polygon.
+
+These generalize the reference's two-phase spatial shape — cell prune then
+exact geometry refinement (``/root/reference/src/index/grid_reader.go:168-184``)
+— to the north rule's tile/polygon joins. All kernels are IEEE-double
+arithmetic chosen to be bit-reproducible in DuckDB SQL (division + floor +
+comparisons only; no transcendentals), so the driver's oracle can recompute
+them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def tile_xy(lon: np.ndarray, lat: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Power-of-two lon/lat tile grid (slippy-map layout without the Mercator
+    latitude warp, keeping the kernel transcendental-free):
+
+    tx = floor((lon+180)/360 * 2^zoom), ty = floor((90-lat)/180 * 2^zoom).
+    """
+    n = float(1 << zoom)
+    tx = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n).astype(np.int64)
+    ty = np.floor((90.0 - np.asarray(lat, dtype=np.float64)) / 180.0 * n).astype(np.int64)
+    return tx, ty
+
+
+def tile_id(lon: np.ndarray, lat: np.ndarray, zoom: int) -> np.ndarray:
+    tx, ty = tile_xy(lon, lat, zoom)
+    return ty * np.int64(1 << zoom) + tx
+
+
+def assign_tiles(ds: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
+    """Add a ``tile`` column — the raster-tile <-> feature assignment stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)
+        return batch.append_column("tile", pa.array(t, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def point_in_polygon_mask(
+    lon: np.ndarray, lat: np.ndarray, polygon: list[tuple[float, float]]
+) -> np.ndarray:
+    """Vectorized even-odd (crossing number) point-in-polygon test.
+
+    Classic ray cast toward +x: for each edge, points whose latitude is
+    strictly bracketed by the edge's endpoints and whose longitude lies left
+    of the edge's crossing longitude flip parity. Boundary behavior follows
+    this exact formula (the oracle SQL repeats it verbatim).
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    inside = np.zeros(len(lon), dtype=bool)
+    m = len(polygon)
+    for i in range(m):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % m]
+        cond = ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        )
+        inside ^= cond
+    return inside
+
+
+def filter_in_polygon(
+    ds: ray.data.Dataset, polygon: list[tuple[float, float]]
+) -> ray.data.Dataset:
+    """Spatial join against one polygon: cell prune + exact ray-cast refine.
+
+    Cell prune uses the polygon's bbox cell rectangle (the reference's prune,
+    two-phase join shape); the refine is the vectorized crossing test.
+    """
+    from ..model import cells_for_bbox
+    from .semi_join import isin_sorted
+
+    xs = [p[0] for p in polygon]
+    ys = [p[1] for p in polygon]
+    cellset = np.sort(cells_for_bbox(min(xs), min(ys), max(xs), max(ys)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        in_cells = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), cellset)
+        mask = in_cells & point_in_polygon_mask(
+            np.asarray(batch["lon"]), np.asarray(batch["lat"]), polygon
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pip_sql_condition(polygon: list[tuple[float, float]], lon_col: str = "lon", lat_col: str = "lat") -> str:
+    """DuckDB boolean expression computing the exact same crossing test
+    (sum of per-edge flips mod 2) — used by oracle_sql()."""
+    def d(v: float) -> str:
+        # DuckDB parses bare decimal literals as DECIMAL; force IEEE doubles
+        return f"CAST({v!r} AS DOUBLE)"
+
+    terms = []
+    m = len(polygon)
+    for i in range(m):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % m]
+        terms.append(
+            f"(CASE WHEN (({d(y1)} > {lat_col}) <> ({d(y2)} > {lat_col})) AND "
+            f"({lon_col} < ({d(x2)} - {d(x1)}) * ({lat_col} - {d(y1)}) / ({d(y2)} - {d(y1)}) + {d(x1)}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

@@ -1,0 +1,184 @@
+"""k-nearest-neighbour search over point features.
+
+Two paths (SURVEY.md section 7.2 step 6):
+
+- :func:`knn_bruteforce` — broadcast the (small) query-point matrix, compute
+  per-batch squared distances vectorized, keep a per-batch top-k per query
+  (combiner), then reduce the k * n_batches candidates per query in one tiny
+  final stage. No all-to-all shuffle; scales linearly in rows.
+- :func:`knn_cell_ring` — the reference-style index path: probe expanding
+  rings of grid cells around each query point (generalizes the cell prune of
+  ``/root/reference/src/index/grid_reader.go:39-78``) and stop once the ring
+  distance bound exceeds the current k-th best. Efficient when the cell index
+  is materialized (reads only nearby cells instead of the full table).
+
+Distances are squared-euclidean in lon/lat degrees (deterministic ties broken
+by feature id), matching the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..model import CELL_H, CELL_W, cell_of, pack_cell
+from ..state.broadcast import get as bget
+
+
+def _topk_per_query(
+    qlon: np.ndarray,
+    qlat: np.ndarray,
+    lon: np.ndarray,
+    lat: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+):
+    """(qid, id, dist2) candidate triples: per-batch top-k for each query."""
+    # distance matrix Q x N, vectorized
+    dlon = qlon[:, None] - lon[None, :]
+    dlat = qlat[:, None] - lat[None, :]
+    d2 = dlon * dlon + dlat * dlat
+    n = d2.shape[1]
+    kk = min(k, n)
+    if kk == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e, np.array([], dtype=np.float64)
+    # argpartition per row, then exact sort of the k candidates by (d2, id)
+    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(d2.shape[0])[:, None]
+    pd2 = d2[rows, part]
+    pids = ids[part]
+    order = np.lexsort((pids, pd2), axis=1)
+    sd2 = pd2[rows, order]
+    sids = pids[rows, order]
+    qids = np.repeat(np.arange(d2.shape[0], dtype=np.int64), kk)
+    return qids, sids.ravel().astype(np.int64), sd2.ravel()
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset, query_points: np.ndarray, k: int
+) -> ray.data.Dataset:
+    """Exact kNN: per-batch vectorized top-k + single small reduce.
+
+    ``query_points``: float64 array of shape (Q, 2) as (lon, lat). Returns a
+    Dataset of (qid, id, dist2, rank) with rank 1..k per query, deterministic
+    tie-break on id.
+    """
+    import ray
+
+    q_ref = ray.put(np.asarray(query_points, dtype=np.float64))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        q = bget(q_ref)
+        qids, ids_, d2 = _topk_per_query(
+            q[:, 0],
+            q[:, 1],
+            np.asarray(batch["lon"], dtype=np.float64),
+            np.asarray(batch["lat"], dtype=np.float64),
+            np.asarray(batch["id"], dtype=np.int64),
+            k,
+        )
+        return pa.table(
+            {
+                "qid": pa.array(qids),
+                "id": pa.array(ids_),
+                "dist2": pa.array(d2),
+            }
+        )
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        d2 = np.asarray(tbl["dist2"], dtype=np.float64)
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        qid = np.asarray(tbl["qid"], dtype=np.int64)
+        order = np.lexsort((ids_, d2))
+        kk = min(k, len(order))
+        sel = order[:kk]
+        return pa.table(
+            {
+                "qid": pa.array(qid[sel]),
+                "id": pa.array(ids_[sel]),
+                "dist2": pa.array(d2[sel]),
+                "rank": pa.array(np.arange(1, kk + 1, dtype=np.int64)),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    # qid cardinality is tiny (Q queries), so the groupby moves k*n_batches
+    # candidate rows only — not the input table.
+    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def knn_cell_ring(
+    ds: ray.data.Dataset,
+    query_point: tuple[float, float],
+    k: int,
+    *,
+    max_rings: int = 64,
+) -> "pa.Table":
+    """Index-path kNN for a single query point via expanding cell rings.
+
+    Ring r = cells with Chebyshev distance r from the query's cell. After
+    scanning ring r, any candidate closer than the minimal possible distance
+    of ring r+1 (r * cell_size) is final. Each ring scan is a cell-pruned
+    Ray filter — with a cell-partitioned index only those files are read.
+    """
+    qlon, qlat = float(query_point[0]), float(query_point[1])
+    qcell = int(cell_of(np.array([qlon]), np.array([qlat]))[0])
+    from ..model import unpack_cell
+
+    cx, cy = unpack_cell(np.array([qcell]))
+    cx, cy = int(cx[0]), int(cy[0])
+
+    best: list[tuple[float, int]] = []  # (dist2, id) sorted
+    out_rows = []
+    for r in range(max_rings):
+        # cells of ring r
+        if r == 0:
+            ring = [(cx, cy)]
+        else:
+            ring = []
+            for dx in range(-r, r + 1):
+                ring.append((cx + dx, cy - r))
+                ring.append((cx + dx, cy + r))
+            for dy in range(-r + 1, r):
+                ring.append((cx - r, cy + dy))
+                ring.append((cx + r, cy + dy))
+        cells = np.sort(
+            pack_cell(
+                np.array([c[0] for c in ring], dtype=np.int64),
+                np.array([c[1] for c in ring], dtype=np.int64),
+            )
+        )
+
+        from .semi_join import isin_sorted
+
+        def prune(batch: pa.Table, _cells=cells) -> pa.Table:
+            mask = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), _cells)
+            return batch.filter(pa.array(mask))
+
+        ring_tbl = (
+            ds.map_batches(prune, batch_format="pyarrow")
+            .select_columns(["id", "lon", "lat"])
+            .to_pandas()
+        )
+        if len(ring_tbl):
+            d2 = (ring_tbl["lon"].to_numpy() - qlon) ** 2 + (
+                ring_tbl["lat"].to_numpy() - qlat
+            ) ** 2
+            for dist, fid in zip(d2, ring_tbl["id"].to_numpy()):
+                best.append((float(dist), int(fid)))
+            best.sort()
+            best = best[:k]
+        # stopping bound: min possible distance of the next ring
+        next_min = (r * min(CELL_W, CELL_H)) ** 2
+        if len(best) == k and best[-1][0] <= next_min:
+            break
+    arr = best[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(arr) + 1, dtype=np.int64)),
+            "id": pa.array([b[1] for b in arr], type=pa.int64()),
+            "dist2": pa.array([b[0] for b in arr], type=pa.float64()),
+        }
+    )

@@ -1,0 +1,70 @@
+"""Driver-style parity harness: every queries() entry vs its oracle_sql()
+via DuckDB on the same parquet tables (row count + column names + sorted
+values), at sf0.001 for speed. This mirrors what the external correctness
+gate does at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location("_ray_entry", "/root/repo/__ray_entry__.py")
+entry_mod = importlib.util.module_from_spec(spec)
+sys.modules["_ray_entry"] = entry_mod
+spec.loader.exec_module(entry_mod)
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def to_pdf(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(name, con):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = normalize(to_pdf(fn(SF)))
+    exp = normalize(con.sql(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        g, e = got[c].to_numpy(), exp[c].to_numpy()
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            np.testing.assert_array_equal(g.astype(np.float64), e.astype(np.float64), err_msg=f"{name}.{c}")
+        else:
+            np.testing.assert_array_equal(g.astype(np.int64), e.astype(np.int64), err_msg=f"{name}.{c}")
+
+
+def test_entry_smoke():
+    res = entry_mod.entry()
+    df = to_pdf(res)
+    assert len(df) >= 0
+    assert "tile" in df.columns
