@@ -146,6 +146,90 @@ def _q_knn(sf_dir: str):
     return knn_bruteforce(_repo(sf_dir).nodes, np.array(KNN_QUERIES), KNN_K)
 
 
+# -- training-data pipeline operators ---------------------------------------
+
+NEAR_DUP_TAU = 0.9
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 10
+
+
+def _q_dedup_exact(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import exact_dedup_keep_ids
+
+    return exact_dedup_keep_ids(dup_documents(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(dup_documents(sf_dir), threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(dup_documents(sf_dir), max_hamming=3)
+
+
+def _q_embed_near_dup(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_embeddings import dup_embeddings
+    from simple_osm_queries_ray.stages.embed import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(dup_embeddings(sf_dir), NEAR_DUP_TAU)
+
+
+def _q_embed_near_dup_lsh(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_embeddings import dup_embeddings
+    from simple_osm_queries_ray.stages.embed import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(dup_embeddings(sf_dir), NEAR_DUP_TAU)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from simple_osm_queries_ray.stages.embed import ann_search
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_search(ds, ANN_QUERY_IDS, ANN_K)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from simple_osm_queries_ray.stages.embed import ann_search_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_search_ivf(ds, ANN_QUERY_IDS, ANN_K)
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import analyze_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analyze_text(ds)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(ds)
+
+
+def _q_events_window(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import tumbling_window_events
+
+    return tumbling_window_events(sf_dir).select_columns(["event_type", "window", "n"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -162,11 +246,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": _q_tile_histogram,
         "pip_triangle": _q_pip_triangle,
         "knn": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embed_near_dup": _q_embed_near_dup,
+        "embed_near_dup_lsh": _q_embed_near_dup_lsh,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "text_stats": _q_text_stats,
+        "fingerprints": _q_fingerprints,
+        "events_window": _q_events_window,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    bs = "\\b"
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{bs}{m}{bs}'))" for m in markers
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -183,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         bbox_where,
         tile_expr,
     )
+    from simple_osm_queries_ray.sources.dup_docs import DUP_DOCS_SQL
+    from simple_osm_queries_ray.sources.dup_embeddings import DUP_EMB_SQL
     from simple_osm_queries_ray.stages.geo import pip_sql_condition
 
     W = f"WITH {NODES_CTE}"
@@ -274,5 +377,57 @@ ranked AS (
   FROM scored
 )
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+        "dedup_exact": (
+            f"WITH {DUP_DOCS_SQL} SELECT min(id) AS id FROM dup_docs GROUP BY text"
+        ),
+        "embed_near_dup": f"""
+WITH {DUP_EMB_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= CAST({NEAR_DUP_TAU!r} AS DOUBLE)
+""",
+        "ann_topk": f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+scored AS (
+  SELECT q.qid, b.vec_id, list_cosine_similarity(q.qv, b.v) AS cos
+  FROM q CROSS JOIN base b WHERE b.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id FROM ranked WHERE rn <= {ANN_K}
+""",
+        "text_stats": f"""
+WITH counts AS (
+  SELECT doc_id AS id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    {_marker_count_sql(("the", "and", "of"))} AS c_en,
+    {_marker_count_sql(("der", "und", "das"))} AS c_de,
+    {_marker_count_sql(("el", "los", "una"))} AS c_es,
+    {_marker_count_sql(("le", "les", "une"))} AS c_fr,
+    {_marker_count_sql(("de0", "shi4", "le0"))} AS c_zh,
+    {_marker_count_sql(("the", "a", "and", "of", "to"))} AS c_stop
+  FROM documents
+)
+SELECT id, n_tokens,
+  CASE
+    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+    WHEN c_fr >= c_zh THEN 'fr'
+    ELSE 'zh'
+  END AS lang_pred,
+  CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+  CAST(0.5 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE))
+    + CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE)
+      - CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) AS quality
+FROM counts
+""",
+        "events_window": """
+SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n
+FROM events GROUP BY 1, 2
 """,
     }

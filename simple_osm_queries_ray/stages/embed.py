@@ -1,0 +1,271 @@
+"""Embedding-space operators: cosine near-duplicate detection and ANN search.
+
+Shapes:
+
+- :func:`embedding_near_dup_exact` — exact all-pairs cosine >= tau. Each
+  batch multiplies against a broadcast normalized matrix of the whole table
+  (numpy matmul, float64): O(N^2) work but embarrassingly parallel with no
+  shuffle; the scale path is the LSH variant below.
+- :func:`embedding_near_dup_lsh` — random-hyperplane signatures -> bucket
+  groupby -> within-bucket exact verification. One shuffle keyed on the
+  (band, bucket) hash; probabilistic recall (planted near-identical pairs are
+  always caught — tests pin that).
+- :func:`ann_search` — brute-force cosine top-k per query vector: broadcast
+  query matrix, per-batch top-k combiner, tiny final reduce per qid (same
+  pattern as stages/knn.py).
+- :func:`ann_search_ivf` — IVF: deterministic k-means (few driver-side
+  iterations over a sample), per-row nearest-centroid assignment, search only
+  the nprobe closest lists. Rows-only correctness (recall pinned in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..state.broadcast import get as bget
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _collect_matrix(ds: ray.data.Dataset, id_col: str, vec_col: str):
+    ids, vecs = [], []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        ids.append(np.asarray(b[id_col], dtype=np.int64))
+        vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+    ids = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
+    vecs = np.vstack(vecs) if vecs else np.zeros((0, 1))
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+def embedding_near_dup_exact(
+    ds: ray.data.Dataset, tau: float, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    """(id_a < id_b) pairs with cosine similarity >= tau (exact, float64)."""
+    all_ids, all_vecs = _collect_matrix(ds, id_col, vec_col)
+    ref = ray.put((all_ids, _normalize(all_vecs)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_r, mat = bget(ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cos = vecs @ mat.T  # (b, N)
+        ii, jj = np.nonzero(cos >= tau)
+        a = ids[ii]
+        b = ids_r[jj]
+        keep = a < b  # each unordered pair once; self-pairs dropped
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_N_PLANES = 16
+_N_BANDS = 4  # 4 bands x 4 planes
+
+
+def embedding_near_dup_lsh(
+    ds: ray.data.Dataset,
+    tau: float,
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """LSH-bucketed near-dup: hyperplane sign bands -> groupby -> verify."""
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((_N_PLANES, dim))
+    planes_ref = ray.put(planes)
+    per_band = _N_PLANES // _N_BANDS
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        pl = bget(planes_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        signs = (vecs @ pl.T) > 0  # (n, P)
+        n = len(ids)
+        bands = np.empty((n, _N_BANDS), dtype=np.int64)
+        w = 1 << np.arange(per_band)
+        for b in range(_N_BANDS):
+            bands[:, b] = signs[:, b * per_band : (b + 1) * per_band] @ w
+        d = vecs.shape[1] if n else 0
+        rep = np.repeat(vecs, _N_BANDS, axis=0)
+        offsets = pa.array(np.arange(n * _N_BANDS + 1, dtype=np.int32) * d)
+        vec_list = pa.ListArray.from_arrays(offsets, pa.array(rep.ravel(), type=pa.float64()))
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+                "bucket": pa.array(bands.ravel()),
+                id_col: pa.array(np.repeat(ids, _N_BANDS)),
+                vec_col: vec_list,
+            }
+        )
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def verify_bucket(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl[id_col], dtype=np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+        vecs = np.array(tbl[vec_col].take(pa.array(first)).to_pylist(), dtype=np.float64)
+        vecs = _normalize(vecs)
+        cos = vecs @ vecs.T
+        ia, ib = np.nonzero(np.triu(cos >= tau, k=1))
+        return pa.table({"id_a": pa.array(uniq[ia]), "id_b": pa.array(uniq[ib])})
+
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(verify_bucket, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
+def ann_search(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Brute-force cosine top-k (excluding self) for query vectors drawn from
+    the table itself. Returns (qid, vec_id) — the top-k id set per query."""
+    q_ids, q_vecs = _query_matrix(ds, query_ids, id_col, vec_col)
+    q_ref = ray.put((q_ids, _normalize(q_vecs)))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qids, qmat = bget(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        cos = qmat @ vecs.T  # (Q, n)
+        out_q, out_id, out_cos = [], [], []
+        n = cos.shape[1]
+        kk = min(k + 1, n)  # +1 in case the query row itself is in this batch
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(cos.shape[0])[:, None]
+        for qi in range(len(qids)):
+            sel = part[qi]
+            mask = ids[sel] != qids[qi]
+            out_q.append(np.full(mask.sum(), qids[qi], dtype=np.int64))
+            out_id.append(ids[sel][mask])
+            out_cos.append(cos[qi, sel][mask])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cos": pa.array(np.concatenate(out_cos)),
+            }
+        )
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        cos = np.asarray(tbl["cos"], dtype=np.float64)
+        ids = np.asarray(tbl[id_col], dtype=np.int64)
+        qid = np.asarray(tbl["qid"], dtype=np.int64)
+        order = np.lexsort((ids, -cos))[: min(k, len(cos))]
+        return pa.table({"qid": pa.array(qid[order]), id_col: pa.array(ids[order])})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def _query_matrix(ds, query_ids, id_col, vec_col):
+    from .semi_join import isin_sorted
+
+    want = np.sort(np.asarray(query_ids, dtype=np.int64))
+
+    def take(batch: pa.Table) -> pa.Table:
+        mask = isin_sorted(np.asarray(batch[id_col], dtype=np.int64), want)
+        return batch.select([id_col, vec_col]).filter(pa.array(mask))
+
+    ids, vecs = [], []
+    for b in ds.map_batches(take, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        ids.append(np.asarray(b[id_col], dtype=np.int64))
+        vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+    ids = np.concatenate(ids)
+    vecs = np.vstack(vecs)
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+def ann_search_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 4096,
+) -> ray.data.Dataset:
+    """IVF ANN: coarse k-means lists, search the nprobe nearest lists only.
+
+    Centroids are trained driver-side on a deterministic sample (first
+    ``sample_limit`` rows by id) — tiny state broadcast to the assignment
+    stage; the per-row assignment and the probed search are vectorized
+    map_batches. Approximate: recall is pinned by tests, not an oracle.
+    """
+    ids, vecs = _collect_matrix(ds.limit(sample_limit), id_col, vec_col)
+    sample = _normalize(vecs)
+    # deterministic init: evenly spaced sample rows
+    init = sample[:: max(1, len(sample) // n_lists)][:n_lists]
+    cents = init.copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents_ref = ray.put(cents)
+
+    q_ids, q_vecs = _query_matrix(ds, query_ids, id_col, vec_col)
+    qn = _normalize(q_vecs)
+    probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((q_ids, qn, probe_lists))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c = bget(cents_ref)
+        qids, qmat, probes = bget(q_ref)
+        ids_ = np.asarray(batch[id_col], dtype=np.int64)
+        vecs_ = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        assign = np.argmax(vecs_ @ c.T, axis=1)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(len(qids)):
+            m = np.isin(assign, probes[qi]) & (ids_ != qids[qi])
+            if not m.any():
+                continue
+            cos = vecs_[m] @ qmat[qi]
+            sel = np.argsort(-cos)[: min(k, m.sum())]
+            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            out_id.append(ids_[m][sel])
+            out_cos.append(cos[sel])
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()), id_col: pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cos": pa.array(np.concatenate(out_cos)),
+            }
+        )
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        cos = np.asarray(tbl["cos"], dtype=np.float64)
+        ids_ = np.asarray(tbl[id_col], dtype=np.int64)
+        qid = np.asarray(tbl["qid"], dtype=np.int64)
+        order = np.lexsort((ids_, -cos))[: min(k, len(cos))]
+        return pa.table({"qid": pa.array(qid[order]), id_col: pa.array(ids_[order])})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines.
+
+All kernels are vectorized (pyarrow.compute / pandas C string methods) and —
+except the fingerprint — arithmetically reproducible in DuckDB SQL:
+
+- token_count: whitespace tokens (the synthetic corpus is single-space
+  joined, so `split(' ')` and regex token counts agree);
+- language-ID: n-gram/marker-word heuristic — per-language marker counts,
+  argmax with deterministic tie-break (first language in the fixed order);
+- quality score: token-count + stopword-ratio formula in IEEE doubles;
+- fingerprint: 61-bit polynomial rolling hash over UTF-8 bytes (rows-only:
+  no SQL twin; determinism pinned by tests).
+
+The language marker/stopword sets are fixed tiny vocabularies — broadcast
+state compiled once per actor in the stage's __init__ when used as an actor
+pool (they are also cheap enough to close over for stateless tasks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "los", "una"],
+    "fr": ["le", "les", "une"],
+    "zh": ["de0", "shi4", "le0"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+_MOD = (1 << 61) - 1
+_BASE = 131
+
+
+class TextAnalyzer:
+    """Actor-pool stage: compiled regexes live once per actor (__init__),
+    batches flow through __call__ (SURVEY.md ST6 pattern)."""
+
+    def __init__(self):
+        import re
+
+        self.marker_res = {
+            lang: [re.compile(rf"\b{m}\b") for m in ms] for lang, ms in MARKERS.items()
+        }
+        self.stop_res = [re.compile(rf"\b{w}\b") for w in STOPWORDS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+        n_tokens = texts.str.split(" ").map(len).to_numpy(dtype=np.int64)
+
+        marker_counts = np.zeros((len(texts), len(LANGS)), dtype=np.int64)
+        for li, lang in enumerate(LANGS):
+            for rx in self.marker_res[lang]:
+                marker_counts[:, li] += texts.str.count(rx).to_numpy(dtype=np.int64)
+        # argmax with first-language tie-break (np.argmax takes first maximum)
+        pred = np.array(LANGS, dtype=object)[np.argmax(marker_counts, axis=1)]
+
+        stop = np.zeros(len(texts), dtype=np.int64)
+        for rx in self.stop_res:
+            stop += texts.str.count(rx).to_numpy(dtype=np.int64)
+        stop_ratio = stop / np.maximum(n_tokens, 1).astype(np.float64)
+        quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (1.0 - stop_ratio)
+
+        return pa.table(
+            {
+                "id": batch["id"] if "id" in batch.column_names else batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+                "lang_pred": pa.array(pred, type=pa.string()),
+                "stop_ratio": pa.array(stop_ratio),
+                "quality": pa.array(quality),
+            }
+        )
+
+
+def analyze_text(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    """Actor-pool sizing: leave headroom for the producer stage — a pool that
+    reserves every CPU starves the read and the pipeline stalls (observed on a
+    4-CPU test cluster with concurrency=4). Default: half the cluster CPUs."""
+    if concurrency is None:
+        import ray as _ray
+
+        total = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, total // 2)
+    return ds.map_batches(
+        TextAnalyzer, batch_format="pyarrow", concurrency=concurrency, batch_size=4096
+    )
+
+
+def fingerprint_batch(texts: list[str]) -> np.ndarray:
+    """61-bit polynomial hash per text (vectorized over the flattened bytes)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):  # byte loop is inside numpy below
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        h = np.uint64(0)
+        # Horner evaluation with numpy scalar ops (no per-byte Python objects);
+        # cumulative powers trick keeps it O(n) vectorized:
+        n = len(b)
+        if n == 0:
+            out[i] = 0
+            continue
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = 1
+        base = np.uint64(_BASE)
+        for j in range(1, n):
+            powers[j] = (powers[j - 1] * base) % np.uint64(_MOD)
+        h = int((b[::-1] * powers % np.uint64(_MOD)).sum() % np.uint64(_MOD))
+        out[i] = h
+    return out
+
+
+def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["id"] if "id" in batch.column_names else batch["doc_id"].cast(pa.int64())
+        return pa.table({"id": ids, "fingerprint": pa.array(fingerprint_batch(texts))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tumbling_window_events(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the events table (streaming-shaped op):
+    per (event_type, window) count + value sum. Partial aggregation per batch
+    keeps the shuffle tiny (one row per key per batch)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        win = ts // window_us
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "window": win,
+                "value": np.asarray(batch["value"], dtype=np.float64),
+            }
+        )
+        g = df.groupby(["event_type", "window"], as_index=False).agg(
+            n=("value", "size"), value_sum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    )
+    return out

@@ -1,0 +1,86 @@
+"""Dedup operator semantics: exact kept-set, minhash/simhash recall+precision."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_osm_queries_ray.sources.dup_docs import (
+    EXACT_OFFSET,
+    NEAR_OFFSET,
+    dup_documents,
+)
+from simple_osm_queries_ray.stages.dedup import (
+    exact_dedup_keep_ids,
+    jaccard,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_df():
+    return dup_documents(SF).to_pandas()
+
+
+def test_dup_documents_shape(dup_df):
+    base = dup_df[dup_df.id < EXACT_OFFSET]
+    exact = dup_df[(dup_df.id >= EXACT_OFFSET) & (dup_df.id < NEAR_OFFSET)]
+    near = dup_df[dup_df.id >= NEAR_OFFSET]
+    assert len(exact) == (base.id % 10 == 0).sum()
+    assert len(near) == (base.id % 10 == 5).sum()
+    # near copies differ from their source by the last two words
+    src = base.set_index("id")["text"]
+    for row in near.itertuples():
+        orig = src[row.id - NEAR_OFFSET]
+        assert orig.startswith(row.text)
+        assert len(orig.split()) - len(row.text.split()) == 2
+
+
+def test_exact_dedup(dup_df):
+    kept = set(exact_dedup_keep_ids(dup_documents(SF)).to_pandas()["id"])
+    exp = set(dup_df.groupby("text")["id"].min())
+    assert kept == exp
+    # every exact duplicate got removed, i.e. no id >= EXACT_OFFSET that has
+    # a verbatim twin below it survives
+    assert not any(EXACT_OFFSET <= i < NEAR_OFFSET for i in kept)
+
+
+def test_minhash_pairs(dup_df):
+    got = minhash_lsh_pairs(dup_documents(SF), threshold=0.5).to_pandas()
+    got_pairs = {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)}
+    texts = dup_df.set_index("id")["text"]
+    # precision: every reported pair truly has Jaccard >= 0.5
+    for a, b in got_pairs:
+        assert jaccard(texts[a], texts[b]) >= 0.5, (a, b)
+    # recall on planted pairs: exact copies always collide
+    planted_exact = {
+        (i, i + EXACT_OFFSET) for i in dup_df.id[dup_df.id < EXACT_OFFSET] if i % 10 == 0
+    }
+    assert planted_exact <= got_pairs
+    # planted near-dups (2 words clipped) that pass the true-Jaccard bar must
+    # be found too — LSH with 8x8 bands at J>=0.9 has collision prob ~1-1e-7
+    for i in dup_df.id[dup_df.id < EXACT_OFFSET]:
+        if i % 10 == 5:
+            j = jaccard(texts[i], texts[i + NEAR_OFFSET])
+            if j >= 0.9:
+                assert (i, i + NEAR_OFFSET) in got_pairs, (i, j)
+
+
+def test_simhash_pairs(dup_df):
+    got = simhash_pairs(dup_documents(SF), max_hamming=3).to_pandas()
+    got_pairs = {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)}
+    texts = dup_df.set_index("id")["text"]
+    # precision: reported pairs have true hamming distance <= 3
+    sigs = simhash_signatures(pd.Series(texts.values, dtype=object))
+    sig_by_id = dict(zip(texts.index, sigs))
+    for a, b in got_pairs:
+        d = bin(int(sig_by_id[a]) ^ int(sig_by_id[b])).count("1")
+        assert d <= 3, (a, b, d)
+    # recall: exact copies (distance 0) always found
+    planted_exact = {
+        (i, i + EXACT_OFFSET) for i in dup_df.id[dup_df.id < EXACT_OFFSET] if i % 10 == 0
+    }
+    assert planted_exact <= got_pairs

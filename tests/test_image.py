@@ -1,0 +1,73 @@
+"""Multimodal image table + decode stages: schema, PSNR invariant, phash."""
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_ray.sources.images import (
+    decode_image,
+    encode_image,
+    image_table,
+    psnr,
+    reference_pixels,
+)
+from simple_osm_queries_ray.stages.image import decode_features, resize_images
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    return image_table(SF).materialize()
+
+
+def test_schema(imgs):
+    names = set(imgs.schema().names)
+    assert names == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+    s = dict(zip(imgs.schema().names, imgs.schema().types))
+    import pyarrow as pa
+
+    assert s["bytes"] == pa.binary()
+    assert s["w"] == pa.int32() and s["h"] == pa.int32()
+    assert s["phash"] == pa.int64()
+
+
+def test_roundtrip_psnr(imgs):
+    rows = imgs.take(60)
+    for r in rows:
+        doc_id = int(r["image_id"][3:])
+        ref = reference_pixels(doc_id, r["w"], r["h"])
+        dec = decode_image(r["bytes"])
+        assert dec.shape == ref.shape
+        if r["fmt"] == "png":
+            assert np.array_equal(dec, ref)  # lossless
+        else:
+            p = psnr(dec, ref)
+            assert p >= 40.0, p  # north-rule invariant for lossy formats
+
+
+def test_caption_equality(imgs):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+    for r in imgs.take(20):
+        doc_id = int(r["image_id"][3:])
+        assert r["caption"] == docs.loc[doc_id, "text"]
+
+
+def test_decode_features_phash_consistency(imgs):
+    out = decode_features(imgs, concurrency=2).to_pandas()
+    assert (out["phash_decoded"] == out["phash"]).all()
+    assert ((out[["mean_r", "mean_g", "mean_b"]] >= 0).all()
+            & (out[["mean_r", "mean_g", "mean_b"]] <= 255).all()).all()
+
+
+def test_resize(imgs):
+    out = resize_images(imgs.limit(10), w=16, h=16, concurrency=2).to_pandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    px = decode_image(out["bytes"].iloc[0])
+    assert px.shape == (16, 16, 3)
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"JFIF!" + b"\x00" * 16)

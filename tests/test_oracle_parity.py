@@ -47,7 +47,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(name, con):
     fn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
@@ -59,8 +59,22 @@ def test_query_matches_oracle(name, con):
         g, e = got[c].to_numpy(), exp[c].to_numpy()
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             np.testing.assert_array_equal(g.astype(np.float64), e.astype(np.float64), err_msg=f"{name}.{c}")
-        else:
+        elif g.dtype.kind in "iu" or e.dtype.kind in "iu":
             np.testing.assert_array_equal(g.astype(np.int64), e.astype(np.int64), err_msg=f"{name}.{c}")
+        else:
+            assert list(g) == list(e), f"{name}.{c}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+)
+def test_rows_only_queries_run(name):
+    """Entries without SQL twins (probabilistic / non-SQL ops) must at least
+    run and produce a stable schema; their semantics are pinned in dedicated
+    test modules."""
+    df = to_pdf(entry_mod.queries()[name](SF))
+    assert df is not None
+    assert len(df.columns) > 0
 
 
 def test_entry_smoke():
