@@ -1,0 +1,70 @@
+"""CLI entry points: import (index build) and query, mirroring the reference
+commands (``/root/reference/src/main.go:85-123``; the HTTP server S8 is a
+thin wrapper around the same query path and is out of scope for the core).
+
+Usage (run from the repo root so workers resolve the package):
+
+    python -m simple_osm_queries_ray.cli import <sf_dir> <index_dir>
+    python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd = argv[0]
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if cmd == "import":
+            sf_dir, index_dir = argv[1], argv[2]
+            from .pipelines.build_index import write_index
+            from .sources.repo import build_repo
+
+            manifest = write_index(build_repo(sf_dir), index_dir)
+            print(f"index written to {index_dir}: {manifest.total_rows()} rows over "
+                  f"{len(manifest.waves)} waves")
+            return 0
+        if cmd == "query":
+            index_dir, qtext = argv[1], argv[2]
+            out = argv[3] if len(argv) > 3 else "output.geojson"
+            from .model import QUERY_TYPE_TO_OBJECT_TYPE
+            from .parser import parse_query
+            from .pipelines.build_index import DiskRepo
+            from .pipelines.query import QueryEngine
+            from .sources.geojson import write_geojson
+
+            repo = DiskRepo(index_dir)
+            engine = QueryEngine(repo)
+            query = parse_query(qtext, repo.tag_index)
+            total = 0
+            # one file per statement type keeps geometry homogeneous; the
+            # reference concatenates — do the same for single-statement queries
+            for stmt in query.statements:
+                ds = engine.execute_statement(stmt, project=False)
+                total += write_geojson(
+                    ds, out, repo.tag_index, QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
+                )
+            print(f"wrote {total} features to {out}")
+            return 0
+    finally:
+        ray.shutdown()
+    print(f"unknown command {cmd!r}")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,322 @@
+"""Persistent cell index: density-planned partitioned parquet, resumable.
+
+Ray-native analogue of the reference import (SURVEY.md section 3.1):
+
+1. density histogram A1 (``/root/reference/src/osm/density.go:33-49``):
+   per-batch partial counts per cell -> tiny groupby -> driver;
+2. partition planning A4 (``src/importing/import.go:167-233``): greedy pack
+   of cell ranges up to a row threshold. **Explicit skew splitting**: a cell
+   whose count alone exceeds the threshold becomes several partitions salted
+   by ``id % k`` (the reference gives dense cells singleton extents,
+   ``import.go:196-199``; a single 30%-of-the-data cell still needs
+   sub-splitting at 10^12 scale);
+3. partitioned write S4 (``src/index/grid_writer.go:419-454``): hive
+   partition directories ``pid=<n>/``, written in waves; every completed wave
+   is recorded in the manifest so a rerun skips it (resume);
+4. cell-pruned read S5 (``src/index/grid_reader.go:194-247``): a query maps
+   its candidate cells -> partition ids via the stored plan and reads only
+   those directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..model import OSM_NODE, OSM_RELATION, OSM_WAY
+from ..state.manifest import Manifest
+
+
+class PartitionPlan:
+    """cell -> partition-id mapping with salted hot cells.
+
+    ``cells``: sorted distinct cell ids; ``pids``: partition id per cell;
+    ``hot``: {cell: n_subparts} — rows in a hot cell get pid + id % n.
+    """
+
+    def __init__(self, cells: np.ndarray, pids: np.ndarray, hot: dict[int, int]):
+        self.cells = cells
+        self.pids = pids
+        self.hot = hot
+        self.num_partitions = int(pids.max() + max(hot.values(), default=1)) if len(pids) else 0
+
+    @classmethod
+    def from_histogram(cls, cells: np.ndarray, counts: np.ndarray, rows_per_partition: int):
+        order = np.argsort(cells)
+        cells, counts = cells[order], counts[order]
+        pids = np.zeros(len(cells), dtype=np.int64)
+        hot: dict[int, int] = {}
+        pid = 0
+        acc = 0
+        for i, (c, n) in enumerate(zip(cells, counts)):
+            if n > rows_per_partition:
+                # skew split: dedicated pid range salted by id
+                if acc > 0:
+                    pid += 1
+                    acc = 0
+                k = int(np.ceil(n / rows_per_partition))
+                pids[i] = pid
+                hot[int(c)] = k
+                pid += k
+                continue
+            if acc + n > rows_per_partition and acc > 0:
+                pid += 1
+                acc = 0
+            pids[i] = pid
+            acc += n
+        return cls(cells, pids, hot)
+
+    def assign(self, cell: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        cell = np.asarray(cell, dtype=np.int64)
+        pos = np.searchsorted(self.cells, cell)
+        pos = np.clip(pos, 0, max(len(self.cells) - 1, 0))
+        pid = self.pids[pos] if len(self.pids) else np.zeros(len(cell), dtype=np.int64)
+        for c, k in self.hot.items():
+            m = cell == c
+            if m.any():
+                pid = pid.copy()
+                pid[m] = pid[m] + np.asarray(ids, dtype=np.int64)[m] % k
+        return pid
+
+    def pids_for_cells(self, cells: np.ndarray) -> np.ndarray:
+        """All partition ids a set of cells can live in (for pruned reads)."""
+        cells = np.asarray(cells, dtype=np.int64)
+        present = np.intersect1d(cells, self.cells)
+        pos = np.searchsorted(self.cells, present)
+        base = self.pids[pos] if len(present) else np.array([], dtype=np.int64)
+        extra = []
+        for c, k in self.hot.items():
+            if c in set(present.tolist()):
+                p0 = int(self.pids[np.searchsorted(self.cells, c)])
+                extra.append(np.arange(p0, p0 + k, dtype=np.int64))
+        return np.unique(np.concatenate([base] + extra)) if len(base) or extra else np.array([], dtype=np.int64)
+
+    def to_json(self) -> dict:
+        return {
+            "cells": self.cells.tolist(),
+            "pids": self.pids.tolist(),
+            "hot": {str(k): v for k, v in self.hot.items()},
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "PartitionPlan":
+        return cls(
+            np.asarray(d["cells"], dtype=np.int64),
+            np.asarray(d["pids"], dtype=np.int64),
+            {int(k): int(v) for k, v in d["hot"].items()},
+        )
+
+
+def density_histogram(nodes: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(cells, counts): per-batch partial counts, then one tiny groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, n = np.unique(np.asarray(batch["cell"], dtype=np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(c), "n": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        nodes.select_columns(["cell"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out["cell"].to_numpy(np.int64), out["n"].to_numpy(np.int64)
+
+
+def _cells_of_table(batch: pa.Table, otype: str) -> np.ndarray:
+    if otype == OSM_NODE:
+        return np.asarray(batch["cell"], dtype=np.int64)
+    # ways/relations: primary cell = first member cell (the row is also
+    # discoverable through its cells list at query time via the plan lookup)
+    from ..functions.segments import list_parts
+
+    flat, offsets = list_parts(batch["cells"])
+    first = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
+    out = np.asarray(flat, dtype=np.int64)[first] if len(flat) else np.zeros(0, np.int64)
+    return out
+
+
+def write_index(
+    repo,
+    index_dir: str,
+    *,
+    rows_per_partition: int = 2_000_000,
+    num_waves: int = 4,
+) -> Manifest:
+    """Write nodes/ways/relations as hive-partitioned parquet with a manifest.
+
+    Multi-cell ways/relations are REPLICATED into every partition containing
+    one of their cells (the reference's per-cell replication,
+    ``grid_writer.go:142-145``); readers deduplicate by id after pruning.
+    """
+    meta = {"rows_per_partition": rows_per_partition, "format": 1}
+    os.makedirs(index_dir, exist_ok=True)
+    cells, counts = density_histogram(repo.nodes)
+    plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition)
+    with open(os.path.join(index_dir, "plan.json"), "w") as f:
+        json.dump(plan.to_json(), f)
+    repo.tag_index.save(os.path.join(index_dir, "tag-index"))
+    manifest = Manifest.load_or_create(index_dir, meta)
+    plan_ref = ray.put(plan)
+
+    for otype, ds in ((OSM_NODE, repo.nodes), (OSM_WAY, repo.ways), (OSM_RELATION, repo.relations)):
+        waves = np.array_split(np.arange(max(plan.num_partitions, 1)), num_waves)
+        for wi, wave_pids in enumerate(waves):
+            if len(wave_pids) == 0:
+                continue
+            key = f"{otype}/wave{wi}"
+            if manifest.is_done(key):
+                continue
+            t0 = time.time()
+            wave_set = set(wave_pids.tolist())
+            lo, hi = int(wave_pids.min()), int(wave_pids.max())
+
+            if otype == OSM_NODE:
+
+                def assign(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+                    p = bget_plan(plan_ref)
+                    pid = p.assign(
+                        np.asarray(batch["cell"], dtype=np.int64),
+                        np.asarray(batch["id"], dtype=np.int64),
+                    )
+                    keep = (pid >= _lo) & (pid <= _hi)
+                    return batch.filter(pa.array(keep)).append_column(
+                        "pid", pa.array(pid[keep])
+                    )
+
+            else:
+
+                def assign(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+                    # replicate to every partition overlapping the cells list
+                    from ..functions.segments import list_parts
+
+                    p = bget_plan(plan_ref)
+                    flat, offsets = list_parts(batch["cells"])
+                    ids = np.asarray(batch["id"], dtype=np.int64)
+                    reps = np.diff(offsets)
+                    row_idx = np.repeat(np.arange(len(ids)), reps)
+                    pid = p.assign(np.asarray(flat, dtype=np.int64), ids[row_idx])
+                    pairs = np.stack([row_idx, pid], axis=1)
+                    pairs = np.unique(pairs, axis=0)
+                    keep = (pairs[:, 1] >= _lo) & (pairs[:, 1] <= _hi)
+                    pairs = pairs[keep]
+                    sub = batch.take(pa.array(pairs[:, 0]))
+                    return sub.append_column("pid", pa.array(pairs[:, 1]))
+
+            out_dir = os.path.join(index_dir, otype)
+            wave_ds = ds.map_batches(assign, batch_format="pyarrow")
+            wave_ds.write_parquet(out_dir, partition_cols=["pid"])
+            # per-partition row metrics for the manifest
+            rows: dict[int, int] = {}
+            for pid_dir in os.listdir(out_dir):
+                if not pid_dir.startswith("pid="):
+                    continue
+                pid_v = int(pid_dir.split("=")[1])
+                if pid_v in wave_set:
+                    import pyarrow.parquet as pq
+
+                    n = sum(
+                        pq.read_metadata(os.path.join(out_dir, pid_dir, f)).num_rows
+                        for f in os.listdir(os.path.join(out_dir, pid_dir))
+                        if f.endswith(".parquet")
+                    )
+                    rows[pid_v] = n
+            manifest.record(key, rows, time.time() - t0)
+    return manifest
+
+
+def bget_plan(ref):
+    from ..state.broadcast import get
+
+    return get(ref)
+
+
+class DiskRepo:
+    """Query-side handle to a written index: cell-pruned partition reads.
+
+    Mirrors the reference's GridIndexReader + TagIndex load
+    (``src/main.go:90-93``): metadata (plan + tag dictionaries) load once;
+    feature reads touch only the partitions covering the requested cells.
+    Multi-cell features are replicated across partitions — readers
+    deduplicate by keeping the first replica (min pid) per id.
+    """
+
+    def __init__(self, index_dir: str):
+        from ..functions.tags import TagIndex
+
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "plan.json")) as f:
+            self.plan = PartitionPlan.from_json(json.load(f))
+        self.tag_index = TagIndex.load(os.path.join(index_dir, "tag-index"))
+        self.tag_index_ref = ray.put(self.tag_index)
+
+    def table(self, otype: str, cells: np.ndarray | None = None) -> ray.data.Dataset:
+        base = os.path.join(self.index_dir, otype)
+        if cells is None:
+            paths = [base]
+        else:
+            pids = self.plan.pids_for_cells(cells)
+            dirs = [os.path.join(base, f"pid={p}") for p in pids]
+            # read_parquet accepts a single directory but a LIST must be files
+            paths = [
+                os.path.join(d, f)
+                for d in dirs
+                if os.path.isdir(d)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if not paths:
+                return ray.data.from_arrow(_empty_like(base))
+        ds = ray.data.read_parquet(paths)
+        return _dedup_replicas(ds)
+
+
+def _dedup_replicas(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop duplicate replicas of multi-partition features (keep min pid).
+
+    Per-batch first (replicas usually land in the same read task when few
+    partitions are read), then a groupby(id) keep-first for cross-batch
+    duplicates. For node tables (never replicated) this is a no-op shuffle —
+    callers that know the table is nodes can skip it; kept uniform here for
+    safety at the cost of one keyed shuffle on (id).
+    """
+
+    def first_per_batch(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        pid = np.asarray(tbl["pid"], dtype=np.int64) if "pid" in tbl.column_names else np.zeros(len(ids), np.int64)
+        order = np.lexsort((pid, ids))
+        ids_s = ids[order]
+        keep_sorted = np.ones(len(ids_s), dtype=bool)
+        keep_sorted[1:] = ids_s[1:] != ids_s[:-1]
+        sel = order[keep_sorted]
+        sel.sort()
+        return tbl.take(pa.array(sel))
+
+    from ..stages.group_collect import bucket_collect
+
+    deduped = ds.map_batches(first_per_batch, batch_format="pyarrow")
+
+    def assemble(tbl: pa.Table, keys: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        return tbl.take(pa.array(starts))
+
+    return bucket_collect(deduped, "id", assemble, num_buckets=16)
+
+
+def _empty_like(base: str) -> pa.Table:
+    # read one file's schema to make an empty table
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                return pq.read_schema(os.path.join(root, f)).empty_table()
+    return pa.table({"id": pa.array([], type=pa.int64())})

@@ -77,8 +77,16 @@ class QueryEngine:
             out = out.union(r)
         return out
 
+    def _table(self, obj_type: str, cells: np.ndarray | None = None) -> ray.data.Dataset:
+        """Cell-pruned read when the repo supports it (DiskRepo reads only the
+        partitions covering ``cells``); in-memory repos scan and filter."""
+        try:
+            return self.repo.table(obj_type, cells=cells)
+        except TypeError:
+            return self.repo.table(obj_type)
+
     # -- statement plan ---------------------------------------------------
-    def execute_statement(self, stmt: Statement) -> ray.data.Dataset:
+    def execute_statement(self, stmt: Statement, project: bool = True) -> ray.data.Dataset:
         if not isinstance(stmt.location, BboxLocation):
             raise ValueError("Top-level statements need a bbox location")
         obj_type = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
@@ -94,14 +102,14 @@ class QueryEngine:
             return batch.filter(pa.array(mask))
 
         result = candidates.map_batches(apply_filter, batch_format="pyarrow")
-        return self._project(result, obj_type)
+        return self._project(result, obj_type) if project else result
 
     # -- helpers ----------------------------------------------------------
     def _bbox_candidates(self, loc: BboxLocation, obj_type: str) -> ray.data.Dataset:
         cellset = np.sort(cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat))
         cells_ref = ray.put(cellset)
         bbox = (loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
-        ds = self.repo.table(obj_type)
+        ds = self._table(obj_type, cellset)
 
         if obj_type == OSM_NODE:
 
@@ -155,7 +163,7 @@ class QueryEngine:
 
     def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
         inner_obj = QUERY_TYPE_TO_OBJECT_TYPE[inner_stmt.query_type]
-        inner_ds = self.repo.table(inner_obj)
+        inner_ds = self._table(inner_obj, ray.get(cells_needed_ref))
 
         if inner_obj == OSM_NODE:
 

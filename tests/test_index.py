@@ -1,0 +1,119 @@
+"""Persistent index: partition planning, skew split, write/read roundtrip,
+manifest resume, disk-backed query parity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_ray.pipelines.build_index import (
+    DiskRepo,
+    PartitionPlan,
+    density_histogram,
+    write_index,
+)
+from simple_osm_queries_ray.pipelines.query import QueryEngine
+from simple_osm_queries_ray.sources.repo import build_repo
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partition_plan_packing():
+    cells = np.array([10, 11, 12, 13], dtype=np.int64)
+    counts = np.array([50, 60, 40, 30], dtype=np.int64)
+    plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition=100)
+    # greedy: [50], [60,40]? 50+60>100 -> cell10=p0, 60+40=100 -> p1, 30 -> p2
+    assert plan.pids.tolist() == [0, 1, 1, 2]
+    assert plan.hot == {}
+
+
+def test_partition_plan_hot_cell_split():
+    cells = np.array([10, 11], dtype=np.int64)
+    counts = np.array([250, 10], dtype=np.int64)
+    plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition=100)
+    assert plan.hot == {10: 3}  # ceil(250/100) sub-partitions
+    ids = np.arange(9, dtype=np.int64)
+    pid = plan.assign(np.full(9, 10, dtype=np.int64), ids)
+    assert set(pid) == {0, 1, 2}  # salted across the 3 sub-partitions
+    # pruned read must include all sub-partitions of the hot cell
+    assert set(plan.pids_for_cells(np.array([10]))) == {0, 1, 2}
+    assert set(plan.pids_for_cells(np.array([11]))) == {3}
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("soq_index"))
+    repo = build_repo(SF)
+    write_index(repo, d, rows_per_partition=150, num_waves=2)
+    return d
+
+
+def test_density_histogram(index_dir):
+    repo = build_repo(SF)
+    cells, counts = density_histogram(repo.nodes)
+    assert counts.sum() == repo.nodes.count()
+    assert counts.max() >= 0.25 * counts.sum()  # hot cell visible
+
+
+def test_manifest_and_layout(index_dir):
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["waves"], "waves recorded"
+    for key, w in m["waves"].items():
+        assert w["rows"] >= 0 and "partitions" in w
+    assert os.path.isdir(os.path.join(index_dir, "node"))
+    assert any(p.startswith("pid=") for p in os.listdir(os.path.join(index_dir, "node")))
+    assert os.path.exists(os.path.join(index_dir, "tag-index"))
+
+
+def test_resume_skips_completed_waves(index_dir):
+    before = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
+    import time
+
+    t0 = time.time()
+    write_index(build_repo(SF), index_dir, rows_per_partition=150, num_waves=2)
+    elapsed = time.time() - t0
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    # all waves were already recorded -> second run writes nothing new
+    assert os.path.getmtime(os.path.join(index_dir, "manifest.json")) == before
+    assert elapsed < 10  # pure skip, no dataset execution
+
+
+def test_disk_repo_roundtrip(index_dir):
+    repo = build_repo(SF)
+    disk = DiskRepo(index_dir)
+    mem_nodes = repo.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    disk_nodes = disk.table("node").to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(mem_nodes) == len(disk_nodes)
+    assert (mem_nodes["id"].to_numpy() == disk_nodes["id"].to_numpy()).all()
+    np.testing.assert_array_equal(mem_nodes["lon"], disk_nodes["lon"])
+    # ways replicate across partitions but dedup back to one row per id
+    mem_ways = repo.ways.to_pandas()
+    disk_ways = disk.table("way").to_pandas()
+    assert sorted(mem_ways["id"]) == sorted(disk_ways["id"])
+
+
+def test_disk_query_parity(index_dir):
+    mem = QueryEngine(build_repo(SF))
+    disk = QueryEngine(DiskRepo(index_dir))
+    for q in (
+        "bbox(9.85,53.45,10.05,53.65).nodes{lang=en}",
+        "bbox(9,53,11,55).nodes{lang=de AND this.ways{wtype=primary}}",
+        "bbox(9,53,11,55).ways{this.nodes{lang=zh}}",
+        "bbox(9,53,11,55).relations{this.child_relations{rtype=boundary}}",
+    ):
+        a = set(mem.execute_string(q).to_pandas()["id"])
+        b = set(disk.execute_string(q).to_pandas()["id"])
+        assert a == b and a, q
+
+
+def test_cell_pruned_read_touches_fewer_partitions(index_dir):
+    disk = DiskRepo(index_dir)
+    total_parts = len(
+        [p for p in os.listdir(os.path.join(index_dir, "node")) if p.startswith("pid=")]
+    )
+    hot_cell = np.array([99 * 100_000 + 535], dtype=np.int64)
+    pids = disk.plan.pids_for_cells(hot_cell)
+    assert 0 < len(pids) < total_parts
