@@ -1,0 +1,196 @@
+"""Headline benchmark: spatial-join + tile-assignment throughput.
+
+Prints ONE JSON line:
+  {"metric": "spatial_join_tile_rows_per_s", "value": <headline seconds>,
+   "unit": "sec", "queries": {...per-stage seconds...}, "rows_per_s": ...,
+   "sf": ..., "num_cpus": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+BENCH_REPLICATE (default 100 -> ~500k nodes at sf0.1).
+
+--scaling: runs the same bench in two fresh processes at num_cpus=8 and 32
+and reports both throughputs + scaling efficiency (sandbox substitute for the
+north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "400"))
+STRIDE = int(os.environ.get("BENCH_STRIDE", "5000"))  # > max doc_id at every sf
+
+TRIANGLE = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
+ZOOM = 12
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from simple_osm_queries_ray.pipelines.build_graph import build_ways
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+    from simple_osm_queries_ray.sources.repo import FeatureRepo, build_repo
+    from simple_osm_queries_ray.sources.synthetic import generated_nodes, raw_nodes
+    from simple_osm_queries_ray.stages.geo import assign_tiles, filter_in_polygon
+    from simple_osm_queries_ray.stages.knn import knn_bruteforce
+
+    times: dict[str, float] = {}
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    _ = raw_nodes(SF_DIR, replicate=1).count()
+
+    t0 = time.time()
+    nodes = generated_nodes(SF_DIR, replicate=REPLICATE, stride=STRIDE).materialize()
+    n_nodes = nodes.count()
+    times["geolocate_cells"] = time.time() - t0
+
+    t0 = time.time()
+    ways = build_ways(nodes, num_buckets=max(NUM_CPUS * 4, 32)).materialize()
+    n_ways = ways.count()
+    times["way_assembly_shuffle"] = time.time() - t0
+
+    # spatial join: point-in-polygon refine after cell prune
+    t0 = time.time()
+    n_pip = filter_in_polygon(nodes, TRIANGLE).count()
+    times["pip_join"] = time.time() - t0
+
+    # tile assignment + histogram (groupby on tile key)
+    t0 = time.time()
+    tiles = assign_tiles(nodes, ZOOM)
+
+    def partial(batch):
+        import pyarrow as pa
+
+        t, c = np.unique(np.asarray(batch["tile"], dtype=np.int64), return_counts=True)
+        return pa.table({"tile": pa.array(t), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    n_tiles = (
+        tiles.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # partial counts are tiny; don't inherit input block count
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n"))
+        .count()
+    )
+    times["tile_assign_hist"] = time.time() - t0
+
+    # kNN (brute force, 3 query points)
+    t0 = time.time()
+    knn_bruteforce(nodes, np.array([(9.95, 53.55), (9.2, 53.8), (10.5, 54.5)]), 10).count()
+    times["knn"] = time.time() - t0
+
+    # membership semi-join through the query engine (tag filter + this.ways)
+    t0 = time.time()
+    way_ids_attached = nodes.map_batches(  # formulaic way_ids (bench-only shortcut)
+        _attach_formula_membership, batch_format="pyarrow"
+    )
+    from simple_osm_queries_ray.pipelines.tag_dictionary import build_tag_index
+    from simple_osm_queries_ray.stages.tag_encode import encode_tags
+
+    ti = build_tag_index(nodes, ways)
+    ti_ref = ray.put(ti)
+    enc = encode_tags(way_ids_attached, ti_ref).materialize()
+    ways_enc = encode_tags(ways, ti_ref).materialize()
+    times["tag_index_encode"] = time.time() - t0
+
+    t0 = time.time()
+    repo = FeatureRepo(enc, ways_enc, ways_enc.limit(1), ti)
+    eng = QueryEngine(repo)
+    n_join = eng.execute_string(
+        "bbox(9.0,53.0,11.0,55.0).nodes{lang=de AND this.ways{wtype=primary}}"
+    ).count()
+    times["semi_join_query"] = time.time() - t0
+
+    ray.shutdown()
+
+    spatial_secs = times["pip_join"] + times["tile_assign_hist"] + times["semi_join_query"]
+    total = sum(times.values())
+    return {
+        "metric": "spatial_join_tile_rows_per_s",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "rows": int(n_nodes),
+        "rows_per_s": round(3 * n_nodes / spatial_secs, 1),
+        "counts": {"ways": int(n_ways), "pip": int(n_pip), "tiles": int(n_tiles), "join": int(n_join)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+    }
+
+
+def _attach_formula_membership(batch):
+    import numpy as np
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.model import NODES_PER_WAY, WAY_ID_BASE
+
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    wid = WAY_ID_BASE + ids // NODES_PER_WAY
+    off = pa.array(np.arange(len(ids) + 1, dtype=np.int32))
+    return batch.append_column(
+        "way_ids", pa.ListArray.from_arrays(off, pa.array(wid))
+    ).append_column(
+        "relation_ids",
+        pa.ListArray.from_arrays(pa.array(np.zeros(len(ids) + 1, dtype=np.int32)), pa.array([], type=pa.int64())),
+    )
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "rows_per_s_8": r_lo["rows_per_s"],
+                "rows_per_s_32": r_hi["rows_per_s"],
+                "scaling_efficiency": round(eff, 3),
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

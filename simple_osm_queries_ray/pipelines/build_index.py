@@ -125,6 +125,7 @@ def density_histogram(nodes: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
     out = (
         nodes.select_columns(["cell"])
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # partial counts are tiny; don't inherit input block count
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

@@ -45,7 +45,10 @@ def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.union(p)
-    distinct = pairs.groupby(["key", "value"]).count()
+    # The per-batch dedup shrinks pairs to ~dictionary size per block; coalesce
+    # before the groupby so the sort-shuffle width doesn't inherit the input's
+    # (possibly huge) block count.
+    distinct = pairs.repartition(8).groupby(["key", "value"]).count()
     per_key: dict[str, list[str]] = {}
     for b in distinct.iter_batches(batch_format="pyarrow"):
         for k, v in zip(b["key"].to_pylist(), b["value"].to_pylist()):

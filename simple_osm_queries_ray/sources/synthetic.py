@@ -64,23 +64,33 @@ def derive_node_batch(batch: pa.Table) -> pa.Table:
     cell = cell_of(lon, lat)
     n = len(ids)
 
-    lang = batch["lang"].to_numpy(zero_copy_only=False)
-    source = batch["source"].to_numpy(zero_copy_only=False)
-    n_chars = np.asarray(batch["n_chars"], dtype=np.int64)
+    import pyarrow.compute as pc
 
-    # Fixed 3 tags per node -> build list arrays from constant offsets.
+    lang = batch["lang"].combine_chunks() if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"]
+    source = (
+        batch["source"].combine_chunks()
+        if isinstance(batch["source"], pa.ChunkedArray)
+        else batch["source"]
+    )
+    n_chars_str = pc.cast(batch["n_chars"], pa.string())
+    if isinstance(n_chars_str, pa.ChunkedArray):
+        n_chars_str = n_chars_str.combine_chunks()
+
+    # Fixed 3 tags per node -> interleave [lang_i, source_i, n_chars_i] with a
+    # single C-level gather (take) instead of Python object arrays.
     offsets = np.arange(0, 3 * (n + 1), 3, dtype=np.int32)[: n + 1]
-    flat_keys = np.empty(3 * n, dtype=object)
-    flat_vals = np.empty(3 * n, dtype=object)
-    flat_keys[0::3] = "lang"
-    flat_keys[1::3] = "source"
-    flat_keys[2::3] = "n_chars"
-    flat_vals[0::3] = lang
-    flat_vals[1::3] = source
-    flat_vals[2::3] = n_chars.astype(str)
+    stacked_vals = pa.concat_arrays([lang.cast(pa.string()), source.cast(pa.string()), n_chars_str])
+    gather = np.empty(3 * n, dtype=np.int64)
+    gather[0::3] = np.arange(n)
+    gather[1::3] = np.arange(n) + n
+    gather[2::3] = np.arange(n) + 2 * n
+    flat_vals = pc.take(stacked_vals, pa.array(gather))
+    flat_keys = pc.take(
+        pa.array(["lang", "source", "n_chars"]), pa.array(np.tile([0, 1, 2], n))
+    )
 
-    tag_keys = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_keys, type=pa.string()))
-    tag_vals = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_vals, type=pa.string()))
+    tag_keys = pa.ListArray.from_arrays(pa.array(offsets), flat_keys)
+    tag_vals = pa.ListArray.from_arrays(pa.array(offsets), flat_vals)
 
     return pa.table(
         {
@@ -103,21 +113,32 @@ def way_group(ids: np.ndarray) -> np.ndarray:
 
 
 def way_tags_for_groups(wg: np.ndarray) -> tuple[pa.ListArray, pa.ListArray]:
-    """Deterministic way tags: wtype cycles over 3 values; every 7th way bridge=yes."""
+    """Deterministic way tags: wtype cycles over 3 values; every 7th way bridge=yes.
+
+    Fully vectorized: indices into a tiny string dictionary gathered with one
+    Arrow take per column — no per-row Python list building.
+    """
+    import pyarrow.compute as pc
+
     wg = np.asarray(wg, dtype=np.int64)
     n = len(wg)
-    wtype = np.asarray(WTYPE_VALUES, dtype=object)[wg % 3]
     bridge = wg % 7 == 0
-    keys: list[list[str]] = []
-    vals: list[list[str]] = []
-    for i in range(n):
-        if bridge[i]:
-            keys.append(["wtype", "bridge"])
-            vals.append([wtype[i], "yes"])
-        else:
-            keys.append(["wtype"])
-            vals.append([wtype[i]])
-    return pa.array(keys, type=pa.list_(pa.string())), pa.array(vals, type=pa.list_(pa.string()))
+    lens = np.where(bridge, 2, 1)
+    off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    second = off[:-1][bridge] + 1  # second slot of bridge rows
+    key_idx = np.zeros(total, dtype=np.int64)  # 0 = "wtype"
+    key_idx[second] = 1  # 1 = "bridge"
+    val_idx = np.empty(total, dtype=np.int64)
+    val_idx[off[:-1]] = wg % 3  # 0..2 = wtype values
+    val_idx[second] = 3  # 3 = "yes"
+    flat_keys = pc.take(pa.array(["wtype", "bridge"]), pa.array(key_idx))
+    flat_vals = pc.take(pa.array(WTYPE_VALUES + ["yes"]), pa.array(val_idx))
+    return (
+        pa.ListArray.from_arrays(pa.array(off), flat_keys),
+        pa.ListArray.from_arrays(pa.array(off), flat_vals),
+    )
 
 
 def rel_group_of_way_group(wg: np.ndarray) -> np.ndarray:
@@ -125,21 +146,30 @@ def rel_group_of_way_group(wg: np.ndarray) -> np.ndarray:
 
 
 def rel_tags_for_groups(rg: np.ndarray) -> tuple[pa.ListArray, pa.ListArray]:
+    import pyarrow.compute as pc
+
     rg = np.asarray(rg, dtype=np.int64)
-    rtype = np.asarray(RTYPE_VALUES, dtype=object)[rg % 3]
-    keys = [["rtype"] for _ in rg]
-    vals = [[v] for v in rtype]
-    return pa.array(keys, type=pa.list_(pa.string())), pa.array(vals, type=pa.list_(pa.string()))
+    n = len(rg)
+    off = pa.array(np.arange(n + 1, dtype=np.int32))
+    flat_keys = pc.take(pa.array(["rtype"]), pa.array(np.zeros(n, dtype=np.int64)))
+    flat_vals = pc.take(pa.array(RTYPE_VALUES), pa.array(rg % 3))
+    return (
+        pa.ListArray.from_arrays(off, flat_keys),
+        pa.ListArray.from_arrays(off, flat_vals),
+    )
 
 
-def read_documents(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+def read_documents(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) -> ray.data.Dataset:
     """documents parquet -> Dataset with a (possibly replicated) ``id`` column.
 
     Column-pruned read (only the columns the derivation needs). ``replicate``
     unions r deterministic shifted copies for bench-scale inputs — replica r
-    re-derives every column from id = doc_id + r*REP_STRIDE so replicas spread
-    over the grid instead of stacking.
+    re-derives every column from id = doc_id + r*stride so replicas spread
+    over the grid instead of stacking. ``stride`` must exceed the max doc_id,
+    and replicate*stride must stay below WAY_ID_BASE so node ids never collide
+    with the synthetic way/relation id ranges.
     """
+    assert replicate * stride <= WAY_ID_BASE, "node ids would collide with way ids"
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
@@ -152,13 +182,59 @@ def read_documents(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
     def explode(batch: pa.Table) -> pa.Table:
         tables = []
         for r in range(replicate):
-            ids = np.asarray(batch["doc_id"], dtype=np.int64) + r * REP_STRIDE
+            ids = np.asarray(batch["doc_id"], dtype=np.int64) + r * stride
             tables.append(batch.append_column("id", pa.array(ids, type=pa.int64())))
         return pa.concat_tables(tables)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def raw_nodes(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+def raw_nodes(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) -> ray.data.Dataset:
     """The map-only geolocate stage: documents -> raw node features."""
-    return read_documents(sf_dir, replicate).map_batches(derive_node_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, replicate, stride).map_batches(
+        derive_node_batch, batch_format="pyarrow"
+    )
+
+
+def generated_nodes(
+    sf_dir: str, replicate: int, stride: int = REP_STRIDE, replicas_per_task: int | None = None
+) -> ray.data.Dataset:
+    """Bench-scale node generator with full fan-out parallelism.
+
+    Reading one small parquet file yields a handful of blocks, so a 1000x
+    explode inside map_batches runs on a few tasks no matter how many CPUs
+    exist. Instead: broadcast the (tiny) documents table once, drive the
+    generation with ``ray.data.range(replicate)`` — one task per few replicas
+    — and derive each replica's rows from id = doc_id + r*stride. Output
+    parallelism scales with ``replicate``, not with the input file count.
+
+    ``replicas_per_task`` defaults so the output has ~4 blocks per CPU:
+    enough tasks to saturate the cluster, few enough that downstream
+    sort-shuffles (whose task count is quadratic in block count) stay cheap.
+    """
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    assert replicate * stride <= WAY_ID_BASE, "node ids would collide with way ids"
+    if replicas_per_task is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        replicas_per_task = max(1, replicate // (4 * cpus))
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs_ref = _ray.put(docs)
+
+    def gen(batch) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        base: pa.Table = bget(docs_ref)
+        tables = []
+        for r in np.asarray(batch["id"], dtype=np.int64):
+            ids = np.asarray(base["doc_id"], dtype=np.int64) + int(r) * stride
+            t = base.append_column("id", pa.array(ids, type=pa.int64()))
+            tables.append(derive_node_batch(t))
+        return pa.concat_tables(tables)
+
+    return ray.data.range(
+        replicate, override_num_blocks=max(1, replicate // replicas_per_task)
+    ).map_batches(gen, batch_format="pyarrow", batch_size=replicas_per_task)

@@ -105,8 +105,10 @@ def knn_bruteforce(
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
     # qid cardinality is tiny (Q queries), so the groupby moves k*n_batches
-    # candidate rows only — not the input table.
-    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+    # candidate rows only — not the input table. Coalesce the tiny candidate
+    # set first: a sort-shuffle's task count is quadratic in block count, and
+    # cand inherits the (large) input block count.
+    return cand.repartition(4).groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
 
 
 def knn_cell_ring(

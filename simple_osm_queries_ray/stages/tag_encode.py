@@ -20,13 +20,27 @@ from ..model import NOT_FOUND
 from ..state.broadcast import get as bget
 
 
-def _pair_maps(tag_index: TagIndex) -> tuple[dict, dict]:
+def _pair_maps(tag_index: TagIndex) -> tuple[dict, list[dict]]:
     key_map = {k: i for i, k in enumerate(tag_index.keys)}
-    pair_map = {}
-    for ki, values in enumerate(tag_index.values):
-        for vi, v in enumerate(values):
-            pair_map[(ki, v)] = vi
-    return key_map, pair_map
+    val_maps = [{v: vi for vi, v in enumerate(values)} for values in tag_index.values]
+    return key_map, val_maps
+
+
+# Per-worker cache: the maps depend only on the TagIndex, which bget() already
+# caches per worker process. Without this the maps (potentially 10^4+ entries)
+# are rebuilt on EVERY batch — a cost that grows with batch count, i.e. gets
+# WORSE with more CPUs. The cache holds a strong ref to the TagIndex so its
+# id() can never be reused while the entry is live (identity-checked anyway).
+_MAPS_CACHE: dict[int, tuple[TagIndex, dict, list[dict]]] = {}
+
+
+def _cached_pair_maps(ti: TagIndex) -> tuple[dict, list[dict]]:
+    hit = _MAPS_CACHE.get(id(ti))
+    if hit is not None and hit[0] is ti:
+        return hit[1], hit[2]
+    key_map, val_maps = _pair_maps(ti)
+    _MAPS_CACHE[id(ti)] = (ti, key_map, val_maps)
+    return key_map, val_maps
 
 
 def encode_tags(ds: ray.data.Dataset, tag_index_ref) -> ray.data.Dataset:
@@ -34,14 +48,23 @@ def encode_tags(ds: ray.data.Dataset, tag_index_ref) -> ray.data.Dataset:
 
     def fn(batch: pa.Table) -> pa.Table:
         ti: TagIndex = bget(tag_index_ref)
-        key_map, pair_map = _pair_maps(ti)
+        key_map, val_maps = _cached_pair_maps(ti)
 
         flat_keys, offsets = list_parts(batch["tag_keys_str"])
         flat_vals, _ = list_parts(batch["tag_vals_str"])
         keys_s = pd.Series(flat_keys)
         k_idx = keys_s.map(key_map).fillna(NOT_FOUND).astype(np.int32).to_numpy()
-        pair_s = pd.Series(list(zip(k_idx.tolist(), flat_vals)))
-        v_idx = pair_s.map(pair_map).fillna(NOT_FOUND).astype(np.int32).to_numpy()
+        # value lookup per distinct key present (few keys, large batches):
+        # one vectorized .map per key instead of per-element tuple building.
+        v_idx = np.full(len(flat_vals), NOT_FOUND, dtype=np.int32)
+        vals_s = pd.Series(flat_vals)
+        for ki in np.unique(k_idx):
+            if ki == NOT_FOUND:
+                continue
+            m = k_idx == ki
+            v_idx[m] = (
+                vals_s[m].map(val_maps[ki]).fillna(NOT_FOUND).astype(np.int32).to_numpy()
+            )
 
         off32 = pa.array(offsets.astype(np.int32))
         batch = batch.append_column(
