@@ -140,6 +140,15 @@ def _q_pip_triangle(sf_dir: str):
     return filter_in_polygon(_repo(sf_dir).nodes, TRIANGLE).select_columns(["id", "lon", "lat"])
 
 
+def _q_polygon_join(sf_dir: str):
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import polygon_join
+
+    return polygon_join(
+        _repo(sf_dir).nodes.select_columns(["id", "lon", "lat"]), synthetic_polygons(4)
+    )
+
+
 def _q_knn(sf_dir: str):
     from simple_osm_queries_ray.stages.knn import knn_bruteforce
 
@@ -245,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
         "pip_triangle": _q_pip_triangle,
+        "polygon_join": _q_polygon_join,
         "knn": _q_knn,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -268,6 +278,18 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
     return " + ".join(
         f"len(regexp_extract_all(text, '{bs}{m}{bs}'))" for m in markers
     )
+
+
+def _polygon_join_sql() -> str:
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+    from simple_osm_queries_ray.stages.geo import pip_sql_condition
+
+    parts = [
+        f"SELECT id, CAST({pi} AS BIGINT) AS poly_id FROM nodes_c WHERE {pip_sql_condition(poly)}"
+        for pi, poly in enumerate(synthetic_polygons(4))
+    ]
+    return f"WITH {NODES_CTE} " + " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -363,6 +385,7 @@ FROM rel_base b LEFT JOIN rel_children c ON c.prg = b.rg
         "pip_triangle": (
             f"{W} SELECT id, lon, lat FROM nodes_c WHERE {pip_sql_condition(TRIANGLE)}"
         ),
+        "polygon_join": _polygon_join_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

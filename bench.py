@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "400"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "2000"))
 STRIDE = int(os.environ.get("BENCH_STRIDE", "5000"))  # > max doc_id at every sf
 
 TRIANGLE = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
@@ -70,10 +70,18 @@ def run_bench() -> dict:
     n_ways = ways.count()
     times["way_assembly_shuffle"] = time.time() - t0
 
-    # spatial join: point-in-polygon refine after cell prune
+    # spatial join: point-in-polygon refine after cell prune (single area)
     t0 = time.time()
     n_pip = filter_in_polygon(nodes, TRIANGLE).count()
     times["pip_join"] = time.time() - t0
+
+    # multi-geofence spatial join: (id, poly_id) containment pairs
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import polygon_join
+
+    t0 = time.time()
+    n_poly = polygon_join(nodes.select_columns(["id", "lon", "lat"]), synthetic_polygons(64)).count()
+    times["polygon_join"] = time.time() - t0
 
     # tile assignment + histogram (groupby on tile key)
     t0 = time.time()
@@ -111,8 +119,16 @@ def run_bench() -> dict:
 
     ti = build_tag_index(nodes, ways)
     ti_ref = ray.put(ti)
-    enc = encode_tags(way_ids_attached, ti_ref).materialize()
-    ways_enc = encode_tags(ways, ti_ref).materialize()
+    # prune payload + source string-tag columns from the query tables: the
+    # engine filters on the encoded int lists and projects id/lon/lat only.
+    enc = (
+        encode_tags(way_ids_attached.drop_columns(["caption"]), ti_ref)
+        .drop_columns(["tag_keys_str", "tag_vals_str"])
+        .materialize()
+    )
+    ways_enc = (
+        encode_tags(ways, ti_ref).drop_columns(["tag_keys_str", "tag_vals_str"]).materialize()
+    )
     times["tag_index_encode"] = time.time() - t0
 
     t0 = time.time()
@@ -125,7 +141,12 @@ def run_bench() -> dict:
 
     ray.shutdown()
 
-    spatial_secs = times["pip_join"] + times["tile_assign_hist"] + times["semi_join_query"]
+    spatial_secs = (
+        times["pip_join"]
+        + times["polygon_join"]
+        + times["tile_assign_hist"]
+        + times["semi_join_query"]
+    )
     total = sum(times.values())
     return {
         "metric": "spatial_join_tile_rows_per_s",
@@ -133,8 +154,14 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in times.items()},
         "rows": int(n_nodes),
-        "rows_per_s": round(3 * n_nodes / spatial_secs, 1),
-        "counts": {"ways": int(n_ways), "pip": int(n_pip), "tiles": int(n_tiles), "join": int(n_join)},
+        "rows_per_s": round(4 * n_nodes / spatial_secs, 1),
+        "counts": {
+            "ways": int(n_ways),
+            "pip": int(n_pip),
+            "poly_pairs": int(n_poly),
+            "tiles": int(n_tiles),
+            "join": int(n_join),
+        },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "replicate": REPLICATE,
@@ -158,9 +185,80 @@ def _attach_formula_membership(batch):
     )
 
 
+def run_scaling_job() -> dict:
+    """The scaling-criterion job: spatial join (64 geofences) + tile
+    assignment + histogram over SCALING_REPLICATE * n_docs geometry rows.
+
+    This is the north rule's headline metric in isolation — big enough that
+    per-stage wall time is dominated by vectorized compute, so throughput
+    tracks CPU count (the sandbox substitute for N vs 4N nodes).
+    """
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from simple_osm_queries_ray.sources.synthetic import generated_points, synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import assign_tiles, polygon_join
+
+    replicate = int(os.environ.get("BENCH_SCALING_REPLICATE", "16000"))
+    points = generated_points(SF_DIR, replicate=replicate, stride=STRIDE).materialize()
+    n_rows = points.count()
+
+    times: dict[str, float] = {}
+    t0 = time.time()
+    n_pairs = polygon_join(points, synthetic_polygons(64)).count()
+    times["polygon_join"] = time.time() - t0
+
+    t0 = time.time()
+
+    def partial(batch):
+        import pyarrow as pa
+
+        t, c = np.unique(
+            np.asarray(batch["tile"], dtype=np.int64), return_counts=True
+        )
+        return pa.table({"tile": pa.array(t), "n": pa.array(c.astype(np.int64))})
+
+    n_tiles = (
+        assign_tiles(points, ZOOM)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n"))
+        .count()
+    )
+    times["tile_assign_hist"] = time.time() - t0
+    ray.shutdown()
+
+    total = sum(times.values())
+    return {
+        "metric": "scaling_job_rows_per_s",
+        "rows": int(n_rows),
+        "sec": round(total, 3),
+        "rows_per_s": round(2 * n_rows / total, 1),
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "counts": {"poly_pairs": int(n_pairs), "tiles": int(n_tiles)},
+        "num_cpus": NUM_CPUS,
+        "replicate": replicate,
+    }
+
+
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="scaling_job")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -173,12 +271,14 @@ def run_scaling() -> None:
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff = (r_hi["rows_per_s"] / r_lo["rows_per_s"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "rows": r_lo["rows"],
+                "sec_8": r_lo["sec"],
+                "sec_32": r_hi["sec"],
                 "rows_per_s_8": r_lo["rows_per_s"],
                 "rows_per_s_32": r_hi["rows_per_s"],
                 "scaling_efficiency": round(eff, 3),
@@ -192,5 +292,7 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif os.environ.get("BENCH_MODE") == "scaling_job":
+        print(json.dumps(run_scaling_job()))
     else:
         print(json.dumps(run_bench()))

@@ -27,6 +27,22 @@ def list_parts(arr: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]
     raise TypeError(f"expected a list array, got {arr.type}")
 
 
+def list_parts_arrow(arr: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Like :func:`list_parts` but keeps the flat child as an Arrow array.
+
+    Use this for string children: ``np.asarray`` of an Arrow string array
+    materializes one Python object per element, which dominates any
+    downstream vectorized cost. Arrow-kernel consumers must stay zero-copy.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, (pa.LargeListArray, pa.ListArray)):
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        return arr.flatten(), offsets
+    raise TypeError(f"expected a list array, got {arr.type}")
+
+
 def segment_any(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row: does any element of the row's list satisfy ``mask``?
 

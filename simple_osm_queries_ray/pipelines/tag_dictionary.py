@@ -9,25 +9,20 @@ deduplicated pairs, driver-side natural sort of the (tiny) dictionary.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.segments import list_parts
 from ..functions.tags import TagIndex
 
 
 def _distinct_pairs_batch(batch: pa.Table) -> pa.Table:
-    flat_keys, _ = list_parts(batch["tag_keys_str"])
-    flat_vals, _ = list_parts(batch["tag_vals_str"])
-    df = pd.DataFrame(
-        {
-            "key": np.asarray(flat_keys, dtype=object),
-            "value": np.asarray(flat_vals, dtype=object),
-        }
-    ).drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    from ..functions.segments import list_parts_arrow
+
+    flat_keys, _ = list_parts_arrow(batch["tag_keys_str"])
+    flat_vals, _ = list_parts_arrow(batch["tag_vals_str"])
+    # C-level distinct: Arrow hash group-by with no aggregates; the strings
+    # never become Python objects.
+    return pa.table({"key": flat_keys, "value": flat_vals}).group_by(["key", "value"]).aggregate([])
 
 
 def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:

@@ -189,6 +189,73 @@ def read_documents(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) ->
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def synthetic_polygons(
+    n: int, vertices: int = 16, seed: int = 7
+) -> list[list[tuple[float, float]]]:
+    """Deterministic star-convex geofence polygons over the node extent.
+
+    Used by the spatial-join benches and their oracle SQL (same construction
+    re-run with the same seed gives identical coordinates).
+    """
+    rng = np.random.RandomState(seed)
+    polys = []
+    for _ in range(n):
+        cx, cy = 9.0 + rng.rand() * 2, 53.0 + rng.rand() * 2
+        ang = np.sort(rng.rand(vertices) * 2 * np.pi)
+        r = 0.2 + rng.rand(vertices) * 0.3
+        polys.append(
+            [(float(cx + rr * np.cos(a)), float(cy + rr * np.sin(a))) for a, rr in zip(ang, r)]
+        )
+    return polys
+
+
+def generated_points(
+    sf_dir: str, replicate: int, stride: int = REP_STRIDE, blocks_per_cpu: int = 4
+) -> ray.data.Dataset:
+    """Geometry-only feature generator for the spatial-join scaling benches.
+
+    Same deterministic id set and geolocation as :func:`generated_nodes`
+    (replica r: id = doc_id + r*stride) but carrying only (id, lon, lat,
+    cell) — the columns the spatial-join + tile-assignment job reads. No
+    way-id-range constraint: no membership graph is derived from these ids.
+    """
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    doc_ids = np.asarray(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"],
+        dtype=np.int64,
+    )
+    ids_ref = _ray.put(doc_ids)
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    per_task = max(1, replicate // (blocks_per_cpu * cpus))
+
+    def gen(batch) -> pa.Table:
+        from ..model import cell_of
+        from ..state.broadcast import get as bget
+
+        base = bget(ids_ref)
+        tables = []
+        for r in np.asarray(batch["id"], dtype=np.int64):
+            ids = base + int(r) * stride
+            lon, lat = geolocate(ids)
+            tables.append(
+                pa.table(
+                    {
+                        "id": pa.array(ids, type=pa.int64()),
+                        "lon": pa.array(lon, type=pa.float64()),
+                        "lat": pa.array(lat, type=pa.float64()),
+                        "cell": pa.array(cell_of(lon, lat), type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return ray.data.range(
+        replicate, override_num_blocks=max(1, replicate // per_task)
+    ).map_batches(gen, batch_format="pyarrow", batch_size=per_task)
+
+
 def raw_nodes(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) -> ray.data.Dataset:
     """The map-only geolocate stage: documents -> raw node features."""
     return read_documents(sf_dir, replicate, stride).map_batches(

@@ -91,6 +91,66 @@ def filter_in_polygon(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def polygon_join(
+    ds: ray.data.Dataset, polygons: list[list[tuple[float, float]]]
+) -> ray.data.Dataset:
+    """N-polygon spatial join: (feature id, polygon id) pairs for every
+    containment hit.
+
+    The many-geofence generalization of the reference's single-area query
+    (same two-phase shape: bbox prefilter per polygon, exact ray-cast refine).
+    The polygon set is a map-side broadcast (it rides the serialized closure —
+    small by assumption); the per-batch loop is over *polygons* (few), each
+    iteration fully vectorized over rows. Output carries only int64 ids — the
+    join result — never the feature payload.
+    """
+    polys = [list(map(tuple, p)) for p in polygons]
+    bb = np.array(
+        [
+            [
+                min(x for x, _ in p),
+                min(y for _, y in p),
+                max(x for x, _ in p),
+                max(y for _, y in p),
+            ]
+            for p in polys
+        ],
+        dtype=np.float64,
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        out_i: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for pi, poly in enumerate(polys):
+            cand = (
+                (lon >= bb[pi, 0])
+                & (lon <= bb[pi, 2])
+                & (lat >= bb[pi, 1])
+                & (lat <= bb[pi, 3])
+            )
+            idx = np.nonzero(cand)[0]
+            if not len(idx):
+                continue
+            m = point_in_polygon_mask(lon[idx], lat[idx], poly)
+            out_i.append(ids[idx[m]])
+            out_p.append(np.full(int(m.sum()), pi, dtype=np.int64))
+        if not out_i:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()), "poly_id": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_i)),
+                "poly_id": pa.array(np.concatenate(out_p)),
+            }
+        )
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
 def pip_sql_condition(polygon: list[tuple[float, float]], lon_col: str = "lon", lat_col: str = "lat") -> str:
     """DuckDB boolean expression computing the exact same crossing test
     (sum of per-edge flips mod 2) — used by oracle_sql()."""

@@ -20,51 +20,65 @@ from ..model import NOT_FOUND
 from ..state.broadcast import get as bget
 
 
-def _pair_maps(tag_index: TagIndex) -> tuple[dict, list[dict]]:
-    key_map = {k: i for i, k in enumerate(tag_index.keys)}
-    val_maps = [{v: vi for vi, v in enumerate(values)} for values in tag_index.values]
-    return key_map, val_maps
+def _encode_tables(tag_index: TagIndex) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """(keys_arr, pair_strs, pair_vi): Arrow lookup tables for C-level encode.
+
+    ``pair_strs[j] = "<ki>\\x00<value>"`` with ``pair_vi[j]`` the value index —
+    ``pc.index_in`` against it resolves a (key index, value string) pair
+    without touching Python per element.
+    """
+    keys_arr = pa.array(tag_index.keys, type=pa.string())
+    pair_strs, pair_vi = [], []
+    for ki, values in enumerate(tag_index.values):
+        for vi, v in enumerate(values):
+            pair_strs.append(f"{ki}\x00{v}")
+            pair_vi.append(vi)
+    return keys_arr, pa.array(pair_strs, type=pa.string()), np.asarray(pair_vi, dtype=np.int32)
 
 
-# Per-worker cache: the maps depend only on the TagIndex, which bget() already
-# caches per worker process. Without this the maps (potentially 10^4+ entries)
-# are rebuilt on EVERY batch — a cost that grows with batch count, i.e. gets
-# WORSE with more CPUs. The cache holds a strong ref to the TagIndex so its
-# id() can never be reused while the entry is live (identity-checked anyway).
-_MAPS_CACHE: dict[int, tuple[TagIndex, dict, list[dict]]] = {}
+# Per-worker cache: the tables depend only on the TagIndex, which bget()
+# already caches per worker process. Without this they are rebuilt on EVERY
+# batch — a cost that grows with batch count, i.e. gets WORSE with more CPUs.
+# Holding the TagIndex in the value keeps its id() from being reused
+# (identity-checked anyway).
+_MAPS_CACHE: dict[int, tuple[TagIndex, pa.Array, pa.Array, np.ndarray]] = {}
 
 
-def _cached_pair_maps(ti: TagIndex) -> tuple[dict, list[dict]]:
+def _cached_encode_tables(ti: TagIndex) -> tuple[pa.Array, pa.Array, np.ndarray]:
     hit = _MAPS_CACHE.get(id(ti))
     if hit is not None and hit[0] is ti:
-        return hit[1], hit[2]
-    key_map, val_maps = _pair_maps(ti)
-    _MAPS_CACHE[id(ti)] = (ti, key_map, val_maps)
-    return key_map, val_maps
+        return hit[1], hit[2], hit[3]
+    keys_arr, pair_strs, pair_vi = _encode_tables(ti)
+    _MAPS_CACHE[id(ti)] = (ti, keys_arr, pair_strs, pair_vi)
+    return keys_arr, pair_strs, pair_vi
 
 
 def encode_tags(ds: ray.data.Dataset, tag_index_ref) -> ray.data.Dataset:
-    """Add int32 ``tag_keys`` / ``tag_vals`` columns from the *_str lists."""
+    """Add int32 ``tag_keys`` / ``tag_vals`` columns from the *_str lists.
+
+    Pure Arrow kernels (index_in + binary_join_element_wise): the flat string
+    children never become Python objects.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.segments import list_parts_arrow
 
     def fn(batch: pa.Table) -> pa.Table:
         ti: TagIndex = bget(tag_index_ref)
-        key_map, val_maps = _cached_pair_maps(ti)
+        keys_arr, pair_strs, pair_vi = _cached_encode_tables(ti)
 
-        flat_keys, offsets = list_parts(batch["tag_keys_str"])
-        flat_vals, _ = list_parts(batch["tag_vals_str"])
-        keys_s = pd.Series(flat_keys)
-        k_idx = keys_s.map(key_map).fillna(NOT_FOUND).astype(np.int32).to_numpy()
-        # value lookup per distinct key present (few keys, large batches):
-        # one vectorized .map per key instead of per-element tuple building.
-        v_idx = np.full(len(flat_vals), NOT_FOUND, dtype=np.int32)
-        vals_s = pd.Series(flat_vals)
-        for ki in np.unique(k_idx):
-            if ki == NOT_FOUND:
-                continue
-            m = k_idx == ki
-            v_idx[m] = (
-                vals_s[m].map(val_maps[ki]).fillna(NOT_FOUND).astype(np.int32).to_numpy()
-            )
+        flat_keys, offsets = list_parts_arrow(batch["tag_keys_str"])
+        flat_vals, _ = list_parts_arrow(batch["tag_vals_str"])
+        k_idx_arr = pc.index_in(flat_keys, value_set=keys_arr)  # null if unknown key
+        combined = pc.binary_join_element_wise(
+            pc.cast(k_idx_arr, pa.string()), flat_vals, "\x00"
+        )  # null key index -> null combined -> NOT_FOUND below
+        pos = pc.index_in(combined, value_set=pair_strs)
+        pos_np = np.asarray(pos.fill_null(-1), dtype=np.int64)
+        v_idx = np.where(pos_np >= 0, pair_vi[np.clip(pos_np, 0, None)], NOT_FOUND).astype(
+            np.int32
+        )
+        k_idx = np.asarray(k_idx_arr.fill_null(NOT_FOUND), dtype=np.int32)
 
         off32 = pa.array(offsets.astype(np.int32))
         batch = batch.append_column(
