@@ -202,7 +202,9 @@ def _q_ann_topk(sf_dir: str):
 
     from simple_osm_queries_ray.stages.embed import ann_search
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_search(ds, ANN_QUERY_IDS, ANN_K)
 
 
@@ -211,7 +213,9 @@ def _q_ann_ivf(sf_dir: str):
 
     from simple_osm_queries_ray.stages.embed import ann_search_ivf
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_search_ivf(ds, ANN_QUERY_IDS, ANN_K)
 
 
@@ -220,7 +224,9 @@ def _q_text_stats(sf_dir: str):
 
     from simple_osm_queries_ray.stages.text import analyze_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return analyze_text(ds)
 
 
@@ -229,7 +235,9 @@ def _q_fingerprints(sf_dir: str):
 
     from simple_osm_queries_ray.stages.text import fingerprints
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return fingerprints(ds)
 
 

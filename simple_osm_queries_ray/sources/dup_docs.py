@@ -22,7 +22,9 @@ NEAR_REGEX = r" [^ ]+ [^ ]+$"
 
 
 def dup_documents(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np

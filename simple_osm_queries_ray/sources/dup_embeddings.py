@@ -19,7 +19,9 @@ SHIFT = 0.25
 
 
 def dup_embeddings(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from .read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"], dtype=np.int64)

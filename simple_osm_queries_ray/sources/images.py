@@ -96,7 +96,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def image_table(sf_dir: str) -> ray.data.Dataset:
     """documents -> (image_id, bytes, w, h, fmt, caption, phash) Dataset."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)

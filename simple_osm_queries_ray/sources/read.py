@@ -1,0 +1,30 @@
+"""Sized parquet reads: block count proportional to file bytes.
+
+Ray's default read parallelism targets ~CPU-count blocks regardless of input
+size, so a 60 KB table becomes 64 eight-row blocks — and every downstream
+sort-shuffle then pays width^2 task overhead for zero parallelism gain (the
+reference reads such a table in one scan, ``/root/reference/src/osm/reader.go``).
+One block per ~16 MB of file, capped at 4 blocks per CPU, keeps small inputs
+narrow and large inputs wide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+import ray.data
+
+TARGET_BLOCK_BYTES = 16 << 20
+
+
+def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        fsize = None
+    if fsize is not None and "override_num_blocks" not in kwargs:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        nblocks = -(-fsize // TARGET_BLOCK_BYTES)  # ceil
+        kwargs["override_num_blocks"] = int(min(max(1, nblocks), 4 * cpus))
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

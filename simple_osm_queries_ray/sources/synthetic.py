@@ -170,8 +170,20 @@ def read_documents(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) ->
     with the synthetic way/relation id ranges.
     """
     assert replicate * stride <= WAY_ID_BASE, "node ids would collide with way ids"
+    # Size the read's block count by file size: Ray defaults to ~CPU-count
+    # blocks even for a tiny file, and micro-blocks make every downstream
+    # sort-shuffle pay width^2 task overhead for no parallelism gain.
+    import os as _os
+
+    import ray as _ray
+
+    fsize = _os.path.getsize(f"{sf_dir}/documents.parquet")
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nblocks = int(min(max(1, fsize // (16 << 20) + (1 if fsize % (16 << 20) else 0)), 4 * cpus))
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source", "n_chars"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        override_num_blocks=nblocks,
     )
     if replicate <= 1:
         return ds.map_batches(

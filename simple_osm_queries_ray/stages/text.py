@@ -126,7 +126,9 @@ def tumbling_window_events(sf_dir: str, window_us: int = 3_600_000_000) -> ray.d
     """Tumbling-window aggregate over the events table (streaming-shaped op):
     per (event_type, window) count + value sum. Partial aggregation per batch
     keeps the shuffle tiny (one row per key per batch)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
