@@ -6,6 +6,7 @@ Usage (run from the repo root so workers resolve the package):
 
     python -m simple_osm_queries_ray.cli import <sf_dir> <index_dir>
     python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson]
+    python -m simple_osm_queries_ray.cli server <index_dir> [port]
 """
 
 from __future__ import annotations
@@ -59,6 +60,20 @@ def main(argv: list[str] | None = None) -> int:
                     ds, out, repo.tag_index, QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
                 )
             print(f"wrote {total} features to {out}")
+            return 0
+        if cmd == "server":
+            index_dir = argv[1]
+            port = int(argv[2]) if len(argv) > 2 else 8080
+            from .pipelines.build_index import DiskRepo
+            from .pipelines.query import QueryEngine
+            from .server import serve
+
+            srv = serve(QueryEngine(DiskRepo(index_dir)), port=port)
+            print(f"listening on http://127.0.0.1:{port} (POST /query)")
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
             return 0
     finally:
         ray.shutdown()

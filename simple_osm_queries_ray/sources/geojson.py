@@ -20,6 +20,40 @@ from ..model import OSM_NODE
 from ..stages.tag_encode import decode_tags_to_strings
 
 
+def iter_features(
+    ds: ray.data.Dataset, tag_index: TagIndex, object_type: str
+):
+    """Yield GeoJSON feature dicts for a query result (streamed per batch)."""
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        has_tags = "tag_keys" in batch.column_names
+        props_list = (
+            decode_tags_to_strings(batch, tag_index) if has_tags else [{}] * len(batch)
+        )
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        for i in range(len(batch)):
+            props = dict(props_list[i])
+            props["@osm_id"] = int(ids[i])
+            props["@osm_type"] = object_type
+            if object_type == OSM_NODE:
+                geom = {
+                    "type": "Point",
+                    "coordinates": [
+                        float(batch["lon"][i].as_py()),
+                        float(batch["lat"][i].as_py()),
+                    ],
+                }
+            else:
+                x0 = float(batch["minlon"][i].as_py())
+                y0 = float(batch["minlat"][i].as_py())
+                x1 = float(batch["maxlon"][i].as_py())
+                y1 = float(batch["maxlat"][i].as_py())
+                geom = {
+                    "type": "Polygon",
+                    "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+                }
+            yield {"type": "Feature", "geometry": geom, "properties": props}
+
+
 def write_geojson(
     ds: ray.data.Dataset,
     path: str,
@@ -30,38 +64,11 @@ def write_geojson(
     with open(path, "w", encoding="utf-8") as f:
         f.write('{"type":"FeatureCollection","features":[')
         first = True
-        for batch in ds.iter_batches(batch_format="pyarrow"):
-            has_tags = "tag_keys" in batch.column_names
-            props_list = (
-                decode_tags_to_strings(batch, tag_index) if has_tags else [{}] * len(batch)
-            )
-            ids = np.asarray(batch["id"], dtype=np.int64)
-            for i in range(len(batch)):
-                props = dict(props_list[i])
-                props["@osm_id"] = int(ids[i])
-                props["@osm_type"] = object_type
-                if object_type == OSM_NODE:
-                    geom = {
-                        "type": "Point",
-                        "coordinates": [
-                            float(batch["lon"][i].as_py()),
-                            float(batch["lat"][i].as_py()),
-                        ],
-                    }
-                else:
-                    x0 = float(batch["minlon"][i].as_py())
-                    y0 = float(batch["minlat"][i].as_py())
-                    x1 = float(batch["maxlon"][i].as_py())
-                    y1 = float(batch["maxlat"][i].as_py())
-                    geom = {
-                        "type": "Polygon",
-                        "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
-                    }
-                feat = {"type": "Feature", "geometry": geom, "properties": props}
-                if not first:
-                    f.write(",")
-                f.write(json.dumps(feat))
-                first = False
-                n += 1
+        for feat in iter_features(ds, tag_index, object_type):
+            if not first:
+                f.write(",")
+            f.write(json.dumps(feat))
+            first = False
+            n += 1
         f.write("]}")
     return n

@@ -91,6 +91,40 @@ def encode_tags(ds: ray.data.Dataset, tag_index_ref) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def check_validity(ds: ray.data.Dataset, tag_index_ref) -> int:
+    """Optional invariant check (reference ``--check-feature-validity``,
+    ``/root/reference/src/index/grid_reader.go:686-707``): every encoded key
+    index must address the key dictionary and every value index its key's
+    value dictionary. Returns the number of violating features (the reference
+    logs per-feature errors; we count distributed and let the caller decide).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.segments import list_parts
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ti: TagIndex = bget(tag_index_ref)
+        n_keys = len(ti.keys)
+        val_sizes = np.asarray([len(v) for v in ti.values], dtype=np.int64)
+        flat_keys, offsets = list_parts(batch["tag_keys"])
+        flat_vals, _ = list_parts(batch["tag_vals"])
+        flat_keys = np.asarray(flat_keys, dtype=np.int64)
+        flat_vals = np.asarray(flat_vals, dtype=np.int64)
+        bad_key = (flat_keys < 0) | (flat_keys >= n_keys)
+        bad_val = np.ones(len(flat_vals), dtype=bool)
+        ok = ~bad_key
+        bad_val[ok] = (flat_vals[ok] < 0) | (flat_vals[ok] >= val_sizes[flat_keys[ok]])
+        from ..functions.segments import segment_any
+
+        bad_feature = segment_any(bad_key | bad_val, offsets)
+        return pa.table({"bad": pa.array(np.array([int(bad_feature.sum())], dtype=np.int64))})
+
+    total = 0
+    for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b["bad"]).as_py() or 0)
+    return total
+
+
 def decode_tags_to_strings(batch: pa.Table, tag_index: TagIndex) -> list[dict[str, str]]:
     """Per-row {key: value} dicts for output sinks (GeoJSON properties)."""
     flat_keys, offsets = list_parts(batch["tag_keys"])

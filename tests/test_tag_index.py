@@ -55,3 +55,30 @@ def test_lookups():
     assert ti.value_index("amenity", "tree") == 1
     assert ti.value_index("amenity", "nope") == NOT_FOUND
     assert ti.value_index("nope", "tree") == NOT_FOUND
+
+
+def test_check_validity(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from simple_osm_queries_ray.functions.tags import TagIndex
+    from simple_osm_queries_ray.stages.tag_encode import check_validity
+
+    ti = TagIndex.from_tag_lists({"k": ["a", "b"]})
+    good = pa.table(
+        {
+            "tag_keys": pa.array([[0], [0]], type=pa.list_(pa.int32())),
+            "tag_vals": pa.array([[0], [1]], type=pa.list_(pa.int32())),
+        }
+    )
+    bad = pa.table(
+        {
+            "tag_keys": pa.array([[0], [5], [0]], type=pa.list_(pa.int32())),
+            "tag_vals": pa.array([[0], [0], [9]], type=pa.list_(pa.int32())),
+        }
+    )
+    ref = ray.put(ti)
+    assert check_validity(ray.data.from_arrow(good), ref) == 0
+    assert check_validity(ray.data.from_arrow(bad), ref) == 2
