@@ -109,11 +109,21 @@ def run_bench() -> dict:
     knn_bruteforce(nodes, np.array([(9.95, 53.55), (9.2, 53.8), (10.5, 54.5)]), 10).count()
     times["knn"] = time.time() - t0
 
+    # reverse membership: real explode -> broadcast-probe attach (J3)
+    from simple_osm_queries_ray.stages.joins import attach_edges_broadcast, explode_list
+
+    t0 = time.time()
+    way_edges = explode_list(
+        ways.select_columns(["id", "node_ids"]), "node_ids", "id",
+        out_val="way_id", out_key="node_id",
+    )
+    way_ids_attached = attach_edges_broadcast(
+        nodes, "id", way_edges, "node_id", "way_id", "way_ids"
+    ).map_batches(_empty_relation_ids, batch_format="pyarrow")
+    times["reverse_membership"] = time.time() - t0
+
     # membership semi-join through the query engine (tag filter + this.ways)
     t0 = time.time()
-    way_ids_attached = nodes.map_batches(  # formulaic way_ids (bench-only shortcut)
-        _attach_formula_membership, batch_format="pyarrow"
-    )
     from simple_osm_queries_ray.pipelines.tag_dictionary import build_tag_index
     from simple_osm_queries_ray.stages.tag_encode import encode_tags
 
@@ -168,20 +178,15 @@ def run_bench() -> dict:
     }
 
 
-def _attach_formula_membership(batch):
+def _empty_relation_ids(batch):
     import numpy as np
     import pyarrow as pa
 
-    from simple_osm_queries_ray.model import NODES_PER_WAY, WAY_ID_BASE
-
-    ids = np.asarray(batch["id"], dtype=np.int64)
-    wid = WAY_ID_BASE + ids // NODES_PER_WAY
-    off = pa.array(np.arange(len(ids) + 1, dtype=np.int32))
     return batch.append_column(
-        "way_ids", pa.ListArray.from_arrays(off, pa.array(wid))
-    ).append_column(
         "relation_ids",
-        pa.ListArray.from_arrays(pa.array(np.zeros(len(ids) + 1, dtype=np.int32)), pa.array([], type=pa.int64())),
+        pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(batch) + 1, dtype=np.int32)), pa.array([], type=pa.int64())
+        ),
     )
 
 

@@ -362,6 +362,7 @@ def attach_reverse_membership(
     ways: ray.data.Dataset,
     relations: ray.data.Dataset,
     num_partitions: int = 16,
+    broadcast_edge_limit: int = 100_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """node.way_ids / node.relation_ids / way.relation_ids via explode+collect+join.
 
@@ -369,38 +370,31 @@ def attach_reverse_membership(
     the reverse lists attached. way.relation_ids already exists formulaically
     on the synthetic ways; it is recomputed here from relation member lists to
     exercise the real path, and overrides the formula column.
-    """
-    node_way = collect_edge_lists(
-        explode_list(ways, "node_ids", "id", out_val="way_id", out_key="node_id"),
-        "node_id",
-        "way_id",
-        "way_ids",
-    )
-    node_rel = collect_edge_lists(
-        explode_list(relations, "node_ids", "id", out_val="rel_id", out_key="node_id"),
-        "node_id",
-        "rel_id",
-        "relation_ids",
-    )
-    way_rel = collect_edge_lists(
-        explode_list(relations, "way_ids", "id", out_val="rel_id", out_key="way_id"),
-        "way_id",
-        "rel_id",
-        "relation_ids",
-    )
 
-    nodes = attach_list_column(
-        raw_nodes, "id", node_way, "node_id", "way_ids", num_partitions=num_partitions
-    )
-    nodes = attach_list_column(
-        nodes, "id", node_rel, "node_id", "relation_ids", num_partitions=num_partitions
-    )
-    ways2 = attach_list_column(
-        ways.drop_columns(["relation_ids"]),
-        "id",
-        way_rel,
-        "way_id",
+    Path choice (broadcast vs shuffle): each edge set is two int64 columns;
+    when it fits worker memory (``broadcast_edge_limit`` edges ≈ 16 B each)
+    the member table is NOT shuffled — the sorted edge array is broadcast and
+    probed map-side (``attach_edges_broadcast``). Bigger edge sets fall back
+    to the partitioned hash join with identical semantics.
+    """
+    from ..stages.joins import attach_edges_broadcast
+
+    def attach(ds, id_col, member_ds, list_col, edge_key, out_col):
+        edges = explode_list(
+            member_ds.select_columns(["id", list_col]), list_col, "id",
+            out_val="__val", out_key=edge_key,
+        )
+        if edges.count() <= broadcast_edge_limit:
+            return attach_edges_broadcast(ds, id_col, edges, edge_key, "__val", out_col)
+        lists = collect_edge_lists(edges, edge_key, "__val", out_col)
+        return attach_list_column(
+            ds, id_col, lists, edge_key, out_col, num_partitions=num_partitions
+        )
+
+    nodes = attach(raw_nodes, "id", ways, "node_ids", "node_id", "way_ids")
+    nodes = attach(nodes, "id", relations, "node_ids", "node_id", "relation_ids")
+    ways2 = attach(
+        ways.drop_columns(["relation_ids"]), "id", relations, "way_ids", "way_id",
         "relation_ids",
-        num_partitions=num_partitions,
     )
     return nodes, ways2

@@ -45,7 +45,7 @@ def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
     # (possibly huge) block count.
     distinct = pairs.repartition(8).groupby(["key", "value"]).count()
     per_key: dict[str, list[str]] = {}
-    for b in distinct.iter_batches(batch_format="pyarrow"):
+    for b in distinct.iter_batches(batch_format="pyarrow", batch_size=None):
         for k, v in zip(b["key"].to_pylist(), b["value"].to_pylist()):
             per_key.setdefault(k, []).append(v)
     # Deterministic key order: first-appearance order is scan-order-dependent

@@ -24,7 +24,7 @@ def iter_features(
     ds: ray.data.Dataset, tag_index: TagIndex, object_type: str
 ):
     """Yield GeoJSON feature dicts for a query result (streamed per batch)."""
-    for batch in ds.iter_batches(batch_format="pyarrow"):
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         has_tags = "tag_keys" in batch.column_names
         props_list = (
             decode_tags_to_strings(batch, tag_index) if has_tags else [{}] * len(batch)

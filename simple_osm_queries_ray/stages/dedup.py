@@ -274,7 +274,7 @@ def minhash_lsh_pairs(
             mask = isin_sorted(np.asarray(batch[id_col], dtype=np.int64), need)
             return batch.select([id_col, text_col]).filter(pa.array(mask))
 
-        for b in ds.map_batches(take_texts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for b in ds.map_batches(take_texts, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None):
             for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
                 texts[i] = t
     keep_a, keep_b = [], []

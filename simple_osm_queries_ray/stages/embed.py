@@ -36,7 +36,7 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _collect_matrix(ds: ray.data.Dataset, id_col: str, vec_col: str):
     ids, vecs = [], []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
         ids.append(np.asarray(b[id_col], dtype=np.int64))
         vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
     ids = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
@@ -182,7 +182,7 @@ def _query_matrix(ds, query_ids, id_col, vec_col):
         return batch.select([id_col, vec_col]).filter(pa.array(mask))
 
     ids, vecs = [], []
-    for b in ds.map_batches(take, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+    for b in ds.map_batches(take, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None):
         ids.append(np.asarray(b[id_col], dtype=np.int64))
         vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
     ids = np.concatenate(ids)

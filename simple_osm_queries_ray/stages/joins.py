@@ -181,6 +181,65 @@ def nulls_to_empty_list(col: pa.ListArray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(new_off.astype(np.int32)), flat)
 
 
+def attach_edges_broadcast(
+    ds: ray.data.Dataset,
+    id_col: str,
+    edges: ray.data.Dataset,
+    edge_key: str,
+    edge_val: str,
+    out_col: str,
+) -> ray.data.Dataset:
+    """Attach ``out_col = sorted [edge_val where edge_key == id]`` to ``ds``
+    WITHOUT shuffling ``ds``.
+
+    The edge table (two int64 columns) is collected, sorted by (key, val) and
+    broadcast once (``ray.put``); each left batch probes it with two
+    ``searchsorted`` calls and gathers its members. This replaces a
+    whole-left-table hash shuffle with a map-side lookup — the same
+    broadcast-vs-shuffle tradeoff the semi-join probe uses.
+
+    Scale assumption (documented per the partitioning contract): the *edge
+    set* must fit in worker memory (16 bytes/edge; ~10^8 edges = 1.6 GB). For
+    bigger edge sets use :func:`attach_list_column`, the partitioned hash
+    join with identical semantics.
+    """
+    import ray as _ray
+
+    parts_k, parts_v = [], []
+    for b in edges.select_columns([edge_key, edge_val]).iter_batches(batch_format="pyarrow", batch_size=None):
+        parts_k.append(np.asarray(b[edge_key], dtype=np.int64))
+        parts_v.append(np.asarray(b[edge_val], dtype=np.int64))
+    if parts_k:
+        k = np.concatenate(parts_k)
+        v = np.concatenate(parts_v)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+    else:
+        k = v = np.array([], dtype=np.int64)
+    edges_ref = _ray.put((k, v))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        ek, ev = bget(edges_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        lo = np.searchsorted(ek, ids, side="left")
+        hi = np.searchsorted(ek, ids, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if total:
+            base = np.repeat(lo, lens)
+            within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            flat = ev[base + within]
+        else:
+            flat = np.array([], dtype=np.int64)
+        off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        return batch.append_column(out_col, collect_list_column(flat, off[:-1], off[1:], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def attach_list_column(
     ds: ray.data.Dataset,
     id_col: str,

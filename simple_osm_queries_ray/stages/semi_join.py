@@ -32,7 +32,7 @@ def sorted_id_array(ds: ray.data.Dataset, id_col: str = "id") -> "ray.ObjectRef"
     """Collect a dataset's id column into a sorted numpy array and broadcast it."""
     parts = [
         np.asarray(b[id_col], dtype=np.int64)
-        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
     return ray.put(ids)

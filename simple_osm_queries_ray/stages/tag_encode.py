@@ -120,7 +120,7 @@ def check_validity(ds: ray.data.Dataset, tag_index_ref) -> int:
         return pa.table({"bad": pa.array(np.array([int(bad_feature.sum())], dtype=np.int64))})
 
     total = 0
-    for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+    for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None):
         total += int(pc.sum(b["bad"]).as_py() or 0)
     return total
 
