@@ -241,6 +241,38 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
+# -- multimodal payload operators (no SQL oracle: the payload derivation is
+# numpy-RNG-based and not DuckDB-expressible; the driver's rows-only check
+# plus tests/test_image.py's PSNR/caption invariants cover them) ------------
+
+
+def _q_image_features(sf_dir: str):
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.stages.image import decode_features
+
+    return decode_features(image_table(sf_dir))
+
+
+def _q_image_resize(sf_dir: str):
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.stages.image import resize_images
+
+    return resize_images(image_table(sf_dir)).select_columns(["image_id", "w", "h"])
+
+
+def _q_image_phash_near_dup(sf_dir: str):
+    from simple_osm_queries_ray.sources.images import dup_image_table
+    from simple_osm_queries_ray.stages.image import phash_near_dup
+
+    return phash_near_dup(dup_image_table(sf_dir), max_hamming=6)
+
+
+def _q_audio_features(sf_dir: str):
+    from simple_osm_queries_ray.stages.audio import audio_features, synthetic_audio_table
+
+    return audio_features(synthetic_audio_table(sf_dir))
+
+
 def _q_events_window(sf_dir: str):
     from simple_osm_queries_ray.stages.text import tumbling_window_events
 
@@ -274,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "events_window": _q_events_window,
+        "image_features": _q_image_features,
+        "image_resize": _q_image_resize,
+        "image_phash_near_dup": _q_image_phash_near_dup,
+        "audio_features": _q_audio_features,
     }
 
 

@@ -94,6 +94,51 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+DUP_IMAGE_OFFSET = 1_000_000
+
+
+def dup_image_table(sf_dir: str) -> ray.data.Dataset:
+    """image_table plus a near-duplicate copy of every 10th image.
+
+    The copy (id + DUP_IMAGE_OFFSET) is the same pixels re-encoded with the
+    lossy quantizing codec — its average-hash differs by only a few bits, so
+    phash near-dup search must pair it with its original. Deterministic; the
+    image analogue of sources/dup_docs.py.
+    """
+    base = image_table(sf_dir)
+
+    def add_dups(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        pick = ids % 10 == 0
+        if not pick.any():
+            return batch
+        sel = np.nonzero(pick)[0]
+        blobs, phashes = [], []
+        for i in sel:
+            px = decode_image(batch["bytes"][i].as_py())
+            blob = encode_image(px, "jpeg")
+            blobs.append(blob)
+            phashes.append(average_hash(decode_image(blob)))
+        dup = pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img{int(ids[i]) + DUP_IMAGE_OFFSET:08d}" for i in sel], type=pa.string()
+                ),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "w": batch["w"].take(pa.array(sel)),
+                "h": batch["h"].take(pa.array(sel)),
+                "fmt": pa.array(["jpeg"] * len(sel), type=pa.string()),
+                "caption": batch["caption"].take(pa.array(sel)),
+                "phash": pa.array(phashes, type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([batch, dup])
+
+    return base.map_batches(add_dups, batch_format="pyarrow")
+
+
 def image_table(sf_dir: str) -> ray.data.Dataset:
     """documents -> (image_id, bytes, w, h, fmt, caption, phash) Dataset."""
     from .read import read_parquet_sized

@@ -313,14 +313,45 @@ def simhash_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b) with SimHash Hamming distance <= d.
 
-    Candidate generation: 4 chunks of 16 bits (any pair within distance <= 3
-    agrees exactly on at least one chunk); verification by true distance on
-    broadcast signatures of the candidate set.
+    SimHash signatures per batch, then the generic 64-bit Hamming pair
+    machinery (:func:`hamming_pairs_int64`).
+    """
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
+        sig = simhash_signatures(texts)
+        return pa.table(
+            {id_col: batch[id_col], "sig": pa.array(sig.astype(np.int64))}
+        )
+
+    return hamming_pairs_int64(
+        ds.map_batches(add_sig, batch_format="pyarrow"),
+        sig_col="sig",
+        id_col=id_col,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs_int64(
+    ds: ray.data.Dataset,
+    *,
+    sig_col: str,
+    id_col: str = "id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """All (id_a < id_b) pairs whose 64-bit signatures differ by <= d bits.
+
+    Works over ANY int64 signature column — SimHash of text, perceptual hash
+    of images, etc. Candidate generation: 4 chunks of 16 bits (a pair within
+    distance <= 3 agrees exactly on at least one chunk — pigeonhole);
+    verification by true popcount distance. One shuffle keyed on
+    (chunk, chunk_value); dense buckets are the skew risk and verification
+    is quadratic per bucket — callers with adversarial signature skew should
+    salt or cap bucket sizes.
     """
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
-        sig = simhash_signatures(texts)
+        sig = np.asarray(batch[sig_col], dtype=np.int64).astype(np.uint64)
         ids = np.asarray(batch[id_col], dtype=np.int64)
         n = len(sig)
         chunks = np.empty((n, 4), dtype=np.int64)

@@ -55,7 +55,9 @@ def decode_features(ds: ray.data.Dataset, concurrency: int | None = None) -> ray
     if concurrency is None:
         import ray as _ray
 
-        concurrency = max(1, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+        # autoscaling pool (min 1): a fixed min > 1 can deadlock when the
+        # input has fewer blocks than the pool or the CPU budget is tight
+        concurrency = (1, max(1, int(_ray.cluster_resources().get("CPU", 4)) // 2))
     return ds.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=concurrency
     )
@@ -88,13 +90,40 @@ class ImageResizer:
         )
 
 
-def resize_images(ds: ray.data.Dataset, w: int = 16, h: int = 16, concurrency: int = 4):
+def resize_images(ds: ray.data.Dataset, w: int = 16, h: int = 16, concurrency=(1, 4)):
     return ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs={"out_w": w, "out_h": h},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,
+    )
+
+
+def phash_near_dup(
+    images: ray.data.Dataset, *, max_hamming: int = 6, id_prefix: str = "img"
+) -> ray.data.Dataset:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    The image analogue of SimHash text dedup: the stored ``phash`` column
+    feeds the generic 64-bit Hamming pair machinery (chunk-bucket LSH +
+    popcount verify, ``stages/dedup.py``). Returns (id_a, id_b) numeric image
+    ids (the ``image_id`` string minus its prefix).
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import hamming_pairs_int64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], len(id_prefix), 99), pa.int64()
+        )
+        return pa.table({"id": nums, "sig": batch["phash"]})
+
+    return hamming_pairs_int64(
+        images.select_columns(["image_id", "phash"]).map_batches(prep, batch_format="pyarrow"),
+        sig_col="sig",
+        max_hamming=max_hamming,
     )
 
 

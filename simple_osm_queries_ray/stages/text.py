@@ -85,7 +85,7 @@ def analyze_text(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.da
         import ray as _ray
 
         total = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, total // 2)
+        concurrency = (1, max(1, total // 2))  # autoscaling: min 1 avoids deadlock
     return ds.map_batches(
         TextAnalyzer, batch_format="pyarrow", concurrency=concurrency, batch_size=4096
     )

@@ -71,3 +71,42 @@ def test_resize(imgs):
 def test_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"JFIF!" + b"\x00" * 16)
+
+
+def test_phash_near_dup_self_consistency(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.image import phash_near_dup
+
+    # identical phashes -> pair; distance > max_hamming -> no pair
+    t = pa.table(
+        {
+            "image_id": pa.array(["img00000001", "img00000002", "img00000003"]),
+            "phash": pa.array([0x0F0F, 0x0F0F, -1], type=pa.int64()),
+        }
+    )
+    pairs = phash_near_dup(ray.data.from_arrow(t), max_hamming=2).to_pandas()
+    assert len(pairs) == 1
+    assert (int(pairs.id_a[0]), int(pairs.id_b[0])) == (1, 2)
+
+
+def test_audio_features(ray_session):
+    import numpy as np
+
+    from simple_osm_queries_ray.stages.audio import (
+        SAMPLE_RATE,
+        audio_features,
+        synthetic_audio_table,
+    )
+
+    ds = synthetic_audio_table("/root/testdata/sf0.001")
+    out = audio_features(ds).to_pandas()
+    assert len(out) == 500
+    assert (out.rms > 0).all() and (out.peak <= 1.0).all()
+    # doc 0: n = 1000 samples -> 0.0625 s
+    row0 = out[out.clip_id == "clip00000000"].iloc[0]
+    assert abs(row0.seconds - 1000 / SAMPLE_RATE) < 1e-12
+    # rms of 0.6sin+0.3sin mix ~= sqrt(0.18+0.045) ~= 0.474 (finite-n tolerance)
+    assert 0.4 < row0.rms < 0.55
