@@ -273,6 +273,12 @@ def _q_audio_features(sf_dir: str):
     return audio_features(synthetic_audio_table(sf_dir))
 
 
+def _q_events_sessions(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import session_window_events
+
+    return session_window_events(sf_dir)
+
+
 def _q_events_window(sf_dir: str):
     from simple_osm_queries_ray.stages.text import tumbling_window_events
 
@@ -306,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
@@ -496,5 +503,24 @@ FROM counts
         "events_window": """
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
+        "events_sessions": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+)
+SELECT user_id, min(ts_us) AS session_start, count(*) AS n,
+       ROUND(SUM(value), 6) AS value_sum
+FROM s GROUP BY user_id, sess_id
 """,
     }

@@ -122,6 +122,76 @@ def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def session_window_events(sf_dir: str, gap_us: int = 1_800_000_000) -> ray.data.Dataset:
+    """Gap-based session windows per user (streaming-shaped op the reference
+    lacks; SURVEY.md section 2.7): a new session starts when a user's
+    inter-event gap exceeds ``gap_us``. Output: (user_id, session_start [us],
+    n, value_sum).
+
+    Shape: one shuffle keyed on hash(user_id) bucket; each bucket's rows are
+    sorted (user, ts) and sessionized in ONE vectorized pass (user-change OR
+    gap-exceeded -> new-session flags -> reduceat). Partitioning assumption:
+    sessionization needs all of a user's events in one task — a user's event
+    count is the bounded quantity; pathological single-user skew would need
+    time-range splitting with boundary-session merge.
+    """
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    )
+    num_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts_us": pa.array(ts),
+                "value": batch["value"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def sessionize(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts_us"], dtype=np.int64)
+        val = np.asarray(tbl["value"], dtype=np.float64)
+        order = np.lexsort((ts, u))
+        u, ts, val = u[order], ts[order], val[order]
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "value_sum": pa.array([], type=pa.float64()),
+                }
+            )
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.append(starts[1:], len(u))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_start": pa.array(ts[starts]),
+                "n": pa.array(ends - starts),
+                "value_sum": pa.array(np.round(np.add.reduceat(val, starts), 6)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: sessionize(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )
+
+
 def tumbling_window_events(sf_dir: str, window_us: int = 3_600_000_000) -> ray.data.Dataset:
     """Tumbling-window aggregate over the events table (streaming-shaped op):
     per (event_type, window) count + value sum. Partial aggregation per batch
