@@ -218,13 +218,26 @@ def run_scaling_job() -> dict:
     from simple_osm_queries_ray.sources.synthetic import generated_points, synthetic_polygons
     from simple_osm_queries_ray.stages.geo import assign_tiles, polygon_join
 
-    replicate = int(os.environ.get("BENCH_SCALING_REPLICATE", "16000"))
+    replicate = int(os.environ.get("BENCH_SCALING_REPLICATE", "32000"))
     points = generated_points(SF_DIR, replicate=replicate, stride=STRIDE).materialize()
     n_rows = points.count()
 
     times: dict[str, float] = {}
     t0 = time.time()
-    n_pairs = polygon_join(points, synthetic_polygons(64)).count()
+
+    def pair_count(batch):
+        import pyarrow as pa
+
+        return pa.table({"n": pa.array([len(batch)], type=pa.int64())})
+
+    # the count partial fuses with the join stage, so the (huge) pair set
+    # streams through worker heaps instead of materializing in the object
+    # store — we measure join compute, not pair-write bandwidth
+    n_pairs = int(
+        polygon_join(points, synthetic_polygons(64))
+        .map_batches(pair_count, batch_format="pyarrow")
+        .sum("n")
+    )
     times["polygon_join"] = time.time() - t0
 
     t0 = time.time()
