@@ -155,6 +155,39 @@ def _q_knn(sf_dir: str):
     return knn_bruteforce(_repo(sf_dir).nodes, np.array(KNN_QUERIES), KNN_K)
 
 
+def _q_knn_ring(sf_dir: str):
+    """Index-path kNN (expanding cell rings) for the first query point."""
+    from simple_osm_queries_ray.stages.knn import knn_cell_ring
+
+    return knn_cell_ring(_repo(sf_dir).nodes, KNN_QUERIES[0], KNN_K)
+
+
+_DISK_REPO_CACHE: dict[str, Any] = {}
+
+
+def _q_semi_join_disk_index(sf_dir: str):
+    """The soq semi-join executed through the PERSISTENT cell index
+    (write_index -> DiskRepo partition-pruned reads) instead of the in-memory
+    repo — same oracle as soq_semi_join_ways."""
+    import os
+    import tempfile
+
+    from simple_osm_queries_ray.pipelines.build_index import DiskRepo, write_index
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+
+    if sf_dir not in _DISK_REPO_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "soqr_qindex_" + sf_dir.strip("/").replace("/", "_")
+        )
+        write_index(_repo(sf_dir), index_dir)
+        _DISK_REPO_CACHE[sf_dir] = DiskRepo(index_dir)
+    eng = QueryEngine(_DISK_REPO_CACHE[sf_dir])
+    return eng.execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND this.ways{wtype=primary}}"
+    )
+
+
 # -- training-data pipeline operators ---------------------------------------
 
 NEAR_DUP_TAU = 0.9
@@ -302,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_triangle": _q_pip_triangle,
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
+        "knn_ring": _q_knn_ring,
+        "soq_semi_join_disk_index": _q_semi_join_disk_index,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -451,6 +486,23 @@ ranked AS (
   FROM scored
 )
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+        "soq_semi_join_disk_index": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
+        ),
+        "knn_ring": f"""
+{W},
+scored AS (
+  SELECT n.id,
+         (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon) * (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon)
+       + (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) * (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) AS dist2
+  FROM nodes_c n
+),
+ranked AS (
+  SELECT id, dist2, ROW_NUMBER() OVER (ORDER BY dist2, id) AS rank FROM scored
+)
+SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
 """,
         "dedup_exact": (
             f"WITH {DUP_DOCS_SQL} SELECT min(id) AS id FROM dup_docs GROUP BY text"

@@ -18,6 +18,27 @@ import ray.data
 TARGET_BLOCK_BYTES = 16 << 20
 
 
+def read_feature_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Read a feature table in whatever format it is stored.
+
+    The north rule's storage format is Lance; this container ships no lance
+    wheel, so ``.lance`` paths use ``ray.data.read_lance`` when importable and
+    raise a clearly-marked error otherwise. Parquet (the sandbox testdata
+    format) goes through the sized read below. Call sites stay
+    format-agnostic.
+    """
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "Lance support needs the 'lance' wheel (not in this container); "
+                "the parquet path below is the format-equivalent substitute"
+            ) from e
+        return ray.data.read_lance(path, columns=columns, **kwargs)
+    return read_parquet_sized(path, columns=columns, **kwargs)
+
+
 def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     try:
         fsize = os.path.getsize(path)

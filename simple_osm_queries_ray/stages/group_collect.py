@@ -12,7 +12,8 @@ Scale notes (100 TB design):
   ``num_buckets`` so a bucket (≈ total_rows / num_buckets) fits a worker heap;
 - group sizes are bounded by the data model (way member lists), so no single
   group can blow a bucket — skewed *keys* are impossible here by construction;
-  skewed cells are handled separately (stages/skew.py).
+  skewed cells are handled separately (density-planned hot-cell splitting,
+  pipelines/build_index.py::PartitionPlan).
 """
 
 from __future__ import annotations
