@@ -274,6 +274,27 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
+# -- relational pipelines over the TPC-H-ish tables --------------------------
+
+
+def _q_tpch_q1(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
+def _q_tpch_q3_topk(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q3_top_orders
+
+    return q3_top_orders(sf_dir)
+
+
+def _q_orders_per_nation(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import orders_per_nation
+
+    return orders_per_nation(sf_dir)
+
+
 # -- multimodal payload operators (no SQL oracle: the payload derivation is
 # numpy-RNG-based and not DuckDB-expressible; the driver's rows-only check
 # plus tests/test_image.py's PSNR/caption invariants cover them) ------------
@@ -348,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
@@ -555,6 +579,34 @@ FROM counts
         "events_window": """
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        # integer-cent sums: distributed summation order cannot change results
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3_topk": """
+SELECT l.l_orderkey AS o_orderkey,
+       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_hc
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o.o_orderkey FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+)
+GROUP BY l.l_orderkey
+ORDER BY revenue_hc DESC, o_orderkey
+LIMIT 10
+""",
+        "orders_per_nation": """
+SELECT n.n_name, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """

@@ -1,0 +1,177 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+The reference is a spatial engine, but its execution primitives — vectorized
+batch predicates, broadcast semi-joins, pre-aggregated groupbys, top-k —
+are generic; these pipelines exercise them on the relational tables the
+sandbox ships, with DuckDB oracles.
+
+Determinism discipline: monetary doubles are summed as integer cents
+(CAST(ROUND(x*100) AS BIGINT)) so distributed summation order cannot change
+the result; the SQL oracles do the identical transformation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.read import read_parquet_sized
+from ..state.broadcast import get as bget
+
+
+def _cents(col) -> np.ndarray:
+    return np.round(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> ray.data.Dataset:
+    """TPC-H Q1 shape: filter on shipdate, groupby (returnflag, linestatus),
+    integer-cent sums + counts. Partial aggregation per batch -> tiny shuffle."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = np.datetime64(ship_cutoff)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["l_shipdate"], dtype="datetime64[D]")
+        keep = ship <= cutoff
+        df = pd.DataFrame(
+            {
+                "l_returnflag": np.asarray(batch["l_returnflag"])[keep],
+                "l_linestatus": np.asarray(batch["l_linestatus"])[keep],
+                "qty": np.asarray(batch["l_quantity"], dtype=np.int64)[keep],
+                "price_c": _cents(batch["l_extendedprice"])[keep],
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price_cents=("price_c", "sum"), n=("qty", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape: semi-join lineitem against the qualifying order set
+    (customer segment filter, broadcast), groupby orderkey revenue, top-k.
+
+    Broadcast-vs-shuffle: customers and orders are the small side (1:40 vs
+    lineitem); their qualifying key sets ship once via ray.put. Revenue is
+    integer cents; top-k = per-batch partial top-k then one tiny reduce."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ckeys = np.sort(
+        np.asarray(cust["c_custkey"], dtype=np.int64)[
+            np.asarray(cust["c_mktsegment"].to_numpy(zero_copy_only=False) == segment)
+        ]
+    )
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    okey = np.asarray(orders["o_orderkey"], dtype=np.int64)
+    ocust = np.asarray(orders["o_custkey"], dtype=np.int64)
+    pos = np.searchsorted(ckeys, ocust)
+    pos = np.clip(pos, 0, max(len(ckeys) - 1, 0))
+    qualifying = np.sort(okey[(ckeys[pos] == ocust) if len(ckeys) else np.zeros(len(okey), bool)])
+    q_ref = ray.put(qualifying)
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = bget(q_ref)
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        p = np.searchsorted(q, ok)
+        p = np.clip(p, 0, max(len(q) - 1, 0))
+        keep = (q[p] == ok) if len(q) else np.zeros(len(ok), dtype=bool)
+        ok = ok[keep]
+        # revenue in integer hundredths-of-cents: price_c * (100 - disc_pct)
+        price_c = _cents(batch["l_extendedprice"])[keep]
+        disc_pct = np.round(np.asarray(batch["l_discount"], dtype=np.float64)[keep] * 100).astype(
+            np.int64
+        )
+        rev = price_c * (100 - disc_pct)
+        df = pd.DataFrame({"o_orderkey": ok, "revenue_hc": rev})
+        g = df.groupby("o_orderkey", as_index=False).agg(revenue_hc=("revenue_hc", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue_hc", alias_name="revenue_hc"))
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch["revenue_hc"], dtype=np.int64)
+        keys = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.table({"o_orderkey": pa.array(keys[order]), "revenue_hc": pa.array(rev[order])})
+
+    # per-partition top-k, then one final tiny reduce
+    return agg.map_batches(topk, batch_format="pyarrow").repartition(1).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
+def orders_per_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders -> customer -> nation rollup via two broadcast lookups (the
+    dimension tables never shuffle) + pre-aggregated count."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cn = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    order_c = np.argsort(ck)
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    order_n = np.argsort(nk)
+    lookup_ref = ray.put(
+        (
+            ck[order_c],
+            cn[order_c],
+            nk[order_n],
+            nat["n_name"].to_numpy(zero_copy_only=False)[order_n],
+        )
+    )
+
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck_s, cn_s, nk, nname = bget(lookup_ref)
+        oc = np.asarray(batch["o_custkey"], dtype=np.int64)
+        p = np.searchsorted(ck_s, oc)
+        nation_key = cn_s[p]  # every order has a customer (FK)
+        name = nname[np.searchsorted(nk, nation_key)]
+        u, c = np.unique(name, return_counts=True)
+        return pa.table(
+            {"n_name": pa.array(u.astype(object), type=pa.string()), "n_orders": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
