@@ -181,6 +181,40 @@ def nulls_to_empty_list(col: pa.ListArray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(new_off.astype(np.int32)), flat)
 
 
+def _parallel_lexsort(k: np.ndarray, v: np.ndarray, threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Sort (k, v) pairs by (k, v) using range partitioning + threaded sorts.
+
+    numpy's sort kernels release the GIL, so sorting R disjoint key ranges in
+    a thread pool uses real parallelism on the driver. Ranges come from key
+    quantiles of a sample; concatenating range-sorted chunks in range order
+    IS the global sort (no merge step).
+    """
+    n = len(k)
+    if n < 1 << 20:
+        order = np.lexsort((v, k))
+        return k[order], v[order]
+    sample = k[:: max(1, n // 4096)]
+    bounds = np.quantile(sample, np.linspace(0, 1, threads + 1)[1:-1]).astype(np.int64)
+    part = np.searchsorted(bounds, k, side="right")
+    order0 = np.argsort(part, kind="stable")
+    k0, v0 = k[order0], v[order0]
+    counts = np.bincount(part, minlength=threads)
+    offs = np.zeros(threads + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def sort_range(i: int) -> None:
+        lo, hi = offs[i], offs[i + 1]
+        order = np.lexsort((v0[lo:hi], k0[lo:hi]))
+        k0[lo:hi] = k0[lo:hi][order]
+        v0[lo:hi] = v0[lo:hi][order]
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(sort_range, range(threads)))
+    return k0, v0
+
+
 def attach_edges_broadcast(
     ds: ray.data.Dataset,
     id_col: str,
@@ -212,8 +246,7 @@ def attach_edges_broadcast(
     if parts_k:
         k = np.concatenate(parts_k)
         v = np.concatenate(parts_v)
-        order = np.lexsort((v, k))
-        k, v = k[order], v[order]
+        k, v = _parallel_lexsort(k, v)
     else:
         k = v = np.array([], dtype=np.int64)
     edges_ref = _ray.put((k, v))
