@@ -58,8 +58,8 @@ NOT_FOUND = -1
 # Synthetic id ranges for the derived membership graph (nodes get the raw
 # document ids; ways and relations live in disjoint ranges, mirroring the
 # reference's per-type id spaces).
-WAY_ID_BASE = 10_000_000
-REL_ID_BASE = 20_000_000
+WAY_ID_BASE = 100_000_000
+REL_ID_BASE = 200_000_000
 
 # Membership-graph shape parameters (see sources/synthetic.py).
 NODES_PER_WAY = 5
