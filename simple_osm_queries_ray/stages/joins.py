@@ -181,40 +181,6 @@ def nulls_to_empty_list(col: pa.ListArray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(new_off.astype(np.int32)), flat)
 
 
-def _parallel_lexsort(k: np.ndarray, v: np.ndarray, threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
-    """Sort (k, v) pairs by (k, v) using range partitioning + threaded sorts.
-
-    numpy's sort kernels release the GIL, so sorting R disjoint key ranges in
-    a thread pool uses real parallelism on the driver. Ranges come from key
-    quantiles of a sample; concatenating range-sorted chunks in range order
-    IS the global sort (no merge step).
-    """
-    n = len(k)
-    if n < 1 << 20:
-        order = np.lexsort((v, k))
-        return k[order], v[order]
-    sample = k[:: max(1, n // 4096)]
-    bounds = np.quantile(sample, np.linspace(0, 1, threads + 1)[1:-1]).astype(np.int64)
-    part = np.searchsorted(bounds, k, side="right")
-    order0 = np.argsort(part, kind="stable")
-    k0, v0 = k[order0], v[order0]
-    counts = np.bincount(part, minlength=threads)
-    offs = np.zeros(threads + 1, dtype=np.int64)
-    np.cumsum(counts, out=offs[1:])
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    def sort_range(i: int) -> None:
-        lo, hi = offs[i], offs[i + 1]
-        order = np.lexsort((v0[lo:hi], k0[lo:hi]))
-        k0[lo:hi] = k0[lo:hi][order]
-        v0[lo:hi] = v0[lo:hi][order]
-
-    with ThreadPoolExecutor(max_workers=threads) as ex:
-        list(ex.map(sort_range, range(threads)))
-    return k0, v0
-
-
 def attach_edges_broadcast(
     ds: ray.data.Dataset,
     id_col: str,
@@ -239,14 +205,20 @@ def attach_edges_broadcast(
     """
     import ray as _ray
 
+    # distributed range-partitioned sort (the cluster does the work), then an
+    # ordered pull: iter_batches yields blocks in dataset order, so driver-side
+    # concatenation of a sorted dataset IS the sorted array — no local sort.
     parts_k, parts_v = [], []
-    for b in edges.select_columns([edge_key, edge_val]).iter_batches(batch_format="pyarrow", batch_size=None):
+    for b in (
+        edges.select_columns([edge_key, edge_val])
+        .sort([edge_key, edge_val])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
         parts_k.append(np.asarray(b[edge_key], dtype=np.int64))
         parts_v.append(np.asarray(b[edge_val], dtype=np.int64))
     if parts_k:
         k = np.concatenate(parts_k)
         v = np.concatenate(parts_v)
-        k, v = _parallel_lexsort(k, v)
     else:
         k = v = np.array([], dtype=np.int64)
     edges_ref = _ray.put((k, v))
