@@ -222,7 +222,11 @@ def synthetic_polygons(
 
 
 def generated_points(
-    sf_dir: str, replicate: int, stride: int = REP_STRIDE, blocks_per_cpu: int = 4
+    sf_dir: str,
+    replicate: int,
+    stride: int = REP_STRIDE,
+    blocks_per_cpu: int = 4,
+    num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Geometry-only feature generator for the spatial-join scaling benches.
 
@@ -239,8 +243,13 @@ def generated_points(
         dtype=np.int64,
     )
     ids_ref = _ray.put(doc_ids)
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    per_task = max(1, replicate // (blocks_per_cpu * cpus))
+    if num_blocks is not None:
+        # fixed layout regardless of cluster size — required for fair
+        # two-cluster-size comparisons (same blocks, different CPU pool)
+        per_task = max(1, replicate // num_blocks)
+    else:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        per_task = max(1, replicate // (blocks_per_cpu * cpus))
 
     def gen(batch) -> pa.Table:
         from ..model import cell_of
