@@ -6,11 +6,14 @@ Prints ONE JSON line:
    "sf": ..., "num_cpus": N}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_REPLICATE (default 100 -> ~500k nodes at sf0.1).
+BENCH_REPLICATE (default 2000 -> 10M nodes at sf0.1), BENCH_RUNS (default 2,
+per-stage min over warm passes).
 
---scaling: runs the same bench in two fresh processes at num_cpus=8 and 32
-and reports both throughputs + scaling efficiency (sandbox substitute for the
-north rule's N vs 4N cluster sizes).
+--scaling: runs the spatial-join + tile-assignment job (BENCH_SCALING_REPLICATE,
+default 32000 -> 160M geometry rows in a fixed 512-block layout) in fresh
+processes at BENCH_SCALE_LO/HI CPUs (default 8/32), best of
+BENCH_SCALE_CYCLES lo/hi cycles, and reports both throughputs + scaling
+efficiency (sandbox substitute for the north rule's N vs 4N cluster sizes).
 """
 
 from __future__ import annotations
