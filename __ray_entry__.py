@@ -134,6 +134,15 @@ def _q_tile_histogram(sf_dir: str):
     return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
 
 
+def _q_way_tiles(sf_dir: str):
+    from simple_osm_queries_ray.stages.geo import assign_tiles_bounds
+
+    return assign_tiles_bounds(
+        _repo(sf_dir).ways.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat"]),
+        TILE_ZOOM,
+    )
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -353,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
+        "way_tiles": _q_way_tiles,
         "pip_triangle": _q_pip_triangle,
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
@@ -388,6 +398,31 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
     return " + ".join(
         f"len(regexp_extract_all(text, '{bs}{m}{bs}'))" for m in markers
     )
+
+
+def _way_tiles_sql() -> str:
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, WAYS_CTE
+
+    n = 1 << TILE_ZOOM
+
+    def tx(lon):
+        return f"CAST(FLOOR(({lon} + 180.0) / CAST(360 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT)"
+
+    def ty(lat):
+        return f"CAST(FLOOR((90.0 - {lat}) / CAST(180 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT)"
+
+    return f"""
+WITH {NODES_CTE}, {WAYS_CTE},
+wt AS (
+  SELECT id, {tx('minlon')} AS tx0, {tx('maxlon')} AS tx1,
+         {ty('maxlat')} AS ty0, {ty('minlat')} AS ty1
+  FROM ways
+)
+SELECT w.id, (w.ty0 + gy.ty) * {n} + (w.tx0 + gx.tx) AS tile
+FROM wt w,
+     UNNEST(generate_series(0, w.tx1 - w.tx0)) AS gx(tx),
+     UNNEST(generate_series(0, w.ty1 - w.ty0)) AS gy(ty)
+"""
 
 
 def _polygon_join_sql() -> str:
@@ -492,6 +527,7 @@ FROM rel_base b LEFT JOIN rel_children c ON c.prg = b.rg
             f"{W} SELECT {tile_expr(TILE_ZOOM)} AS tile, count(*) AS n "
             "FROM nodes_c GROUP BY 1"
         ),
+        "way_tiles": _way_tiles_sql(),
         "pip_triangle": (
             f"{W} SELECT id, lon, lat FROM nodes_c WHERE {pip_sql_condition(TRIANGLE)}"
         ),

@@ -42,6 +42,42 @@ def assign_tiles(ds: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def assign_tiles_bounds(ds: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
+    """Raster-tile assignment for EXTENDED features: one (id, tile) row per
+    tile the feature's bound overlaps (the reference's multi-cell way/relation
+    replication rule, ``grid_writer.go:125-129``, at tile granularity).
+
+    Vectorized explode: per-row tile-rectangle sizes -> repeat/segment
+    arithmetic, no Python loop. Output is pairs only (ints), so downstream
+    tile shuffles move minimal bytes.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tx0, ty0 = tile_xy(np.asarray(batch["minlon"]), np.asarray(batch["maxlat"]), zoom)
+        tx1, ty1 = tile_xy(np.asarray(batch["maxlon"]), np.asarray(batch["minlat"]), zoom)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        w = tx1 - tx0 + 1
+        h = ty1 - ty0 + 1
+        counts = w * h
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()), "tile": pa.array([], type=pa.int64())}
+            )
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        # index of each emitted tile within its row's rectangle (0..counts-1)
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        within = np.arange(total, dtype=np.int64) - offs[row]
+        dx = within % w[row]
+        dy = within // w[row]
+        n = np.int64(1 << zoom)
+        tiles = (ty0[row] + dy) * n + (tx0[row] + dx)
+        return pa.table({"id": pa.array(ids[row]), "tile": pa.array(tiles)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def point_in_polygon_mask(
     lon: np.ndarray, lat: np.ndarray, polygon: list[tuple[float, float]]
 ) -> np.ndarray:
