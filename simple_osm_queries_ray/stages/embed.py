@@ -169,7 +169,9 @@ def ann_search(
         return pa.table({"qid": pa.array(qid[order]), id_col: pa.array(ids[order])})
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
-    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+    # tiny candidate set: coalesce so the groupby shuffle width doesn't
+    # inherit the input's block count (see stages/knn.py)
+    return cand.repartition(4).groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
 
 
 def _query_matrix(ds, query_ids, id_col, vec_col):
@@ -268,4 +270,4 @@ def ann_search_ivf(
         return pa.table({"qid": pa.array(qid[order]), id_col: pa.array(ids_[order])})
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
-    return cand.groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+    return cand.repartition(4).groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
