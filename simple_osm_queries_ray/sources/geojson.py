@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 
 import numpy as np
-import pyarrow as pa
 import ray.data
 
 from ..functions.tags import TagIndex

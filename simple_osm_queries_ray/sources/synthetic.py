@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..model import NODES_PER_REL, NODES_PER_WAY, REL_ID_BASE, WAY_ID_BASE, WAYS_PER_REL, cell_of
+from ..model import NODES_PER_WAY, WAY_ID_BASE, cell_of
 
 # Hash/geolocate constants — mirrored verbatim in oracle SQL (see
 # __ray_entry__.sql_nodes_cte()).

@@ -9,7 +9,7 @@ for correctness checking, not an execution path of the engine.
 
 from __future__ import annotations
 
-from .model import NODES_PER_REL, NODES_PER_WAY, REL_ID_BASE, REL_NEST, WAY_ID_BASE, WAYS_PER_REL
+from .model import NODES_PER_REL, NODES_PER_WAY, WAY_ID_BASE
 from .sources.synthetic import H1_MUL, H2_ADD, H2_MUL, H_MOD
 
 # nodes: id, lon, lat, cell, lang, source, n_chars  (from the documents view)

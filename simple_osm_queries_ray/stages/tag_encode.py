@@ -10,7 +10,6 @@ C-level hash map — no per-row Python.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
