@@ -112,18 +112,23 @@ def knn_bruteforce(
 
 
 def knn_cell_ring(
-    ds: ray.data.Dataset,
+    ds: "ray.data.Dataset | None",
     query_point: tuple[float, float],
     k: int,
     *,
     max_rings: int = 64,
+    repo=None,
 ) -> "pa.Table":
     """Index-path kNN for a single query point via expanding cell rings.
 
     Ring r = cells with Chebyshev distance r from the query's cell. After
     scanning ring r, any candidate closer than the minimal possible distance
-    of ring r+1 (r * cell_size) is final. Each ring scan is a cell-pruned
-    Ray filter — with a cell-partitioned index only those files are read.
+    of ring r+1 (r * cell_size) is final.
+
+    Pass ``repo`` (anything with ``table("node", cells=...)``, e.g.
+    ``DiskRepo``) to read ONLY the partitions overlapping each ring — the
+    reference's grid-reader behavior (``grid_reader.go:39-78``) and the scale
+    path. With a plain ``ds`` each ring is a scan + filter (testing only).
     """
     qlon, qlat = float(query_point[0]), float(query_point[1])
     qcell = int(cell_of(np.array([qlon]), np.array([qlat]))[0])
@@ -159,8 +164,9 @@ def knn_cell_ring(
             mask = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), _cells)
             return batch.filter(pa.array(mask))
 
+        source = repo.table("node", cells=cells) if repo is not None else ds
         ring_tbl = (
-            ds.map_batches(prune, batch_format="pyarrow")
+            source.map_batches(prune, batch_format="pyarrow")
             .select_columns(["id", "lon", "lat"])
             .to_pandas()
         )

@@ -117,3 +117,19 @@ def test_cell_pruned_read_touches_fewer_partitions(index_dir):
     hot_cell = np.array([99 * 100_000 + 535], dtype=np.int64)
     pids = disk.plan.pids_for_cells(hot_cell)
     assert 0 < len(pids) < total_parts
+
+
+def test_knn_ring_disk_matches_bruteforce(index_dir):
+    from simple_osm_queries_ray.stages.knn import knn_bruteforce, knn_cell_ring
+
+    disk = DiskRepo(index_dir)
+    q = (9.95, 53.55)
+    ring = knn_cell_ring(None, q, 5, repo=disk).to_pandas()
+    brute = (
+        knn_bruteforce(disk.table("node"), np.array([q]), 5)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(ring["id"]) == list(brute["id"])
+    np.testing.assert_allclose(ring["dist2"], brute["dist2"])
