@@ -225,6 +225,13 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(dup_documents(sf_dir), max_hamming=3)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(dup_documents(sf_dir), threshold=0.5)
+
+
 def _q_embed_near_dup(sf_dir: str):
     from simple_osm_queries_ray.sources.dup_embeddings import dup_embeddings
     from simple_osm_queries_ray.stages.embed import embedding_near_dup_exact
@@ -371,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "ann_topk": _q_ann_topk,
@@ -567,6 +575,23 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         "dedup_exact": (
             f"WITH {DUP_DOCS_SQL} SELECT min(id) AS id FROM dup_docs GROUP BY text"
         ),
+        "ngram_jaccard_pairs": f"""
+WITH {DUP_DOCS_SQL},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+""",
         "embed_near_dup": f"""
 WITH {DUP_EMB_SQL}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

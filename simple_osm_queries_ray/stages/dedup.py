@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..state.broadcast import get as bget
 
 # -- shared token/shingle kernels ------------------------------------------
 
@@ -111,6 +112,66 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> ray.data.Dataset:
+    """EXACT token-3-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
+
+    The oracle-able exact variant of the near-dup family (SQL twin explodes
+    trigrams and joins); :func:`minhash_lsh_pairs` is the scale path. Shape
+    mirrors ``embedding_near_dup_exact``: a dense doc x trigram-vocab presence
+    matrix is built once driver-side and broadcast; each batch computes its
+    intersection counts against the whole corpus with one integer matmul.
+    O(N * V) broadcast memory — fine for the exact tier, not for 10^12 rows.
+    Pairs where both trigram sets are empty are NOT emitted (union = 0).
+    """
+    import pandas as pd
+
+    doc_ids, doc_tris = [], []
+    for b in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        texts = b[text_col].to_pylist()
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            grams = list({" ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))})
+            doc_ids.append(int(ids[i]))
+            doc_tris.append(grams)
+    order = np.argsort(np.asarray(doc_ids, dtype=np.int64))
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    doc_tris = [doc_tris[i] for i in order]
+
+    flat = [g for tris in doc_tris for g in tris]
+    counts = np.asarray([len(t) for t in doc_tris], dtype=np.int64)
+    vocab, col = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    n, v = len(doc_ids), len(vocab)
+    M = np.zeros((n, v), dtype=np.uint8)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    M[row, col] = 1
+    state_ref = ray.put((doc_ids, M, counts.astype(np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_all, mat, sizes = bget(state_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        rows = np.searchsorted(ids_all, ids)
+        mb = mat[rows].astype(np.int32)
+        inter = mb @ mat.T.astype(np.int32)  # (b, N)
+        union = sizes[rows][:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        ii, jj = np.nonzero(jac >= threshold)
+        a, b_ = ids[ii], ids_all[jj]
+        keep = a < b_
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b_[keep])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # -- candidate generation ----------------------------------------------------
