@@ -641,19 +641,22 @@ FROM counts
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n
 FROM events GROUP BY 1, 2
 """,
-        # integer-cent sums: distributed summation order cannot change results
+        # integer-cent sums: distributed summation order cannot change results.
+        # DuckDB's SUM(BIGINT) yields HUGEINT (rendered as float64 by the
+        # driver's comparer) while the engine emits int64 — cast the outer SUM
+        # back to BIGINT so value-hashes agree on type as well as value.
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
        count(*) AS n
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         "tpch_q3_topk": """
 SELECT l.l_orderkey AS o_orderkey,
-       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_hc
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_hc
 FROM lineitem l
 WHERE l.l_orderkey IN (
   SELECT o.o_orderkey FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
