@@ -471,6 +471,24 @@ def oracle_sql() -> dict[str, str]:
         for i, p in enumerate(KNN_QUERIES)
     )
 
+    ngram_jaccard_sql = f"""
+WITH {DUP_DOCS_SQL},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+"""
+
     return {
         "nodes_cells": f"{W} SELECT id, lon, lat, cell FROM nodes_c",
         "cell_density": f"{W} SELECT cell, count(*) AS n_nodes FROM nodes_c GROUP BY cell",
@@ -575,23 +593,13 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         "dedup_exact": (
             f"WITH {DUP_DOCS_SQL} SELECT min(id) AS id FROM dup_docs GROUP BY text"
         ),
-        "ngram_jaccard_pairs": f"""
-WITH {DUP_DOCS_SQL},
-toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
-tri AS (
-  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
-),
-sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b
-FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
-""",
+        # minhash_pairs output = exact Jaccard >= 0.5 pairs (LSH candidates,
+        # exact verification): its oracle is the same trigram-join SQL as
+        # ngram_jaccard_pairs. 32x2 banding makes candidate recall for
+        # J >= 0.5 exceed 0.9999 (stages/dedup.py band comment), so the
+        # exact SQL is a safe twin.
+        "minhash_pairs": ngram_jaccard_sql,
+        "ngram_jaccard_pairs": ngram_jaccard_sql,
         "embed_near_dup": f"""
 WITH {DUP_EMB_SQL}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -44,10 +44,20 @@ def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return h.astype(np.uint64), offsets
 
 
-def _shingle_hashes(tok: np.ndarray, offsets: np.ndarray, n: int = 3):
+# two independent shingle mixers: used together they give a 128-bit gram
+# identity, making hash-collision miscounts in the distributed exact-Jaccard
+# join negligible (~V^2 / 2^128) at any corpus size
+_SHINGLE_MIX = (
+    (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(1)),
+    (np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53), np.uint64(0x2545F4914F6CDD1D)),
+)
+
+
+def _shingle_hashes(tok: np.ndarray, offsets: np.ndarray, n: int = 3, mix: int = 0):
     """3-gram shingles: combine consecutive token hashes; valid only within rows.
 
-    Returns (flat shingle hashes, shingle-row offsets).
+    Returns (flat shingle hashes, shingle-row offsets). ``mix`` selects one of
+    two independent mixers (compound 128-bit gram identity).
     """
     total = len(tok)
     lens = np.diff(offsets)
@@ -56,9 +66,10 @@ def _shingle_hashes(tok: np.ndarray, offsets: np.ndarray, n: int = 3):
     np.cumsum(sh_lens, out=sh_off[1:])
     if total < n:
         return np.array([], dtype=np.uint64), sh_off
-    a = tok[: total - 2] * np.uint64(0x9E3779B97F4A7C15)
-    b = tok[1 : total - 1] * np.uint64(0xC2B2AE3D27D4EB4F)
-    c = tok[2:]
+    ma, mb, mc = _SHINGLE_MIX[mix]
+    a = tok[: total - 2] * ma
+    b = tok[1 : total - 1] * mb
+    c = tok[2:] * mc
     combined = (a ^ b ^ c) & _MASK
     # select positions whose 3 tokens are in the same row
     row_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
@@ -66,11 +77,64 @@ def _shingle_hashes(tok: np.ndarray, offsets: np.ndarray, n: int = 3):
     return combined[valid], sh_off
 
 
+def _distinct_grams(texts: pd.Series):
+    """Per-row DISTINCT token-3-gram identities.
+
+    Returns (row_idx, g1, g2, sizes): flat arrays of the distinct grams of
+    each row (g1/g2 = the two independent 64-bit mixes, int64 bit-views) and
+    the per-row distinct-gram counts. Fully vectorized (one lexsort).
+    """
+    tok, offsets = _token_hashes(texts)
+    g1, sh_off = _shingle_hashes(tok, offsets, mix=0)
+    g2, _ = _shingle_hashes(tok, offsets, mix=1)
+    n = len(offsets) - 1
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(sh_off))
+    a = g1.view(np.int64)
+    b = g2.view(np.int64)
+    order = np.lexsort((b, a, row))
+    row, a, b = row[order], a[order], b[order]
+    keep = np.ones(len(row), dtype=bool)
+    if len(row):
+        keep[1:] = (row[1:] != row[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    row, a, b = row[keep], a[keep], b[keep]
+    sizes = np.bincount(row, minlength=n).astype(np.int64)
+    return row, a, b, sizes
+
+
+def _pair_jaccard_batch(texts_a: pd.Series, texts_b: pd.Series) -> np.ndarray:
+    """Exact token-3-gram Jaccard for aligned text pairs, fully vectorized.
+
+    One sort over the union of both sides' distinct grams per pair; a gram in
+    the intersection appears exactly twice under the same (pair, g1, g2) key
+    (per-side distinctness), so adjacent-equality counts intersections.
+    Empty-union pairs score 1.0 (matching :func:`jaccard`).
+    """
+    n = len(texts_a)
+    ra, a1, a2, na = _distinct_grams(texts_a)
+    rb, b1, b2, nb = _distinct_grams(texts_b)
+    row = np.concatenate([ra, rb])
+    g1 = np.concatenate([a1, b1])
+    g2 = np.concatenate([a2, b2])
+    order = np.lexsort((g2, g1, row))
+    row, g1, g2 = row[order], g1[order], g2[order]
+    same = np.zeros(len(row), dtype=bool)
+    if len(row):
+        same[1:] = (row[1:] == row[:-1]) & (g1[1:] == g1[:-1]) & (g2[1:] == g2[:-1])
+    inter = np.bincount(row[same], minlength=n).astype(np.float64)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 _K_PERM = 64
 _rng = np.random.RandomState(20260817)
 _PERM_A = (_rng.randint(1, 2**62, size=_K_PERM).astype(np.uint64) * np.uint64(2) + np.uint64(1))
 _PERM_B = _rng.randint(0, 2**62, size=_K_PERM).astype(np.uint64)
-_BANDS = 8
+# 32 bands x 2 rows: collision prob for a true J >= 0.5 pair is
+# 1 - (1 - 0.25)^32 > 0.9999, so the exact-Jaccard SQL oracle is a safe twin
+# (measured min planted-pair Jaccard in the testdata is 0.7 -> miss ~ 1e-9);
+# false candidates are pruned by exact verification, so extra bands cost
+# only candidate volume, not precision
+_BANDS = 32
 _ROWS_PER_BAND = _K_PERM // _BANDS
 _BAND_W = _rng.randint(1, 2**62, size=_ROWS_PER_BAND).astype(np.uint64) * np.uint64(2) + np.uint64(1)
 
@@ -120,58 +184,64 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "id",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """EXACT token-3-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
-    The oracle-able exact variant of the near-dup family (SQL twin explodes
-    trigrams and joins); :func:`minhash_lsh_pairs` is the scale path. Shape
-    mirrors ``embedding_near_dup_exact``: a dense doc x trigram-vocab presence
-    matrix is built once driver-side and broadcast; each batch computes its
-    intersection counts against the whole corpus with one integer matmul.
-    O(N * V) broadcast memory — fine for the exact tier, not for 10^12 rows.
-    Pairs where both trigram sets are empty are NOT emitted (union = 0).
+    Fully distributed mirror of the oracle SQL's explode-join-group plan (no
+    whole-corpus broadcast, no driver materialization):
+
+    1. per batch, distinct gram identities (128-bit, two independent mixes)
+       per doc plus the doc's distinct-gram count -> (g1, g2, id, n) rows;
+    2. one shuffle keyed on hash(g1, g2): docs sharing a gram meet in a
+       bucket; each shared gram emits its doc pairs once, pre-counted within
+       the bucket (``count_pairs``) so the pair shuffle carries partials;
+    3. tiny groupby summing partial intersection counts, then the Jaccard
+       filter c / (n_a + n_b - c) >= threshold.
+
+    Cost is the intrinsic exact-join cost (sum over grams of k^2 pairs) — an
+    ultra-frequent gram concentrates k ids in one segment; corpora with such
+    stop-grams should pre-filter them (the oracle keeps every gram, so no
+    default cap here). Pairs whose trigram sets are both empty are NOT
+    emitted (union = 0), matching the SQL. :func:`minhash_lsh_pairs` is the
+    probabilistic scale path.
     """
-    import pandas as pd
 
-    doc_ids, doc_tris = [], []
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        texts = b[text_col].to_pylist()
-        ids = np.asarray(b[id_col], dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            grams = list({" ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))})
-            doc_ids.append(int(ids[i]))
-            doc_tris.append(grams)
-    order = np.argsort(np.asarray(doc_ids, dtype=np.int64))
-    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
-    doc_tris = [doc_tris[i] for i in order]
-
-    flat = [g for tris in doc_tris for g in tris]
-    counts = np.asarray([len(t) for t in doc_tris], dtype=np.int64)
-    vocab, col = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-    n, v = len(doc_ids), len(vocab)
-    M = np.zeros((n, v), dtype=np.uint8)
-    row = np.repeat(np.arange(n, dtype=np.int64), counts)
-    M[row, col] = 1
-    state_ref = ray.put((doc_ids, M, counts.astype(np.float64)))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_all, mat, sizes = bget(state_ref)
+    def to_grams(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        rows = np.searchsorted(ids_all, ids)
-        mb = mat[rows].astype(np.int32)
-        inter = mb @ mat.T.astype(np.int32)  # (b, N)
-        union = sizes[rows][:, None] + sizes[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        ii, jj = np.nonzero(jac >= threshold)
-        a, b_ = ids[ii], ids_all[jj]
-        keep = a < b_
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b_[keep])})
+        row, g1, g2, sizes = _distinct_grams(texts)
+        return pa.table(
+            {
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                id_col: pa.array(ids[row]),
+                "n": pa.array(sizes[row]),
+            }
+        )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    grams = ds.map_batches(to_grams, batch_format="pyarrow")
+    pairs = candidate_pairs_from_buckets(
+        grams, ["g1", "g2"], id_col, carry_cols=["n"], count_pairs=True,
+        num_buckets=num_buckets,
+    )
+    from ray.data.aggregate import Sum
+
+    agg = (
+        pairs.groupby(["id_a", "id_b", "n_a", "n_b"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.float64)
+        na = np.asarray(batch["n_a"], dtype=np.float64)
+        nb = np.asarray(batch["n_b"], dtype=np.float64)
+        keep = pa.array(c / (na + nb - c) >= threshold)
+        return pa.table(
+            {"id_a": batch["id_a"].filter(keep), "id_b": batch["id_b"].filter(keep)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # -- candidate generation ----------------------------------------------------
@@ -183,15 +253,21 @@ def candidate_pairs_from_buckets(
     id_col: str,
     carry_cols: list[str] | None = None,
     num_buckets: int = 32,
+    count_pairs: bool = False,
 ) -> ray.data.Dataset:
     """(key..., id) rows -> candidate (id_a, id_b) pairs per identical key.
 
     One shuffle keyed on ``hash(key) % num_buckets`` (NOT one Python call per
-    bucket value — LSH produces millions of mostly-singleton buckets, and
-    ``groupby(key).map_groups`` would be a Python loop over all of them).
-    Within a hash bucket rows are sorted by key; only segments with >= 2
-    distinct ids emit pairs. ``carry_cols`` values (e.g. signatures) ride
-    along as (a, b) column pairs.
+    bucket value — LSH/gram explosion produces millions of mostly-singleton
+    key segments, and ``groupby(key).map_groups`` would be a Python loop over
+    all of them). Within a hash bucket, rows are sorted by (key..., id),
+    (key, id) duplicates dropped, and every >= 2-id segment emits its id
+    pairs — all with numpy index arithmetic, no per-segment Python loop.
+    ``carry_cols`` values (e.g. signatures, set sizes) ride along as
+    (a, b) column pairs. ``count_pairs=True`` additionally pre-aggregates
+    identical pairs *within* the bucket into a partial multiplicity column
+    ``c`` (= number of shared keys seen in this bucket) so the downstream
+    pair shuffle carries partials instead of one row per shared key.
     """
     carry_cols = carry_cols or []
 
@@ -204,57 +280,79 @@ def candidate_pairs_from_buckets(
         return batch.append_column("__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.drop_columns(["__bucket"])
         keys = [np.asarray(tbl[c], dtype=np.int64) for c in key_cols]
         ids = np.asarray(tbl[id_col], dtype=np.int64)
         order = np.lexsort((ids, *reversed(keys)))
         keys = [k[order] for k in keys]
         ids = ids[order]
         carry = [np.asarray(tbl[c])[order] for c in carry_cols]
-        change = np.zeros(len(ids), dtype=bool)
-        if len(ids):
-            change[0] = True
-            for k in keys:
-                change[1:] |= k[1:] != k[:-1]
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], len(ids))
-        out_a, out_b = [], []
-        out_carry_a = [[] for _ in carry_cols]
-        out_carry_b = [[] for _ in carry_cols]
-        for s, e in zip(starts, ends):  # only multi-member segments do work
-            if e - s < 2:
-                continue
-            seg_ids, first = np.unique(ids[s:e], return_index=True)
-            if len(seg_ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(seg_ids), 1)
-            out_a.append(seg_ids[ia])
-            out_b.append(seg_ids[ib])
-            for ci, cv in enumerate(carry):
-                seg_c = cv[s:e][first]
-                out_carry_a[ci].append(seg_c[ia])
-                out_carry_b[ci].append(seg_c[ib])
-        cols = {
-            "id_a": pa.array(
-                np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-            ),
-            "id_b": pa.array(
-                np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
-            ),
+        m = len(ids)
+        empty = {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            **{f"{c}_{s}": pa.array([], type=pa.int64()) for c in carry_cols for s in "ab"},
         }
+        if count_pairs:
+            empty["c"] = pa.array([], type=pa.int64())
+        if m == 0:
+            return pa.table(empty)
+        # drop duplicate (key, id) rows
+        same_key = np.ones(m, dtype=bool)
+        same_key[0] = False
+        for k in keys:
+            same_key[1:] &= k[1:] == k[:-1]
+        dup = same_key.copy()
+        dup[1:] &= ids[1:] == ids[:-1]
+        keep = ~dup
+        keys = [k[keep] for k in keys]
+        ids = ids[keep]
+        carry = [cv[keep] for cv in carry]
+        same_key = same_key[keep]
+        same_key[0] = False
+        m = len(ids)
+        # per row: its position within its key segment = #earlier rows it pairs with
+        seg_start = np.nonzero(~same_key)[0]
+        seg_id = np.cumsum(~same_key) - 1
+        row_seg_start = seg_start[seg_id]
+        pos = np.arange(m, dtype=np.int64) - row_seg_start
+        total = int(pos.sum())
+        if total == 0:
+            return pa.table(empty)
+        b_rows = np.repeat(np.arange(m, dtype=np.int64), pos)
+        run_start = np.cumsum(pos) - pos
+        a_rows = np.repeat(row_seg_start, pos) + (
+            np.arange(total, dtype=np.int64) - np.repeat(run_start, pos)
+        )
+        id_a, id_b = ids[a_rows], ids[b_rows]
+        carry_a = [cv[a_rows] for cv in carry]
+        carry_b = [cv[b_rows] for cv in carry]
+        c_part = None
+        if count_pairs:
+            o2 = np.lexsort((id_b, id_a))
+            id_a, id_b = id_a[o2], id_b[o2]
+            carry_a = [cv[o2] for cv in carry_a]
+            carry_b = [cv[o2] for cv in carry_b]
+            first = np.ones(total, dtype=bool)
+            first[1:] = (id_a[1:] != id_a[:-1]) | (id_b[1:] != id_b[:-1])
+            starts = np.nonzero(first)[0]
+            c_part = np.diff(np.append(starts, total))
+            id_a, id_b = id_a[starts], id_b[starts]
+            carry_a = [cv[starts] for cv in carry_a]
+            carry_b = [cv[starts] for cv in carry_b]
+        cols = {"id_a": pa.array(id_a), "id_b": pa.array(id_b)}
         for ci, c in enumerate(carry_cols):
-            cols[f"{c}_a"] = pa.array(
-                np.concatenate(out_carry_a[ci]) if out_carry_a[ci] else np.array([], dtype=np.int64)
-            )
-            cols[f"{c}_b"] = pa.array(
-                np.concatenate(out_carry_b[ci]) if out_carry_b[ci] else np.array([], dtype=np.int64)
-            )
+            cols[f"{c}_a"] = pa.array(carry_a[ci])
+            cols[f"{c}_b"] = pa.array(carry_b[ci])
+        if count_pairs:
+            cols["c"] = pa.array(c_part.astype(np.int64))
         return pa.table(cols)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
     )
 
 
@@ -295,10 +393,12 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard >= threshold.
 
-    Candidates from LSH band buckets; each candidate pair verified with the
-    exact shingle Jaccard (candidate texts broadcast — the candidate set is
-    tiny relative to the corpus; a join-based verify is the fallback for
-    pathological candidate volumes).
+    Candidates from LSH band buckets; verification is fully distributed: the
+    candidate pair table is hash-joined (``Dataset.join``) to the text column
+    twice (id_a -> text_a, id_b -> text_b) and each pair batch is verified
+    with the vectorized exact-Jaccard kernel (:func:`_pair_jaccard_batch`) —
+    no driver-side materialization, no per-pair Python. Shuffled verify
+    volume is O(candidates x text bytes), not corpus-sized.
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -322,29 +422,50 @@ def minhash_lsh_pairs(
         .count()
         .select_columns(["id_a", "id_b"])
     )
+    verified = _verify_pairs_jaccard(cand, ds, threshold, text_col=text_col, id_col=id_col)
+    return verified
 
-    # broadcast candidate texts for exact verification
-    cand_tbl = cand.to_pandas()
-    need = np.unique(np.concatenate([cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()])) if len(cand_tbl) else np.array([], dtype=np.int64)
-    texts = {}
-    if len(need):
-        from .semi_join import isin_sorted
 
-        def take_texts(batch: pa.Table) -> pa.Table:
-            mask = isin_sorted(np.asarray(batch[id_col], dtype=np.int64), need)
-            return batch.select([id_col, text_col]).filter(pa.array(mask))
+def _verify_pairs_jaccard(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Attach both texts to candidate (id_a, id_b) pairs via two partitioned
+    hash joins, then keep pairs with exact gram Jaccard >= threshold.
 
-        for b in ds.map_batches(take_texts, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None):
-            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-                texts[i] = t
-    keep_a, keep_b = [], []
-    for a, b in zip(cand_tbl.get("id_a", []), cand_tbl.get("id_b", [])):
-        if jaccard(texts[a], texts[b]) >= threshold:
-            keep_a.append(a)
-            keep_b.append(b)
-    return ray.data.from_arrow(
-        pa.table({"id_a": pa.array(keep_a, type=pa.int64()), "id_b": pa.array(keep_b, type=pa.int64())})
+    ``num_partitions`` defaults to half the cluster CPUs per join: each
+    ``Dataset.join`` holds ``num_partitions`` aggregator actors alive for the
+    whole stage, and the two chained joins run concurrently — requesting more
+    aggregators than CPUs deadlocks the streaming executor (observed with 16
+    partitions on a 4-CPU test cluster).
+    """
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+    docs_a = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_a", text_col: "__text_a"}
     )
+    docs_b = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_b", text_col: "__text_b"}
+    )
+    joined = pairs.join(docs_a, "inner", num_partitions, on=("id_a",)).join(
+        docs_b, "inner", num_partitions, on=("id_b",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = pd.Series(batch["__text_a"].to_pylist(), dtype=object)
+        tb = pd.Series(batch["__text_b"].to_pylist(), dtype=object)
+        keep = pa.array(_pair_jaccard_batch(ta, tb) >= threshold)
+        return pa.table(
+            {"id_a": batch["id_a"].filter(keep), "id_b": batch["id_b"].filter(keep)}
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_signatures(texts: pd.Series) -> np.ndarray:
