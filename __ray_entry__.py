@@ -110,6 +110,58 @@ def _q_way_semi_join_nodes(sf_dir: str):
     )
 
 
+_BB_ALL = f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+
+
+def _q_rel_semi_join_ways(sf_dir: str):
+    """(relation, ways) membership probe with a 2-predicate inner filter."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".relations{rtype=route AND this.ways{wtype=primary AND bridge=*}}"
+    )
+
+
+def _q_child_relations(sf_dir: str):
+    """(relation, child_relations) probe — the child-direction lookup."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".relations{this.child_relations{rtype=boundary}}"
+    )
+
+
+def _q_parent_relation(sf_dir: str):
+    """(relation, relations) probe — parent-direction lookup."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".relations{this.relations{rtype=route}}"
+    )
+
+
+def _q_rel_nodes(sf_dir: str):
+    """(relation, nodes) probe over direct node members."""
+    return _engine(sf_dir).execute_string(_BB_ALL + ".relations{this.nodes{lang=zh}}")
+
+
+def _q_nested_two_level(sf_dir: str):
+    """Two-level nested `this` (the reference's railway pattern,
+    /root/reference/README.md:139-161): relations -> member ways -> member
+    nodes, context switching at each level (filter.go:193-196)."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".relations{rtype=route AND this.ways{bridge=* AND this.nodes{lang=zh}}}"
+    )
+
+
+def _q_node_in_relation(sf_dir: str):
+    """(node, relations) reverse-membership probe."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".nodes{this.relations{rtype=boundary}}"
+    )
+
+
+def _q_way_in_relation(sf_dir: str):
+    """(way, relations) reverse-membership probe."""
+    return _engine(sf_dir).execute_string(
+        _BB_ALL + ".ways{this.relations{rtype=multipolygon}}"
+    )
+
+
 def _q_ways_bounds(sf_dir: str):
     return _repo(sf_dir).ways.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat"])
 
@@ -365,6 +417,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_semi_join_ways": _q_semi_join_ways,
         "soq_anti_join": _q_anti_join,
         "soq_way_semi_join_nodes": _q_way_semi_join_nodes,
+        "soq_rel_semi_join_ways": _q_rel_semi_join_ways,
+        "soq_child_relations": _q_child_relations,
+        "soq_parent_relation": _q_parent_relation,
+        "soq_rel_nodes": _q_rel_nodes,
+        "soq_nested_two_level": _q_nested_two_level,
+        "soq_node_in_relation": _q_node_in_relation,
+        "soq_way_in_relation": _q_way_in_relation,
         "ways_bounds": _q_ways_bounds,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
@@ -471,6 +530,39 @@ def oracle_sql() -> dict[str, str]:
         for i, p in enumerate(KNN_QUERIES)
     )
 
+    # relation table CTE: rel(id, rg, minlon, minlat, maxlon, maxlat) with
+    # child-bound absorption — the same derivation the green relations_bounds
+    # oracle used, factored for reuse by the relation membership queries
+    rel_cte = f"""
+rel_members AS (
+  SELECT rg, lon AS minlon, lat AS minlat, lon AS maxlon, lat AS maxlat
+  FROM nodes_c WHERE id % {NODES_PER_REL} < 3
+  UNION ALL
+  SELECT wg // 10 AS rg, minlon, minlat, maxlon, maxlat FROM ways
+),
+rel_base AS (
+  SELECT rg, min(minlon) AS minlon, min(minlat) AS minlat,
+         max(maxlon) AS maxlon, max(maxlat) AS maxlat
+  FROM rel_members GROUP BY rg
+),
+rel_children AS (
+  SELECT (rg - rg % {REL_NEST}) AS prg,
+         min(minlon) AS minlon, min(minlat) AS minlat,
+         max(maxlon) AS maxlon, max(maxlat) AS maxlat
+  FROM rel_base
+  WHERE rg % {REL_NEST} <> 0 AND (rg - rg % {REL_NEST}) IN (SELECT rg FROM rel_base)
+  GROUP BY 1
+),
+rel AS (
+  SELECT {REL_ID_BASE} + b.rg AS id, b.rg AS rg,
+         LEAST(b.minlon, COALESCE(c.minlon, b.minlon)) AS minlon,
+         LEAST(b.minlat, COALESCE(c.minlat, b.minlat)) AS minlat,
+         GREATEST(b.maxlon, COALESCE(c.maxlon, b.maxlon)) AS maxlon,
+         GREATEST(b.maxlat, COALESCE(c.maxlat, b.maxlat)) AS maxlat
+  FROM rel_base b LEFT JOIN rel_children c ON c.prg = b.rg
+)"""
+    WWR = f"{WW}, {rel_cte}"
+
     ngram_jaccard_sql = f"""
 WITH {DUP_DOCS_SQL},
 toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
@@ -520,34 +612,55 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
-        "relations_bounds": f"""
-{WW},
-rel_members AS (
-  SELECT rg, lon AS minlon, lat AS minlat, lon AS maxlon, lat AS maxlat
-  FROM nodes_c WHERE id % {NODES_PER_REL} < 3
-  UNION ALL
-  SELECT wg // 10 AS rg, minlon, minlat, maxlon, maxlat FROM ways
-),
-rel_base AS (
-  SELECT rg, min(minlon) AS minlon, min(minlat) AS minlat,
-         max(maxlon) AS maxlon, max(maxlat) AS maxlat
-  FROM rel_members GROUP BY rg
-),
-rel_children AS (
-  SELECT (rg - rg % {REL_NEST}) AS prg,
-         min(minlon) AS minlon, min(minlat) AS minlat,
-         max(maxlon) AS maxlon, max(maxlat) AS maxlat
-  FROM rel_base
-  WHERE rg % {REL_NEST} <> 0 AND (rg - rg % {REL_NEST}) IN (SELECT rg FROM rel_base)
-  GROUP BY 1
-)
-SELECT {REL_ID_BASE} + b.rg AS id,
-       LEAST(b.minlon, COALESCE(c.minlon, b.minlon)) AS minlon,
-       LEAST(b.minlat, COALESCE(c.minlat, b.minlat)) AS minlat,
-       GREATEST(b.maxlon, COALESCE(c.maxlon, b.maxlon)) AS maxlon,
-       GREATEST(b.maxlat, COALESCE(c.maxlat, b.maxlat)) AS maxlat
-FROM rel_base b LEFT JOIN rel_children c ON c.prg = b.rg
+        "relations_bounds": (
+            f"{WW}, {rel_cte} SELECT id, minlon, minlat, maxlon, maxlat FROM rel"
+        ),
+        # -- relation membership combos (filter.go:265-331): rtype index map
+        # route=rg%3==0 / boundary=1 / multipolygon=2; wtype primary=wg%3==1;
+        # bridge=* <=> wg%7==0; node's relation membership <=> id%50 < 3.
+        # BBOX_ALL covers the whole extent, so the engine's decorrelated
+        # inner-cell restriction is a no-op the SQL can omit.
+        "soq_rel_semi_join_ways": f"""
+{WWR}
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % 3 = 0 AND EXISTS (
+  SELECT 1 FROM ways w WHERE w.wg // 10 = rel.rg AND w.wg % 3 = 1 AND w.wg % 7 = 0)
 """,
+        "soq_child_relations": f"""
+{WWR}
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % {REL_NEST} = 0 AND EXISTS (
+  SELECT 1 FROM rel c
+  WHERE c.rg - c.rg % {REL_NEST} = rel.rg AND c.rg % {REL_NEST} <> 0 AND c.rg % 3 = 1)
+""",
+        "soq_parent_relation": f"""
+{WWR}
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % {REL_NEST} <> 0 AND (rg - rg % {REL_NEST}) % 3 = 0
+  AND EXISTS (SELECT 1 FROM rel p WHERE p.rg = rel.rg - rel.rg % {REL_NEST})
+""",
+        "soq_rel_nodes": f"""
+{WWR}
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE EXISTS (
+  SELECT 1 FROM nodes_c n
+  WHERE n.rg = rel.rg AND n.id % {NODES_PER_REL} < 3 AND n.lang = 'zh')
+""",
+        "soq_nested_two_level": f"""
+{WWR}
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % 3 = 0 AND EXISTS (
+  SELECT 1 FROM ways w WHERE w.wg // 10 = rel.rg AND w.wg % 7 = 0
+    AND EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh'))
+""",
+        "soq_node_in_relation": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND id % {NODES_PER_REL} < 3 AND rg % 3 = 1"
+        ),
+        "soq_way_in_relation": (
+            f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways "
+            f"WHERE (wg // 10) % 3 = 2"
+        ),
         "tile_assign": f"{W} SELECT id, {tile_expr(TILE_ZOOM)} AS tile FROM nodes_c",
         "tile_histogram": (
             f"{W} SELECT {tile_expr(TILE_ZOOM)} AS tile, count(*) AS n "
