@@ -31,11 +31,20 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if cmd == "import":
-            sf_dir, index_dir = argv[1], argv[2]
+            src, index_dir = argv[1], argv[2]
             from .pipelines.build_index import write_index
-            from .sources.repo import build_repo
 
-            manifest = write_index(build_repo(sf_dir), index_dir)
+            if src.endswith(".osm"):
+                # real OSM XML input (reference `import` path, main.go:70-96)
+                from .pipelines.import_osm import import_osm
+
+                repo = import_osm(src)
+            else:
+                # synthetic derivation from a testdata sf directory
+                from .sources.repo import build_repo
+
+                repo = build_repo(src)
+            manifest = write_index(repo, index_dir)
             print(f"index written to {index_dir}: {manifest.total_rows()} rows over "
                   f"{len(manifest.waves)} waves")
             return 0

@@ -244,9 +244,18 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
         return batch.drop_columns(["cand_child_ids", "cand_parent_ids"])
 
     resolved = with_cand.map_batches(resolve, batch_format="pyarrow")
+    return flow_child_bounds(resolved, max_depth=max_depth)
 
-    # Bounded fixed-point: child bounds/cells flow up to parents via
-    # explode -> bucket_collect(parent) -> hash join (same shape as J5).
+
+def flow_child_bounds(
+    resolved: ray.data.Dataset, max_depth: int = 1, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Bounded fixed-point: child bounds/cells flow up to parents via
+    explode -> bucket_collect(parent) -> hash join (same shape as J5).
+
+    ``resolved`` needs parent_relation_ids + minlon..maxlat + cells columns;
+    each iteration propagates one nesting level (the reference instead relies
+    on members-before-parents file order, ``grid_writer.go:94-97``)."""
     for _ in range(max_depth):
         child_edges = resolved.map_batches(
             lambda b: _parent_bound_edges(b), batch_format="pyarrow"
@@ -269,7 +278,7 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
                 }
             )
 
-        updates = bucket_collect(child_edges, "parent_id", assemble, num_buckets=8)
+        updates = bucket_collect(child_edges, "parent_id", assemble, num_buckets=num_buckets)
         from ..stages.joins import hash_join_attach
 
         joined = hash_join_attach(
@@ -284,7 +293,7 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
                 "c_maxlat": pa.float64(),
                 "c_cells": pa.list_(pa.int64()),
             },
-            num_buckets=8,
+            num_buckets=num_buckets,
         )
         resolved = joined.map_batches(_apply_parent_updates, batch_format="pyarrow")
 
@@ -393,8 +402,7 @@ def attach_reverse_membership(
 
     nodes = attach(raw_nodes, "id", ways, "node_ids", "node_id", "way_ids")
     nodes = attach(nodes, "id", relations, "node_ids", "node_id", "relation_ids")
-    ways2 = attach(
-        ways.drop_columns(["relation_ids"]), "id", relations, "way_ids", "way_id",
-        "relation_ids",
-    )
+    if "relation_ids" in ways.schema().names:
+        ways = ways.drop_columns(["relation_ids"])
+    ways2 = attach(ways, "id", relations, "way_ids", "way_id", "relation_ids")
     return nodes, ways2

@@ -1,0 +1,413 @@
+"""Generic OSM import: raw parsed elements -> queryable FeatureRepo.
+
+The real-data counterpart of the synthetic derivation (``sources/synthetic.py``
+builds the graph from formulas; this pipeline builds it from actual member
+references). Reference passes: ``src/importing/import.go:17-163`` (temp
+features, node->way/relation back-references) and
+``src/index/grid_writer.go:50-330`` (cell assignment, bbox assembly). Ray
+shape: every membership resolution is an explode -> hash-join / bucket-collect
+exchange keyed on the member id — no ordering assumptions, no in-memory
+global maps (the reference needs members-before-parents file order; nested
+relation bounds flow through :func:`flow_child_bounds` instead).
+
+Divergences (documented):
+- way/relation members referencing ids absent from the input are dropped
+  from the assembled lists (the reference skips unknown members at write
+  time too);
+- relations whose bbox never receives a member contribution keep an empty
+  (+inf/-inf) bound and match no bbox query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..model import cell_of
+from ..sources.osm_xml import read_osm_xml, split_elements
+from ..stages.group_collect import bucket_collect, collect_list_column, segment_unique_lists
+from ..stages.joins import hash_join_attach
+from .build_graph import attach_reverse_membership, flow_child_bounds
+
+_SELF_SEQ = -1  # self-marker rows sort before real members (seq/member ids >= 0)
+
+_BOUND_FIELDS = [
+    ("minlon", pa.float64()),
+    ("minlat", pa.float64()),
+    ("maxlon", pa.float64()),
+    ("maxlat", pa.float64()),
+]
+_TAG_FIELDS = [
+    ("tag_keys_str", pa.list_(pa.string())),
+    ("tag_vals_str", pa.list_(pa.string())),
+]
+_EMPTY_WAYS = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("node_ids", pa.list_(pa.int64())),
+        ("node_lons", pa.list_(pa.float64())),
+        ("node_lats", pa.list_(pa.float64())),
+        ("cells", pa.list_(pa.int64())),
+        *_BOUND_FIELDS,
+        *_TAG_FIELDS,
+    ]
+)
+_EMPTY_RELS = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("node_ids", pa.list_(pa.int64())),
+        ("way_ids", pa.list_(pa.int64())),
+        ("cells", pa.list_(pa.int64())),
+        *_BOUND_FIELDS,
+        *_TAG_FIELDS,
+        ("child_relation_ids", pa.list_(pa.int64())),
+        ("parent_relation_ids", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _explode_with_seq(ds: ray.data.Dataset, list_col: str, out_key: str) -> ray.data.Dataset:
+    """(id, [refs]) -> (id, seq, ref) rows preserving document order."""
+    from ..functions.segments import list_parts
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offsets = list_parts(batch[list_col])
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        reps = np.diff(offsets)
+        total = int(offsets[-1])
+        seq = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], reps)
+        return pa.table(
+            {
+                out_key: pa.array(np.asarray(flat, dtype=np.int64)),
+                "owner_id": pa.array(np.repeat(ids, reps)),
+                "seq": pa.array(seq),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def assemble_ways(
+    raw_ways: ray.data.Dataset, nodes: ray.data.Dataset, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """(id, refs, tags) + node coords -> full way features.
+
+    Two exchanges: a hash join attaching each referenced node's coords/cell to
+    the (way, seq, ref) edge rows, then a bucket-collect keyed on the way id
+    re-assembling ordered node lists, unique cells and the bbox
+    (``grid_writer.go:125-145`` semantics: a way lives in every cell one of
+    its nodes touches). Refs to unknown nodes are dropped.
+    """
+    edges = _explode_with_seq(raw_ways.select_columns(["id", "refs"]), "refs", "node_ref")
+    edges = hash_join_attach(
+        edges,
+        "node_ref",
+        nodes.select_columns(["id", "lon", "lat", "cell"]).rename_columns(
+            {"id": "__nid", "lon": "__nlon", "lat": "__nlat", "cell": "__ncell"}
+        ),
+        "__nid",
+        {"__nlon": pa.float64(), "__nlat": pa.float64(), "__ncell": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def drop_unknown(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.is_valid(batch["__nlon"]))
+
+    edges = edges.map_batches(drop_unknown, batch_format="pyarrow")
+
+    def assemble(tbl: pa.Table, wids: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ids = np.asarray(tbl["node_ref"], dtype=np.int64)
+        lon = np.asarray(tbl["__nlon"], dtype=np.float64)
+        lat = np.asarray(tbl["__nlat"], dtype=np.float64)
+        cells = np.asarray(tbl["__ncell"], dtype=np.int64)
+        n = len(wids)
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+        ucells, uoff = segment_unique_lists(group_idx, cells, n)
+        return pa.table(
+            {
+                "id": pa.array(wids, type=pa.int64()),
+                "node_ids": collect_list_column(ids, starts, ends, pa.int64()),
+                "node_lons": collect_list_column(lon, starts, ends, pa.float64()),
+                "node_lats": collect_list_column(lat, starts, ends, pa.float64()),
+                "cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+                "minlon": pa.array(np.minimum.reduceat(lon, starts), type=pa.float64()),
+                "minlat": pa.array(np.minimum.reduceat(lat, starts), type=pa.float64()),
+                "maxlon": pa.array(np.maximum.reduceat(lon, starts), type=pa.float64()),
+                "maxlat": pa.array(np.maximum.reduceat(lat, starts), type=pa.float64()),
+            }
+        )
+
+    ways = bucket_collect(edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets)
+    return hash_join_attach(
+        ways,
+        "id",
+        raw_ways.select_columns(["id", "tag_keys_str", "tag_vals_str"]),
+        "id",
+        {
+            "tag_keys_str": pa.list_(pa.string()),
+            "tag_vals_str": pa.list_(pa.string()),
+        },
+        num_buckets=num_buckets,
+        fill_empty_list_cols=("tag_keys_str", "tag_vals_str"),
+    )
+
+
+def assemble_relations(
+    raw_rels: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    ways: ray.data.Dataset,
+    num_buckets: int = 8,
+    max_nesting: int = 2,
+) -> ray.data.Dataset:
+    """(id, member lists, tags) -> relation features with bbox/cell union.
+
+    Member bound edges (node points, way bboxes) meet in a bucket-collect
+    keyed on the relation id; a per-relation self edge guarantees every
+    relation appears even with no resolvable members. Child/parent relation
+    edges come from the actual ``member_rels`` lists (existence-filtered);
+    nested bounds flow with :func:`flow_child_bounds` for ``max_nesting``
+    levels (reference: file-order dependence, ``grid_writer.go:94-106``).
+    """
+    node_edges = _explode_with_seq(
+        raw_rels.select_columns(["id", "member_nodes"]), "member_nodes", "member_id"
+    )
+    node_edges = hash_join_attach(
+        node_edges,
+        "member_id",
+        nodes.select_columns(["id", "lon", "lat", "cell"]).rename_columns(
+            {"id": "__nid", "lon": "__nlon", "lat": "__nlat", "cell": "__ncell"}
+        ),
+        "__nid",
+        {"__nlon": pa.float64(), "__nlat": pa.float64(), "__ncell": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def node_to_bound(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.is_valid(batch["__nlon"]))
+        lon = np.asarray(batch["__nlon"], dtype=np.float64)
+        lat = np.asarray(batch["__nlat"], dtype=np.float64)
+        cell = np.asarray(batch["__ncell"], dtype=np.int64)
+        n = len(batch)
+        return pa.table(
+            {
+                "owner_id": batch["owner_id"],
+                "member_id": batch["member_id"],
+                "seq": batch["seq"],
+                "member_type": pa.array(np.zeros(n, dtype=np.int64)),
+                "minlon": pa.array(lon),
+                "minlat": pa.array(lat),
+                "maxlon": pa.array(lon),
+                "maxlat": pa.array(lat),
+                "cells": pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32)), pa.array(cell)
+                ),
+            }
+        )
+
+    node_edges = node_edges.map_batches(node_to_bound, batch_format="pyarrow")
+
+    way_edges = _explode_with_seq(
+        raw_rels.select_columns(["id", "member_ways"]), "member_ways", "member_id"
+    )
+    way_edges = hash_join_attach(
+        way_edges,
+        "member_id",
+        ways.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat", "cells"]).rename_columns(
+            {
+                "id": "__wid",
+                "minlon": "__wminlon",
+                "minlat": "__wminlat",
+                "maxlon": "__wmaxlon",
+                "maxlat": "__wmaxlat",
+                "cells": "__wcells",
+            }
+        ),
+        "__wid",
+        {
+            "__wminlon": pa.float64(),
+            "__wminlat": pa.float64(),
+            "__wmaxlon": pa.float64(),
+            "__wmaxlat": pa.float64(),
+            "__wcells": pa.list_(pa.int64()),
+        },
+        num_buckets=num_buckets,
+    )
+
+    def way_to_bound(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.is_valid(batch["__wminlon"]))
+        n = len(batch)
+        from ..stages.joins import nulls_to_empty_list
+
+        return pa.table(
+            {
+                "owner_id": batch["owner_id"],
+                "member_id": batch["member_id"],
+                "seq": batch["seq"],
+                "member_type": pa.array(np.ones(n, dtype=np.int64)),
+                "minlon": batch["__wminlon"],
+                "minlat": batch["__wminlat"],
+                "maxlon": batch["__wmaxlon"],
+                "maxlat": batch["__wmaxlat"],
+                "cells": nulls_to_empty_list(batch["__wcells"].combine_chunks()),
+            }
+        )
+
+    way_edges = way_edges.map_batches(way_to_bound, batch_format="pyarrow")
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "owner_id": batch["id"],
+                "member_id": pa.array(np.full(n, _SELF_SEQ, dtype=np.int64)),
+                "seq": pa.array(np.full(n, _SELF_SEQ, dtype=np.int64)),
+                "member_type": pa.array(np.full(n, 2, dtype=np.int64)),
+                "minlon": pa.array(np.full(n, np.inf)),
+                "minlat": pa.array(np.full(n, np.inf)),
+                "maxlon": pa.array(np.full(n, -np.inf)),
+                "maxlat": pa.array(np.full(n, -np.inf)),
+                "cells": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, dtype=np.int32)),
+                    pa.array([], type=pa.int64()),
+                ),
+            }
+        )
+
+    edges = (
+        raw_rels.select_columns(["id"])
+        .map_batches(self_edges, batch_format="pyarrow")
+        .union(node_edges)
+        .union(way_edges)
+    )
+
+    def assemble(tbl: pa.Table, rids: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        from ..functions.segments import list_parts
+
+        n = len(rids)
+        member_id = np.asarray(tbl["member_id"], dtype=np.int64)
+        member_type = np.asarray(tbl["member_type"], dtype=np.int64)
+        flat_cells, cell_offsets = list_parts(tbl["cells"])
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+        cgi = np.repeat(group_idx, np.diff(cell_offsets))
+        ucells, uoff = segment_unique_lists(cgi, np.asarray(flat_cells, dtype=np.int64), n)
+
+        def typed_lists(type_code: int) -> pa.ListArray:
+            mask = member_type == type_code
+            lens = np.add.reduceat(mask.astype(np.int64), starts)
+            lens[(ends - starts) == 0] = 0
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            return collect_list_column(member_id[mask], offs[:-1], offs[1:], pa.int64())
+
+        return pa.table(
+            {
+                "id": pa.array(rids, type=pa.int64()),
+                "node_ids": typed_lists(0),
+                "way_ids": typed_lists(1),
+                "cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+                "minlon": pa.array(np.minimum.reduceat(np.asarray(tbl["minlon"]), starts)),
+                "minlat": pa.array(np.minimum.reduceat(np.asarray(tbl["minlat"]), starts)),
+                "maxlon": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlon"]), starts)),
+                "maxlat": pa.array(np.maximum.reduceat(np.asarray(tbl["maxlat"]), starts)),
+            }
+        )
+
+    # seq sort keeps member order inside node_ids/way_ids; the self edge
+    # (seq = -1) sorts first and contributes nothing to either list
+    rels = bucket_collect(edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets)
+    rels = hash_join_attach(
+        rels,
+        "id",
+        raw_rels.select_columns(["id", "tag_keys_str", "tag_vals_str", "member_rels"]),
+        "id",
+        {
+            "tag_keys_str": pa.list_(pa.string()),
+            "tag_vals_str": pa.list_(pa.string()),
+            "member_rels": pa.list_(pa.int64()),
+        },
+        num_buckets=num_buckets,
+        fill_empty_list_cols=("tag_keys_str", "tag_vals_str", "member_rels"),
+    )
+
+    # child edges = actual member_rels filtered to existing relations;
+    # parent lists are the inversion (explode -> broadcast-probe attach)
+    from ..stages.semi_join import filter_list_to_idset, sorted_id_array
+    from ..stages.joins import attach_edges_broadcast, explode_list
+
+    ids_ref = sorted_id_array(rels)
+
+    def resolve_children(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "child_relation_ids", filter_list_to_idset(batch["member_rels"], ids_ref)
+        )
+        return batch.drop_columns(["member_rels"])
+
+    rels = rels.map_batches(resolve_children, batch_format="pyarrow")
+    parent_edges = explode_list(
+        rels.select_columns(["id", "child_relation_ids"]),
+        "child_relation_ids",
+        "id",
+        out_val="__parent",
+        out_key="__child",
+    )
+    rels = attach_edges_broadcast(
+        rels, "id", parent_edges, "__child", "__parent", "parent_relation_ids"
+    )
+    return flow_child_bounds(rels, max_depth=max_nesting, num_buckets=num_buckets)
+
+
+def import_osm(paths: str | list[str], materialize: bool = True):
+    """``.osm`` file(s) -> FeatureRepo (the reference's ``import`` command,
+    ``src/main.go:70-96``, as one Ray pipeline).
+
+    The parsed element dataset is materialized once (the object-store
+    analogue of the reference's temp-feature spill file, SURVEY.md S2/S3)
+    because three type-projections and several joins re-consume it.
+    """
+    from ..sources.repo import FeatureRepo
+    from ..stages.tag_encode import encode_tags
+    from .tag_dictionary import build_tag_index
+
+    elems = read_osm_xml(paths)
+    if materialize:
+        elems = elems.materialize()
+    raw_nodes, raw_ways, raw_rels = split_elements(elems)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        cell = cell_of(
+            np.asarray(batch["lon"], dtype=np.float64),
+            np.asarray(batch["lat"], dtype=np.float64),
+        )
+        return batch.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    nodes0 = raw_nodes.map_batches(add_cell, batch_format="pyarrow")
+    if materialize:
+        nodes0 = nodes0.materialize()
+    # empty way/relation inputs short-circuit to typed empty tables: the
+    # collect/join machinery cannot infer schemas from zero-row lineages
+    if raw_ways.count() == 0:
+        ways0 = ray.data.from_arrow(_EMPTY_WAYS.empty_table())
+    else:
+        ways0 = assemble_ways(raw_ways, nodes0)
+    if materialize:
+        ways0 = ways0.materialize()
+    if raw_rels.count() == 0:
+        rels0 = ray.data.from_arrow(_EMPTY_RELS.empty_table())
+    else:
+        rels0 = assemble_relations(raw_rels, nodes0, ways0)
+    if materialize:
+        rels0 = rels0.materialize()
+
+    nodes1, ways1 = attach_reverse_membership(nodes0, ways0, rels0)
+    tag_index = build_tag_index(nodes1, ways1, rels0)
+    ti_ref = ray.put(tag_index)
+    nodes = encode_tags(nodes1, ti_ref)
+    ways = encode_tags(ways1, ti_ref)
+    rels = encode_tags(rels0, ti_ref)
+    if materialize:
+        nodes = nodes.materialize()
+        ways = ways.materialize()
+        rels = rels.materialize()
+    return FeatureRepo(nodes, ways, rels, tag_index)

@@ -1,0 +1,133 @@
+"""OSM XML (``.osm``) element reader.
+
+Reference entry point: ``OsmReader.Read`` streams an ``.osm.pbf`` through
+per-type handlers (``/root/reference/src/osm/reader.go:40-112``). This module
+is the Ray-native ingest for the XML flavour: ``read_binary_files`` over one
+or many ``.osm`` files, one decode task per file (the parallel unit — OSM
+extracts are commonly sharded per region). The per-element Python loop lives
+only here, at the ingest boundary, exactly like the reference's streaming
+decoder; everything downstream is vectorized Arrow.
+
+PBF remains a documented follow-on: the wire format is protobuf+zlib with
+independently decodable blocks (ideal for ``read_binary_files``-style block
+parallelism), but this container ships no protobuf runtime to decode it with.
+
+Element rows (one unified schema, ``etype`` discriminates):
+
+    etype:int64 (0 node / 1 way / 2 relation), id:int64,
+    lon/lat:float64 (nodes; null otherwise),
+    tag_keys_str/tag_vals_str:list<string>,
+    refs:list<int64>               (way node refs, document order),
+    member_nodes/member_ways/member_rels:list<int64> (relation members,
+                                    document order; roles are not queryable
+                                    in the reference either, so dropped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+ETYPE_NODE = 0
+ETYPE_WAY = 1
+ETYPE_RELATION = 2
+
+_ELEM_SCHEMA = pa.schema(
+    [
+        ("etype", pa.int64()),
+        ("id", pa.int64()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("tag_keys_str", pa.list_(pa.string())),
+        ("tag_vals_str", pa.list_(pa.string())),
+        ("refs", pa.list_(pa.int64())),
+        ("member_nodes", pa.list_(pa.int64())),
+        ("member_ways", pa.list_(pa.int64())),
+        ("member_rels", pa.list_(pa.int64())),
+    ]
+)
+
+_MEMBER_SLOT = {"node": "member_nodes", "way": "member_ways", "relation": "member_rels"}
+
+
+def parse_osm_xml_bytes(data: bytes) -> pa.Table:
+    """One ``.osm`` document -> element table (schema above)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data)
+    rows: dict[str, list] = {name: [] for name in _ELEM_SCHEMA.names}
+
+    def add(etype, eid, lon, lat, tags, refs, members):
+        rows["etype"].append(etype)
+        rows["id"].append(eid)
+        rows["lon"].append(lon)
+        rows["lat"].append(lat)
+        rows["tag_keys_str"].append([k for k, _ in tags])
+        rows["tag_vals_str"].append([v for _, v in tags])
+        rows["refs"].append(refs)
+        rows["member_nodes"].append(members.get("member_nodes", []))
+        rows["member_ways"].append(members.get("member_ways", []))
+        rows["member_rels"].append(members.get("member_rels", []))
+
+    for el in root:
+        tags = [
+            (t.attrib["k"], t.attrib["v"]) for t in el if t.tag == "tag"
+        ]
+        if el.tag == "node":
+            add(
+                ETYPE_NODE,
+                int(el.attrib["id"]),
+                float(el.attrib["lon"]),
+                float(el.attrib["lat"]),
+                tags,
+                [],
+                {},
+            )
+        elif el.tag == "way":
+            refs = [int(nd.attrib["ref"]) for nd in el if nd.tag == "nd"]
+            add(ETYPE_WAY, int(el.attrib["id"]), None, None, tags, refs, {})
+        elif el.tag == "relation":
+            members: dict[str, list[int]] = {}
+            for m in el:
+                if m.tag != "member":
+                    continue
+                slot = _MEMBER_SLOT.get(m.attrib.get("type", ""))
+                if slot is not None:
+                    members.setdefault(slot, []).append(int(m.attrib["ref"]))
+            add(ETYPE_RELATION, int(el.attrib["id"]), None, None, tags, [], members)
+
+    return pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA)
+
+
+def read_osm_xml(paths: str | list[str]) -> ray.data.Dataset:
+    """``.osm`` file(s) -> element Dataset (one decode task per file)."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [parse_osm_xml_bytes(blob.as_py()) for blob in batch["bytes"]]
+        return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
+
+    return ray.data.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
+
+
+def split_elements(
+    elems: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, ray.data.Dataset]:
+    """Element dataset -> (raw node, raw way, raw relation) projections."""
+
+    def take(etype: int, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pa.array(np.asarray(batch["etype"], dtype=np.int64) == etype)
+            return batch.filter(mask).select(cols)
+
+        return elems.map_batches(fn, batch_format="pyarrow")
+
+    nodes = take(ETYPE_NODE, ["id", "lon", "lat", "tag_keys_str", "tag_vals_str"])
+    ways = take(ETYPE_WAY, ["id", "refs", "tag_keys_str", "tag_vals_str"])
+    rels = take(
+        ETYPE_RELATION,
+        ["id", "member_nodes", "member_ways", "member_rels", "tag_keys_str", "tag_vals_str"],
+    )
+    return nodes, ways, rels

@@ -1,0 +1,116 @@
+"""OSM XML import parity: the reference fixture (test-small.osm) and a
+synthetic fixture with ways/relations/nesting drive the full import pipeline
+(parse -> assemble -> reverse membership -> tag encode) into a queryable
+FeatureRepo (reference reader: /root/reference/src/osm/reader.go:40-112)."""
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_ray.pipelines.import_osm import import_osm
+from simple_osm_queries_ray.pipelines.query import QueryEngine
+
+REF_FIXTURE = "/root/reference/test-small.osm"
+
+WAYREL_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version='0.6' generator='test'>
+  <node id='1' lat='53.10' lon='9.10'><tag k='kind' v='a' /></node>
+  <node id='2' lat='53.12' lon='9.32'><tag k='kind' v='b' /></node>
+  <node id='3' lat='53.31' lon='9.12'><tag k='kind' v='a' /></node>
+  <node id='4' lat='53.52' lon='9.55'><tag k='kind' v='c' /></node>
+  <way id='10'>
+    <nd ref='1' /><nd ref='2' />
+    <tag k='highway' v='primary' />
+  </way>
+  <way id='11'>
+    <nd ref='3' /><nd ref='4' /><nd ref='999' />
+    <tag k='highway' v='residential' />
+  </way>
+  <relation id='20'>
+    <member type='way' ref='10' role='' />
+    <member type='node' ref='3' role='' />
+    <tag k='type' v='route' />
+  </relation>
+  <relation id='21'>
+    <member type='relation' ref='20' role='' />
+    <member type='node' ref='4' role='' />
+    <tag k='type' v='superroute' />
+  </relation>
+</osm>
+"""
+
+
+@pytest.fixture(scope="module")
+def ref_repo():
+    return import_osm(REF_FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def wayrel_repo(tmp_path_factory):
+    p = tmp_path_factory.mktemp("osm") / "wayrel.osm"
+    p.write_text(WAYREL_XML)
+    return import_osm(str(p))
+
+
+def ids(ds):
+    df = ds.to_pandas()
+    return set(df["id"]) if "id" in df.columns else set()
+
+
+def test_reference_fixture_nodes(ref_repo):
+    eng = QueryEngine(ref_repo)
+    assert ids(eng.execute_string("bbox(9.9,53.5,9.94,53.6).nodes{natural=tree}")) == {1}
+    assert ids(eng.execute_string("bbox(9.9,53.5,9.94,53.6).nodes{amenity=bench}")) == {2, 3}
+    assert ids(
+        eng.execute_string("bbox(9.9,53.5,9.94,53.6).nodes{amenity=bench AND backrest=yes}")
+    ) == {3}
+    # bbox excluding the nodes' cell yields nothing
+    assert ids(eng.execute_string("bbox(10.5,54.0,10.6,54.1).nodes{natural=tree}")) == set()
+
+
+def test_reference_fixture_tag_dictionary(ref_repo):
+    ti = ref_repo.tag_index
+    ki = ti.key_index("amenity")
+    assert ti.value_string(ki, ti.value_index(ki, "bench")) == "bench"
+
+
+def test_way_assembly(wayrel_repo):
+    ways = wayrel_repo.ways.to_pandas().set_index("id")
+    assert list(ways.loc[10, "node_ids"]) == [1, 2]
+    # unknown ref 999 dropped
+    assert list(ways.loc[11, "node_ids"]) == [3, 4]
+    np.testing.assert_allclose(
+        [ways.loc[10, "minlon"], ways.loc[10, "maxlon"]], [9.10, 9.32]
+    )
+    # way cells = union of member node cells
+    assert set(ways.loc[11, "cells"]) == {91 * 100_000 + 533, 95 * 100_000 + 535}
+
+
+def test_relation_assembly_and_nesting(wayrel_repo):
+    rels = wayrel_repo.relations.to_pandas().set_index("id")
+    assert list(rels.loc[20, "way_ids"]) == [10]
+    assert list(rels.loc[20, "node_ids"]) == [3]
+    assert list(rels.loc[21, "child_relation_ids"]) == [20]
+    assert list(rels.loc[20, "parent_relation_ids"]) == [21]
+    # parent bbox absorbs the child relation's bbox (node 1..3 + way 10)
+    np.testing.assert_allclose(
+        [rels.loc[21, "minlon"], rels.loc[21, "minlat"]], [9.10, 53.10]
+    )
+    np.testing.assert_allclose(
+        [rels.loc[21, "maxlon"], rels.loc[21, "maxlat"]], [9.55, 53.52]
+    )
+
+
+def test_imported_graph_queries(wayrel_repo):
+    eng = QueryEngine(wayrel_repo)
+    bb = "bbox(9.0,53.0,10.0,54.0)"
+    assert ids(eng.execute_string(bb + ".ways{highway=primary}")) == {10}
+    # reverse membership: nodes on a primary way
+    assert ids(eng.execute_string(bb + ".nodes{this.ways{highway=primary}}")) == {1, 2}
+    # relation membership probes in both directions
+    assert ids(eng.execute_string(bb + ".relations{this.ways{highway=primary}}")) == {20}
+    assert ids(eng.execute_string(bb + ".relations{this.child_relations{type=route}}")) == {21}
+    assert ids(eng.execute_string(bb + ".relations{this.relations{type=superroute}}")) == {20}
+    # nested two-level this over imported data
+    assert ids(
+        eng.execute_string(bb + ".relations{this.ways{this.nodes{kind=b}}}")
+    ) == {20}
