@@ -563,6 +563,13 @@ rel AS (
 )"""
     WWR = f"{WW}, {rel_cte}"
 
+    embed_near_dup_sql = f"""
+WITH {DUP_EMB_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= CAST({NEAR_DUP_TAU!r} AS DOUBLE)
+"""
+
     ngram_jaccard_sql = f"""
 WITH {DUP_DOCS_SQL},
 toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
@@ -713,12 +720,11 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
-        "embed_near_dup": f"""
-WITH {DUP_EMB_SQL}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= CAST({NEAR_DUP_TAU!r} AS DOUBLE)
-""",
+        "embed_near_dup": embed_near_dup_sql,
+        # the LSH variant verifies candidates with the same exact cosine
+        # test; 8x4 banding makes recall ~1 (stages/embed.py band comment),
+        # so the exact all-pairs SQL is its oracle too
+        "embed_near_dup_lsh": embed_near_dup_sql,
         "ann_topk": f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
@@ -757,6 +763,32 @@ SELECT id, n_tokens,
     + CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE)
       - CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) AS quality
 FROM counts
+""",
+        # image_resize projects (image_id, w, h): ids derive from doc_id and
+        # the fixed 16x16 target — SQL-checkable even though pixel payloads
+        # are RNG-derived (those are pinned by tests/test_image.py PSNR)
+        "image_resize": """
+SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+       CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h
+FROM documents
+""",
+        # 62-bit fingerprint: the engine's per-byte Horner recurrence
+        # h = (h*B + byte) % (2^31 - 1) per stream, replayed exactly in a
+        # recursive CTE (texts are ASCII, so len()/substr() walk bytes)
+        "fingerprints": """
+WITH RECURSIVE fp AS (
+  SELECT doc_id AS id, text, CAST(0 AS BIGINT) AS h1, CAST(0 AS BIGINT) AS h2,
+         1 AS i, len(text) AS n
+  FROM documents
+  UNION ALL
+  SELECT id, text,
+         (h1 * 131 + ascii(substr(text, i, 1))) % 2147483647,
+         (h2 * 137 + ascii(substr(text, i, 1))) % 2147483647,
+         i + 1, n
+  FROM fp WHERE i <= n
+)
+SELECT id, h1 * CAST(2147483648 AS BIGINT) + h2 AS fingerprint
+FROM fp WHERE i = n + 1
 """,
         "events_window": """
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n

@@ -66,8 +66,13 @@ def embedding_near_dup_exact(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-_N_PLANES = 16
-_N_BANDS = 4  # 4 bands x 4 planes
+# 8 bands x 4 planes (32 hyperplanes): a cos >= 0.9 pair agrees on one full
+# band with p = 1 - (1 - 0.8564^4)^8 ~ 0.998, and the planted near-identical
+# pairs (cos ~ 0.999) with p ~ 1 - 2.5e-12 — tight enough that the exact
+# all-pairs SQL is a safe oracle twin. 4 planes per band = 16 buckets/band
+# keeps within-bucket exact verification at O(N^2/16) per band.
+_N_PLANES = 32
+_N_BANDS = 8
 
 
 def embedding_near_dup_lsh(

@@ -8,8 +8,9 @@ except the fingerprint — arithmetically reproducible in DuckDB SQL:
 - language-ID: n-gram/marker-word heuristic — per-language marker counts,
   argmax with deterministic tie-break (first language in the fixed order);
 - quality score: token-count + stopword-ratio formula in IEEE doubles;
-- fingerprint: 61-bit polynomial rolling hash over UTF-8 bytes (rows-only:
-  no SQL twin; determinism pinned by tests).
+- fingerprint: 62-bit polynomial rolling hash over UTF-8 bytes (two 31-bit
+  streams; the same Horner recurrence runs overflow-free in a DuckDB
+  recursive CTE, so the operator has an exact SQL oracle).
 
 The language marker/stopword sets are fixed tiny vocabularies — broadcast
 state compiled once per actor in the stage's __init__ when used as an actor
@@ -33,8 +34,13 @@ MARKERS: dict[str, list[str]] = {
 }
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
-_MOD = (1 << 61) - 1
-_BASE = 131
+# Two independent 31-bit polynomial streams combined into a 62-bit
+# fingerprint: b * power < 2^39 and segment sums < 2^63, so the whole batch
+# evaluates in uint64 with NO per-text Python; the same recurrence
+# h = (h*B + byte) % p runs in DuckDB BIGINT (recursive CTE) overflow-free,
+# giving the operator an exact SQL oracle.
+_MOD = (1 << 31) - 1
+_BASES = (131, 137)
 
 
 class TextAnalyzer:
@@ -91,26 +97,49 @@ def analyze_text(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.da
     )
 
 
+_POWER_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: int, n: int) -> np.ndarray:
+    """base^0..base^(n-1) mod _MOD (cached, grown on demand)."""
+    cur = _POWER_CACHE.get(base)
+    if cur is None or len(cur) < n:
+        size = max(n, 1024, 0 if cur is None else 2 * len(cur))
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        b, m = np.uint64(base), np.uint64(_MOD)
+        for j in range(1, size):  # once per cache growth, not per text
+            p[j] = (p[j - 1] * b) % m
+        _POWER_CACHE[base] = cur = p
+    return cur
+
+
 def fingerprint_batch(texts: list[str]) -> np.ndarray:
-    """61-bit polynomial hash per text (vectorized over the flattened bytes)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):  # byte loop is inside numpy below
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = np.uint64(0)
-        # Horner evaluation with numpy scalar ops (no per-byte Python objects);
-        # cumulative powers trick keeps it O(n) vectorized:
-        n = len(b)
-        if n == 0:
-            out[i] = 0
-            continue
-        powers = np.empty(n, dtype=np.uint64)
-        powers[0] = 1
-        base = np.uint64(_BASE)
-        for j in range(1, n):
-            powers[j] = (powers[j - 1] * base) % np.uint64(_MOD)
-        h = int((b[::-1] * powers % np.uint64(_MOD)).sum() % np.uint64(_MOD))
-        out[i] = h
-    return out
+    """62-bit document fingerprint (two 31-bit polynomial streams).
+
+    Fully vectorized over the batch's flattened bytes: one gather of the
+    cached power table per stream, an elementwise multiply, and a reduceat
+    segment sum — no per-text or per-byte Python loop.
+    """
+    flat = np.frombuffer("".join(texts).encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    lens = np.array([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if len(flat) == 0:
+        return np.zeros(len(texts), dtype=np.int64)
+    # exponent of byte j (text-local position q, text length n): n - 1 - q
+    local = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    exp = np.repeat(lens, lens) - 1 - local
+    starts = np.minimum(offsets[:-1], len(flat) - 1)
+    m = np.uint64(_MOD)
+    hs = []
+    for base in _BASES:
+        pw = _powers(base, int(lens.max()))
+        terms = flat * pw[exp]  # < 2^39, sums < 2^63: uint64-safe
+        h = np.add.reduceat(terms, starts) % m
+        h[lens == 0] = 0
+        hs.append(h)
+    return (hs[0].astype(np.int64) << np.int64(31)) + hs[1].astype(np.int64)
 
 
 def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
