@@ -310,14 +310,19 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    import ray.data
+    import os
+    import tempfile
 
     from simple_osm_queries_ray.stages.embed import ann_search_ivf
 
     from simple_osm_queries_ray.sources.read import read_parquet_sized
 
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_search_ivf(ds, ANN_QUERY_IDS, ANN_K)
+    # per-sf persistent index dir: built once, probed reads afterwards
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "soqr_ivf_" + sf_dir.strip("/").replace("/", "_")
+    )
+    return ann_search_ivf(ds, ANN_QUERY_IDS, ANN_K, index_dir=index_dir)
 
 
 def _q_text_stats(sf_dir: str):

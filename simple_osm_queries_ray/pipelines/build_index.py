@@ -278,6 +278,10 @@ class DiskRepo:
             if not paths:
                 return ray.data.from_arrow(_empty_like(base))
         ds = ray.data.read_parquet(paths)
+        # nodes live in exactly one cell -> one partition; no replicas exist
+        # and the dedup's keyed shuffle would be pure overhead
+        if otype == "node":
+            return ds
         return _dedup_replicas(ds)
 
 

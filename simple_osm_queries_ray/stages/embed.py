@@ -13,9 +13,12 @@ Shapes:
 - :func:`ann_search` — brute-force cosine top-k per query vector: broadcast
   query matrix, per-batch top-k combiner, tiny final reduce per qid (same
   pattern as stages/knn.py).
-- :func:`ann_search_ivf` — IVF: deterministic k-means (few driver-side
-  iterations over a sample), per-row nearest-centroid assignment, search only
-  the nprobe closest lists. Rows-only correctness (recall pinned in tests).
+- :func:`ann_search_ivf` — a real inverted file: deterministic k-means over
+  a bounded sample, vectors written to hive partitions keyed by list id
+  (:func:`build_ivf_index`), search reads ONLY the nprobe probed lists'
+  partitions (:func:`ivf_probe_search`) — nprobe prunes I/O, not just
+  compute. Rows-only correctness (recall + partition-pruning pinned in
+  tests).
 """
 
 from __future__ import annotations
@@ -198,25 +201,17 @@ def _query_matrix(ds, query_ids, id_col, vec_col):
     return ids[order], vecs[order]
 
 
-def ann_search_ivf(
+def train_ivf_centroids(
     ds: ray.data.Dataset,
-    query_ids: list[int],
-    k: int,
     *,
     n_lists: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 5,
     sample_limit: int = 4096,
-) -> ray.data.Dataset:
-    """IVF ANN: coarse k-means lists, search the nprobe nearest lists only.
-
-    Centroids are trained driver-side on a deterministic sample (first
-    ``sample_limit`` rows by id) — tiny state broadcast to the assignment
-    stage; the per-row assignment and the probed search are vectorized
-    map_batches. Approximate: recall is pinned by tests, not an oracle.
-    """
+) -> np.ndarray:
+    """Deterministic coarse k-means on a bounded sample (driver-side: the
+    centroid matrix is tiny broadcast state, the sample is capped)."""
     ids, vecs = _collect_matrix(ds.limit(sample_limit), id_col, vec_col)
     sample = _normalize(vecs)
     # deterministic init: evenly spaced sample rows
@@ -231,39 +226,108 @@ def ann_search_ivf(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
+    return cents
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 4096,
+) -> np.ndarray:
+    """Write a REAL inverted file: vectors partitioned on disk by their
+    nearest-centroid list (hive layout ``list_id=<l>/``), so a search probing
+    ``nprobe`` lists reads only those partitions' files — nprobe prunes I/O,
+    not just compute. Returns the centroid matrix (also persisted alongside
+    the partitions for reopen).
+    """
+    cents = train_ivf_centroids(
+        ds, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        kmeans_iters=kmeans_iters, sample_limit=sample_limit,
+    )
     cents_ref = ray.put(cents)
 
-    q_ids, q_vecs = _query_matrix(ds, query_ids, id_col, vec_col)
+    def assign(batch: pa.Table) -> pa.Table:
+        c = bget(cents_ref)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        lists = np.argmax(vecs @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    import pyarrow.parquet as pq
+
+    d = cents.shape[1]
+    pq.write_table(
+        pa.table({"centroid": pa.array(list(cents.astype(np.float64)), type=pa.list_(pa.float64(), d))}),
+        f"{index_dir}/centroids.parquet",
+    )
+    return cents
+
+
+def ivf_probe_search(
+    index_dir: str,
+    cents: np.ndarray,
+    q_ids: np.ndarray,
+    q_vecs: np.ndarray,
+    k: int,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Search an on-disk IVF index: read ONLY the nprobe nearest lists'
+    partitions per query (union over queries), score each probed batch
+    against all queries in one matmul with a per-query list mask, reduce
+    per-qid top-k. No per-query Python loop; I/O is bounded by the probed
+    partitions (tests assert fewer paths than a full scan).
+    """
+    import os
+
     qn = _normalize(q_vecs)
     probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    q_ref = ray.put((q_ids, qn, probe_lists))
+    n_lists = cents.shape[0]
+    allowed = np.zeros((len(q_ids), n_lists), dtype=bool)
+    allowed[np.repeat(np.arange(len(q_ids)), nprobe), probe_lists.ravel()] = True
+    needed = np.unique(probe_lists)
+    # empty clusters write no partition directory; read_parquet wants the
+    # files themselves when given a path list
+    paths = [
+        os.path.join(d, f)
+        for l in needed
+        if os.path.isdir(d := f"{index_dir}/list_id={l}")
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    probed = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    state_ref = ray.put((q_ids, qn, allowed, cents))
 
     def candidates(batch: pa.Table) -> pa.Table:
-        c = bget(cents_ref)
-        qids, qmat, probes = bget(q_ref)
+        qids, qmat, ok_lists, c = bget(state_ref)
         ids_ = np.asarray(batch[id_col], dtype=np.int64)
         vecs_ = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        # re-derive each row's list from the centroids (cheap b x L matmul)
+        # instead of depending on hive-column parsing of leaf-dir reads
         assign = np.argmax(vecs_ @ c.T, axis=1)
-        out_q, out_id, out_cos = [], [], []
-        for qi in range(len(qids)):
-            m = np.isin(assign, probes[qi]) & (ids_ != qids[qi])
-            if not m.any():
-                continue
-            cos = vecs_[m] @ qmat[qi]
-            sel = np.argsort(-cos)[: min(k, m.sum())]
-            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
-            out_id.append(ids_[m][sel])
-            out_cos.append(cos[sel])
-        if not out_q:
-            return pa.table(
-                {"qid": pa.array([], type=pa.int64()), id_col: pa.array([], type=pa.int64()),
-                 "cos": pa.array([], type=pa.float64())}
-            )
+        cos = qmat @ vecs_.T  # (Q, b)
+        mask = ok_lists[:, assign] & (ids_[None, :] != qids[:, None])
+        cos = np.where(mask, cos, -np.inf)
+        kk = min(k, cos.shape[1])
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        rows = np.repeat(np.arange(cos.shape[0]), kk)
+        cols = part.ravel()
+        sel_cos = cos[rows, cols]
+        keep = np.isfinite(sel_cos)
         return pa.table(
             {
-                "qid": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "cos": pa.array(np.concatenate(out_cos)),
+                "qid": pa.array(qids[rows[keep]]),
+                id_col: pa.array(ids_[cols[keep]]),
+                "cos": pa.array(sel_cos[keep]),
             }
         )
 
@@ -274,5 +338,44 @@ def ann_search_ivf(
         order = np.lexsort((ids_, -cos))[: min(k, len(cos))]
         return pa.table({"qid": pa.array(qid[order]), id_col: pa.array(ids_[order])})
 
-    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    cand = probed.map_batches(candidates, batch_format="pyarrow")
     return cand.repartition(4).groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def ann_search_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_limit: int = 4096,
+    index_dir: str | None = None,
+) -> ray.data.Dataset:
+    """IVF ANN: build (or reuse) the partitioned inverted file, then search
+    only the nprobe nearest lists. ``index_dir`` defaults to a scratch dir;
+    an existing populated dir is reused (build once, search many)."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        # fresh scratch dir: a shared default could silently reuse an index
+        # built from a DIFFERENT dataset
+        index_dir = tempfile.mkdtemp(prefix="soqr_ivf_")
+    cent_path = f"{index_dir}/centroids.parquet"
+    if os.path.exists(cent_path):
+        import pyarrow.parquet as pq
+
+        cents = np.array(pq.read_table(cent_path)["centroid"].to_pylist(), dtype=np.float64)
+    else:
+        cents = build_ivf_index(
+            ds, index_dir, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+            kmeans_iters=kmeans_iters, sample_limit=sample_limit,
+        )
+    q_ids, q_vecs = _query_matrix(ds, query_ids, id_col, vec_col)
+    return ivf_probe_search(
+        index_dir, cents, q_ids, q_vecs, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )

@@ -46,6 +46,32 @@ def test_ann_ivf_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.45, recalls
 
 
+def test_ivf_partition_pruning(emb, tmp_path):
+    """The IVF is a real inverted file: search touches only the probed
+    lists' partitions, strictly fewer than the index's partition count."""
+    import os
+
+    import numpy as np
+
+    from simple_osm_queries_ray.stages.embed import (
+        _normalize,
+        _query_matrix,
+        build_ivf_index,
+        ivf_probe_search,
+    )
+
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, idx)
+    parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(parts) > 4  # non-degenerate clustering
+    q_ids, q_vecs = _query_matrix(emb, Q, "vec_id", "embedding")
+    probe = np.argsort(-(_normalize(q_vecs) @ cents.T), axis=1)[:, :4]
+    assert len(np.unique(probe)) < len(parts)  # probed set < full index
+    df = ivf_probe_search(idx, cents, q_ids, q_vecs, K, nprobe=4).to_pandas()
+    assert sorted(df.qid.unique()) == Q
+    assert (df.groupby("qid").size() <= K).all()
+
+
 def test_lsh_near_dup_matches_exact_planted_pairs(ray_session):
     de = dup_embeddings(SF)
     exact = embedding_near_dup_exact(de, 0.9).to_pandas()
