@@ -725,6 +725,49 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
+        # simhash replay: the engine's token hash is two 31-bit polynomial
+        # Horner streams + a 64-bit odd-multiplier wrap (stages/dedup.py
+        # _token_hashes), all expressible in BIGINT/HUGEINT arithmetic; bit
+        # majorities and the Hamming<=3 pair filter follow in plain SQL
+        "simhash_pairs": f"""
+WITH RECURSIVE {DUP_DOCS_SQL},
+tok AS (SELECT id, unnest(string_split(text, ' ')) AS t FROM dup_docs),
+dtok AS (SELECT DISTINCT t FROM tok),
+th AS (
+  SELECT t, CAST(0 AS BIGINT) AS h1, CAST(0 AS BIGINT) AS h2, 1 AS i, len(t) AS n FROM dtok
+  UNION ALL
+  SELECT t, (h1 * 131 + ascii(substr(t, i, 1))) % 2147483647,
+            (h2 * 137 + ascii(substr(t, i, 1))) % 2147483647, i + 1, n
+  FROM th WHERE i <= n
+),
+tokh AS (
+  SELECT t,
+    ((CAST(h1 AS HUGEINT) * 2147483648 + h2) * 11400714819323198485)
+      % (CAST(1 AS HUGEINT) << 64) AS h
+  FROM th WHERE i = n + 1
+),
+bits AS (
+  SELECT tok.id, g.b,
+         SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok JOIN tokh USING (t), UNNEST(generate_series(0, 63)) AS g(b)
+  GROUP BY 1, 2
+),
+sigu AS (
+  SELECT id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))
+                  ELSE CAST(0 AS HUGEINT) END) AS v
+  FROM bits GROUP BY id
+),
+sig AS (
+  SELECT id, CASE WHEN v >= (CAST(1 AS HUGEINT) << 63)
+                  THEN CAST(v - (CAST(1 AS HUGEINT) << 64) AS BIGINT)
+                  ELSE CAST(v AS BIGINT) END AS s
+  FROM sigu
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
         "embed_near_dup": embed_near_dup_sql,
         # the LSH variant verifies candidates with the same exact cosine
         # test; 8x4 banding makes recall ~1 (stages/embed.py band comment),

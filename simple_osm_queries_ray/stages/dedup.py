@@ -33,15 +33,61 @@ from ..state.broadcast import get as bget
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+# token hash = two 31-bit polynomial Horner streams over the token's bytes
+# combined and spread over 64 bits with an odd-multiplier wrap. Chosen over a
+# library siphash because the identical arithmetic replays in DuckDB
+# (recursive CTE + HUGEINT mod 2^64), giving simhash_pairs an exact SQL
+# oracle; minhash/gram consumers only need determinism.
+_TOK_MOD = (1 << 31) - 1
+_TOK_BASES = (131, 137)
+_TOK_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+_TOK_POWER_CACHE: dict[int, np.ndarray] = {}
+
+
+def _tok_powers(base: int, n: int) -> np.ndarray:
+    cur = _TOK_POWER_CACHE.get(base)
+    if cur is None or len(cur) < n:
+        size = max(n, 256, 0 if cur is None else 2 * len(cur))
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = 1
+        b, m = np.uint64(base), np.uint64(_TOK_MOD)
+        for j in range(1, size):
+            p[j] = (p[j - 1] * b) % m
+        _TOK_POWER_CACHE[base] = cur = p
+    return cur
+
+
 def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace tokens of each text -> (flat token hashes u64, row offsets)."""
+    """Whitespace tokens of each text -> (flat token hashes u64, row offsets).
+
+    Vectorized over the flattened token bytes (one power-table gather +
+    reduceat per stream; terms < 2^39, segment sums < 2^63 — uint64-safe).
+    """
     tokens = texts.str.split()
     lens = tokens.map(len).to_numpy(dtype=np.int64)
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     flat = [t for row in tokens for t in row]
-    h = pd.util.hash_pandas_object(pd.Series(flat, dtype=object), index=False).to_numpy()
-    return h.astype(np.uint64), offsets
+    if not flat:
+        return np.array([], dtype=np.uint64), offsets
+    blob = "".join(flat).encode("utf-8")
+    tok_lens = np.array([len(t.encode("utf-8")) for t in flat], dtype=np.int64)
+    b = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+    toff = np.zeros(len(tok_lens) + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=toff[1:])
+    local = np.arange(len(b), dtype=np.int64) - np.repeat(toff[:-1], tok_lens)
+    exp = np.repeat(tok_lens, tok_lens) - 1 - local
+    starts = np.minimum(toff[:-1], max(len(b) - 1, 0))
+    m = np.uint64(_TOK_MOD)
+    hs = []
+    for base in _TOK_BASES:
+        pw = _tok_powers(base, int(tok_lens.max()) if len(tok_lens) else 1)
+        h = np.add.reduceat(b * pw[exp], starts) % m
+        h[tok_lens == 0] = 0
+        hs.append(h)
+    combined = ((hs[0] << np.uint64(31)) | hs[1]) * _TOK_MIX  # wraps mod 2^64
+    return combined, offsets
 
 
 # two independent shingle mixers: used together they give a 128-bit gram

@@ -21,7 +21,7 @@ class ImageDecoder:
     """Actor-pool stage: decode bytes -> per-image stats + verified phash.
 
     __init__ is the once-per-actor setup point (a real deployment would load
-    libjpeg/仿codecs or a GPU decoder here).
+    libjpeg or a GPU decoder here).
     """
 
     def __init__(self):
