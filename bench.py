@@ -299,7 +299,7 @@ def run_scaling_job() -> dict:
     }
 
 
-def run_scaling() -> None:
+def run_scaling(cycles: int | None = None) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="scaling_job")
         # limit WORKER slots via ray.init(num_cpus=N) but leave Ray's system
@@ -322,35 +322,41 @@ def run_scaling() -> None:
     # process severalfold; contamination only ever LOWERS a cycle's measured
     # efficiency, so the best cycle is the least-contaminated estimate of the
     # intrinsic ratio. All cycles are reported for transparency.
-    cycles = []
-    for _ in range(int(os.environ.get("BENCH_SCALE_CYCLES", "2"))):
+    if cycles is None:
+        cycles = int(os.environ.get("BENCH_SCALE_CYCLES", "2"))
+    results = []
+    for _ in range(cycles):
         r_lo, r_hi = one(lo), one(hi)
         eff = (r_hi["rows_per_s"] / r_lo["rows_per_s"]) / (hi / lo)
-        cycles.append((eff, r_lo, r_hi))
-    eff, r_lo, r_hi = max(cycles, key=lambda c: c[0])
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
-                "rows": r_lo["rows"],
-                "cpus": [lo, hi],
-                "sec_lo": r_lo["sec"],
-                "sec_hi": r_hi["sec"],
-                "rows_per_s_lo": r_lo["rows_per_s"],
-                "rows_per_s_hi": r_hi["rows_per_s"],
-                "scaling_efficiency": round(eff, 3),
-                "all_cycle_efficiencies": [round(c[0], 3) for c in cycles],
-                "queries_lo": r_lo["queries"],
-                "queries_hi": r_hi["queries"],
-            }
-        )
-    )
+        results.append((eff, r_lo, r_hi))
+    eff, r_lo, r_hi = max(results, key=lambda c: c[0])
+    return {
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "rows": r_lo["rows"],
+        "cpus": [lo, hi],
+        "sec_lo": r_lo["sec"],
+        "sec_hi": r_hi["sec"],
+        "rows_per_s_lo": r_lo["rows_per_s"],
+        "rows_per_s_hi": r_hi["rows_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "all_cycle_efficiencies": [round(c[0], 3) for c in results],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        print(json.dumps(run_scaling()))
     elif os.environ.get("BENCH_MODE") == "scaling_job":
         print(json.dumps(run_scaling_job()))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        # the per-round BENCH artifact should carry the north rule's
+        # two-cluster-size evidence, not only BASELINE.md: two lo/hi cycles
+        # ride along in the default run (best-of-cycles; a single cycle is
+        # too exposed to the host's contention spikes — observed 0.70 single
+        # vs 0.88 best-of-2). Skip with BENCH_SKIP_SCALING=1.
+        if os.environ.get("BENCH_SKIP_SCALING") != "1":
+            res["scaling"] = run_scaling(cycles=2)
+        print(json.dumps(res))
