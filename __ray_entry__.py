@@ -195,6 +195,49 @@ def _q_way_tiles(sf_dir: str):
     )
 
 
+QUAD_LEVEL = 12
+QUAD_ROLLUP_LEVEL = 8
+
+
+def _q_quad_cells(sf_dir: str):
+    """Batched hierarchical (H3/S2-style) cell assignment at level 12."""
+    from simple_osm_queries_ray.stages.geo import assign_quad_cells
+
+    return assign_quad_cells(_repo(sf_dir).nodes, QUAD_LEVEL).select_columns(["id", "qcell"])
+
+
+def _q_quad_rollup(sf_dir: str):
+    """Level-12 cells rolled up to level-8 ancestors by pure shift arithmetic;
+    the oracle computes level-8 assignment directly — green only if the
+    hierarchy's parent relation is consistent with direct assignment."""
+    import pyarrow as _pa
+
+    from simple_osm_queries_ray.functions.hiercell import quad_parent
+    from simple_osm_queries_ray.stages.geo import assign_quad_cells
+
+    ds = assign_quad_cells(_repo(sf_dir).nodes, QUAD_LEVEL).select_columns(["qcell"])
+
+    def to_parent(batch):
+        p = quad_parent(
+            np.asarray(batch["qcell"]), QUAD_LEVEL - QUAD_ROLLUP_LEVEL
+        )
+        return _pa.table({"qcell8": _pa.array(p, type=_pa.int64())})
+
+    out = ds.map_batches(to_parent, batch_format="pyarrow").groupby("qcell8").count()
+    return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
+
+
+def _q_quad_bbox_filter(sf_dir: str):
+    """Bbox filter through the S2-style normalized covering (interior cells
+    pass untested, boundary cells refine) — results must equal the plain
+    bbox predicate, which is the oracle."""
+    from simple_osm_queries_ray.stages.geo import filter_bbox_quad_covering
+
+    return filter_bbox_quad_covering(
+        _repo(sf_dir).nodes, BBOX_SMALL, QUAD_LEVEL
+    ).select_columns(["id", "lon", "lat"])
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -434,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
         "way_tiles": _q_way_tiles,
+        "quad_cells": _q_quad_cells,
+        "quad_rollup": _q_quad_rollup,
+        "quad_bbox_filter": _q_quad_bbox_filter,
         "pip_triangle": _q_pip_triangle,
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
@@ -523,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         bbox_where,
         tile_expr,
     )
+    from simple_osm_queries_ray.functions.hiercell import quad_cell_sql
     from simple_osm_queries_ray.sources.dup_docs import DUP_DOCS_SQL
     from simple_osm_queries_ray.sources.dup_embeddings import DUP_EMB_SQL
     from simple_osm_queries_ray.stages.geo import pip_sql_condition
@@ -679,6 +726,14 @@ WHERE rg % 3 = 0 AND EXISTS (
             "FROM nodes_c GROUP BY 1"
         ),
         "way_tiles": _way_tiles_sql(),
+        "quad_cells": f"{W} SELECT id, {quad_cell_sql(QUAD_LEVEL)} AS qcell FROM nodes_c",
+        "quad_rollup": (
+            f"{W} SELECT {quad_cell_sql(QUAD_ROLLUP_LEVEL)} AS qcell8, count(*) AS n "
+            "FROM nodes_c GROUP BY 1"
+        ),
+        "quad_bbox_filter": (
+            f"{W} SELECT id, lon, lat FROM nodes_c WHERE {bbox_where(BBOX_SMALL)}"
+        ),
         "pip_triangle": (
             f"{W} SELECT id, lon, lat FROM nodes_c WHERE {pip_sql_condition(TRIANGLE)}"
         ),

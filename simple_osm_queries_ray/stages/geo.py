@@ -213,3 +213,67 @@ def pip_sql_condition(polygon: list[tuple[float, float]], lon_col: str = "lon", 
             "THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def assign_quad_cells(ds: ray.data.Dataset, level: int, out_col: str = "qcell") -> ray.data.Dataset:
+    """Batched hierarchical (H3/S2-style) cell assignment at ``level``
+    (functions/hiercell.py): the quadtree counterpart of :func:`assign_tiles`."""
+    from ..functions.hiercell import quad_cell
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = quad_cell(np.asarray(batch["lon"]), np.asarray(batch["lat"]), level)
+        return batch.append_column(out_col, pa.array(c, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_bbox_quad_covering(
+    ds: ray.data.Dataset,
+    bbox: tuple[float, float, float, float],
+    max_level: int,
+) -> ray.data.Dataset:
+    """Bbox filter pruned by an S2-style normalized covering.
+
+    Points inside a covering cell that lies FULLY within the bbox pass with
+    no geometry test; only points in boundary (max_level) cells get the
+    exact lon/lat refinement — the hierarchical analogue of the reference's
+    cell-prune-then-refine (``grid_reader.go:168-184``). The covering is
+    broadcast planning state (ray.put), probed per batch with searchsorted.
+    """
+    import ray as _ray
+
+    from ..functions.hiercell import quad_cell, quad_covering, quad_level
+    from ..state.broadcast import get as bget
+
+    cover = quad_covering(bbox, max_level)
+    levels = quad_level(cover)
+    # interior cells (fully contained, any level) expanded lazily per probe;
+    # boundary cells are exactly the max_level entries touching the border
+    state = _ray.put((cover, levels))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cov, lvls = bget(state)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cells = quad_cell(lon, lat, max_level)
+        inside = np.zeros(len(cells), dtype=bool)
+        boundary = np.zeros(len(cells), dtype=bool)
+        # ancestor probe: a point is covered iff one of its ancestors (or its
+        # own cell) is in the covering — log(levels) searchsorted probes
+        cur = cells.copy()
+        for lvl in range(max_level, -1, -1):
+            pos = np.searchsorted(cov, cur)
+            pos_c = np.clip(pos, 0, max(len(cov) - 1, 0))
+            hit = (cov[pos_c] == cur) if len(cov) else np.zeros(len(cur), dtype=bool)
+            newly = hit & ~inside & ~boundary
+            if lvl == max_level:
+                boundary |= newly  # max_level covering cells touch the border
+            else:
+                inside |= newly
+            cur >>= np.int64(2)
+        refine = (
+            (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+        )
+        return batch.filter(pa.array(inside | (boundary & refine)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

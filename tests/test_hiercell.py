@@ -1,0 +1,74 @@
+"""Hierarchical quad-cell (H3/S2-style) encoding invariants."""
+
+import numpy as np
+
+from simple_osm_queries_ray.functions.hiercell import (
+    covering_to_max_level,
+    morton,
+    quad_cell,
+    quad_cell_bounds,
+    quad_children,
+    quad_covering,
+    quad_level,
+    quad_parent,
+)
+
+rng = np.random.RandomState(11)
+LON = 9.0 + rng.rand(500) * 2
+LAT = 53.0 + rng.rand(500) * 2
+
+
+def test_morton_roundtrip_and_locality():
+    tx = rng.randint(0, 1 << 20, 1000)
+    ty = rng.randint(0, 1 << 20, 1000)
+    m = morton(tx, ty)
+    # even/odd bit split is exact
+    from simple_osm_queries_ray.functions.hiercell import _compact1by1
+
+    np.testing.assert_array_equal(_compact1by1(m), tx)
+    np.testing.assert_array_equal(_compact1by1(m >> 1), ty)
+
+
+def test_levels_and_parents():
+    for level in (0, 3, 8, 12, 26):
+        c = quad_cell(LON, LAT, level)
+        np.testing.assert_array_equal(quad_level(c), level)
+        if level > 0:
+            # parent arithmetic agrees with direct assignment one level up
+            np.testing.assert_array_equal(quad_parent(c), quad_cell(LON, LAT, level - 1))
+    # children of a cell all parent back to it
+    c0 = int(quad_cell(np.array([9.5]), np.array([53.5]), 10)[0])
+    assert all(int(quad_parent(ch)) == c0 for ch in quad_children(c0))
+
+
+def test_cell_bounds_contain_point():
+    c = quad_cell(LON, LAT, 12)
+    for i in range(0, 500, 50):
+        mn, mt, mx, mxt = quad_cell_bounds(int(c[i]))
+        assert mn <= LON[i] < mx
+        assert mt <= LAT[i] <= mxt
+
+
+def test_covering_is_exact_and_normalized():
+    bbox = (9.13, 53.21, 9.87, 53.66)
+    cov = quad_covering(bbox, 12)
+    levels = quad_level(cov)
+    assert levels.max() == 12 and levels.min() < 12  # mixed levels: normalized
+    # expanded covering == brute-force set of level-12 cells intersecting bbox
+    expanded = set(covering_to_max_level(cov, 12).tolist())
+    n = 1 << 12
+    tx0 = int(np.floor((bbox[0] + 180) / 360 * n))
+    tx1 = int(np.floor((bbox[2] + 180) / 360 * n))
+    ty0 = int(np.floor((90 - bbox[3]) / 180 * n))
+    ty1 = int(np.floor((90 - bbox[1]) / 180 * n))
+    brute = set()
+    txs, tys = np.meshgrid(np.arange(tx0, tx1 + 1), np.arange(ty0, ty1 + 1))
+    brute = set(((1 << 24) + morton(txs.ravel(), tys.ravel())).tolist())
+    assert expanded == brute
+    # no cell is an ancestor of another (disjoint union)
+    s = set(cov.tolist())
+    for c in cov:
+        p = int(c)
+        while p > 1:
+            p >>= 2
+            assert p not in s
