@@ -34,8 +34,8 @@ def main(argv: list[str] | None = None) -> int:
             src, index_dir = argv[1], argv[2]
             from .pipelines.build_index import write_index
 
-            if src.endswith(".osm"):
-                # real OSM XML input (reference `import` path, main.go:70-96)
+            if src.endswith((".osm", ".pbf")):
+                # real OSM input (reference `import` path, main.go:70-96)
                 from .pipelines.import_osm import import_osm
 
                 repo = import_osm(src)

@@ -359,8 +359,8 @@ def assemble_relations(
 
 
 def import_osm(paths: str | list[str], materialize: bool = True):
-    """``.osm`` file(s) -> FeatureRepo (the reference's ``import`` command,
-    ``src/main.go:70-96``, as one Ray pipeline).
+    """``.osm`` / ``.osm.pbf`` file(s) -> FeatureRepo (the reference's
+    ``import`` command, ``src/main.go:70-96``, as one Ray pipeline).
 
     The parsed element dataset is materialized once (the object-store
     analogue of the reference's temp-feature spill file, SURVEY.md S2/S3)
@@ -370,7 +370,12 @@ def import_osm(paths: str | list[str], materialize: bool = True):
     from ..stages.tag_encode import encode_tags
     from .tag_dictionary import build_tag_index
 
-    elems = read_osm_xml(paths)
+    if isinstance(paths, str) and paths.endswith(".pbf"):
+        from ..sources.osm_pbf import read_osm_pbf
+
+        elems = read_osm_pbf(paths)
+    else:
+        elems = read_osm_xml(paths)
     if materialize:
         elems = elems.materialize()
     raw_nodes, raw_ways, raw_rels = split_elements(elems)

@@ -1,0 +1,412 @@
+"""OSM PBF (``.osm.pbf``) reader — the reference's primary input format
+(``/root/reference/src/osm/reader.go:40-112`` wraps osmpbf the same way).
+
+The wire format (public OSM PBF spec): a sequence of
+``[4-byte big-endian length][BlobHeader protobuf][Blob protobuf]`` frames;
+each Blob holds a zlib-compressed ``PrimitiveBlock`` with a string table and
+primitive groups (dense nodes with delta-coded ids/coords, ways with
+delta-coded refs, relations with delta-coded member ids). Blocks are
+independently decodable — the scale unit:
+
+- the driver scans ONLY the frame headers (4 bytes + BlobHeader per blob) to
+  build a (offset, size) blob list — O(#blobs) tiny reads;
+- blob payloads decode in parallel Ray tasks (``from_items`` over the blob
+  spans -> ``map_batches``), each emitting element rows in the same unified
+  schema as the XML reader (``sources/osm_xml.py``).
+
+No protobuf runtime ships in this container, so the minimal wire decode
+(varints, length-delimited fields, packed scalars) is implemented here
+directly; packed numeric fields batch-decode through numpy. A matching
+minimal encoder (``write_osm_pbf``) exists for round-trip tests and fixture
+generation — real extracts use the same spec.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .osm_xml import _ELEM_SCHEMA
+
+# -- protobuf wire primitives ------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a protobuf message.
+
+    wire 0 -> int varint; wire 2 -> bytes; wire 5 -> 4 raw bytes;
+    wire 1 -> 8 raw bytes.
+    """
+    pos, n = 0, len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _packed_varints(buf: bytes) -> np.ndarray:
+    """Decode a packed varint field to int64 (numpy-assisted: one pass over
+    the byte array instead of per-value Python reads)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.array([], dtype=np.int64)
+    ends = np.nonzero(b < 0x80)[0]
+    out = np.zeros(len(ends), dtype=np.uint64)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    # varints here are <= 10 bytes; accumulate per byte position
+    max_len = int((ends - starts).max()) + 1
+    for k in range(max_len):
+        idx = starts + k
+        live = idx <= ends
+        out[live] |= (b[idx[live]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return out.astype(np.int64)
+
+
+def _zigzag_decode(v: np.ndarray) -> np.ndarray:
+    u = v.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(v & 1)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _field(num: int, wire: int, payload: bytes | int) -> bytes:
+    key = _varint((num << 3) | wire)
+    if wire == 0:
+        return key + _varint(payload)
+    return key + _varint(len(payload)) + payload
+
+
+def _packed(num: int, values) -> bytes:
+    body = b"".join(_varint(int(v)) for v in values)
+    return _field(num, 2, body)
+
+
+# -- decode ------------------------------------------------------------------
+
+
+def scan_blob_spans(path: str) -> list[tuple[int, int, str]]:
+    """(payload_offset, payload_size, type) per blob — header-only reads."""
+    spans = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (hlen,) = struct.unpack(">I", head)
+            header = f.read(hlen)
+            btype, dsize = "", 0
+            for field, _w, val in _iter_fields(header):
+                if field == 1:
+                    btype = val.decode()
+                elif field == 3:
+                    dsize = val
+            off = f.tell()
+            spans.append((off, dsize, btype))
+            f.seek(off + dsize)
+    return spans
+
+
+def _blob_payload(blob: bytes) -> bytes:
+    raw, zdata = None, None
+    for field, _w, val in _iter_fields(blob):
+        if field == 1:
+            raw = val
+        elif field == 3:
+            zdata = val
+    if raw is not None:
+        return raw
+    if zdata is not None:
+        return zlib.decompress(zdata)
+    raise ValueError("blob has neither raw nor zlib_data")
+
+
+def decode_primitive_block(data: bytes) -> pa.Table:
+    """One PrimitiveBlock -> element table (unified XML/PBF schema)."""
+    stringtable: list[str] = []
+    groups: list[bytes] = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _w, val in _iter_fields(data):
+        if field == 1:
+            stringtable = [
+                v.decode("utf-8") for f2, _w2, v in _iter_fields(val) if f2 == 1
+            ]
+        elif field == 2:
+            groups.append(val)
+        elif field == 17:
+            granularity = val
+        elif field == 19:
+            lat_off = val
+        elif field == 20:
+            lon_off = val
+
+    rows: dict[str, list] = {name: [] for name in _ELEM_SCHEMA.names}
+
+    def add(etype, eid, lon, lat, kv, refs, mnodes, mways, mrels):
+        rows["etype"].append(etype)
+        rows["id"].append(eid)
+        rows["lon"].append(lon)
+        rows["lat"].append(lat)
+        rows["tag_keys_str"].append([stringtable[k] for k, _ in kv])
+        rows["tag_vals_str"].append([stringtable[v] for _, v in kv])
+        rows["refs"].append(refs)
+        rows["member_nodes"].append(mnodes)
+        rows["member_ways"].append(mways)
+        rows["member_rels"].append(mrels)
+
+    def coord(vals: np.ndarray, off: int) -> np.ndarray:
+        return 1e-9 * (off + granularity * vals.astype(np.float64))
+
+    for g in groups:
+        for field, _w, val in _iter_fields(g):
+            if field == 2:  # DenseNodes
+                ids = lats = lons = kv_flat = None
+                for f2, _w2, v in _iter_fields(val):
+                    if f2 == 1:
+                        ids = np.cumsum(_zigzag_decode(_packed_varints(v)))
+                    elif f2 == 8:
+                        lats = np.cumsum(_zigzag_decode(_packed_varints(v)))
+                    elif f2 == 9:
+                        lons = np.cumsum(_zigzag_decode(_packed_varints(v)))
+                    elif f2 == 10:
+                        kv_flat = _packed_varints(v)
+                lon_d = coord(lons, lon_off)
+                lat_d = coord(lats, lat_off)
+                # keys_vals: 0-terminated (k, v) runs, one run per node
+                kv_per_node: list[list[tuple[int, int]]] = []
+                if kv_flat is None or len(kv_flat) == 0:
+                    kv_per_node = [[] for _ in ids]
+                else:
+                    cur: list[tuple[int, int]] = []
+                    i = 0
+                    while i < len(kv_flat):
+                        if kv_flat[i] == 0:
+                            kv_per_node.append(cur)
+                            cur = []
+                            i += 1
+                        else:
+                            cur.append((int(kv_flat[i]), int(kv_flat[i + 1])))
+                            i += 2
+                    while len(kv_per_node) < len(ids):
+                        kv_per_node.append([])
+                for i in range(len(ids)):
+                    add(0, int(ids[i]), float(lon_d[i]), float(lat_d[i]),
+                        kv_per_node[i], [], [], [], [])
+            elif field == 1:  # plain Node
+                nid, keys, vals_, nlat, nlon = 0, [], [], 0, 0
+                for f2, _w2, v in _iter_fields(val):
+                    if f2 == 1:
+                        nid = v
+                    elif f2 == 2:
+                        keys = _packed_varints(v).tolist()
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v).tolist()
+                    elif f2 == 8:
+                        nlat = _zigzag_decode(np.array([v]))[0]
+                    elif f2 == 9:
+                        nlon = _zigzag_decode(np.array([v]))[0]
+                add(0, int(nid), float(coord(np.array([nlon]), lon_off)[0]),
+                    float(coord(np.array([nlat]), lat_off)[0]),
+                    list(zip(keys, vals_)), [], [], [], [])
+            elif field == 3:  # Way
+                wid, keys, vals_, refs = 0, [], [], []
+                for f2, _w2, v in _iter_fields(val):
+                    if f2 == 1:
+                        wid = v
+                    elif f2 == 2:
+                        keys = _packed_varints(v).tolist()
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v).tolist()
+                    elif f2 == 8:
+                        refs = np.cumsum(_zigzag_decode(_packed_varints(v))).tolist()
+                add(1, int(wid), None, None, list(zip(keys, vals_)), refs, [], [], [])
+            elif field == 4:  # Relation
+                rid, keys, vals_, memids, types = 0, [], [], np.array([], dtype=np.int64), []
+                for f2, _w2, v in _iter_fields(val):
+                    if f2 == 1:
+                        rid = v
+                    elif f2 == 2:
+                        keys = _packed_varints(v).tolist()
+                    elif f2 == 3:
+                        vals_ = _packed_varints(v).tolist()
+                    elif f2 == 9:
+                        memids = np.cumsum(_zigzag_decode(_packed_varints(v)))
+                    elif f2 == 10:
+                        types = _packed_varints(v).tolist()
+                mnodes = [int(m) for m, t in zip(memids, types) if t == 0]
+                mways = [int(m) for m, t in zip(memids, types) if t == 1]
+                mrels = [int(m) for m, t in zip(memids, types) if t == 2]
+                add(2, int(rid), None, None, list(zip(keys, vals_)), [],
+                    mnodes, mways, mrels)
+
+    return pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA)
+
+
+def read_osm_pbf(path: str) -> ray.data.Dataset:
+    """``.osm.pbf`` -> element Dataset; one decode task per data blob."""
+    spans = [
+        {"offset": off, "size": size}
+        for off, size, btype in scan_blob_spans(path)
+        if btype == "OSMData"
+    ]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        with open(path, "rb") as f:
+            for off, size in zip(
+                np.asarray(batch["offset"], dtype=np.int64),
+                np.asarray(batch["size"], dtype=np.int64),
+            ):
+                f.seek(int(off))
+                blob = f.read(int(size))
+                tables.append(decode_primitive_block(_blob_payload(blob)))
+        return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
+
+    if not spans:
+        return ray.data.from_arrow(_ELEM_SCHEMA.empty_table())
+    return ray.data.from_items(spans).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
+
+
+# -- encode (fixtures / round-trip tests) ------------------------------------
+
+
+def write_osm_pbf(path: str, elements: pa.Table, *, nodes_per_block: int = 8000) -> None:
+    """Minimal spec-conformant writer: dense nodes, ways, relations, one
+    OSMHeader blob + zlib OSMData blobs. Fixture/round-trip use."""
+    etype = np.asarray(elements["etype"], dtype=np.int64)
+
+    def str_table(tbl_rows) -> tuple[list[bytes], dict[str, int]]:
+        table = [b""]  # index 0 reserved (dense keys_vals terminator)
+        index: dict[str, int] = {"": 0}
+        for keys, vals in tbl_rows:
+            for s in list(keys) + list(vals):
+                if s not in index:
+                    index[s] = len(table)
+                    table.append(s.encode("utf-8"))
+        return table, index
+
+    def st_msg(table: list[bytes]) -> bytes:
+        return _field(1, 2, b"".join(_field(1, 2, s) for s in table))
+
+    def blob_frame(btype: str, payload: bytes) -> bytes:
+        z = zlib.compress(payload)
+        blob = _field(2, 0, len(payload)) + _field(3, 2, z)
+        header = _field(1, 2, btype.encode()) + _field(3, 0, len(blob))
+        return struct.pack(">I", len(header)) + header + blob
+
+    out = [blob_frame("OSMHeader", _field(4, 2, b"DenseNodes"))]
+
+    node_rows = elements.filter(pa.array(etype == 0))
+    way_rows = elements.filter(pa.array(etype == 1))
+    rel_rows = elements.filter(pa.array(etype == 2))
+
+    def tag_lists(tbl):
+        return list(
+            zip(
+                tbl["tag_keys_str"].to_pylist(),
+                tbl["tag_vals_str"].to_pylist(),
+            )
+        )
+
+    # one block: nodes (dense) + ways + relations (small fixtures)
+    all_tags = tag_lists(node_rows) + tag_lists(way_rows) + tag_lists(rel_rows)
+    table, index = str_table(all_tags)
+    body = [st_msg(table)]
+
+    if len(node_rows):
+        ids = np.asarray(node_rows["id"], dtype=np.int64)
+        lon = np.round(np.asarray(node_rows["lon"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
+        lat = np.round(np.asarray(node_rows["lat"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
+        kv = []
+        for keys, vals in tag_lists(node_rows):
+            for k, v in zip(keys, vals):
+                kv += [index[k], index[v]]
+            kv.append(0)
+        dense = (
+            _packed(1, [_zigzag(int(d)) for d in np.diff(ids, prepend=0)])
+            + _packed(8, [_zigzag(int(d)) for d in np.diff(lat, prepend=0)])
+            + _packed(9, [_zigzag(int(d)) for d in np.diff(lon, prepend=0)])
+            + _packed(10, kv)
+        )
+        body.append(_field(2, 2, _field(2, 2, dense)))
+
+    for i in range(len(way_rows)):
+        keys = way_rows["tag_keys_str"][i].as_py()
+        vals = way_rows["tag_vals_str"][i].as_py()
+        refs = np.asarray(way_rows["refs"][i].as_py(), dtype=np.int64)
+        msg = (
+            _field(1, 0, int(way_rows["id"][i].as_py()))
+            + _packed(2, [index[k] for k in keys])
+            + _packed(3, [index[v] for v in vals])
+            + _packed(8, [_zigzag(int(d)) for d in np.diff(refs, prepend=0)])
+        )
+        body.append(_field(2, 2, _field(3, 2, msg)))
+
+    for i in range(len(rel_rows)):
+        keys = rel_rows["tag_keys_str"][i].as_py()
+        vals = rel_rows["tag_vals_str"][i].as_py()
+        members = (
+            [(m, 0) for m in rel_rows["member_nodes"][i].as_py()]
+            + [(m, 1) for m in rel_rows["member_ways"][i].as_py()]
+            + [(m, 2) for m in rel_rows["member_rels"][i].as_py()]
+        )
+        memids = np.asarray([m for m, _ in members], dtype=np.int64)
+        msg = (
+            _field(1, 0, int(rel_rows["id"][i].as_py()))
+            + _packed(2, [index[k] for k in keys])
+            + _packed(3, [index[v] for v in vals])
+            + _packed(8, [index[""] for _ in members])  # roles: empty string
+            + _packed(9, [_zigzag(int(d)) for d in np.diff(memids, prepend=0)])
+            + _packed(10, [t for _, t in members])
+        )
+        body.append(_field(2, 2, _field(4, 2, msg)))
+
+    out.append(blob_frame("OSMData", b"".join(body)))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

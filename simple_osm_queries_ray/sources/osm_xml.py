@@ -8,9 +8,8 @@ extracts are commonly sharded per region). The per-element Python loop lives
 only here, at the ingest boundary, exactly like the reference's streaming
 decoder; everything downstream is vectorized Arrow.
 
-PBF remains a documented follow-on: the wire format is protobuf+zlib with
-independently decodable blocks (ideal for ``read_binary_files``-style block
-parallelism), but this container ships no protobuf runtime to decode it with.
+The PBF flavour lives in ``sources/osm_pbf.py`` (hand-rolled wire decode,
+blob-parallel) and emits the same element schema.
 
 Element rows (one unified schema, ``etype`` discriminates):
 

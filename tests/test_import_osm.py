@@ -114,3 +114,45 @@ def test_imported_graph_queries(wayrel_repo):
     assert ids(
         eng.execute_string(bb + ".relations{this.ways{this.nodes{kind=b}}}")
     ) == {20}
+
+
+def test_pbf_round_trip(tmp_path):
+    """write_osm_pbf -> read_osm_pbf reproduces the element table exactly."""
+    from simple_osm_queries_ray.sources.osm_pbf import read_osm_pbf, write_osm_pbf
+    from simple_osm_queries_ray.sources.osm_xml import parse_osm_xml_bytes
+
+    elems = parse_osm_xml_bytes(WAYREL_XML.encode())
+    p = str(tmp_path / "wayrel.osm.pbf")
+    write_osm_pbf(p, elems)
+    back = read_osm_pbf(p).to_pandas().sort_values(["etype", "id"]).reset_index(drop=True)
+    orig = elems.to_pandas().sort_values(["etype", "id"]).reset_index(drop=True)
+    assert len(back) == len(orig)
+    for col in ["etype", "id"]:
+        assert list(back[col]) == list(orig[col])
+    # coords survive the 100-nanodegree granularity round trip exactly
+    # (fixture coords are multiples of 1e-2 degrees)
+    for col in ["lon", "lat"]:
+        a = back[col].to_numpy(dtype=float)
+        b = orig[col].to_numpy(dtype=float)
+        np.testing.assert_allclose(a, b, atol=1e-7, equal_nan=True)
+    for col in ["tag_keys_str", "tag_vals_str", "refs", "member_nodes", "member_ways", "member_rels"]:
+        assert [list(x) for x in back[col]] == [list(x) for x in orig[col]]
+
+
+def test_pbf_import_matches_xml_import(tmp_path, wayrel_repo):
+    """Importing the PBF flavour of the fixture answers queries identically."""
+    from simple_osm_queries_ray.sources.osm_pbf import write_osm_pbf
+    from simple_osm_queries_ray.sources.osm_xml import parse_osm_xml_bytes
+
+    p = str(tmp_path / "wayrel.osm.pbf")
+    write_osm_pbf(p, parse_osm_xml_bytes(WAYREL_XML.encode()))
+    repo = import_osm(p)
+    eng = QueryEngine(repo)
+    eng_xml = QueryEngine(wayrel_repo)
+    for q in [
+        "bbox(9.0,53.0,10.0,54.0).ways{highway=primary}",
+        "bbox(9.0,53.0,10.0,54.0).nodes{this.ways{highway=primary}}",
+        "bbox(9.0,53.0,10.0,54.0).relations{this.child_relations{type=route}}",
+        "bbox(9.0,53.0,10.0,54.0).relations{rtype=route}",
+    ]:
+        assert ids(eng.execute_string(q)) == ids(eng_xml.execute_string(q)), q
