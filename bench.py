@@ -35,6 +35,21 @@ TRIANGLE = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
 ZOOM = 12
 
 
+def _apply_shuffle_strategy(ctx, ShuffleStrategy) -> None:
+    """BENCH_SHUFFLE=hash|push|pull selects the groupby shuffle strategy
+    (default: Ray's sort-pull default). The bucket-collect stages only need
+    co-location by key, so hash partitioning is the candidate 100 TB path
+    (no range-boundary sampling); A/B runs on this host are contention-bound,
+    hence an env knob instead of a hardcode."""
+    mode = os.environ.get("BENCH_SHUFFLE", "")
+    if mode == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    elif mode == "push":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    elif mode == "pull":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
@@ -47,9 +62,11 @@ def run_bench() -> dict:
         logging_level="ERROR",
     )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _apply_shuffle_strategy(ctx, ShuffleStrategy)
 
     from simple_osm_queries_ray.pipelines.build_graph import build_ways
     from simple_osm_queries_ray.pipelines.query import QueryEngine
@@ -226,8 +243,10 @@ def run_scaling_job() -> dict:
         logging_level="ERROR",
     )
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
     DataContext.get_current().enable_progress_bars = False
+    _apply_shuffle_strategy(DataContext.get_current(), ShuffleStrategy)
 
     import numpy as np
 
