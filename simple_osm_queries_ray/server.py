@@ -3,9 +3,10 @@
 ``POST /query`` with the soq query string as the request body returns a
 GeoJSON FeatureCollection; parse errors return 400 with the message (the
 reference returns 500 there — we keep its body-text contract but use the
-correct status class). ``GET /app`` serves a minimal map page listing the
-endpoint (the reference ships a Leaflet UI; shipping a JS bundle is out of
-scope — the API contract is the parity surface).
+correct status class). ``GET /app`` serves an interactive map UI: query box,
+canvas map with pan/zoom/graticule, Point/Polygon rendering and
+click-to-inspect properties — the reference's Leaflet page
+(``src/web/index.html``) re-done dependency-free (no CDN in this sandbox).
 
 The server is a thin driver-side wrapper: each request parses the query,
 compiles it to the Ray Data plan against the shared repo, and streams the
@@ -25,13 +26,67 @@ from .pipelines.query import QueryEngine
 from .sources.geojson import iter_features
 
 _APP_HTML = b"""<!doctype html>
-<html><head><title>simple-osm-queries-ray</title></head>
-<body><h1>simple-osm-queries-ray</h1>
-<p>POST a soq query string to <code>/query</code> to receive GeoJSON.</p>
-<form onsubmit="fetch('/query',{method:'POST',body:q.value}).then(r=>r.text())
-.then(t=>{out.textContent=t});return false">
-<textarea id="q" rows="4" cols="80">bbox(9.0,53.0,11.0,55.0).nodes{lang=de}</textarea>
-<br><button>Run</button></form><pre id="out"></pre></body></html>"""
+<html><head><title>simple-osm-queries-ray</title><meta charset="utf-8">
+<style>
+ body{margin:0;font:13px sans-serif;display:flex;flex-direction:column;height:100vh}
+ #bar{padding:6px;background:#f4f4f4;border-bottom:1px solid #ccc;display:flex;gap:6px}
+ #q{flex:1;font:12px monospace;resize:vertical}
+ #map{flex:1;cursor:grab;background:#eaf2f8}
+ #status{padding:3px 8px;background:#f4f4f4;border-top:1px solid #ccc;white-space:pre;overflow:auto;max-height:9em}
+</style></head><body>
+<div id="bar"><textarea id="q" rows="2">bbox(9.0,53.0,11.0,55.0).nodes{lang=de AND this.ways{wtype=primary}}</textarea>
+<button id="run">Run</button><button id="fit">Fit</button></div>
+<canvas id="map"></canvas><div id="status">POST /query; drag to pan, wheel to zoom, click a feature for its tags.</div>
+<script>
+'use strict';
+const cv=document.getElementById('map'),ctx=cv.getContext('2d'),st=document.getElementById('status');
+let feats=[],view={lon:10,lat:54,scale:200},drag=null;
+function resize(){cv.width=cv.clientWidth;cv.height=cv.clientHeight;draw();}
+window.addEventListener('resize',resize);
+function px(lon,lat){return[(lon-view.lon)*view.scale+cv.width/2,(view.lat-lat)*view.scale+cv.height/2];}
+function geo(x,y){return[(x-cv.width/2)/view.scale+view.lon,view.lat-(y-cv.height/2)/view.scale];}
+function draw(){
+ ctx.clearRect(0,0,cv.width,cv.height);
+ ctx.strokeStyle='#c8d8e8';ctx.fillStyle='#8aa';ctx.font='10px sans-serif';
+ const[w0,n0]=geo(0,0),[e0,s0]=geo(cv.width,cv.height);
+ const step=Math.pow(10,Math.ceil(Math.log10(180/view.scale*40)));
+ for(let lon=Math.floor(w0/step)*step;lon<=e0;lon+=step){const[x]=px(lon,0);
+  ctx.beginPath();ctx.moveTo(x,0);ctx.lineTo(x,cv.height);ctx.stroke();ctx.fillText(lon.toFixed(4),x+2,10);}
+ for(let lat=Math.floor(s0/step)*step;lat<=n0;lat+=step){const[,y]=px(0,lat);
+  ctx.beginPath();ctx.moveTo(0,y);ctx.lineTo(cv.width,y);ctx.stroke();ctx.fillText(lat.toFixed(4),2,y-2);}
+ for(const f of feats){const g=f.geometry;
+  if(g.type==='Point'){const[x,y]=px(g.coordinates[0],g.coordinates[1]);
+   ctx.fillStyle='#d9534f';ctx.beginPath();ctx.arc(x,y,3,0,7);ctx.fill();}
+  else if(g.type==='Polygon'){ctx.strokeStyle='#2a6496';ctx.fillStyle='rgba(42,100,150,.15)';
+   ctx.beginPath();g.coordinates[0].forEach((c,i)=>{const[x,y]=px(c[0],c[1]);i?ctx.lineTo(x,y):ctx.moveTo(x,y);});
+   ctx.closePath();ctx.fill();ctx.stroke();}
+  else if(g.type==='LineString'){ctx.strokeStyle='#2a6496';
+   ctx.beginPath();g.coordinates.forEach((c,i)=>{const[x,y]=px(c[0],c[1]);i?ctx.lineTo(x,y):ctx.moveTo(x,y);});ctx.stroke();}}}
+function bounds(){let b=null;for(const f of feats){const cs=f.geometry.type==='Point'?[f.geometry.coordinates]:f.geometry.coordinates.flat(1);
+ for(const c of cs){if(!b)b=[c[0],c[1],c[0],c[1]];else{b[0]=Math.min(b[0],c[0]);b[1]=Math.min(b[1],c[1]);b[2]=Math.max(b[2],c[0]);b[3]=Math.max(b[3],c[1]);}}}return b;}
+function fit(){const b=bounds();if(!b)return;view.lon=(b[0]+b[2])/2;view.lat=(b[1]+b[3])/2;
+ view.scale=Math.min(cv.width/Math.max(b[2]-b[0],1e-4),cv.height/Math.max(b[3]-b[1],1e-4))*0.9;draw();}
+document.getElementById('run').onclick=async()=>{st.textContent='running...';
+ const r=await fetch('/query',{method:'POST',body:document.getElementById('q').value});
+ const t=await r.text();
+ if(!r.ok){st.textContent='error: '+t;return;}
+ feats=JSON.parse(t).features;st.textContent=feats.length+' features';fit();};
+document.getElementById('fit').onclick=fit;
+cv.addEventListener('mousedown',e=>{drag=[e.clientX,e.clientY];cv.style.cursor='grabbing';});
+window.addEventListener('mouseup',()=>{drag=null;cv.style.cursor='grab';});
+window.addEventListener('mousemove',e=>{if(!drag)return;
+ view.lon-=(e.clientX-drag[0])/view.scale;view.lat+=(e.clientY-drag[1])/view.scale;
+ drag=[e.clientX,e.clientY];draw();});
+cv.addEventListener('wheel',e=>{e.preventDefault();const[glon,glat]=geo(e.offsetX,e.offsetY);
+ view.scale*=e.deltaY<0?1.25:0.8;
+ view.lon=glon-(e.offsetX-cv.width/2)/view.scale;view.lat=glat+(e.offsetY-cv.height/2)/view.scale;draw();},{passive:false});
+cv.addEventListener('click',e=>{if(drag)return;let best=null,bd=64;
+ for(const f of feats){if(f.geometry.type!=='Point')continue;
+  const[x,y]=px(f.geometry.coordinates[0],f.geometry.coordinates[1]);
+  const d=(x-e.offsetX)**2+(y-e.offsetY)**2;if(d<bd){bd=d;best=f;}}
+ if(best)st.textContent=JSON.stringify(best.properties,null,1);});
+resize();
+</script></body></html>"""
 
 
 def make_handler(engine: QueryEngine):
