@@ -134,8 +134,8 @@ def make_handler(engine: QueryEngine):
                         self.wfile.write(json.dumps(feat).encode())
                         first = False
                 self.wfile.write(b"]}")
-            except BrokenPipeError:
-                pass
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up mid-stream
 
     return Handler
 
