@@ -201,6 +201,64 @@ def decode_primitive_block(data: bytes) -> pa.Table:
     def coord(vals: np.ndarray, off: int) -> np.ndarray:
         return 1e-9 * (off + granularity * vals.astype(np.float64))
 
+    dense_tables: list[pa.Table] = []
+    st_arr = pa.array(stringtable, type=pa.string())
+
+    def dense_table(ids, lon_d, lat_d, kv_flat) -> pa.Table:
+        """DenseNodes -> element table, fully vectorized (nodes dominate PBF
+        volume; ways/relations below stay per-element)."""
+        n = len(ids)
+        if kv_flat is None or len(kv_flat) == 0:
+            key_ids = val_ids = np.array([], dtype=np.int64)
+            pairs_per_node = np.zeros(n, dtype=np.int64)
+        else:
+            # 0-terminated (k, v) runs, one run per node; string index 0 is
+            # reserved, so zeros are unambiguous terminators
+            zeros = np.nonzero(kv_flat == 0)[0]
+            run_start = np.concatenate([[0], zeros[:-1] + 1])
+            kv_len = zeros - run_start
+            total = int(kv_len.sum())
+            base = np.repeat(run_start, kv_len)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(kv_len) - kv_len, kv_len
+            )
+            entries = kv_flat[base + within]
+            key_ids = entries[within % 2 == 0]
+            val_ids = entries[within % 2 == 1]
+            pairs_per_node = kv_len // 2
+            if len(pairs_per_node) < n:
+                pairs_per_node = np.concatenate(
+                    [pairs_per_node, np.zeros(n - len(pairs_per_node), dtype=np.int64)]
+                )
+        off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(pairs_per_node, out=off[1:])
+        tag_keys = pa.ListArray.from_arrays(
+            pa.array(off), st_arr.take(pa.array(key_ids, type=pa.int64()))
+        )
+        tag_vals = pa.ListArray.from_arrays(
+            pa.array(off), st_arr.take(pa.array(val_ids, type=pa.int64()))
+        )
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+
+        def empty_lists(t):
+            return pa.ListArray.from_arrays(empty_off, pa.array([], type=t))
+
+        return pa.table(
+            {
+                "etype": pa.array(np.zeros(n, dtype=np.int64)),
+                "id": pa.array(ids, type=pa.int64()),
+                "lon": pa.array(lon_d, type=pa.float64()),
+                "lat": pa.array(lat_d, type=pa.float64()),
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+                "refs": empty_lists(pa.int64()),
+                "member_nodes": empty_lists(pa.int64()),
+                "member_ways": empty_lists(pa.int64()),
+                "member_rels": empty_lists(pa.int64()),
+            },
+            schema=_ELEM_SCHEMA,
+        )
+
     for g in groups:
         for field, _w, val in _iter_fields(g):
             if field == 2:  # DenseNodes
@@ -214,28 +272,9 @@ def decode_primitive_block(data: bytes) -> pa.Table:
                         lons = np.cumsum(_zigzag_decode(_packed_varints(v)))
                     elif f2 == 10:
                         kv_flat = _packed_varints(v)
-                lon_d = coord(lons, lon_off)
-                lat_d = coord(lats, lat_off)
-                # keys_vals: 0-terminated (k, v) runs, one run per node
-                kv_per_node: list[list[tuple[int, int]]] = []
-                if kv_flat is None or len(kv_flat) == 0:
-                    kv_per_node = [[] for _ in ids]
-                else:
-                    cur: list[tuple[int, int]] = []
-                    i = 0
-                    while i < len(kv_flat):
-                        if kv_flat[i] == 0:
-                            kv_per_node.append(cur)
-                            cur = []
-                            i += 1
-                        else:
-                            cur.append((int(kv_flat[i]), int(kv_flat[i + 1])))
-                            i += 2
-                    while len(kv_per_node) < len(ids):
-                        kv_per_node.append([])
-                for i in range(len(ids)):
-                    add(0, int(ids[i]), float(lon_d[i]), float(lat_d[i]),
-                        kv_per_node[i], [], [], [], [])
+                dense_tables.append(
+                    dense_table(ids, coord(lons, lon_off), coord(lats, lat_off), kv_flat)
+                )
             elif field == 1:  # plain Node
                 nid, keys, vals_, nlat, nlon = 0, [], [], 0, 0
                 for f2, _w2, v in _iter_fields(val):
@@ -283,7 +322,10 @@ def decode_primitive_block(data: bytes) -> pa.Table:
                 add(2, int(rid), None, None, list(zip(keys, vals_)), [],
                     mnodes, mways, mrels)
 
-    return pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA)
+    tables = [t for t in dense_tables if len(t)]
+    if rows["id"]:
+        tables.append(pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA))
+    return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
 
 
 def read_osm_pbf(path: str) -> ray.data.Dataset:
