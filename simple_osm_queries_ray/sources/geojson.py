@@ -1,10 +1,13 @@
 """GeoJSON FeatureCollection sink (reference S7, ``src/index/io.go:13-76``).
 
 Decodes dictionary tags back to string properties, adds ``@osm_id`` /
-``@osm_type``, and emits nodes as Points and ways/relations as bbox Polygons
-(the reference's relation geometry is also bbox-only,
-``src/index/grid_reader.go:513-517``). Small results stream driver-side into
-one file; large results should use ``write_json`` shards instead.
+``@osm_type``, and emits nodes as Points, ways as LineStrings over their
+inlined member coordinates (reference ``src/index/grid_reader.go:394-404``;
+bbox-Polygon fallback when a projected result carries only bounds) and
+relations as bbox Polygons (the reference's relation geometry is also
+bbox-only, ``src/index/grid_reader.go:513-517``). Small results stream
+driver-side into one file; large results should use ``write_json`` shards
+instead.
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ import numpy as np
 import ray.data
 
 from ..functions.tags import TagIndex
-from ..model import OSM_NODE
+from ..model import OSM_NODE, OSM_WAY
 from ..stages.tag_encode import decode_tags_to_strings
 
 
@@ -40,6 +43,13 @@ def iter_features(
                         float(batch["lon"][i].as_py()),
                         float(batch["lat"][i].as_py()),
                     ],
+                }
+            elif object_type == OSM_WAY and "node_lons" in batch.column_names:
+                lons = batch["node_lons"][i].as_py()
+                lats = batch["node_lats"][i].as_py()
+                geom = {
+                    "type": "LineString",
+                    "coordinates": [[float(x), float(y)] for x, y in zip(lons, lats)],
                 }
             else:
                 x0 = float(batch["minlon"][i].as_py())

@@ -156,3 +156,20 @@ def test_pbf_import_matches_xml_import(tmp_path, wayrel_repo):
         "bbox(9.0,53.0,10.0,54.0).relations{rtype=route}",
     ]:
         assert ids(eng.execute_string(q)) == ids(eng_xml.execute_string(q)), q
+
+
+def test_way_geojson_linestring(wayrel_repo):
+    """Ways stream as LineStrings over their member coords (reference
+    grid_reader.go:394-404), not bbox polygons."""
+    from simple_osm_queries_ray.parser import parse_query
+    from simple_osm_queries_ray.sources.geojson import iter_features
+
+    eng = QueryEngine(wayrel_repo)
+    q = parse_query("bbox(9.0,53.0,10.0,54.0).ways{highway=primary}", wayrel_repo.tag_index)
+    ds = eng.execute_statement(q.statements[0], project=False)
+    feats = list(iter_features(ds, wayrel_repo.tag_index, "way"))
+    assert len(feats) == 1
+    g = feats[0]["geometry"]
+    assert g["type"] == "LineString"
+    assert g["coordinates"] == [[9.10, 53.10], [9.32, 53.12]]
+    assert feats[0]["properties"]["highway"] == "primary"
