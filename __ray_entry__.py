@@ -327,6 +327,13 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(dup_documents(sf_dir), threshold=0.5)
 
 
+def _q_dedup_groups(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import dedup_groups
+
+    return dedup_groups(dup_documents(sf_dir), threshold=0.5)
+
+
 def _q_embed_near_dup(sf_dir: str):
     from simple_osm_queries_ray.sources.dup_embeddings import dup_embeddings
     from simple_osm_queries_ray.stages.embed import embedding_near_dup_exact
@@ -489,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_groups": _q_dedup_groups,
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "ann_topk": _q_ann_topk,
@@ -780,6 +788,36 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
+        # connected components over the J >= 0.5 pair graph: group_id = min
+        # reachable id (recursive transitive closure on the same trigram-join
+        # edge set the pair oracle uses)
+        "dedup_groups": f"""
+WITH RECURSIVE {DUP_DOCS_SQL},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT id, id AS r FROM dup_docs
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id
+)
+SELECT id, min(r) AS group_id FROM reach GROUP BY id
+""",
         # simhash replay: the engine's token hash is two 31-bit polynomial
         # Horner streams + a 64-bit odd-multiplier wrap (stages/dedup.py
         # _token_hashes), all expressible in BIGINT/HUGEINT arithmetic; bit

@@ -619,3 +619,94 @@ def hamming_pairs_int64(
 
 
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def connected_components(
+    ids: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "id",
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed connected components over near-dup pair edges: each id is
+    labeled with the MINIMUM id reachable through the pair graph (the
+    canonical "dedup group" resolution — keep min, drop the rest).
+
+    Hash-min label propagation: per round, every vertex takes the min of its
+    own label and its neighbors' labels (edges join labels on src; tiny
+    groupby-min merges). Rounds needed = graph diameter; the loop stops as
+    soon as a round changes nothing (one count() action per round — at scale,
+    fold the change count into the groupby instead). Labels materialize per
+    round so the lineage doesn't re-execute iteratively.
+
+    Returns (id, group_id).
+    """
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        v = batch[id_col]
+        return pa.table({"id": v, "label": v})
+
+    labels = ids.select_columns([id_col]).map_batches(
+        init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return labels.rename_columns({"label": "group_id"})
+
+    for _ in range(max_iters):
+        cand = (
+            edges.join(
+                labels.rename_columns({"id": "src", "label": "src_label"}),
+                "inner",
+                num_partitions,
+                on=("src",),
+            )
+            .select_columns(["dst", "src_label"])
+            .rename_columns({"dst": "id", "src_label": "label"})
+        )
+        new_labels = (
+            labels.union(cand).groupby("id").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        changed = (
+            new_labels.join(
+                labels.rename_columns({"label": "old"}), "inner", num_partitions, on=("id",)
+            )
+            .filter(lambda r: r["label"] != r["old"])
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.rename_columns({"label": "group_id"})
+
+
+def dedup_groups(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> ray.data.Dataset:
+    """(id, group_id) over the exact-Jaccard near-dup graph: group_id = the
+    smallest id in each connected component of pairs with J >= threshold."""
+    pairs = ngram_jaccard_pairs(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    return connected_components(ds.select_columns([id_col]), pairs, id_col=id_col)

@@ -84,3 +84,33 @@ def test_simhash_pairs(dup_df):
         (i, i + EXACT_OFFSET) for i in dup_df.id[dup_df.id < EXACT_OFFSET] if i % 10 == 0
     }
     assert planted_exact <= got_pairs
+
+
+def test_connected_components_chain():
+    """Hash-min propagation reaches a fixpoint across multi-hop chains."""
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.dedup import connected_components
+
+    ids = ray.data.from_arrow(pa.table({"id": list(range(10))}))
+    # chain 4-3-2-1-0 (diameter 4), pair 6-9, singletons 5,7,8
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": [3, 2, 1, 0, 6], "id_b": [4, 3, 2, 1, 9]})
+    )
+    got = dict(
+        connected_components(ids, pairs).to_pandas()[["id", "group_id"]].values.tolist()
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 8, 9: 6}
+
+
+def test_dedup_groups_planted(dup_df):
+    from simple_osm_queries_ray.stages.dedup import dedup_groups
+
+    got = dedup_groups(dup_documents(SF), threshold=0.5).to_pandas()
+    g = dict(got[["id", "group_id"]].values.tolist())
+    # every exact copy resolves to its base id's group
+    for i in dup_df.id[dup_df.id < EXACT_OFFSET]:
+        if i % 10 == 0:
+            assert g[i + EXACT_OFFSET] == g[i]
+    assert len(g) == len(dup_df)
