@@ -883,6 +883,9 @@ SELECT qid, vec_id FROM ranked WHERE rn <= {ANN_K}
 WITH counts AS (
   SELECT doc_id AS id, text,
     len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text,
+        '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''|\\s+'
+    )) AS n_tokens_bpe,
     {_marker_count_sql(("the", "and", "of"))} AS c_en,
     {_marker_count_sql(("der", "und", "das"))} AS c_de,
     {_marker_count_sql(("el", "los", "una"))} AS c_es,
@@ -891,7 +894,7 @@ WITH counts AS (
     {_marker_count_sql(("the", "a", "and", "of", "to"))} AS c_stop
   FROM documents
 )
-SELECT id, n_tokens,
+SELECT id, n_tokens, n_tokens_bpe,
   CASE
     WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
     WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'

@@ -34,6 +34,12 @@ MARKERS: dict[str, list[str]] = {
 }
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
+# GPT-2-style pretokenizer, ASCII approximation (contraction suffixes,
+# letter runs, digit runs, punctuation runs, whitespace) — the "BPE-ish"
+# token counter. Same leftmost-first semantics in Python re and DuckDB's
+# RE2, so the count has an exact SQL twin.
+BPE_SPLIT_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'|\s+"
+
 # Two independent 31-bit polynomial streams combined into a 62-bit
 # fingerprint: b * power < 2^39 and segment sums < 2^63, so the whole batch
 # evaluates in uint64 with NO per-text Python; the same recurrence
@@ -54,10 +60,12 @@ class TextAnalyzer:
             lang: [re.compile(rf"\b{m}\b") for m in ms] for lang, ms in MARKERS.items()
         }
         self.stop_res = [re.compile(rf"\b{w}\b") for w in STOPWORDS]
+        self.bpe_re = re.compile(BPE_SPLIT_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch["text"].to_pylist(), dtype=object)
         n_tokens = texts.str.split(" ").map(len).to_numpy(dtype=np.int64)
+        n_tokens_bpe = texts.str.count(self.bpe_re).to_numpy(dtype=np.int64)
 
         marker_counts = np.zeros((len(texts), len(LANGS)), dtype=np.int64)
         for li, lang in enumerate(LANGS):
@@ -76,6 +84,7 @@ class TextAnalyzer:
             {
                 "id": batch["id"] if "id" in batch.column_names else batch["doc_id"].cast(pa.int64()),
                 "n_tokens": pa.array(n_tokens),
+                "n_tokens_bpe": pa.array(n_tokens_bpe),
                 "lang_pred": pa.array(pred, type=pa.string()),
                 "stop_ratio": pa.array(stop_ratio),
                 "quality": pa.array(quality),
