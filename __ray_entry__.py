@@ -462,6 +462,12 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_events(sf_dir).select_columns(["event_type", "window", "n"])
 
 
+def _q_events_hopping(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import hopping_window_events
+
+    return hopping_window_events(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -504,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -937,6 +944,15 @@ FROM fp WHERE i = n + 1
         "events_window": """
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        # hopping windows: each event lands in window/hop = 4 overlapping
+        # windows whose starts are ((ts // hop) - g) * hop for g in 0..3
+        "events_hopping": """
+SELECT event_type,
+       ((epoch_us(ts) // 900000000) - g.g) * 900000000 AS window_start,
+       count(*) AS n
+FROM events, UNNEST(generate_series(0, 3)) AS g(g)
+GROUP BY 1, 2
 """,
         # integer-cent sums: distributed summation order cannot change results.
         # DuckDB's SUM(BIGINT) yields HUGEINT (rendered as float64 by the

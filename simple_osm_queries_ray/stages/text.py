@@ -261,3 +261,45 @@ def tumbling_window_events(sf_dir: str, window_us: int = 3_600_000_000) -> ray.d
         .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
     )
     return out
+
+
+def hopping_window_events(
+    sf_dir: str, window_us: int = 3_600_000_000, hop_us: int = 900_000_000
+) -> ray.data.Dataset:
+    """Hopping (sliding) window counts per (event_type, window_start): each
+    event lands in window_us/hop_us overlapping windows. Vectorized explode
+    (np.repeat over the hop offsets) + per-batch partial counts so the
+    shuffle moves one row per key per batch, not one per event-window pair.
+    """
+    from ..sources.read import read_parquet_sized
+
+    assert window_us % hop_us == 0
+    k = window_us // hop_us
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        base = ts // hop_us
+        n = len(ts)
+        # event at ts belongs to windows starting at (base - g) * hop_us,
+        # g = 0..k-1 (all satisfy start <= ts < start + window_us)
+        starts = (np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(
+                    np.asarray(batch["event_type"].to_pylist(), dtype=object), k
+                ),
+                "window_start": starts,
+            }
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
