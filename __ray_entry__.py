@@ -468,6 +468,12 @@ def _q_events_hopping(sf_dir: str):
     return hopping_window_events(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import asof_join_events
+
+    return asof_join_events(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -511,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
+        "events_asof": _q_events_asof,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -953,6 +960,15 @@ SELECT event_type,
        count(*) AS n
 FROM events, UNNEST(generate_series(0, 3)) AS g(g)
 GROUP BY 1, 2
+""",
+        # as-of join: latest click at-or-before each purchase, per user
+        "events_asof": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS click_ts_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """,
         # integer-cent sums: distributed summation order cannot change results.
         # DuckDB's SUM(BIGINT) yields HUGEINT (rendered as float64 by the

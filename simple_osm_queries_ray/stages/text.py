@@ -303,3 +303,81 @@ def hopping_window_events(
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def asof_join_events(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> ray.data.Dataset:
+    """As-of join: each ``left_type`` event gets the most recent
+    ``right_type`` event time at-or-before it for the same user (inner: left
+    rows with no preceding right event drop out) — the custom time-series
+    join Ray Data lacks natively.
+
+    Shape: ONE shuffle keyed on hash(user_id) co-locating both sides, then a
+    per-bucket vectorized merge: right rows sort by (user, ts) into a packed
+    composite key and every left row binary-searches its predecessor with a
+    single searchsorted. Partitioning assumption: a user's events fit a
+    bucket (same contract as sessionization). ts packing uses 52 bits
+    (microsecond epochs to year ~2112) + dense per-bucket user indexes.
+    """
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    num_buckets = 32
+    _TS_BITS = np.int64(52)
+    _TS_MASK = np.int64((1 << 52) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        side = np.where(et == left_type, 0, np.where(et == right_type, 1, -1))
+        keep = side >= 0
+        u = np.asarray(batch["user_id"], dtype=np.int64)[keep]
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(np.asarray(batch["event_id"], dtype=np.int64)[keep]),
+                "user_id": pa.array(u),
+                "ts_us": pa.array(ts),
+                "side": pa.array(side[keep].astype(np.int64)),
+                "__bucket": pa.array(
+                    np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+                ),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        side = np.asarray(tbl["side"], dtype=np.int64)
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts_us"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        uniq, uidx = np.unique(u, return_inverse=True)
+        key = (uidx.astype(np.int64) << _TS_BITS) | (ts & _TS_MASK)
+        lmask = side == 0
+        rmask = side == 1
+        rkey = np.sort(key[rmask])
+        rts = (ts[rmask])[np.argsort(key[rmask])]
+        pos = np.searchsorted(rkey, key[lmask], side="right") - 1
+        posc = np.clip(pos, 0, max(len(rkey) - 1, 0))
+        ok = (
+            (pos >= 0)
+            & (len(rkey) > 0)
+            & ((rkey[posc] >> _TS_BITS) == (key[lmask] >> _TS_BITS))
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[lmask][ok]),
+                "user_id": pa.array(u[lmask][ok]),
+                "ts_us": pa.array(ts[lmask][ok]),
+                "click_ts_us": pa.array(rts[posc][ok]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )
