@@ -474,6 +474,12 @@ def _q_events_asof(sf_dir: str):
     return asof_join_events(sf_dir)
 
 
+def _q_top_quality_per_lang(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import top_quality_per_lang
+
+    return top_quality_per_lang(sf_dir, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -518,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
+        "top_quality_per_lang": _q_top_quality_per_lang,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -642,6 +649,36 @@ WITH {DUP_EMB_SQL}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= CAST({NEAR_DUP_TAU!r} AS DOUBLE)
+"""
+
+    text_stats_sql = f"""
+WITH counts AS (
+  SELECT doc_id AS id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text,
+        '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''|\\s+'
+    )) AS n_tokens_bpe,
+    {_marker_count_sql(("the", "and", "of"))} AS c_en,
+    {_marker_count_sql(("der", "und", "das"))} AS c_de,
+    {_marker_count_sql(("el", "los", "una"))} AS c_es,
+    {_marker_count_sql(("le", "les", "une"))} AS c_fr,
+    {_marker_count_sql(("de0", "shi4", "le0"))} AS c_zh,
+    {_marker_count_sql(("the", "a", "and", "of", "to"))} AS c_stop
+  FROM documents
+)
+SELECT id, n_tokens, n_tokens_bpe,
+  CASE
+    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+    WHEN c_fr >= c_zh THEN 'fr'
+    ELSE 'zh'
+  END AS lang_pred,
+  CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+  CAST(0.5 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE))
+    + CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE)
+      - CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) AS quality
+FROM counts
 """
 
     ngram_jaccard_sql = f"""
@@ -893,34 +930,16 @@ ranked AS (
 )
 SELECT qid, vec_id FROM ranked WHERE rn <= {ANN_K}
 """,
-        "text_stats": f"""
-WITH counts AS (
-  SELECT doc_id AS id, text,
-    len(string_split(text, ' ')) AS n_tokens,
-    len(regexp_extract_all(text,
-        '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''|\\s+'
-    )) AS n_tokens_bpe,
-    {_marker_count_sql(("the", "and", "of"))} AS c_en,
-    {_marker_count_sql(("der", "und", "das"))} AS c_de,
-    {_marker_count_sql(("el", "los", "una"))} AS c_es,
-    {_marker_count_sql(("le", "les", "une"))} AS c_fr,
-    {_marker_count_sql(("de0", "shi4", "le0"))} AS c_zh,
-    {_marker_count_sql(("the", "a", "and", "of", "to"))} AS c_stop
-  FROM documents
+        "text_stats": text_stats_sql,
+        "top_quality_per_lang": f"""
+WITH stats AS ({text_stats_sql}),
+ranked AS (
+  SELECT id, lang_pred, quality,
+         ROW_NUMBER() OVER (PARTITION BY lang_pred
+                            ORDER BY quality DESC, id) AS rn
+  FROM stats
 )
-SELECT id, n_tokens, n_tokens_bpe,
-  CASE
-    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
-    WHEN c_fr >= c_zh THEN 'fr'
-    ELSE 'zh'
-  END AS lang_pred,
-  CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stop_ratio,
-  CAST(0.5 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE))
-    + CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE)
-      - CAST(c_stop AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) AS quality
-FROM counts
+SELECT id, lang_pred, quality FROM ranked WHERE rn <= 5
 """,
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads

@@ -381,3 +381,49 @@ def asof_join_events(
             lambda t: per_bucket(t.drop_columns(["__bucket"])), batch_format="pyarrow"
         )
     )
+
+
+def top_quality_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-k docs by quality score per predicted language (deterministic
+    tie-break by id). The generic grouped-top-k shape: each batch keeps at
+    most k rows per group (partial combiner), so the final per-group
+    reduction sees batches*k rows per group, never the corpus.
+    """
+    stats = analyze_text(
+        _docs(sf_dir)
+    ).select_columns(["id", "lang_pred", "quality"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang_pred"].to_pylist(), dtype=object)
+        q = np.asarray(batch["quality"], dtype=np.float64)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        codes, inv = np.unique(lang, return_inverse=True)
+        order = np.lexsort((ids, -q, inv))
+        inv_s = inv[order]
+        change = np.r_[True, inv_s[1:] != inv_s[:-1]] if len(inv_s) else np.array([], dtype=bool)
+        seg_start = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        pos_in_group = np.arange(len(inv_s)) - seg_start[seg_id]
+        keep = order[pos_in_group < k]
+        keep.sort()
+        return batch.take(pa.array(keep))
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        q = np.asarray(tbl["quality"], dtype=np.float64)
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        order = np.lexsort((ids, -q))[: min(k, len(q))]
+        order.sort()
+        return tbl.take(pa.array(order))
+
+    return (
+        stats.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("lang_pred")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    from ..sources.read import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
