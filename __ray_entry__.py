@@ -444,6 +444,14 @@ def _q_image_phash_near_dup(sf_dir: str):
     return phash_near_dup(dup_image_table(sf_dir), max_hamming=6)
 
 
+def _q_video_frames(sf_dir: str):
+    from simple_osm_queries_ray.stages.image import sample_video_frames, synthetic_video_table
+
+    return sample_video_frames(synthetic_video_table(sf_dir), every_n=5).select_columns(
+        ["video_id", "frame_idx"]
+    )
+
+
 def _q_audio_features(sf_dir: str):
     from simple_osm_queries_ray.stages.audio import audio_features, synthetic_audio_table
 
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
+        "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
 
@@ -948,6 +957,15 @@ SELECT id, lang_pred, quality FROM ranked WHERE rn <= 5
 SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
        CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h
 FROM documents
+""",
+        # frame sampling projects (video_id, frame_idx): both derive from
+        # doc_id and the fixed 12-frame/every-5 sampling — SQL-checkable even
+        # though the frame payloads are RNG pixels (pinned by tests)
+        "video_frames": """
+SELECT 'vid' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS video_id,
+       CAST(g.g AS INTEGER) AS frame_idx
+FROM documents, UNNEST(generate_series(0, 11)) AS g(g)
+WHERE g.g % 5 = 0
 """,
         # 62-bit fingerprint: the engine's per-byte Horner recurrence
         # h = (h*B + byte) % (2^31 - 1) per stream, replayed exactly in a

@@ -3,9 +3,11 @@
 The decode / feature / resize stages are real Ray Data plumbing over the
 opaque ``bytes`` column: callable classes (one setup per actor, work per
 batch), small batch sizes for wide binary rows, Arrow binary in / Arrow out.
-Only the codec behind them is the deterministic SOQR stand-in (this container
-ships no image library — ``sources/images.py``); a video frame-sampler is
-stubbed with NotImplementedError as the clearly-marked integration point.
+Only the codecs behind them are deterministic stand-ins (this container
+ships no image/video library): SOQR for stills (``sources/images.py``) and
+SOQV (length-prefixed SOQR frames) for video — the frame sampler's batch
+sizing, fan-out and schema are real, and real ffmpeg/PyAV decoders slot
+into the actors' ``__init__``.
 """
 
 from __future__ import annotations
@@ -127,18 +129,111 @@ def phash_near_dup(
     )
 
 
-class VideoFrameSampler:
-    """STUB — video decode needs ffmpeg/PyAV, not present in this container.
+VIDEO_MAGIC = b"SOQV0"
 
-    The Ray-side contract is real: binary column in, (video_id, frame_idx,
-    bytes) rows out, actor pool with per-actor codec setup.
+
+def encode_video(frames: list, fps: int = 30) -> bytes:
+    """SOQV0 container: magic + u16 frame count + u16 fps + concatenated
+    length-prefixed SOQR frames. A deterministic stand-in for a real codec
+    (ffmpeg/PyAV aren't in this container) — the Ray-side plumbing around it
+    is the real deliverable."""
+    import struct
+
+    from ..sources.images import encode_image
+
+    blobs = [encode_image(f, "png") for f in frames]
+    head = VIDEO_MAGIC + struct.pack("<HH", len(blobs), fps)
+    return head + b"".join(struct.pack("<I", len(b)) + b for b in blobs)
+
+
+def decode_video_frames(data: bytes):
+    """Yield (frame_idx, frame_bytes) from a SOQV0 blob."""
+    import struct
+
+    if data[:5] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "real video decode requires ffmpeg/PyAV, absent from this "
+            "container; only the SOQV stand-in container is supported"
+        )
+    n, _fps = struct.unpack("<HH", data[5:9])
+    pos = 9
+    for i in range(n):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        pos += 4
+        yield i, data[pos : pos + ln]
+        pos += ln
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video bytes -> one row per sampled frame.
+
+    Contract: (video_id, bytes) in; (video_id, frame_idx, bytes) out, every
+    ``every_n``-th frame. ``__init__`` is the per-actor codec setup point —
+    a real deployment opens its ffmpeg/PyAV context here; the SOQV stand-in
+    keeps the batch sizing, fan-out row explosion and schema real.
     """
 
     def __init__(self, every_n: int = 30):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires an ffmpeg/PyAV decoder; wire it in "
-            "__init__ and emit (video_id, frame_idx, bytes) rows here"
+        vids, idxs, blobs = [], [], []
+        for vid, data in zip(batch["video_id"].to_pylist(), batch["bytes"]):
+            for i, frame in decode_video_frames(data.as_py()):
+                if i % self.every_n == 0:
+                    vids.append(vid)
+                    idxs.append(i)
+                    blobs.append(frame)
+        return pa.table(
+            {
+                "video_id": pa.array(vids, type=pa.string()),
+                "frame_idx": pa.array(np.asarray(idxs, dtype=np.int32), type=pa.int32()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+            }
         )
+
+
+def sample_video_frames(
+    ds: ray.data.Dataset, every_n: int = 30, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    # tiny batches: each video row fans out to many frame rows, and the
+    # binary payload per row is the widest in the engine
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_video_table(sf_dir: str, frames_per_video: int = 12) -> ray.data.Dataset:
+    """documents -> (video_id, bytes[SOQV0], n_frames, caption): every video
+    is a deterministic sequence of per-doc RNG frames (same derivation style
+    as sources/images.py)."""
+    from ..sources.images import reference_pixels
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        blobs = []
+        for i in ids:
+            w, h = 8 + int(i % 3) * 4, 8 + int(i % 5) * 2
+            frames = [
+                reference_pixels(int(i) * 1000 + k, w, h) for k in range(frames_per_video)
+            ]
+            blobs.append(encode_video(frames))
+        return pa.table(
+            {
+                "video_id": pa.array([f"vid{int(i):08d}" for i in ids], type=pa.string()),
+                "bytes": pa.array(blobs, type=pa.binary()),
+                "n_frames": pa.array(
+                    np.full(len(ids), frames_per_video, dtype=np.int32), type=pa.int32()
+                ),
+                "caption": batch["text"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)

@@ -110,3 +110,27 @@ def test_audio_features(ray_session):
     assert abs(row0.seconds - 1000 / SAMPLE_RATE) < 1e-12
     # rms of 0.6sin+0.3sin mix ~= sqrt(0.18+0.045) ~= 0.474 (finite-n tolerance)
     assert 0.4 < row0.rms < 0.55
+
+
+def test_video_frame_sampler(ray_session):
+    """SOQV fan-out: every_n sampling emits the right frames with the right
+    pixels (frame payloads decode back to the deterministic per-frame RNG)."""
+    import numpy as np
+
+    from simple_osm_queries_ray.sources.images import decode_image, reference_pixels
+    from simple_osm_queries_ray.stages.image import (
+        sample_video_frames,
+        synthetic_video_table,
+    )
+
+    vids = synthetic_video_table("/root/testdata/sf0.001")
+    frames = sample_video_frames(vids, every_n=5).to_pandas()
+    per_vid = frames.groupby("video_id").frame_idx.apply(list)
+    assert all(v == [0, 5, 10] for v in per_vid)
+    row = frames.iloc[0]
+    doc_id = int(row.video_id[3:])
+    px = decode_image(row["bytes"])
+    w, h = 8 + doc_id % 3 * 4, 8 + doc_id % 5 * 2
+    np.testing.assert_array_equal(
+        px, reference_pixels(doc_id * 1000 + int(row.frame_idx), w, h)
+    )
