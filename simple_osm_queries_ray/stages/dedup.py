@@ -26,8 +26,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..state.broadcast import get as bget
-
 # -- shared token/shingle kernels ------------------------------------------
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
