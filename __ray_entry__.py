@@ -292,6 +292,34 @@ def _q_semi_join_disk_index(sf_dir: str):
     )
 
 
+def _q_semi_join_quad_index(sf_dir: str):
+    """The soq semi-join executed over a HIERARCHICAL (quad-cell level-12)
+    index: repo built with QuadCellScheme, persisted + partition-pruned via
+    DiskRepo, bbox candidates from the normalized covering — same results as
+    the flat-grid paths (same oracle as soq_semi_join_ways)."""
+    import os
+    import tempfile
+
+    from simple_osm_queries_ray.functions.hiercell import QuadCellScheme
+    from simple_osm_queries_ray.pipelines.build_index import DiskRepo, write_index
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+    from simple_osm_queries_ray.sources.repo import build_repo
+
+    scheme = QuadCellScheme(12)
+    cache_key = "quad:" + sf_dir
+    if cache_key not in _DISK_REPO_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "soqr_qidx12_" + sf_dir.strip("/").replace("/", "_")
+        )
+        write_index(build_repo(sf_dir, cell_scheme=scheme), index_dir)
+        _DISK_REPO_CACHE[cache_key] = DiskRepo(index_dir)
+    eng = QueryEngine(_DISK_REPO_CACHE[cache_key], cell_scheme=scheme)
+    return eng.execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND this.ways{wtype=primary}}"
+    )
+
+
 # -- training-data pipeline operators ---------------------------------------
 
 NEAR_DUP_TAU = 0.9
@@ -518,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
+        "soq_semi_join_quad_index": _q_semi_join_quad_index,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -822,6 +851,10 @@ ranked AS (
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
 """,
         "soq_semi_join_disk_index": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
+        ),
+        "soq_semi_join_quad_index": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
         ),

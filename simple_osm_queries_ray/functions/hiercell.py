@@ -169,3 +169,44 @@ def quad_cell_sql(level: int, lon_col: str = "lon", lat_col: str = "lat") -> str
         parts.append(f"((({tx} >> {b}) & 1) << {2 * b})")
         parts.append(f"((({ty} >> {b}) & 1) << {2 * b + 1})")
     return "(" + " + ".join(parts) + ")"
+
+
+class QuadCellScheme:
+    """Pluggable cell scheme (SURVEY 2.8 seam): hierarchical quad cells as
+    the feature-table 'cell' ids. Swapping this for the flat grid changes
+    nothing else — the density planner, partition pruning and query probes
+    all operate on opaque int64 cell ids.
+    """
+
+    name = "quad"
+
+    def __init__(self, level: int = 12):
+        self.level = level
+        self.name = f"quad{level}"
+
+    def cell_of(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        return quad_cell(lon, lat, self.level)
+
+    def cells_for_bbox(
+        self, minlon: float, minlat: float, maxlon: float, maxlat: float
+    ) -> np.ndarray:
+        cov = quad_covering((minlon, minlat, maxlon, maxlat), self.level)
+        return covering_to_max_level(cov, self.level)
+
+
+class GridCellScheme:
+    """The reference's flat 0.1-degree grid (default scheme)."""
+
+    name = "grid"
+
+    def cell_of(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        from ..model import cell_of
+
+        return cell_of(lon, lat)
+
+    def cells_for_bbox(
+        self, minlon: float, minlat: float, maxlon: float, maxlat: float
+    ) -> np.ndarray:
+        from ..model import cells_for_bbox
+
+        return cells_for_bbox(minlon, minlat, maxlon, maxlat)

@@ -40,7 +40,6 @@ from ..model import (
     QUERY_RELATIONS,
     QUERY_TYPE_TO_OBJECT_TYPE,
     QUERY_WAYS,
-    cells_for_bbox,
 )
 from ..parser import BboxLocation, Query, Statement, parse_query
 from ..sources.repo import FeatureRepo
@@ -63,8 +62,15 @@ _MEMBERSHIP = {
 
 
 class QueryEngine:
-    def __init__(self, repo: FeatureRepo):
+    def __init__(self, repo: FeatureRepo, cell_scheme=None):
+        """``cell_scheme`` must match the scheme the repo's 'cell' columns
+        were built with (default: the reference's flat grid). A hierarchical
+        QuadCellScheme (functions/hiercell.py) plugs in here — the rest of
+        the plan operates on opaque int64 cell ids."""
+        from ..functions.hiercell import GridCellScheme
+
         self.repo = repo
+        self.cell_scheme = cell_scheme or GridCellScheme()
 
     # -- public API -------------------------------------------------------
     def execute_string(self, text: str) -> ray.data.Dataset:
@@ -106,7 +112,9 @@ class QueryEngine:
 
     # -- helpers ----------------------------------------------------------
     def _bbox_candidates(self, loc: BboxLocation, obj_type: str) -> ray.data.Dataset:
-        cellset = np.sort(cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat))
+        cellset = np.sort(
+            self.cell_scheme.cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
+        )
         cells_ref = ray.put(cellset)
         bbox = (loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
         ds = self._table(obj_type, cellset)

@@ -47,15 +47,37 @@ class FeatureRepo:
         }[object_type]
 
 
-_CACHE: dict[tuple[str, int], FeatureRepo] = {}
+_CACHE: dict[tuple[str, int, str], FeatureRepo] = {}
 
 
-def build_repo(sf_dir: str, replicate: int = 1, materialize: bool = True) -> FeatureRepo:
-    key = (sf_dir, replicate)
+def build_repo(
+    sf_dir: str,
+    replicate: int = 1,
+    materialize: bool = True,
+    cell_scheme=None,
+) -> FeatureRepo:
+    """``cell_scheme`` (functions/hiercell.py) overrides the flat-grid cell
+    assignment; way/relation cell lists inherit the scheme automatically
+    (they are unions of member-node cells)."""
+    key = (sf_dir, replicate, cell_scheme.name if cell_scheme else "grid")
     if key in _CACHE:
         return _CACHE[key]
 
     nodes0 = raw_nodes(sf_dir, replicate)
+    if cell_scheme is not None:
+        import numpy as np
+        import pyarrow as pa
+
+        def recell(batch: pa.Table) -> pa.Table:
+            c = cell_scheme.cell_of(
+                np.asarray(batch["lon"], dtype=np.float64),
+                np.asarray(batch["lat"], dtype=np.float64),
+            )
+            return batch.set_column(
+                batch.column_names.index("cell"), "cell", pa.array(c, type=pa.int64())
+            )
+
+        nodes0 = nodes0.map_batches(recell, batch_format="pyarrow")
     if materialize:
         nodes0 = nodes0.materialize()
     ways0 = build_ways(nodes0)

@@ -72,3 +72,35 @@ def test_covering_is_exact_and_normalized():
         while p > 1:
             p >>= 2
             assert p not in s
+
+
+def test_quad_indexed_query_end_to_end(ray_session, tmp_path):
+    """A quad-cell (level-12) repo persists through the density-planned index
+    and answers a covering-pruned bbox query identically to the flat grid,
+    touching fewer partitions than a full scan."""
+    import os
+
+    from simple_osm_queries_ray.functions.hiercell import QuadCellScheme
+    from simple_osm_queries_ray.pipelines.build_index import DiskRepo, write_index
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+    from simple_osm_queries_ray.sources.repo import build_repo
+
+    scheme = QuadCellScheme(12)
+    sf = "/root/testdata/sf0.001"
+    repo = build_repo(sf, cell_scheme=scheme)
+    idx = str(tmp_path / "qidx")
+    write_index(repo, idx, rows_per_partition=100)
+    disk = DiskRepo(idx)
+    eng = QueryEngine(disk, cell_scheme=scheme)
+    grid_eng = QueryEngine(build_repo(sf))
+
+    q = "bbox(9.85,53.45,10.05,53.65).nodes{lang=en AND n_chars>=200}"
+    got = set(eng.execute_string(q).to_pandas()["id"])
+    exp = set(grid_eng.execute_string(q).to_pandas()["id"])
+    assert got == exp and len(got) > 0
+
+    # pruned read: the covering's partitions are a strict subset
+    cells = scheme.cells_for_bbox(9.85, 53.45, 10.05, 53.65)
+    pids = disk.plan.pids_for_cells(cells)
+    total = len([d for d in os.listdir(os.path.join(idx, "node")) if d.startswith("pid=")])
+    assert 0 < len(pids) < total
