@@ -83,7 +83,16 @@ def run_bench() -> dict:
         times["geolocate_cells"] = time.time() - t0
 
         t0 = time.time()
-        ways = build_ways(nodes, num_buckets=max(NUM_CPUS * 4, 32)).materialize()
+        # hash-partitioned shuffle ONLY for the one corpus-wide all-to-all:
+        # it wins ~15% there (interleaved A/B), but as a global default the
+        # per-operator aggregator-actor spin-up taxes the many small
+        # groupbys in the other stages
+        prev_strategy = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            ways = build_ways(nodes, num_buckets=max(NUM_CPUS * 4, 32)).materialize()
+        finally:
+            ctx.shuffle_strategy = prev_strategy
         n_ways = ways.count()
         times["way_assembly_shuffle"] = time.time() - t0
 
