@@ -266,6 +266,17 @@ def _q_knn_ring(sf_dir: str):
     return knn_cell_ring(_repo(sf_dir).nodes, KNN_QUERIES[0], KNN_K)
 
 
+def _q_knn_quad_ring(sf_dir: str):
+    """Index-path kNN via expanding HIERARCHICAL quad-cell rings over a
+    quad-celled repo (same oracle as knn_ring)."""
+    from simple_osm_queries_ray.functions.hiercell import QuadCellScheme
+    from simple_osm_queries_ray.sources.repo import build_repo
+    from simple_osm_queries_ray.stages.knn import knn_quad_ring
+
+    repo = build_repo(sf_dir, cell_scheme=QuadCellScheme(12))
+    return knn_quad_ring(repo.nodes, KNN_QUERIES[0], KNN_K, level=12)
+
+
 _DISK_REPO_CACHE: dict[str, Any] = {}
 
 
@@ -545,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
+        "knn_quad_ring": _q_knn_quad_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
         "soq_semi_join_quad_index": _q_semi_join_quad_index,
         "dedup_exact": _q_dedup_exact,
@@ -859,6 +871,19 @@ SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
         ),
         "knn_ring": f"""
+{W},
+scored AS (
+  SELECT n.id,
+         (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon) * (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon)
+       + (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) * (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) AS dist2
+  FROM nodes_c n
+),
+ranked AS (
+  SELECT id, dist2, ROW_NUMBER() OVER (ORDER BY dist2, id) AS rank FROM scored
+)
+SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
+""",
+        "knn_quad_ring": f"""
 {W},
 scored AS (
   SELECT n.id,

@@ -190,3 +190,81 @@ def knn_cell_ring(
             "dist2": pa.array([b[0] for b in arr], type=pa.float64()),
         }
     )
+
+
+def knn_quad_ring(
+    ds: "ray.data.Dataset | None",
+    query_point: tuple[float, float],
+    k: int,
+    *,
+    level: int = 12,
+    max_rings: int = 64,
+    repo=None,
+) -> "pa.Table":
+    """Index-path kNN over the HIERARCHICAL quad-cell index: expanding
+    Chebyshev rings in level-``level`` tile coordinates, morton-encoded to
+    cell ids, with the same distance-bound stop as :func:`knn_cell_ring`.
+    ``repo`` (e.g. a quad-celled DiskRepo) turns each ring into a pruned
+    partition read.
+    """
+    from ..functions.hiercell import morton
+    from ..stages.geo import tile_xy
+    from .semi_join import isin_sorted
+
+    qlon, qlat = float(query_point[0]), float(query_point[1])
+    tx0, ty0 = tile_xy(np.array([qlon]), np.array([qlat]), level)
+    tx0, ty0 = int(tx0[0]), int(ty0[0])
+    n_tiles = 1 << level
+    tile_w, tile_h = 360.0 / n_tiles, 180.0 / n_tiles
+    marker = np.int64(1) << np.int64(2 * level)
+
+    best: list[tuple[float, int]] = []
+    for r in range(max_rings):
+        if r == 0:
+            ring = [(tx0, ty0)]
+        else:
+            ring = [(tx0 + dx, ty0 - r) for dx in range(-r, r + 1)]
+            ring += [(tx0 + dx, ty0 + r) for dx in range(-r, r + 1)]
+            ring += [(tx0 - r, ty0 + dy) for dy in range(-r + 1, r)]
+            ring += [(tx0 + r, ty0 + dy) for dy in range(-r + 1, r)]
+        ring = [(x, y) for x, y in ring if 0 <= x < n_tiles and 0 <= y < n_tiles]
+        if not ring:
+            break
+        cells = np.sort(
+            marker
+            + morton(
+                np.array([c[0] for c in ring], dtype=np.int64),
+                np.array([c[1] for c in ring], dtype=np.int64),
+            )
+        )
+
+        def prune(batch: pa.Table, _cells=cells) -> pa.Table:
+            mask = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), _cells)
+            return batch.filter(pa.array(mask))
+
+        source = repo.table("node", cells=cells) if repo is not None else ds
+        ring_tbl = (
+            source.map_batches(prune, batch_format="pyarrow")
+            .select_columns(["id", "lon", "lat"])
+            .to_pandas()
+        )
+        if len(ring_tbl):
+            d2 = (ring_tbl["lon"].to_numpy() - qlon) ** 2 + (
+                ring_tbl["lat"].to_numpy() - qlat
+            ) ** 2
+            best.extend(
+                (float(d), int(i)) for d, i in zip(d2, ring_tbl["id"].to_numpy())
+            )
+            best.sort()
+            best = best[:k]
+        next_min = (r * min(tile_w, tile_h)) ** 2
+        if len(best) == k and best[-1][0] <= next_min:
+            break
+    arr = best[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(arr) + 1, dtype=np.int64)),
+            "id": pa.array([b[1] for b in arr], type=pa.int64()),
+            "dist2": pa.array([b[0] for b in arr], type=pa.float64()),
+        }
+    )
