@@ -125,18 +125,39 @@ def check_validity(ds: ray.data.Dataset, tag_index_ref) -> int:
 
 
 def decode_tags_to_strings(batch: pa.Table, tag_index: TagIndex) -> list[dict[str, str]]:
-    """Per-row {key: value} dicts for output sinks (GeoJSON properties)."""
+    """Per-row {key: value} dicts for output sinks (GeoJSON properties).
+
+    The dictionary lookups are vectorized: one flat gather of key strings and
+    one of pair-table value strings (the same lookup tables the encoder
+    uses); only the final dict assembly per row remains Python — that is the
+    JSON sink's intrinsic cost.
+    """
     flat_keys, offsets = list_parts(batch["tag_keys"])
     flat_vals, _ = list_parts(batch["tag_vals"])
     flat_keys = np.asarray(flat_keys, dtype=np.int64)
     flat_vals = np.asarray(flat_vals, dtype=np.int64)
+    keys_arr, _pair_strs, _pair_vi = _cached_encode_tables(tag_index)
+    # per-key value-dictionary offsets: value j of key k lives at
+    # val_base[k] + j in the flattened value table
+    val_lens = np.array([len(v) for v in tag_index.values], dtype=np.int64)
+    val_base = np.zeros(len(val_lens) + 1, dtype=np.int64)
+    np.cumsum(val_lens, out=val_base[1:])
+    flat_val_strs = pa.array(
+        [v for values in tag_index.values for v in values], type=pa.string()
+    )
+    ok = (flat_keys >= 0) & (flat_vals >= 0)
+    safe_k = np.clip(flat_keys, 0, max(len(val_lens) - 1, 0))
+    key_strs = keys_arr.take(pa.array(safe_k)).to_pylist()
+    val_strs = flat_val_strs.take(
+        pa.array(np.clip(val_base[safe_k] + flat_vals, 0, max(len(flat_val_strs) - 1, 0)))
+    ).to_pylist()
     out = []
     for i in range(len(offsets) - 1):
-        d = {}
-        for j in range(offsets[i], offsets[i + 1]):
-            k = int(flat_keys[j])
-            v = int(flat_vals[j])
-            if k >= 0 and v >= 0:
-                d[tag_index.key_string(k)] = tag_index.value_string(k, v)
-        out.append(d)
+        out.append(
+            {
+                key_strs[j]: val_strs[j]
+                for j in range(offsets[i], offsets[i + 1])
+                if ok[j]
+            }
+        )
     return out
