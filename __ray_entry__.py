@@ -527,6 +527,25 @@ def _q_top_quality_per_lang(sf_dir: str):
     return top_quality_per_lang(sf_dir, k=5)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import dedup_keep_best
+
+    return dedup_keep_best(dup_documents(sf_dir), threshold=0.5)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
+def _q_pack_sequences(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -564,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
+        "dedup_keep_best": _q_dedup_keep_best,
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "ann_topk": _q_ann_topk,
@@ -574,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
         "top_quality_per_lang": _q_top_quality_per_lang,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -936,6 +958,44 @@ reach AS (
 )
 SELECT id, min(r) AS group_id FROM reach GROUP BY id
 """,
+        # representative selection: same component resolution, then keep the
+        # longest text per group (tie -> smallest id) with the group size
+        "dedup_keep_best": f"""
+WITH RECURSIVE {DUP_DOCS_SQL},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT id, id AS r FROM dup_docs
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id
+),
+grp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT g.group_id, d.id,
+         ROW_NUMBER() OVER (PARTITION BY g.group_id
+                            ORDER BY len(d.text) DESC, d.id) AS rn,
+         COUNT(*) OVER (PARTITION BY g.group_id) AS nm
+  FROM grp g JOIN dup_docs d ON d.id = g.id
+)
+SELECT group_id, id AS kept_id, CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
         # simhash replay: the engine's token hash is two 31-bit polynomial
         # Horner streams + a 64-bit odd-multiplier wrap (stages/dedup.py
         # _token_hashes), all expressible in BIGINT/HUGEINT arithmetic; bit
@@ -1007,6 +1067,29 @@ ranked AS (
   FROM stats
 )
 SELECT id, lang_pred, quality FROM ranked WHERE rn <= 5
+""",
+        # multiplicative-hash stratified sampling: the keep decision is pure
+        # modular arithmetic on doc_id, replayed verbatim
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      % 4294967296 % 1000 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250 WHEN 'es' THEN 500
+                WHEN 'fr' THEN 750 ELSE 1000 END
+""",
+        # sequence packing: shard by doc_id, running token offset within the
+        # shard (doc_id order), cut at the 512-token budget
+        "pack_sequences": """
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // 512 AS BIGINT) AS seq_id
+FROM t
 """,
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -708,3 +709,62 @@ def dedup_groups(
         ds, threshold=threshold, text_col=text_col, id_col=id_col
     )
     return connected_components(ds.select_columns([id_col]), pairs, id_col=id_col)
+
+
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Representative selection over near-dup groups: for each connected
+    component of the J >= threshold pair graph, keep the member with the
+    LONGEST text (tie -> smallest id) and report the group size. This is the
+    canonical training-data dedup flow (cluster, then keep one document per
+    cluster) composed from the distributed pieces: trigram-join pairs ->
+    hash-min connected components -> an order-encoding max aggregate.
+
+    The argmax is packed into a single int64 key (len << 32 | ~id) so the
+    per-group reduction is a plain Max + Count with partial combiners inside
+    map_batches tasks -- no per-group materialization, no sort. Assumes
+    text length < 2^31 and id < 2^32 (both hold for document corpora keyed
+    by int ids; widen to two-column argmax otherwise).
+
+    Returns (group_id, kept_id, n_members).
+    """
+    from ray.data.aggregate import Count, Max
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+
+    groups = dedup_groups(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+
+    ID_MASK = (1 << 32) - 1
+
+    def length_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        lens = np.asarray(pc.utf8_length(batch[text_col]), dtype=np.int64)
+        return pa.table({"id": ids, "key": (lens << 32) | (ID_MASK - ids)})
+
+    keys = ds.map_batches(length_key, batch_format="pyarrow")
+    joined = groups.join(keys, "inner", num_partitions, on=("id",))
+    agg = joined.groupby("group_id").aggregate(
+        Max("key", alias_name="best"), Count(alias_name="n_members")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        best = np.asarray(batch["best"], dtype=np.int64)
+        return pa.table(
+            {
+                "group_id": batch["group_id"],
+                "kept_id": ID_MASK - (best & ID_MASK),
+                "n_members": batch["n_members"],
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

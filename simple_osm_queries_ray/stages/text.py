@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data
 
 LANGS = ["en", "de", "es", "fr", "zh"]
@@ -427,3 +429,98 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     from ..sources.read import read_parquet_sized
 
     return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# per-mille keep rates per language label: downsample over-represented
+# languages, keep all of the rare ones (the standard corpus-balancing move)
+SAMPLE_RATES_PERMILLE = {"en": 100, "de": 250, "es": 500, "fr": 750, "zh": 1000}
+_SAMPLE_MUL = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1 << 32
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates_permille: dict[str, int] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic stratified sampling of the documents table: keep a doc
+    iff hash(doc_id) lands under its language's per-mille keep rate. The
+    hash is pure modular arithmetic ((doc_id mod 2^32) * 2654435761 mod
+    2^32, then mod 1000) so the decision is reproducible anywhere --
+    including in the DuckDB oracle -- and requires no coordination: every
+    batch decides its own rows, nothing shuffles.
+
+    Returns (doc_id, lang) of the kept sample.
+    """
+    from ..sources.read import read_parquet_sized
+
+    rates = dict(SAMPLE_RATES_PERMILLE if rates_permille is None else rates_permille)
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.uint64)
+        h = ((ids % _SAMPLE_MOD) * _SAMPLE_MUL) % _SAMPLE_MOD % 1000
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        thresh = np.array(
+            [rates.get(l, 1000) for l in lang], dtype=np.uint64
+        )
+        return batch.filter(pa.array(h < thresh))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+PACK_BUDGET_TOKENS = 512
+PACK_NUM_SHARDS = 32
+
+
+def pack_sequences(
+    sf_dir: str,
+    budget: int = PACK_BUDGET_TOKENS,
+    num_shards: int = PACK_NUM_SHARDS,
+) -> ray.data.Dataset:
+    """Sequence packing for LLM pre-training batches: documents are hashed
+    into ``num_shards`` independent shards (doc_id mod shards), concatenated
+    in doc_id order within each shard, and cut into fixed token-budget
+    sequences -- seq_id = (running token offset before this doc) // budget.
+    Shards pack in parallel and each shard's packing is a single vectorized
+    cumsum over its sorted group, so the only movement is one groupby
+    shuffle of (doc_id, shard, n_tokens) -- three int columns, never text.
+    At cluster scale, set num_shards to a multiple of the worker count; the
+    sequence layout is deterministic regardless of shard placement.
+
+    Returns (doc_id, shard, n_tokens, seq_id).
+    """
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n_tok = np.asarray(
+            pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"doc_id": ids, "shard": ids % num_shards, "n_tokens": n_tok}
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        n_tok = np.asarray(group["n_tokens"], dtype=np.int64)[order]
+        offset = np.cumsum(n_tok) - n_tok
+        return pa.table(
+            {
+                "doc_id": ids[order],
+                "shard": np.asarray(group["shard"], dtype=np.int64)[order],
+                "n_tokens": n_tok,
+                "seq_id": offset // budget,
+            }
+        )
+
+    return (
+        docs.map_batches(tokens, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )
