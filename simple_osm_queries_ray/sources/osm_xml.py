@@ -50,11 +50,27 @@ _ELEM_SCHEMA = pa.schema(
 _MEMBER_SLOT = {"node": "member_nodes", "way": "member_ways", "relation": "member_rels"}
 
 
+def _decompress(data: bytes) -> bytes:
+    """Transparently unwrap the two compressed flavours OSM extracts ship in
+    (``.osm.bz2`` and ``.osm.gz``), detected by magic bytes so globbed file
+    lists can mix plain and compressed shards."""
+    if data[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    return data
+
+
 def parse_osm_xml_bytes(data: bytes) -> pa.Table:
-    """One ``.osm`` document -> element table (schema above)."""
+    """One ``.osm``/``.osm.bz2``/``.osm.gz`` document -> element table
+    (schema above)."""
     import xml.etree.ElementTree as ET
 
-    root = ET.fromstring(data)
+    root = ET.fromstring(_decompress(data))
     rows: dict[str, list] = {name: [] for name in _ELEM_SCHEMA.names}
 
     def add(etype, eid, lon, lat, tags, refs, members):

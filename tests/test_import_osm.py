@@ -173,3 +173,21 @@ def test_way_geojson_linestring(wayrel_repo):
     assert g["type"] == "LineString"
     assert g["coordinates"] == [[9.10, 53.10], [9.32, 53.12]]
     assert feats[0]["properties"]["highway"] == "primary"
+
+
+def test_compressed_xml_import_matches_plain(tmp_path, ref_repo):
+    import bz2
+    import gzip
+
+    raw = open(REF_FIXTURE, "rb").read()
+    bz = tmp_path / "small.osm.bz2"
+    bz.write_bytes(bz2.compress(raw))
+    gz = tmp_path / "small.osm.gz"
+    gz.write_bytes(gzip.compress(raw))
+
+    plain_nodes = ref_repo.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    for path in (bz, gz):
+        repo = import_osm(str(path))
+        got = repo.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+        assert got["id"].tolist() == plain_nodes["id"].tolist()
+        assert got["lon"].tolist() == plain_nodes["lon"].tolist()
