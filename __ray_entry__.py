@@ -24,6 +24,7 @@ BBOX_ALL = (9.0, 53.0, 11.0, 55.0)
 TRIANGLE = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
 KNN_QUERIES = [(9.95, 53.55), (9.2, 53.8), (10.5, 54.5)]
 KNN_K = 5
+RADIUS_JOIN_R = 0.05
 TILE_ZOOM = 12
 
 
@@ -257,6 +258,12 @@ def _q_knn(sf_dir: str):
     from simple_osm_queries_ray.stages.knn import knn_bruteforce
 
     return knn_bruteforce(_repo(sf_dir).nodes, np.array(KNN_QUERIES), KNN_K)
+
+
+def _q_radius_join(sf_dir: str):
+    from simple_osm_queries_ray.stages.knn import radius_join
+
+    return radius_join(_repo(sf_dir).nodes, RADIUS_JOIN_R)
 
 
 def _q_knn_ring(sf_dir: str):
@@ -574,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_triangle": _q_pip_triangle,
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
+        "radius_join": _q_radius_join,
         "knn_ring": _q_knn_ring,
         "knn_quad_ring": _q_knn_quad_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
@@ -883,6 +891,19 @@ ranked AS (
   FROM scored
 )
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+        # distance self-join: all pairs within RADIUS_JOIN_R planar degrees
+        # (the engine's grid-bucket enumeration must equal the naive cross
+        # join; identical float64 expression order keeps dist2 bit-equal)
+        "radius_join": f"""
+{W}
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+FROM nodes_c a JOIN nodes_c b ON a.id < b.id
+WHERE (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat)
+      <= CAST({RADIUS_JOIN_R!r} AS DOUBLE) * CAST({RADIUS_JOIN_R!r} AS DOUBLE)
 """,
         "soq_semi_join_disk_index": (
             f"{W} SELECT id, lon, lat FROM nodes_c "

@@ -268,3 +268,89 @@ def knn_quad_ring(
             "dist2": pa.array([b[0] for b in arr], type=pa.float64()),
         }
     )
+
+
+def radius_join(ds: ray.data.Dataset, radius: float) -> ray.data.Dataset:
+    """Distance-threshold self-join: every unordered pair of features within
+    planar degree distance ``radius`` (id_a < id_b, plus the squared
+    distance). The all-pairs problem is cut down to per-cell work by the
+    standard grid-bucket replication: each point lands in its home cell plus
+    the 8 neighbors, pairs are enumerated inside one cell's bucket only
+    (home point x any point), and the id ordering picks exactly one of the
+    two buckets that see a cross-cell pair — no global dedup pass. Requires
+    ``radius <= min(CELL_W, CELL_H)`` (0.1 deg); coarser radii would bucket
+    at ceil(radius/cell) granularity instead. Shuffle payload is
+    (bucket, id, lon, lat, home) x9 — never tags or payload columns; dense
+    cells are bounded by the same skew caveat as every cell groupby (salt
+    via PartitionPlan if a single cell outgrows a worker).
+    """
+    from ..model import CELL_H, CELL_W, cell_xy, pack_cell
+
+    if radius > min(CELL_W, CELL_H):
+        raise ValueError("radius must be <= one cell; bucket coarser first")
+    r2 = float(radius) * float(radius)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cx, cy = cell_xy(lon, lat)
+        out_bucket, out_home = [], []
+        n = len(ids_)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out_bucket.append(pack_cell(cx + dx, cy + dy))
+                out_home.append(
+                    np.full(n, dx == 0 and dy == 0, dtype=np.bool_)
+                )
+        reps = 9
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "id": pa.array(np.tile(ids_, reps)),
+                "lon": pa.array(np.tile(lon, reps)),
+                "lat": pa.array(np.tile(lat, reps)),
+                "home": pa.array(np.concatenate(out_home)),
+            }
+        )
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        lon = np.asarray(tbl["lon"], dtype=np.float64)
+        lat = np.asarray(tbl["lat"], dtype=np.float64)
+        home = np.asarray(tbl["home"], dtype=np.bool_)
+        hi = np.flatnonzero(home)
+        out_a, out_b, out_d = [], [], []
+        # cache-block the home rows against the full bucket
+        for s in range(0, len(hi), 512):
+            h = hi[s : s + 512]
+            dlon = lon[h, None] - lon[None, :]
+            dlat = lat[h, None] - lat[None, :]
+            d2 = dlon * dlon + dlat * dlat
+            keep = (d2 <= r2) & (ids_[h, None] < ids_[None, :])
+            ai, bj = np.nonzero(keep)
+            out_a.append(ids_[h][ai])
+            out_b.append(ids_[bj])
+            out_d.append(d2[ai, bj])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "dist2": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "dist2": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return (
+        ds.select_columns(["id", "lon", "lat"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
