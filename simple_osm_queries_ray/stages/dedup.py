@@ -635,9 +635,12 @@ def connected_components(
     Hash-min label propagation: per round, every vertex takes the min of its
     own label and its neighbors' labels (edges join labels on src; tiny
     groupby-min merges). Rounds needed = graph diameter; the loop stops as
-    soon as a round changes nothing (one count() action per round — at scale,
-    fold the change count into the groupby instead). Labels materialize per
-    round so the lineage doesn't re-execute iteratively.
+    soon as a round changes nothing. Convergence detection is folded into
+    the round's own aggregate — each vertex's previous label rides along as
+    a second Min column (edge-derived rows carry +inf there), so "did
+    anything change" is a vectorized sum over the already-materialized
+    round output, not an extra labels-vs-labels join. Labels materialize
+    per round so the lineage doesn't re-execute iteratively.
 
     Returns (id, group_id).
     """
@@ -669,6 +672,28 @@ def connected_components(
     if edges.count() == 0:
         return labels.rename_columns({"label": "group_id"})
 
+    INF = np.iinfo(np.int64).max
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        # a vertex's current label doubles as its "old" marker for the round
+        return pa.table({"id": batch["id"], "label": batch["label"], "old": batch["label"]})
+
+    def tag_inf(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch["id"],
+                "label": batch["label"],
+                "old": pa.array(np.full(n, INF, dtype=np.int64)),
+            }
+        )
+
+    def count_changed(batch: pa.Table) -> pa.Table:
+        changed = np.asarray(batch["label"], dtype=np.int64) < np.asarray(
+            batch["old"], dtype=np.int64
+        )
+        return pa.table({"changed": pa.array([int(changed.sum())], type=pa.int64())})
+
     for _ in range(max_iters):
         cand = (
             edges.join(
@@ -680,17 +705,19 @@ def connected_components(
             .select_columns(["dst", "src_label"])
             .rename_columns({"dst": "id", "src_label": "label"})
         )
-        new_labels = (
-            labels.union(cand).groupby("id").aggregate(Min("label", alias_name="label"))
+        merged = (
+            labels.map_batches(tag_old, batch_format="pyarrow")
+            .union(cand.map_batches(tag_inf, batch_format="pyarrow"))
+            .groupby("id")
+            .aggregate(
+                Min("label", alias_name="label"), Min("old", alias_name="old")
+            )
         ).materialize()
         changed = (
-            new_labels.join(
-                labels.rename_columns({"label": "old"}), "inner", num_partitions, on=("id",)
-            )
-            .filter(lambda r: r["label"] != r["old"])
-            .count()
+            merged.map_batches(count_changed, batch_format="pyarrow").sum("changed")
+            or 0
         )
-        labels = new_labels
+        labels = merged.select_columns(["id", "label"])
         if changed == 0:
             break
     return labels.rename_columns({"label": "group_id"})
