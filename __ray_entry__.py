@@ -553,6 +553,12 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _q_doc_length_quantiles(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import doc_length_quantiles
+
+    return doc_length_quantiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -604,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_lang": _q_top_quality_per_lang,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -1111,6 +1118,17 @@ SELECT doc_id, shard, n_tokens,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tokens) // 512 AS BIGINT) AS seq_id
 FROM t
+""",
+        # exact discrete quantiles of n_chars (PERCENTILE_DISC semantics)
+        "doc_length_quantiles": """
+SELECT CAST(0.5 AS DOUBLE) AS q,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE),
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE),
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
 """,
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads

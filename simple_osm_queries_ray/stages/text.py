@@ -524,3 +524,48 @@ def pack_sequences(
         .groupby("shard")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def doc_length_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = QUANTILE_QS
+) -> "pd.DataFrame":
+    """Exact discrete quantiles of document length, computed the scale-safe
+    way for bounded integer domains: per-batch value histograms (partial
+    combiners) -> one tiny groupby-sum keyed by the value -> a driver-side
+    cumulative pick over at most |domain| rows. No sort, no sampling, no
+    sketch error — the shuffle carries (value, count) pairs, never rows.
+    PERCENTILE_DISC semantics: the smallest value whose cumulative
+    distribution reaches q.
+
+    Returns a pandas frame (q, value) — the result is O(len(qs)).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(batch["n_chars"], dtype=np.int64), return_counts=True)
+        return pa.table({"value": pa.array(v), "n": pa.array(c.astype(np.int64))})
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["value"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        k = max(1, int(np.ceil(q * total)))
+        out_q.append(float(q))
+        out_v.append(int(vals[np.searchsorted(cum, k, side="left")]))
+    return pd.DataFrame({"q": out_q, "value": out_v})
