@@ -476,6 +476,36 @@ def _q_image_features(sf_dir: str):
     return decode_features(image_table(sf_dir))
 
 
+def _q_image_tiles(sf_dir: str):
+    """The north-star composition in one hop: image+caption rows treated as
+    geolocated features, assigned to raster tiles. Reads the Lance-shaped
+    image table (payload bytes and all), derives each image's position from
+    its id (same formula as the node derivation), and runs the map-only
+    tile assignment — payload columns are projected out before any exchange
+    (there is none: this is pure map_batches)."""
+    import pyarrow.compute as pc
+
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+    from simple_osm_queries_ray.stages.geo import assign_tiles
+
+    def locate(batch):
+        import pyarrow as pa
+
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 11), pa.int64())
+        lon, lat = geolocate(np.asarray(ids, dtype=np.int64))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+            }
+        )
+
+    located = image_table(sf_dir).map_batches(locate, batch_format="pyarrow")
+    return assign_tiles(located, TILE_ZOOM).select_columns(["image_id", "tile"])
+
+
 def _q_image_resize(sf_dir: str):
     from simple_osm_queries_ray.sources.images import image_table
     from simple_osm_queries_ray.stages.image import resize_images
@@ -616,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
+        "image_tiles": _q_image_tiles,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
         "video_frames": _q_video_frames,
@@ -1133,6 +1164,11 @@ SELECT CAST(0.99 AS DOUBLE),
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads
         # are RNG-derived (those are pinned by tests/test_image.py PSNR)
+        "image_tiles": f"""
+{W} SELECT 'img' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id,
+       {tile_expr(TILE_ZOOM)} AS tile
+FROM nodes_c
+""",
         "image_resize": """
 SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
        CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h
