@@ -358,24 +358,100 @@ def assemble_relations(
     return flow_child_bounds(rels, max_depth=max_nesting, num_buckets=num_buckets)
 
 
+def _read_elements(paths: str | list[str]) -> ray.data.Dataset:
+    if isinstance(paths, str) and paths.endswith(".pbf"):
+        from ..sources.osm_pbf import read_osm_pbf
+
+        return read_osm_pbf(paths)
+    return read_osm_xml(paths)
+
+
+def merge_changes(
+    elems: ray.data.Dataset, changes: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Apply an osmChange element delta to a base element dataset: every
+    changed (etype, id) — created, modified or deleted — is dropped from the
+    base, then create/modify rows are appended (OSM change semantics:
+    modify replaces the whole element).
+
+    The changed-id set is the small side (minutely/hourly diffs are MBs
+    against a multi-GB base), so it broadcasts once as per-type sorted
+    arrays and each base batch filters locally — no shuffle of the base.
+    For a delta comparable in size to the base, build a fresh import
+    instead (or swap this probe for the partitioned hash anti-join in
+    ``stages/joins.py``).
+    """
+    keys = changes.select_columns(["etype", "id"]).to_pandas()
+    per_type = [
+        np.sort(keys["id"][keys["etype"] == t].to_numpy(dtype=np.int64))
+        for t in (0, 1, 2)
+    ]
+    ref = ray.put(per_type)
+
+    def drop_changed(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        sets = bget(ref)
+        et = np.asarray(batch["etype"], dtype=np.int64)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        for t, arr in enumerate(sets):
+            if len(arr) == 0:
+                continue
+            m = et == t
+            pos = np.searchsorted(arr, ids[m])
+            pos[pos >= len(arr)] = len(arr) - 1
+            keep[m] = arr[pos] != ids[m]
+        return batch.filter(pa.array(keep))
+
+    from ..sources.osm_xml import OP_DELETE
+
+    def additions(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch["op"], OP_DELETE)
+        return batch.filter(mask).drop_columns(["op"])
+
+    base = elems.map_batches(drop_changed, batch_format="pyarrow")
+    adds = changes.map_batches(additions, batch_format="pyarrow")
+    return base.union(adds)
+
+
+def import_osm_with_changes(
+    base_paths: str | list[str],
+    osc_paths: str | list[str],
+    materialize: bool = True,
+):
+    """``import`` + osmChange replication: read the base extract, apply one
+    or more ``.osc`` deltas at the element level, then run the exact same
+    assembly pipeline — a node move reflows every way/relation geometry
+    that references it, which per-feature patching would miss. At scale the
+    reassembly cost is bounded by scoping the rebuild to cells whose
+    elements changed (the partition-pruned DiskRepo gives the seam); here
+    the full rebuild keeps the semantics trivially right.
+    """
+    from ..sources.osm_xml import read_osc
+
+    merged = merge_changes(_read_elements(base_paths), read_osc(osc_paths))
+    return build_repo_from_elements(merged, materialize=materialize)
+
+
 def import_osm(paths: str | list[str], materialize: bool = True):
     """``.osm`` / ``.osm.pbf`` file(s) -> FeatureRepo (the reference's
     ``import`` command, ``src/main.go:70-96``, as one Ray pipeline).
+    """
+    return build_repo_from_elements(_read_elements(paths), materialize=materialize)
 
-    The parsed element dataset is materialized once (the object-store
-    analogue of the reference's temp-feature spill file, SURVEY.md S2/S3)
-    because three type-projections and several joins re-consume it.
+
+def build_repo_from_elements(elems: ray.data.Dataset, materialize: bool = True):
+    """Parsed element dataset -> FeatureRepo.
+
+    The element dataset is materialized once (the object-store analogue of
+    the reference's temp-feature spill file, SURVEY.md S2/S3) because three
+    type-projections and several joins re-consume it.
     """
     from ..sources.repo import FeatureRepo
     from ..stages.tag_encode import encode_tags
     from .tag_dictionary import build_tag_index
 
-    if isinstance(paths, str) and paths.endswith(".pbf"):
-        from ..sources.osm_pbf import read_osm_pbf
-
-        elems = read_osm_pbf(paths)
-    else:
-        elems = read_osm_xml(paths)
     if materialize:
         elems = elems.materialize()
     raw_nodes, raw_ways, raw_rels = split_elements(elems)

@@ -65,13 +65,12 @@ def _decompress(data: bytes) -> bytes:
     return data
 
 
-def parse_osm_xml_bytes(data: bytes) -> pa.Table:
-    """One ``.osm``/``.osm.bz2``/``.osm.gz`` document -> element table
-    (schema above)."""
-    import xml.etree.ElementTree as ET
+def _new_rows() -> dict[str, list]:
+    return {name: [] for name in _ELEM_SCHEMA.names}
 
-    root = ET.fromstring(_decompress(data))
-    rows: dict[str, list] = {name: [] for name in _ELEM_SCHEMA.names}
+
+def _add_element(rows: dict[str, list], el) -> None:
+    """Append one parsed node/way/relation XML element to the row columns."""
 
     def add(etype, eid, lon, lat, tags, refs, members):
         rows["etype"].append(etype)
@@ -85,34 +84,89 @@ def parse_osm_xml_bytes(data: bytes) -> pa.Table:
         rows["member_ways"].append(members.get("member_ways", []))
         rows["member_rels"].append(members.get("member_rels", []))
 
-    for el in root:
-        tags = [
-            (t.attrib["k"], t.attrib["v"]) for t in el if t.tag == "tag"
-        ]
-        if el.tag == "node":
-            add(
-                ETYPE_NODE,
-                int(el.attrib["id"]),
-                float(el.attrib["lon"]),
-                float(el.attrib["lat"]),
-                tags,
-                [],
-                {},
-            )
-        elif el.tag == "way":
-            refs = [int(nd.attrib["ref"]) for nd in el if nd.tag == "nd"]
-            add(ETYPE_WAY, int(el.attrib["id"]), None, None, tags, refs, {})
-        elif el.tag == "relation":
-            members: dict[str, list[int]] = {}
-            for m in el:
-                if m.tag != "member":
-                    continue
-                slot = _MEMBER_SLOT.get(m.attrib.get("type", ""))
-                if slot is not None:
-                    members.setdefault(slot, []).append(int(m.attrib["ref"]))
-            add(ETYPE_RELATION, int(el.attrib["id"]), None, None, tags, [], members)
+    tags = [(t.attrib["k"], t.attrib["v"]) for t in el if t.tag == "tag"]
+    if el.tag == "node":
+        # osc delete stubs may omit lon/lat; keep them null
+        lon = el.attrib.get("lon")
+        lat = el.attrib.get("lat")
+        add(
+            ETYPE_NODE,
+            int(el.attrib["id"]),
+            None if lon is None else float(lon),
+            None if lat is None else float(lat),
+            tags,
+            [],
+            {},
+        )
+    elif el.tag == "way":
+        refs = [int(nd.attrib["ref"]) for nd in el if nd.tag == "nd"]
+        add(ETYPE_WAY, int(el.attrib["id"]), None, None, tags, refs, {})
+    elif el.tag == "relation":
+        members: dict[str, list[int]] = {}
+        for m in el:
+            if m.tag != "member":
+                continue
+            slot = _MEMBER_SLOT.get(m.attrib.get("type", ""))
+            if slot is not None:
+                members.setdefault(slot, []).append(int(m.attrib["ref"]))
+        add(ETYPE_RELATION, int(el.attrib["id"]), None, None, tags, [], members)
 
+
+def parse_osm_xml_bytes(data: bytes) -> pa.Table:
+    """One ``.osm``/``.osm.bz2``/``.osm.gz`` document -> element table
+    (schema above)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(_decompress(data))
+    rows = _new_rows()
+    for el in root:
+        _add_element(rows, el)
     return pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA)
+
+
+# osmChange actions (the ``op`` column of parse_osc_bytes)
+OP_CREATE = 0
+OP_MODIFY = 1
+OP_DELETE = 2
+_OSC_OPS = {"create": OP_CREATE, "modify": OP_MODIFY, "delete": OP_DELETE}
+
+
+def parse_osc_bytes(data: bytes) -> pa.Table:
+    """One osmChange (``.osc``, optionally bz2/gz) document -> element table
+    with an extra ``op`` int64 column (0 create / 1 modify / 2 delete).
+    Delete rows may be bare ``<node id=.../>`` stubs per the osc format;
+    only ``etype``/``id`` matter for them."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(_decompress(data))
+    rows = _new_rows()
+    ops: list[int] = []
+    for section in root:
+        op = _OSC_OPS.get(section.tag)
+        if op is None:
+            continue
+        for el in section:
+            before = len(rows["id"])
+            _add_element(rows, el)
+            ops.extend([op] * (len(rows["id"]) - before))
+    tbl = pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA)
+    return tbl.append_column("op", pa.array(ops, type=pa.int64()))
+
+
+def read_osc(paths: str | list[str]) -> ray.data.Dataset:
+    """``.osc`` change file(s) -> element+op Dataset (one task per file)."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [parse_osc_bytes(blob.as_py()) for blob in batch["bytes"]]
+        if not tables:
+            return _ELEM_SCHEMA.empty_table().append_column(
+                "op", pa.array([], type=pa.int64())
+            )
+        return pa.concat_tables(tables)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
 
 
 def read_osm_xml(paths: str | list[str]) -> ray.data.Dataset:

@@ -191,3 +191,39 @@ def test_compressed_xml_import_matches_plain(tmp_path, ref_repo):
         got = repo.nodes.to_pandas().sort_values("id").reset_index(drop=True)
         assert got["id"].tolist() == plain_nodes["id"].tolist()
         assert got["lon"].tolist() == plain_nodes["lon"].tolist()
+
+
+OSC_DELTA = """<osmChange version="0.6">
+  <create>
+    <node id="99" lon="9.915" lat="53.56">
+      <tag k="natural" v="tree"/>
+    </node>
+  </create>
+  <modify>
+    <node id="3" lon="9.92" lat="53.55">
+      <tag k="amenity" v="bench"/>
+      <tag k="backrest" v="no"/>
+    </node>
+  </modify>
+  <delete>
+    <node id="2"/>
+  </delete>
+</osmChange>
+"""
+
+
+def test_osc_change_merge(tmp_path):
+    from simple_osm_queries_ray.pipelines.import_osm import import_osm_with_changes
+
+    osc = tmp_path / "delta.osc"
+    osc.write_text(OSC_DELTA)
+    repo = import_osm_with_changes(REF_FIXTURE, str(osc))
+    eng = QueryEngine(repo)
+    bb = "bbox(9.9,53.5,9.94,53.6)"
+    # node 99 created, node 1 untouched
+    assert ids(eng.execute_string(f"{bb}.nodes{{natural=tree}}")) == {1, 99}
+    # node 2 deleted, node 3 still a bench
+    assert ids(eng.execute_string(f"{bb}.nodes{{amenity=bench}}")) == {3}
+    # node 3's modify REPLACED the element: backrest flipped to no
+    assert ids(eng.execute_string(f"{bb}.nodes{{backrest=yes}}")) == set()
+    assert ids(eng.execute_string(f"{bb}.nodes{{backrest=no}}")) == {3}
