@@ -4,7 +4,7 @@ thin wrapper around the same query path and is out of scope for the core).
 
 Usage (run from the repo root so workers resolve the package):
 
-    python -m simple_osm_queries_ray.cli import <sf_dir> <index_dir>
+    python -m simple_osm_queries_ray.cli import <sf_dir|file.osm[.bz2|.gz]|file.pbf> <index_dir> [delta.osc ...]
     python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson]
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
 """
@@ -32,13 +32,17 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if cmd == "import":
             src, index_dir = argv[1], argv[2]
+            changes = [a for a in argv[3:] if a.endswith(".osc")]
             from .pipelines.build_index import write_index
 
-            if src.endswith((".osm", ".pbf")):
-                # real OSM input (reference `import` path, main.go:70-96)
-                from .pipelines.import_osm import import_osm
+            if src.endswith((".osm", ".pbf", ".bz2", ".gz")):
+                # real OSM input (reference `import` path, main.go:70-96);
+                # trailing .osc args apply as osmChange deltas
+                from .pipelines.import_osm import import_osm, import_osm_with_changes
 
-                repo = import_osm(src)
+                repo = (
+                    import_osm_with_changes(src, changes) if changes else import_osm(src)
+                )
             else:
                 # synthetic derivation from a testdata sf directory
                 from .sources.repo import build_repo

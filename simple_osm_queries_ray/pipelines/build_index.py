@@ -216,6 +216,9 @@ def write_index(
             out_dir = os.path.join(index_dir, otype)
             wave_ds = ds.map_batches(assign, batch_format="pyarrow")
             wave_ds.write_parquet(out_dir, partition_cols=["pid"])
+            # an empty type table (e.g. an extract with no ways) writes no
+            # partition dirs at all — record the wave as empty and move on
+            os.makedirs(out_dir, exist_ok=True)
             # per-partition row metrics for the manifest
             rows: dict[int, int] = {}
             for pid_dir in os.listdir(out_dir):
