@@ -266,6 +266,12 @@ def _q_radius_join(sf_dir: str):
     return radius_join(_repo(sf_dir).nodes, RADIUS_JOIN_R)
 
 
+def _q_nn_join(sf_dir: str):
+    from simple_osm_queries_ray.stages.knn import nn_join
+
+    return nn_join(_repo(sf_dir).nodes)
+
+
 def _q_knn_ring(sf_dir: str):
     """Index-path kNN (expanding cell rings) for the first query point."""
     from simple_osm_queries_ray.stages.knn import knn_cell_ring
@@ -618,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
         "radius_join": _q_radius_join,
+        "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
         "knn_quad_ring": _q_knn_quad_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
@@ -929,6 +936,22 @@ ranked AS (
   FROM scored
 )
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+        # nearest-neighbour self-join (tie -> smallest id), exact
+        "nn_join": f"""
+{W},
+scored AS (
+  SELECT a.id, b.id AS nn_id,
+         (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+  FROM nodes_c a JOIN nodes_c b ON a.id <> b.id
+),
+ranked AS (
+  SELECT id, nn_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, nn_id) AS rn
+  FROM scored
+)
+SELECT id, nn_id, dist2 FROM ranked WHERE rn = 1
 """,
         # distance self-join: all pairs within RADIUS_JOIN_R planar degrees
         # (the engine's grid-bucket enumeration must equal the naive cross

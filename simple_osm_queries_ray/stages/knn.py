@@ -354,3 +354,133 @@ def radius_join(ds: ray.data.Dataset, radius: float) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
+
+
+def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Nearest-neighbour self-join: for every feature, the id and squared
+    planar distance of its closest other feature (tie -> smallest id).
+
+    Two-phase exact plan. Phase 1 reuses the radius-join bucketing: each
+    point meets everything in its 3x3 cell block and takes the block-local
+    minimum. A block-local answer is provably global when d2 <= CELL^2,
+    because any point outside the block is strictly farther than one cell
+    width. Phase 2 collects the (rare) unresolved points — isolated ones or
+    block minima beyond a cell — broadcasts them as query points, and
+    resolves them exactly with the brute-force kNN machinery (k=2, drop
+    self). At uniform density phase 2 is empty; worst case (all points
+    isolated) it degrades to the brute-force join, never to wrong answers.
+    """
+    from ..model import CELL_H, CELL_W, cell_xy, pack_cell
+
+    guarantee2 = float(min(CELL_W, CELL_H)) ** 2
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cx, cy = cell_xy(lon, lat)
+        out_bucket, out_home = [], []
+        n = len(ids_)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out_bucket.append(pack_cell(cx + dx, cy + dy))
+                out_home.append(np.full(n, dx == 0 and dy == 0, dtype=np.bool_))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "id": pa.array(np.tile(ids_, 9)),
+                "lon": pa.array(np.tile(lon, 9)),
+                "lat": pa.array(np.tile(lat, 9)),
+                "home": pa.array(np.concatenate(out_home)),
+            }
+        )
+
+    INF = np.inf
+    BIG_ID = np.iinfo(np.int64).max
+
+    def block_min(tbl: pa.Table) -> pa.Table:
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        lon = np.asarray(tbl["lon"], dtype=np.float64)
+        lat = np.asarray(tbl["lat"], dtype=np.float64)
+        home = np.asarray(tbl["home"], dtype=np.bool_)
+        hi = np.flatnonzero(home)
+        out = {"id": [], "nn_id": [], "dist2": []}
+        for s in range(0, len(hi), 512):
+            h = hi[s : s + 512]
+            dlon = lon[h, None] - lon[None, :]
+            dlat = lat[h, None] - lat[None, :]
+            d2 = dlon * dlon + dlat * dlat
+            d2[ids_[h, None] == ids_[None, :]] = INF  # exclude self
+            m = d2.min(axis=1) if d2.shape[1] else np.full(len(h), INF)
+            # tie-break: smallest id among the minima
+            nn = np.where(d2 == m[:, None], ids_[None, :], BIG_ID).min(axis=1)
+            out["id"].append(ids_[h])
+            out["nn_id"].append(nn)
+            out["dist2"].append(m)
+        if not out["id"]:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "nn_id": pa.array([], type=pa.int64()),
+                    "dist2": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out["id"])),
+                "nn_id": pa.array(np.concatenate(out["nn_id"])),
+                "dist2": pa.array(np.concatenate(out["dist2"])),
+            }
+        )
+
+    local = (
+        ds.select_columns(["id", "lon", "lat"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(block_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    resolved = local.filter(expr=f"dist2 <= {guarantee2!r}")
+
+    # phase 2: the unresolved residue (tiny at any realistic density)
+    unresolved = local.filter(expr=f"dist2 > {guarantee2!r}").select_columns(["id"])
+    un_ids = np.sort(
+        np.asarray(unresolved.to_pandas()["id"].to_numpy(), dtype=np.int64)
+    )
+    if len(un_ids) == 0:
+        return resolved
+
+    import ray as _ray
+
+    ids_ref = _ray.put(un_ids)
+
+    def pick_points(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        arr = bget(ids_ref)
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        pos = np.searchsorted(arr, ids_)
+        pos[pos >= len(arr)] = len(arr) - 1
+        keep = arr[pos] == ids_
+        return batch.filter(pa.array(keep))
+
+    pts = (
+        ds.select_columns(["id", "lon", "lat"])
+        .map_batches(pick_points, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("id")
+    )
+    qpts = np.stack([pts["lon"].to_numpy(), pts["lat"].to_numpy()], axis=1)
+    qids = pts["id"].to_numpy(dtype=np.int64)
+    fb = knn_bruteforce(ds, qpts, 2).to_pandas()
+    fb["self_id"] = qids[fb["qid"].to_numpy()]
+    fb = fb[fb["id"] != fb["self_id"]].sort_values(["qid", "rank"]).groupby("qid").head(1)
+    fixed = pa.table(
+        {
+            "id": pa.array(fb["self_id"].to_numpy(dtype=np.int64)),
+            "nn_id": pa.array(fb["id"].to_numpy(dtype=np.int64)),
+            "dist2": pa.array(fb["dist2"].to_numpy(dtype=np.float64)),
+        }
+    )
+    return resolved.union(ray.data.from_arrow(fixed))

@@ -46,3 +46,20 @@ def test_radius_join_matches_bruteforce(pts, r):
         else set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
     )
     assert got_pairs == brute_pairs(lon, lat, r)
+
+
+def test_nn_join_fallback_path():
+    """Isolated points (block-local NN farther than a cell) must be resolved
+    exactly by the brute-force phase-2 residue."""
+    from simple_osm_queries_ray.stages.knn import nn_join
+
+    lon = np.array([0.05, 1.05, 2.05, 2.07], dtype=np.float64)
+    lat = np.array([0.05, 0.05, 0.05, 0.05], dtype=np.float64)
+    ids = np.arange(4, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+    got = nn_join(ds).to_pandas().sort_values("id").reset_index(drop=True)
+    # 0 and 1 are >1 cell from everything: fallback; 2<->3 resolve locally
+    assert got["nn_id"].tolist() == [1, 2, 3, 2]
+    d2 = (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    assert np.allclose(got["dist2"].to_numpy(), d2.min(axis=1))
