@@ -167,6 +167,38 @@ def _q_ways_bounds(sf_dir: str):
     return _repo(sf_dir).ways.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat"])
 
 
+def _q_way_centroids(sf_dir: str):
+    """True way centroids from the member-node coordinate lists — a
+    list-column geometry aggregate (one reduceat per batch, no explode).
+    Rounded to 9 decimals on both sides: summation order differs between
+    the engine's document-order lists and the oracle's group scan, so the
+    raw doubles can differ in the last ulp."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def centroid(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lens = np.diff(off).astype(np.float64)
+        starts = off[:-1]
+        clon = np.add.reduceat(np.asarray(lons, dtype=np.float64), starts) / lens
+        clat = np.add.reduceat(np.asarray(lats, dtype=np.float64), starts) / lens
+        return pa.table(
+            {
+                "id": batch["id"],
+                "clon": pa.array(np.round(clon, 9)),
+                "clat": pa.array(np.round(clat, 9)),
+            }
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(centroid, batch_format="pyarrow")
+    )
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -613,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_node_in_relation": _q_node_in_relation,
         "soq_way_in_relation": _q_way_in_relation,
         "ways_bounds": _q_ways_bounds,
+        "way_centroids": _q_way_centroids,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -855,6 +888,10 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
+        "way_centroids": (
+            f"{W} SELECT 100000000 + wg AS id, ROUND(AVG(lon), 9) AS clon, "
+            "ROUND(AVG(lat), 9) AS clat FROM nodes_c GROUP BY wg"
+        ),
         "relations_bounds": (
             f"{WW}, {rel_cte} SELECT id, minlon, minlat, maxlon, maxlat FROM rel"
         ),
