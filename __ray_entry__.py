@@ -199,6 +199,12 @@ def _q_way_centroids(sf_dir: str):
     )
 
 
+def _q_way_overlap_pairs(sf_dir: str):
+    from simple_osm_queries_ray.stages.geo import bbox_overlap_join
+
+    return bbox_overlap_join(_repo(sf_dir).ways)
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -646,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_way_in_relation": _q_way_in_relation,
         "ways_bounds": _q_ways_bounds,
         "way_centroids": _q_way_centroids,
+        "way_overlap_pairs": _q_way_overlap_pairs,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -888,6 +895,13 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
+        "way_overlap_pairs": f"""
+{WW}
+SELECT a.id AS id_a, b.id AS id_b
+FROM ways a JOIN ways b ON a.id < b.id
+WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
+  AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+""",
         "way_centroids": (
             f"{W} SELECT 100000000 + wg AS id, ROUND(AVG(lon), 9) AS clon, "
             "ROUND(AVG(lat), 9) AS clat FROM nodes_c GROUP BY wg"

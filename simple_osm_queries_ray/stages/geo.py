@@ -277,3 +277,97 @@ def filter_bbox_quad_covering(
         return batch.filter(pa.array(inside | (boundary & refine)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bbox_overlap_join(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Range join between extended features: every unordered pair of bboxes
+    that intersect (id_a < id_b). Each bbox replicates to its grid-cell
+    covering; candidate pairs are enumerated inside one cell only, and a
+    pair is emitted exactly where its intersection rectangle's min corner
+    falls — a cell both coverings contain by construction — so no global
+    dedup pass exists. The exchange carries (cell, id, 4 bounds); coverings
+    of typical features are a handful of cells (the reference's extended
+    features live in every cell they touch too, grid_writer.go:125-145).
+    """
+    from ..model import CELL_H, CELL_W, pack_cell
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        mnx = np.asarray(batch["minlon"], dtype=np.float64)
+        mny = np.asarray(batch["minlat"], dtype=np.float64)
+        mxx = np.asarray(batch["maxlon"], dtype=np.float64)
+        mxy = np.asarray(batch["maxlat"], dtype=np.float64)
+        cx0 = np.floor(mnx / CELL_W).astype(np.int64)
+        cx1 = np.floor(mxx / CELL_W).astype(np.int64)
+        cy0 = np.floor(mny / CELL_H).astype(np.int64)
+        cy1 = np.floor(mxy / CELL_H).astype(np.int64)
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
+        offs = np.zeros(len(ids_), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        k = np.arange(total, dtype=np.int64) - offs[row]
+        kx = k // ny[row]
+        ky = k % ny[row]
+        cell = pack_cell(cx0[row] + kx, cy0[row] + ky)
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "id": pa.array(ids_[row]),
+                "minlon": pa.array(mnx[row]),
+                "minlat": pa.array(mny[row]),
+                "maxlon": pa.array(mxx[row]),
+                "maxlat": pa.array(mxy[row]),
+            }
+        )
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        bucket = int(tbl["bucket"][0].as_py())
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        mnx = np.asarray(tbl["minlon"], dtype=np.float64)
+        mny = np.asarray(tbl["minlat"], dtype=np.float64)
+        mxx = np.asarray(tbl["maxlon"], dtype=np.float64)
+        mxy = np.asarray(tbl["maxlat"], dtype=np.float64)
+        out_a, out_b = [], []
+        for s in range(0, len(ids_), 512):
+            e = slice(s, s + 512)
+            inter = (
+                (mnx[e, None] <= mxx[None, :])
+                & (mnx[None, :] <= mxx[e, None])
+                & (mny[e, None] <= mxy[None, :])
+                & (mny[None, :] <= mxy[e, None])
+                & (ids_[e, None] < ids_[None, :])
+            )
+            # canonical cell: the intersection rectangle's min corner
+            ilon = np.maximum(mnx[e, None], mnx[None, :])
+            ilat = np.maximum(mny[e, None], mny[None, :])
+            canon = pack_cell(
+                np.floor(ilon / CELL_W).astype(np.int64),
+                np.floor(ilat / CELL_H).astype(np.int64),
+            )
+            keep = inter & (canon == bucket)
+            ai, bj = np.nonzero(keep)
+            out_a.append(ids_[e][ai])
+            out_b.append(ids_[bj])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    return (
+        ds.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
