@@ -199,6 +199,37 @@ def _q_way_centroids(sf_dir: str):
     )
 
 
+def _q_way_lengths(sf_dir: str):
+    """Polyline length per way from the ordered member-node lists: one
+    vectorized diff + segment-masked reduceat per batch (no explode, no
+    join). Rounded to 9 decimals on both sides — summation order differs
+    from the oracle's join-scan order by ulps."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        d = np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2)
+        if len(off) > 2:
+            d[off[1:-1] - 1] = 0.0  # zero the inter-way seams
+        starts = off[:-1]
+        total = np.add.reduceat(d, np.minimum(starts, max(len(d) - 1, 0)))
+        total[np.diff(off) <= 1] = 0.0  # single-node ways have no segments
+        return pa.table(
+            {"id": batch["id"], "length": pa.array(np.round(total, 9))}
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(lengths, batch_format="pyarrow")
+    )
+
+
 def _q_way_overlap_pairs(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import bbox_overlap_join
 
@@ -653,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ways_bounds": _q_ways_bounds,
         "way_centroids": _q_way_centroids,
         "way_overlap_pairs": _q_way_overlap_pairs,
+        "way_lengths": _q_way_lengths,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -895,6 +927,16 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
+        "way_lengths": f"""
+{W},
+seg AS (
+  SELECT a.wg,
+         SQRT((b.lon - a.lon) * (b.lon - a.lon)
+              + (b.lat - a.lat) * (b.lat - a.lat)) AS d
+  FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg
+)
+SELECT 100000000 + wg AS id, ROUND(SUM(d), 9) AS length FROM seg GROUP BY wg
+""",
         "way_overlap_pairs": f"""
 {WW}
 SELECT a.id AS id_a, b.id AS id_b
