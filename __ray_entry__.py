@@ -664,6 +664,34 @@ def _q_doc_length_quantiles(sf_dir: str):
     return doc_length_quantiles(sf_dir)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.embed import kmeans_assign
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8)
+
+
+def _q_top_terms_df(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import top_terms_df
+
+    return top_terms_df(sf_dir, k=30)
+
+
+def _q_decontaminate(sf_dir: str):
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.dedup import decontaminate
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decontaminate(ds, n=4, eval_mod=53)
+
+
+def _q_events_retention(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import events_retention
+
+    return events_retention(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -720,6 +748,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "kmeans_assign": _q_kmeans_assign,
+        "top_terms_df": _q_top_terms_df,
+        "decontaminate": _q_decontaminate,
+        "events_retention": _q_events_retention,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -1276,6 +1308,44 @@ SELECT CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE),
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+""",
+        # centroids = vectors with vec_id < 8 (deterministic); engine argmin
+        # in float64 == ORDER BY list_distance, cid
+        "kmeans_assign": """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings WHERE vec_id < 8)
+SELECT e.vec_id,
+       (SELECT c.cid FROM c
+        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cid
+        LIMIT 1) AS cluster
+FROM embeddings e
+""",
+        "top_terms_df": """
+SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY df DESC, token LIMIT 30
+""",
+        "decontaminate": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
+       FROM toks, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i) g
+       WHERE len(t) >= 4),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
+SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) WHERE sh.doc_id % 53 <> 0
+""",
+        "events_retention": """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+            FROM events)
+SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
+FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + 1
+GROUP BY a.day
 """,
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads

@@ -795,3 +795,73 @@ def dedup_keep_best(
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def _word_shingles(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All n-token shingle strings per doc, vectorized over the batch's
+    flattened token stream: (shingle_strings, doc_index_of_shingle). A
+    shingle is n lowercased whitespace tokens joined by one space —
+    identical to the SQL ``array_to_string(t[i:i+n-1], ' ')`` spec."""
+    from .text import _doc_tokens
+
+    flat, doc_of = _doc_tokens(texts)
+    if len(flat) < n:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    valid = doc_of[: len(flat) - n + 1] == doc_of[n - 1 :]
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    s = pd.Series(flat[idx])
+    for j in range(1, n):
+        s = s + " " + pd.Series(flat[idx + j])
+    return s.to_numpy(), doc_of[idx]
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 4,
+    eval_mod: int = 53,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every training document sharing any
+    n-token shingle with any eval-set document (eval set = id % eval_mod == 0,
+    a deterministic split the oracle can recompute). Output: (doc_id,) of
+    contaminated training docs.
+
+    Scale shape: the eval side is tiny by definition (benchmarks are KBs-MBs
+    against a 100 TB corpus), so its distinct shingle set is collected once
+    and broadcast via ray.put; the training corpus then streams through ONE
+    map_batches probe — no shuffle, no join. The probe is vectorized:
+    flattened sliding-window shingles + a hashed isin + bincount per doc.
+    (The reference has no text ops; this is the standard eval-overlap filter
+    of an LLM training-data pipeline.)"""
+    from ..state.broadcast import get as bget
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keep = ids % eval_mod == 0
+        sh, _ = _word_shingles(batch[text_col].to_pandas()[keep].reset_index(drop=True), n)
+        return pa.table({"s": pa.array(pd.unique(sh), type=pa.string())})
+
+    ev = set()
+    for b in ds.map_batches(eval_shingles, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        ev.update(b["s"].to_pylist())
+    ref = ray.put(frozenset(ev))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        evset = bget(ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        train = ids % eval_mod != 0
+        texts = batch[text_col].to_pandas()[train].reset_index(drop=True)
+        sh, doc_of = _word_shingles(texts, n)
+        hit = pd.Series(sh).isin(evset).to_numpy() if len(sh) else np.zeros(0, dtype=bool)
+        n_docs = int(train.sum())
+        flagged = np.bincount(doc_of[hit], minlength=n_docs) > 0 if n_docs else np.zeros(0, dtype=bool)
+        out = ids[train][flagged]
+        return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+    return ds.map_batches(probe, batch_format="pyarrow")

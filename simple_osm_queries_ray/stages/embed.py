@@ -379,3 +379,69 @@ def ann_search_ivf(
     return ivf_probe_search(
         index_dir, cents, q_ids, q_vecs, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
+
+
+def _batch_matrix(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
+    """Zero-copy-ish (batch, dim) float64 matrix from a list<float> column:
+    flatten the list values into one numpy array and reshape by the uniform
+    dim — no per-row to_pylist materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, dim or 1))
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.diff(offsets)
+    if dim is None:
+        dim = int(widths[0])
+    if not np.all(widths == dim):
+        raise ValueError("ragged embedding column")
+    # account for a possible non-zero slice offset into the values buffer
+    return values[offsets[0] : offsets[0] + n * dim].reshape(n, dim)
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset, k: int = 8, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest of ``k`` fixed centroids (the
+    vectors with id < k — deterministic, so the DuckDB oracle can recompute
+    the same assignment). Output: (vec_id, cluster), cluster = centroid id
+    minimizing Euclidean distance, lowest id on ties.
+
+    Scale shape: the centroid matrix is tiny and broadcast once via ray.put;
+    each batch does ONE (b x d) @ (d x k) matmul in float64 — no shuffle at
+    all. This is the assignment step of distributed k-means (the reference
+    has no clustering; training-data curation needs it for e.g. topic
+    bucketing before per-cluster dedup)."""
+
+    def take_centroids(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.less(batch[id_col], pa.scalar(k, type=pa.int64()))
+        return batch.filter(mask)
+
+    cent_tbls = [
+        t for t in ds.map_batches(take_centroids, batch_format="pyarrow")
+        .select_columns([id_col, vec_col])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    cent = pa.concat_tables(cent_tbls)
+    cids = np.asarray(cent[id_col], dtype=np.int64)
+    order = np.argsort(cids)
+    C = _batch_matrix(cent[vec_col])[order]
+    cids = cids[order]
+    ref = ray.put((cids, C, (C * C).sum(axis=1)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids_, C_, c2 = bget(ref)
+        X = _batch_matrix(batch[vec_col], C_.shape[1])
+        # argmin of ||x-c||^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 is constant per row
+        d2 = c2[None, :] - 2.0 * (X @ C_.T)
+        cl = cids_[np.argmin(d2, axis=1)] if len(X) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(cl, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

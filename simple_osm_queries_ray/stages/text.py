@@ -569,3 +569,95 @@ def doc_length_quantiles(
         out_q.append(float(q))
         out_v.append(int(vals[np.searchsorted(cum, k, side="left")]))
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def _doc_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-doc whitespace tokens (lowercased, empties dropped) into
+    (flat_tokens, doc_index_of_token). pandas str.split is the vectorized
+    path; equals DuckDB's list_filter(string_split_regex(lower(t),'\\s+'),
+    x -> x <> '')."""
+    toks = texts.str.lower().str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]) if lens.sum() else np.array([], dtype=object)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return flat, doc_of
+
+
+def top_terms_df(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """Top-k tokens by document frequency (count of distinct docs containing
+    the token), ties broken by token ascending. Output: (token, df).
+
+    Shape: per-batch partial — each doc's tokens are deduped locally (a doc
+    lives in exactly one row, so within-batch dedup IS the global distinct)
+    and counted into a (token, df) partial; the shuffle moves only the tiny
+    token-vocabulary partials, then one small groupby-sum + sort + limit.
+    The pattern is the document-frequency half of distributed TF-IDF."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
+        df_ = pd.DataFrame({"t": flat, "d": doc_of}).drop_duplicates()
+        cnt = df_.groupby("t", sort=False).size()
+        return pa.table({"token": pa.array(cnt.index, type=pa.string()), "df": pa.array(cnt.to_numpy(), type=pa.int64())})
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    # the aggregate is vocabulary-sized (tiny); a driver-side top-k keeps the
+    # deterministic (df desc, token asc) cut without a distributed sort
+    pdf = agg.to_pandas().sort_values(["df", "token"], ascending=[False, True], kind="mergesort")
+    return pdf.head(k).reset_index(drop=True)
+
+
+def events_retention(sf_dir: str) -> "pd.DataFrame":
+    """Next-day retention: for each day d, how many distinct users had at
+    least one event on BOTH d and d+1. Output: (day [int days since epoch],
+    retained).
+
+    Shape: per-batch dedup of (user, day) pairs, ONE shuffle keyed on
+    hash(user) bucket (all of a user's days land together), per-bucket
+    vectorized consecutive-day detection (sort + diff), then tiny per-day
+    partials summed driver-side. Mirrors the sessionization partitioning
+    assumption: per-user history fits a task."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    num_buckets = 32
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        day = np.asarray(batch["ts"], dtype="datetime64[us]").astype("datetime64[D]").astype(np.int64)
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        b = np.abs((pairs[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {"user_id": pa.array(pairs[:, 0]), "day": pa.array(pairs[:, 1]), "__bucket": pa.array(b)}
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        day = np.asarray(tbl["day"], dtype=np.int64)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])  # cross-batch dedup
+        u, day = u[keep], day[keep]
+        nxt = (u[1:] == u[:-1]) & (day[1:] - day[:-1] == 1)
+        d, c = np.unique(day[:-1][nxt], return_counts=True)
+        return pa.table({"day": pa.array(d), "retained": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(dedup_pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("retained", alias_name="retained"))
+    )
+    return agg.to_pandas().sort_values("day").reset_index(drop=True)
