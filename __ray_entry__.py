@@ -664,6 +664,12 @@ def _q_doc_length_quantiles(sf_dir: str):
     return doc_length_quantiles(sf_dir)
 
 
+def _q_tpch_q5(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q5_local_supplier_revenue
+
+    return q5_local_supplier_revenue(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -755,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
+        "tpch_q5": _q_tpch_q5,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_tiles": _q_image_tiles,
@@ -1433,6 +1440,18 @@ WHERE l.l_orderkey IN (
 GROUP BY l.l_orderkey
 ORDER BY revenue_hc DESC, o_orderkey
 LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_hc
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
 """,
         "orders_per_nation": """
 SELECT n.n_name, count(*) AS n_orders

@@ -175,3 +175,103 @@ def orders_per_nation(sf_dir: str) -> ray.data.Dataset:
         .groupby("n_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
+
+
+def q5_local_supplier_revenue(
+    sf_dir: str, region: str = "ASIA", date_lo: str = "1995-01-01", date_hi: str = "1996-01-01"
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share the
+    nation, within one region and order-date year. Output: (n_name,
+    revenue_hc) with revenue in integer hundredths-of-cents.
+
+    Distributed plan (the multi-way-join benchmark of the relational family):
+
+    - nation JOIN region and the supplier -> nation map are broadcast
+      (dimension tables: tiny at any scale);
+    - orders(date-filtered) JOIN customer on custkey is partitioned hash
+      join #1 (both sides large at real scale — neither is broadcast);
+    - lineitem JOIN the result on orderkey is partitioned hash join #2;
+      unmatched lineitems (orders outside the window) drop out of the left
+      join by the null c_nationkey;
+    - the local-supplier predicate + revenue partials are one vectorized
+      map_batches, so the final groupby shuffles only per-nation partials.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    }
+    nation_name = {
+        r["n_nationkey"]: r["n_name"] for r in nat.to_pylist() if r["n_regionkey"] in rkeys
+    }
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    s_nat = np.asarray(sup["s_nationkey"], dtype=np.int64)
+    order_ = np.argsort(s_keys)
+    ref = ray.put((s_keys[order_], s_nat[order_], dict(nation_name)))
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], dtype="datetime64[D]")
+        keep = (d >= lo) & (d < hi)
+        return batch.select(["o_orderkey", "o_custkey"]).filter(pa.array(keep))
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders_cn = hash_join_attach(
+        orders_f, "o_custkey", customer, "c_custkey", {"c_nationkey": pa.int32()}
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join_attach(
+        lineitem, "l_orderkey", orders_cn, "o_orderkey", {"c_nationkey": pa.int32()}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk, sn, names = bget(ref)
+        cn_col = batch["c_nationkey"].combine_chunks()
+        valid = ~np.asarray(cn_col.is_null())
+        if not valid.any():
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "revenue_hc": pa.array([], type=pa.int64())})
+        cn = np.asarray(cn_col.fill_null(-1), dtype=np.int64)
+        lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        pos = np.searchsorted(sk, lsk)
+        pos_c = np.clip(pos, 0, len(sk) - 1)
+        sup_nat = np.where(sk[pos_c] == lsk, sn[pos_c], -2)
+        keep = valid & (sup_nat == cn) & np.isin(cn, list(names))
+        if not keep.any():
+            return pa.table({"n_name": pa.array([], type=pa.string()),
+                             "revenue_hc": pa.array([], type=pa.int64())})
+        price_c = _cents(batch["l_extendedprice"])[keep]
+        disc = np.round(np.asarray(batch["l_discount"], dtype=np.float64)[keep] * 100).astype(np.int64)
+        rev = price_c * (100 - disc)
+        df = pd.DataFrame({"nk": cn[keep], "revenue_hc": rev}).groupby("nk", as_index=False).sum()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in df["nk"]], type=pa.string()),
+                "revenue_hc": pa.array(df["revenue_hc"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_hc", alias_name="revenue_hc"))
+    )
