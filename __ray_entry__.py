@@ -230,6 +230,39 @@ def _q_way_lengths(sf_dir: str):
     )
 
 
+def _q_way_areas(sf_dir: str):
+    """Shoelace area per way, nodes in order with an implicit last->first
+    closing segment: one vectorized cross-product + reduceat per batch over
+    the flattened list columns (wraparound handled by an index remap, no
+    per-way loop). Rounded to 9 decimals on both sides like way_lengths."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def areas(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        x = np.asarray(lons, dtype=np.float64)
+        y = np.asarray(lats, dtype=np.float64)
+        n = len(x)
+        nxt = np.arange(1, n + 1, dtype=np.int64)
+        if len(off) > 1:
+            nxt[off[1:] - 1] = off[:-1]  # each way's last node wraps to its first
+        cr = x * y[nxt] - x[nxt] * y if n else np.zeros(0)
+        starts = off[:-1]
+        tot = np.add.reduceat(cr, np.minimum(starts, max(n - 1, 0))) if n else np.zeros(0)
+        tot[np.diff(off) <= 2] = 0.0  # degenerate rings (<3 nodes) have no area
+        return pa.table(
+            {"id": batch["id"], "area": pa.array(np.round(np.abs(tot) / 2.0, 9))}
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(areas, batch_format="pyarrow")
+    )
+
+
 def _q_way_overlap_pairs(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import bbox_overlap_join
 
@@ -670,6 +703,18 @@ def _q_tpch_q5(sf_dir: str):
     return q5_local_supplier_revenue(sf_dir)
 
 
+def _q_doc_len_quantiles_per_lang(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import doc_len_quantiles_per_lang
+
+    return doc_len_quantiles_per_lang(sf_dir)
+
+
+def _q_distinctive_terms(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import distinctive_terms
+
+    return distinctive_terms(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -719,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_centroids": _q_way_centroids,
         "way_overlap_pairs": _q_way_overlap_pairs,
         "way_lengths": _q_way_lengths,
+        "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -754,6 +800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_len_quantiles_per_lang": _q_doc_len_quantiles_per_lang,
+        "distinctive_terms": _q_distinctive_terms,
         "kmeans_assign": _q_kmeans_assign,
         "top_terms_df": _q_top_terms_df,
         "decontaminate": _q_decontaminate,
@@ -975,6 +1023,17 @@ seg AS (
   FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg
 )
 SELECT 100000000 + wg AS id, ROUND(SUM(d), 9) AS length FROM seg GROUP BY wg
+""",
+        "way_areas": f"""
+{W},
+seg AS (
+  SELECT wg,
+         lon * COALESCE(LEAD(lat) OVER w, FIRST_VALUE(lat) OVER w)
+       - COALESCE(LEAD(lon) OVER w, FIRST_VALUE(lon) OVER w) * lat AS cr
+  FROM nodes_c WINDOW w AS (PARTITION BY wg ORDER BY id)
+)
+SELECT 100000000 + wg AS id, ROUND(ABS(SUM(cr)) / 2, 9) AS area
+FROM seg GROUP BY wg
 """,
         "way_overlap_pairs": f"""
 {WW}
@@ -1315,6 +1374,30 @@ SELECT CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE),
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+""",
+        "doc_len_quantiles_per_lang": """
+SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE),
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+FROM documents GROUP BY lang
+""",
+        "distinctive_terms": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+SELECT doc_id, token FROM (
+  SELECT tf.doc_id, tf.token,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfs.df ASC, tf.token ASC) AS rn
+  FROM tf JOIN dfs USING (token)) t
+WHERE rn = 1
 """,
         # centroids = vectors with vec_id < 8 (deterministic); engine argmin
         # in float64 == ORDER BY list_distance, cid

@@ -661,3 +661,105 @@ def events_retention(sf_dir: str) -> "pd.DataFrame":
         .aggregate(Sum("retained", alias_name="retained"))
     )
     return agg.to_pandas().sort_values("day").reset_index(drop=True)
+
+
+def doc_len_quantiles_per_lang(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)
+) -> "pd.DataFrame":
+    """Exact per-language PERCENTILE_DISC over n_chars. Output: (lang, q,
+    value). Same bounded-integer-domain histogram trick as
+    :func:`doc_length_quantiles`, keyed by language: the shuffle moves only
+    (lang, value, n) partials — |langs| x |distinct lengths| rows — and the
+    cumsum walk per language happens on that tiny aggregate driver-side."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(batch["lang"]),
+                "value": np.asarray(batch["n_chars"], dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "value"], as_index=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["lang", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "value"])
+    )
+    out = []
+    for lang, g in hist.groupby("lang", sort=True):
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["value"].to_numpy()
+        for q in qs:
+            k = max(1, int(np.ceil(q * total)))
+            out.append((lang, float(q), int(vals[np.searchsorted(cum, k, side="left")])))
+    return pd.DataFrame(out, columns=["lang", "q", "value"])
+
+
+def distinctive_terms(sf_dir: str) -> ray.data.Dataset:
+    """The most distinctive term per document: maximize term frequency, tie
+    broken by LOWER document frequency (rarer corpus-wide wins), then token
+    ascending — an all-integer ordering, so the TF-IDF-style argmax is
+    bit-exact against SQL. Output: (doc_id, token).
+
+    Shape: the document-frequency table is vocabulary-sized; it is computed
+    by the same partial-dedup aggregation as :func:`top_terms_df` and
+    broadcast once via ray.put, then one streaming map_batches computes each
+    doc's (tf desc, df asc, token asc) argmax vectorized — no per-doc join,
+    no second shuffle over the corpus."""
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
+        d = pd.DataFrame({"t": flat, "d": doc_of}).drop_duplicates()
+        cnt = d.groupby("t", sort=False).size()
+        return pa.table({"token": pa.array(cnt.index, type=pa.string()), "df": pa.array(cnt.to_numpy(), type=pa.int64())})
+
+    dfs = (
+        _docs(sf_dir)
+        .map_batches(df_partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    ref = ray.put(dict(zip(dfs["token"], dfs["df"].astype(np.int64))))
+
+    from ..state.broadcast import get as bget
+
+    def argmax(batch: pa.Table) -> pa.Table:
+        df_map = bget(ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()), "token": pa.array([], type=pa.string())})
+        tf = (
+            pd.DataFrame({"d": doc_of, "t": flat})
+            .groupby(["d", "t"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["df"] = tf["t"].map(df_map).astype(np.int64)
+        tf = tf.sort_values(["d", "tf", "df", "t"], ascending=[True, False, True, True], kind="mergesort")
+        first = tf.drop_duplicates("d", keep="first")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[first["d"].to_numpy()], type=pa.int64()),
+                "token": pa.array(first["t"].to_numpy(), type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(argmax, batch_format="pyarrow")
