@@ -723,6 +723,14 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, k=8)
 
 
+def _q_kmeans_fit(sf_dir: str):
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.embed import kmeans_fit_assign
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_fit_assign(ds, k=8, iters=2)
+
+
 def _q_top_terms_df(sf_dir: str):
     from simple_osm_queries_ray.stages.text import top_terms_df
 
@@ -803,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_per_lang": _q_doc_len_quantiles_per_lang,
         "distinctive_terms": _q_distinctive_terms,
         "kmeans_assign": _q_kmeans_assign,
+        "kmeans_fit": _q_kmeans_fit,
         "top_terms_df": _q_top_terms_df,
         "decontaminate": _q_decontaminate,
         "events_retention": _q_events_retention,
@@ -1409,6 +1418,29 @@ SELECT e.vec_id,
         ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cid
         LIMIT 1) AS cluster
 FROM embeddings e
+""",
+        # two Lloyd iterations from the deterministic vec_id<8 seed; each
+        # update is an element-wise AVG per cluster (lateral-range explode),
+        # each assignment the same (list_distance, cid) argmin as
+        # kmeans_assign — exact twin of the engine's broadcast-partials loop
+        "kmeans_fit": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+a0 AS (SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM c0 c ORDER BY list_distance(e.v, c.cv), c.cid LIMIT 1) AS cl FROM e),
+c1 AS (SELECT cl AS cid, list(avgv ORDER BY i) AS cv FROM (
+         SELECT cl, g.i, AVG(v[g.i]) AS avgv
+         FROM a0, LATERAL (SELECT unnest(range(1, len(v)+1)) AS i) g
+         GROUP BY cl, g.i) GROUP BY cl),
+a1 AS (SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM c1 c ORDER BY list_distance(e.v, c.cv), c.cid LIMIT 1) AS cl FROM e),
+c2 AS (SELECT cl AS cid, list(avgv ORDER BY i) AS cv FROM (
+         SELECT cl, g.i, AVG(v[g.i]) AS avgv
+         FROM a1, LATERAL (SELECT unnest(range(1, len(v)+1)) AS i) g
+         GROUP BY cl, g.i) GROUP BY cl),
+a2 AS (SELECT e.vec_id,
+        (SELECT c.cid FROM c2 c ORDER BY list_distance(e.v, c.cv), c.cid LIMIT 1) AS cl FROM e)
+SELECT vec_id, cl AS cluster FROM a2
 """,
         "top_terms_df": """
 SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (

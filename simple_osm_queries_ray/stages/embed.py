@@ -445,3 +445,90 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit_assign(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means: ``iters`` update rounds from the
+    deterministic seed (vectors with id < k), then the final assignment.
+    Output: (vec_id, cluster).
+
+    Scale shape — the canonical iterative-algorithm pattern on Ray Data:
+    each round broadcasts the (k x d) centroid matrix via ray.put and runs
+    ONE streaming map_batches producing per-cluster partial (count, sum)
+    rows; the driver reduces the k*d-sized partials and rebroadcasts. No
+    shuffle of the corpus, ever; per-round cost is one read + one tiny
+    collect. Empty clusters drop out (mirroring the SQL oracle's GROUP BY).
+    """
+
+    def take_seed(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.less(batch[id_col], pa.scalar(k, type=pa.int64())))
+
+    seed = pa.concat_tables(
+        ds.map_batches(take_seed, batch_format="pyarrow")
+        .select_columns([id_col, vec_col])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cids = np.asarray(seed[id_col], dtype=np.int64)
+    order = np.argsort(cids)
+    C = _batch_matrix(seed[vec_col])[order]
+    cids = cids[order]
+
+    for _ in range(iters):
+        ref = ray.put((cids, C, (C * C).sum(axis=1)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cids_, C_, c2 = bget(ref)
+            X = _batch_matrix(batch[vec_col], C_.shape[1])
+            if len(X) == 0:
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "vsum": pa.array([], type=pa.list_(pa.float64()))})
+            a = np.argmin(c2[None, :] - 2.0 * (X @ C_.T), axis=1)
+            present = np.unique(a)
+            sums = np.zeros((len(present), X.shape[1]))
+            counts = np.zeros(len(present), dtype=np.int64)
+            for j, p in enumerate(present):  # k-bounded loop, not row-bounded
+                m = a == p
+                sums[j] = X[m].sum(axis=0)
+                counts[j] = int(m.sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(cids_[present], type=pa.int64()),
+                    "n": pa.array(counts),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                }
+            )
+
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            cl = np.asarray(b["cluster"], dtype=np.int64)
+            n = np.asarray(b["n"], dtype=np.int64)
+            vs = _batch_matrix(b["vsum"]) if len(b) else np.zeros((0, C.shape[1]))
+            for c, cnt, row in zip(cl, n, vs):
+                if c in acc:
+                    acc[c] = (acc[c][0] + int(cnt), acc[c][1] + row)
+                else:
+                    acc[c] = (int(cnt), row.copy())
+        cids = np.array(sorted(acc), dtype=np.int64)
+        C = np.stack([acc[c][1] / acc[c][0] for c in cids])
+
+    ref = ray.put((cids, C, (C * C).sum(axis=1)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids_, C_, c2 = bget(ref)
+        X = _batch_matrix(batch[vec_col], C_.shape[1])
+        cl = cids_[np.argmin(c2[None, :] - 2.0 * (X @ C_.T), axis=1)] if len(X) else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"vec_id": batch[id_col].cast(pa.int64()), "cluster": pa.array(cl, type=pa.int64())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
