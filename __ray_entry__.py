@@ -269,6 +269,12 @@ def _q_way_overlap_pairs(sf_dir: str):
     return bbox_overlap_join(_repo(sf_dir).ways)
 
 
+def _q_way_cross_pairs(sf_dir: str):
+    from simple_osm_queries_ray.stages.geo import segment_cross_join
+
+    return segment_cross_join(_repo(sf_dir).ways)
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -771,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ways_bounds": _q_ways_bounds,
         "way_centroids": _q_way_centroids,
         "way_overlap_pairs": _q_way_overlap_pairs,
+        "way_cross_pairs": _q_way_cross_pairs,
         "way_lengths": _q_way_lengths,
         "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
@@ -1050,6 +1057,24 @@ SELECT a.id AS id_a, b.id AS id_b
 FROM ways a JOIN ways b ON a.id < b.id
 WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
   AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+""",
+        # strict proper-crossing test; the engine evaluates the identical
+        # sign expressions in float64, so orientation signs agree bit-exactly
+        "way_cross_pairs": f"""
+{WW},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT wa.id AS id_a, wb.id AS id_b
+FROM ways wa JOIN ways wb ON wa.id < wb.id
+ AND wa.minlon <= wb.maxlon AND wb.minlon <= wa.maxlon
+ AND wa.minlat <= wb.maxlat AND wb.minlat <= wa.maxlat
+WHERE EXISTS (
+  SELECT 1 FROM seg s, seg t
+  WHERE s.wg = wa.id - 100000000 AND t.wg = wb.id - 100000000
+    AND sign((s.x2-s.x1)*(t.y1-s.y1)-(s.y2-s.y1)*(t.x1-s.x1))
+      * sign((s.x2-s.x1)*(t.y2-s.y1)-(s.y2-s.y1)*(t.x2-s.x1)) < 0
+    AND sign((t.x2-t.x1)*(s.y1-t.y1)-(t.y2-t.y1)*(s.x1-t.x1))
+      * sign((t.x2-t.x1)*(s.y2-t.y1)-(t.y2-t.y1)*(s.x2-t.x1)) < 0)
 """,
         "way_centroids": (
             f"{W} SELECT 100000000 + wg AS id, ROUND(AVG(lon), 9) AS clon, "

@@ -371,3 +371,79 @@ def bbox_overlap_join(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
+
+
+def segment_cross_join(ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact polyline-crossing join: (id_a < id_b) pairs of ways with at
+    least one properly-intersecting segment pair (strict orientation test,
+    touching excluded). Output: (id_a, id_b).
+
+    Plan: candidates from :func:`bbox_overlap_join` (grid-replicated,
+    exactly-once), then the way geometries are attached by TWO partitioned
+    hash joins (no broadcast of the big side), and the segment x segment
+    orientation tests run fully vectorized over the flattened candidate
+    batch — the per-pair work is (na-1)x(nb-1) sign tests, reduced per pair
+    with one reduceat. The sign expressions are evaluated in the identical
+    operation order as the SQL oracle, so float64 signs agree bit-exactly.
+    """
+    from .joins import hash_join_attach
+    from ..functions.segments import list_parts
+
+    cand = bbox_overlap_join(ways)
+    geo = ways.select_columns(["id", "node_lons", "node_lats"])
+    lf = pa.list_(pa.float64())
+    cand = hash_join_attach(
+        cand, "id_a",
+        geo.map_batches(
+            lambda b: pa.table({"id": b["id"], "lons_a": b["node_lons"], "lats_a": b["node_lats"]}),
+            batch_format="pyarrow",
+        ),
+        "id", {"lons_a": lf, "lats_a": lf},
+    )
+    cand = hash_join_attach(
+        cand, "id_b",
+        geo.map_batches(
+            lambda b: pa.table({"id": b["id"], "lons_b": b["node_lons"], "lats_b": b["node_lats"]}),
+            batch_format="pyarrow",
+        ),
+        "id", {"lons_b": lf, "lats_b": lf},
+    )
+
+    def cross_test(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+        P = len(batch)
+        if P == 0:
+            return empty
+        ida = np.asarray(batch["id_a"], dtype=np.int64)
+        idb = np.asarray(batch["id_b"], dtype=np.int64)
+        ax, aoff = list_parts(batch["lons_a"])
+        ay, _ = list_parts(batch["lats_a"])
+        bx, boff = list_parts(batch["lons_b"])
+        by, _ = list_parts(batch["lats_b"])
+        ax = np.asarray(ax, dtype=np.float64); ay = np.asarray(ay, dtype=np.float64)
+        bx = np.asarray(bx, dtype=np.float64); by = np.asarray(by, dtype=np.float64)
+        nsa = np.maximum(np.diff(aoff) - 1, 0)
+        nsb = np.maximum(np.diff(boff) - 1, 0)
+        counts = nsa * nsb
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(P, dtype=np.int64), counts)
+        offs = np.zeros(P, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        k = np.arange(total, dtype=np.int64) - offs[row]
+        ja = aoff[:-1][row] + k // nsb[row]
+        jb = boff[:-1][row] + k % nsb[row]
+        sx1, sy1, sx2, sy2 = ax[ja], ay[ja], ax[ja + 1], ay[ja + 1]
+        tx1, ty1, tx2, ty2 = bx[jb], by[jb], bx[jb + 1], by[jb + 1]
+        d1 = np.sign((sx2 - sx1) * (ty1 - sy1) - (sy2 - sy1) * (tx1 - sx1))
+        d2 = np.sign((sx2 - sx1) * (ty2 - sy1) - (sy2 - sy1) * (tx2 - sx1))
+        d3 = np.sign((tx2 - tx1) * (sy1 - ty1) - (ty2 - ty1) * (sx1 - tx1))
+        d4 = np.sign((tx2 - tx1) * (sy2 - ty1) - (ty2 - ty1) * (sx2 - tx1))
+        hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+        starts = np.minimum(offs, total - 1)
+        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
+        any_hit[counts == 0] = False
+        return pa.table({"id_a": pa.array(ida[any_hit]), "id_b": pa.array(idb[any_hit])})
+
+    return cand.map_batches(cross_test, batch_format="pyarrow")
