@@ -269,6 +269,13 @@ def _q_way_overlap_pairs(sf_dir: str):
     return bbox_overlap_join(_repo(sf_dir).ways)
 
 
+def _q_node_way_buffer(sf_dir: str):
+    from simple_osm_queries_ray.stages.geo import node_way_buffer_join
+
+    repo = _repo(sf_dir)
+    return node_way_buffer_join(repo.nodes, repo.ways, eps=0.01)
+
+
 def _q_way_cross_pairs(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import segment_cross_join
 
@@ -778,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_centroids": _q_way_centroids,
         "way_overlap_pairs": _q_way_overlap_pairs,
         "way_cross_pairs": _q_way_cross_pairs,
+        "node_way_buffer": _q_node_way_buffer,
         "way_lengths": _q_way_lengths,
         "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
@@ -882,6 +890,32 @@ def _polygon_join_sql() -> str:
         for pi, poly in enumerate(synthetic_polygons(4))
     ]
     return f"WITH {NODES_CTE} " + " UNION ALL ".join(parts)
+
+
+def _buffer_join_sql(W: str, ways_cte: str, eps: str = "0.01") -> str:
+    """node_way_buffer oracle: EXISTS over way segments with the clamped
+    point-to-segment distance. The t / d^2 subexpressions are spelled once
+    here and textually repeated (SQL has no local bindings in EXISTS)."""
+    den = "((s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1))"
+    t = (
+        f"LEAST(GREATEST(CASE WHEN {den} > 0 THEN "
+        f"((n.lon-s.x1)*(s.x2-s.x1)+(n.lat-s.y1)*(s.y2-s.y1)) / {den} "
+        f"ELSE 0 END, 0), 1)"
+    )
+    ddx = f"(n.lon - (s.x1 + {t} * (s.x2-s.x1)))"
+    ddy = f"(n.lat - (s.y1 + {t} * (s.y2-s.y1)))"
+    return f"""
+{W}, {ways_cte},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT n.id AS node_id, w.id AS way_id
+FROM nodes_c n JOIN ways w
+  ON n.lon >= w.minlon - {eps} AND n.lon <= w.maxlon + {eps}
+ AND n.lat >= w.minlat - {eps} AND n.lat <= w.maxlat + {eps}
+WHERE EXISTS (
+  SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
+    AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1058,6 +1092,10 @@ FROM ways a JOIN ways b ON a.id < b.id
 WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
   AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
 """,
+        # point-to-segment distance with clamped projection; the engine
+        # evaluates the identical float64 expression tree (same t clamp,
+        # same d^2 <= 0.01*0.01), so the boundary agrees bit-exactly
+        "node_way_buffer": _buffer_join_sql(W, WAYS_CTE),
         # strict proper-crossing test; the engine evaluates the identical
         # sign expressions in float64, so orientation signs agree bit-exactly
         "way_cross_pairs": f"""

@@ -447,3 +447,138 @@ def segment_cross_join(ways: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"id_a": pa.array(ida[any_hit]), "id_b": pa.array(idb[any_hit])})
 
     return cand.map_batches(cross_test, batch_format="pyarrow")
+
+
+def node_way_buffer_join(
+    nodes: ray.data.Dataset, ways: ray.data.Dataset, eps: float = 0.01
+) -> ray.data.Dataset:
+    """Buffer join: (node id, way id) pairs where the point lies within
+    ``eps`` of the way's polyline (exact point-to-segment distance, clamped
+    projection). Output: (node_id, way_id).
+
+    Plan: each way replicates to the grid covering of its bbox EXPANDED by
+    eps (so every node that can be within eps shares a cell with the way);
+    nodes go to their single home cell, so each candidate (node, way) pair
+    meets in exactly one bucket — no dedup pass. Within a bucket the
+    candidate prefilter is the expanded-bbox containment and the exact test
+    runs vectorized over all (node, segment) combinations with one reduceat
+    per pair. The distance formula mirrors the SQL oracle's operation order
+    (clamped t, squared distance vs eps^2 in float64)."""
+    from ..functions.segments import list_parts
+    from ..model import CELL_H, CELL_W, pack_cell
+
+    def rep_ways(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        mnx = np.asarray(batch["minlon"], dtype=np.float64) - eps
+        mny = np.asarray(batch["minlat"], dtype=np.float64) - eps
+        mxx = np.asarray(batch["maxlon"], dtype=np.float64) + eps
+        mxy = np.asarray(batch["maxlat"], dtype=np.float64) + eps
+        cx0 = np.floor(mnx / CELL_W).astype(np.int64)
+        cx1 = np.floor(mxx / CELL_W).astype(np.int64)
+        cy0 = np.floor(mny / CELL_H).astype(np.int64)
+        cy1 = np.floor(mxy / CELL_H).astype(np.int64)
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
+        offs = np.zeros(len(ids_), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        k = np.arange(total, dtype=np.int64) - offs[row]
+        cell = pack_cell(cx0[row] + k // ny[row], cy0[row] + k % ny[row])
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "way_id": pa.array(ids_[row]),
+                "lons": batch["node_lons"].take(pa.array(row)),
+                "lats": batch["node_lats"].take(pa.array(row)),
+                "mnx": pa.array(mnx[row]), "mny": pa.array(mny[row]),
+                "mxx": pa.array(mxx[row]), "mxy": pa.array(mxy[row]),
+                "node_id": pa.nulls(total, pa.int64()),
+                "lon": pa.nulls(total, pa.float64()),
+                "lat": pa.nulls(total, pa.float64()),
+                "side": pa.array(np.ones(total, dtype=np.int8)),
+            }
+        )
+
+    def rep_nodes(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cell = pack_cell(
+            np.floor(lon / CELL_W).astype(np.int64), np.floor(lat / CELL_H).astype(np.int64)
+        )
+        n = len(ids_)
+        lf = pa.list_(pa.float64())
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "way_id": pa.nulls(n, pa.int64()),
+                "lons": pa.nulls(n, lf),
+                "lats": pa.nulls(n, lf),
+                "mnx": pa.nulls(n, pa.float64()), "mny": pa.nulls(n, pa.float64()),
+                "mxx": pa.nulls(n, pa.float64()), "mxy": pa.nulls(n, pa.float64()),
+                "node_id": pa.array(ids_),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    e2 = eps * eps
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"node_id": pa.array([], type=pa.int64()), "way_id": pa.array([], type=pa.int64())})
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        ni = np.nonzero(side == 0)[0]
+        wi = np.nonzero(side == 1)[0]
+        if len(ni) == 0 or len(wi) == 0:
+            return empty
+        take_n = pa.array(ni)
+        take_w = pa.array(wi)
+        nid = np.asarray(tbl["node_id"].take(take_n), dtype=np.int64)
+        px = np.asarray(tbl["lon"].take(take_n), dtype=np.float64)
+        py = np.asarray(tbl["lat"].take(take_n), dtype=np.float64)
+        wid = np.asarray(tbl["way_id"].take(take_w), dtype=np.int64)
+        mnx = np.asarray(tbl["mnx"].take(take_w), dtype=np.float64)
+        mny = np.asarray(tbl["mny"].take(take_w), dtype=np.float64)
+        mxx = np.asarray(tbl["mxx"].take(take_w), dtype=np.float64)
+        mxy = np.asarray(tbl["mxy"].take(take_w), dtype=np.float64)
+        wx, woff = list_parts(tbl["lons"].take(take_w))
+        wy, _ = list_parts(tbl["lats"].take(take_w))
+        wx = np.asarray(wx, dtype=np.float64); wy = np.asarray(wy, dtype=np.float64)
+        # candidate (node, way) pairs by expanded-bbox containment
+        cnd = (
+            (px[:, None] >= mnx[None, :]) & (px[:, None] <= mxx[None, :])
+            & (py[:, None] >= mny[None, :]) & (py[:, None] <= mxy[None, :])
+        )
+        pi, wj = np.nonzero(cnd)
+        if len(pi) == 0:
+            return empty
+        nseg = np.maximum(np.diff(woff) - 1, 0)
+        counts = nseg[wj]
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        pair = np.repeat(np.arange(len(pi), dtype=np.int64), counts)
+        offs = np.zeros(len(pi), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        seg = np.arange(total, dtype=np.int64) - offs[pair] + woff[:-1][wj][pair]
+        x1, y1, x2, y2 = wx[seg], wy[seg], wx[seg + 1], wy[seg + 1]
+        qx, qy = px[pi][pair], py[pi][pair]
+        dx, dy = x2 - x1, y2 - y1
+        den = dx * dx + dy * dy
+        t = np.where(den > 0, ((qx - x1) * dx + (qy - y1) * dy) / np.where(den > 0, den, 1.0), 0.0)
+        t = np.minimum(np.maximum(t, 0.0), 1.0)
+        ddx, ddy = qx - (x1 + t * dx), qy - (y1 + t * dy)
+        hit = (ddx * ddx + ddy * ddy) <= e2
+        starts = np.minimum(offs, total - 1)
+        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
+        any_hit[counts == 0] = False
+        return pa.table({"node_id": pa.array(nid[pi][any_hit]), "way_id": pa.array(wid[wj][any_hit])})
+
+    unioned = ways.select_columns(
+        ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+    ).map_batches(rep_ways, batch_format="pyarrow").union(
+        nodes.select_columns(["id", "lon", "lat"]).map_batches(rep_nodes, batch_format="pyarrow")
+    )
+    return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
