@@ -133,3 +133,39 @@ def test_knn_ring_disk_matches_bruteforce(index_dir):
     )
     assert list(ring["id"]) == list(brute["id"])
     np.testing.assert_allclose(ring["dist2"], brute["dist2"])
+
+
+def test_geojson_roundtrip(tmp_path):
+    """write_geojson -> read_geojson preserves ids, coordinates and tags for
+    both node (Point) and way (LineString) results."""
+    import numpy as np
+
+    from simple_osm_queries_ray.sources.geojson import read_geojson, write_geojson
+    from simple_osm_queries_ray.sources.repo import build_repo
+    from simple_osm_queries_ray.pipelines.tag_dictionary import build_tag_index
+
+    repo = build_repo("/root/testdata/sf0.001")
+    ti = repo.tag_index
+    npath = str(tmp_path / "nodes.geojson")
+    n = write_geojson(repo.nodes.limit(20), npath, ti, "node")
+    assert n == 20
+    back = read_geojson(npath).to_pandas().sort_values("id").reset_index(drop=True)
+    orig = repo.nodes.limit(20).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(back["id"]) == list(orig["id"])
+    assert np.allclose(back["lon"], orig["lon"])
+    assert (back["otype"] == "node").all()
+    # tags survive the round trip (string form, order-insensitive)
+    o_tags = {
+        int(r["id"]): dict(zip(r["tag_keys_str"], r["tag_vals_str"]))
+        for _, r in orig.iterrows()
+    }
+    for _, r in back.iterrows():
+        assert dict(zip(r["tag_keys_str"], r["tag_vals_str"])) == o_tags[int(r["id"])]
+
+    wpath = str(tmp_path / "ways.geojson")
+    write_geojson(repo.ways.limit(5), wpath, ti, "way")
+    wback = read_geojson(wpath).to_pandas().sort_values("id").reset_index(drop=True)
+    worig = repo.ways.limit(5).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(wback["id"]) == list(worig["id"])
+    for a, b in zip(wback["node_lons"], worig["node_lons"]):
+        assert np.allclose(list(a), list(b))
