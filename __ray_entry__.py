@@ -736,6 +736,18 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, k=8)
 
 
+def _q_keyword_search(sf_dir: str):
+    """Build the inverted text index into scratch, then answer a two-token
+    AND query reading only the shards the tokens hash to."""
+    import tempfile
+
+    from simple_osm_queries_ray.pipelines.text_index import build_text_index, keyword_search
+
+    d = tempfile.mkdtemp(prefix="soqr_tix_")
+    build_text_index(sf_dir, d)
+    return keyword_search(d, ["batch", "join"])
+
+
 def _q_kmeans_fit(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_fit_assign
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_fit": _q_kmeans_fit,
         "top_terms_df": _q_top_terms_df,
+        "keyword_search": _q_keyword_search,
         "decontaminate": _q_decontaminate,
         "events_retention": _q_events_retention,
         "events_sessions": _q_events_sessions,
@@ -1512,6 +1525,15 @@ SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
                             x -> x <> '')) AS token
   FROM documents)
 GROUP BY token ORDER BY df DESC, token LIMIT 30
+""",
+        "keyword_search": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents)
+SELECT doc_id FROM tok WHERE token IN ('batch', 'join')
+GROUP BY doc_id HAVING COUNT(DISTINCT token) = 2
 """,
         "decontaminate": """
 WITH toks AS (SELECT doc_id,

@@ -169,3 +169,28 @@ def test_geojson_roundtrip(tmp_path):
     assert list(wback["id"]) == list(worig["id"])
     for a, b in zip(wback["node_lons"], worig["node_lons"]):
         assert np.allclose(list(a), list(b))
+
+
+def test_text_index_partition_pruning(tmp_path):
+    """A keyword query reads only the shards its tokens hash to, and the
+    result matches a brute-force scan."""
+    from simple_osm_queries_ray.pipelines.text_index import (
+        build_text_index,
+        keyword_search,
+        touched_shards,
+    )
+
+    d = str(tmp_path / "tix")
+    build_text_index("/root/testdata/sf0.001", d, num_shards=16)
+    toks = ["batch", "join"]
+    assert touched_shards(d, toks, num_shards=16) < 16
+    got = sorted(keyword_search(d, toks).to_pandas()["doc_id"])
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    want = sorted(
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if all(t in r.text.lower().split() for t in toks)
+    )
+    assert got == want
