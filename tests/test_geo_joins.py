@@ -1,0 +1,110 @@
+"""Property-based checks of the polyline geometry joins: random way sets
+(with cell-border coordinates mixed in) must reproduce the brute-force
+O(n^2) answer — guards exactly-once covering replication across cell
+boundaries and the vectorized orientation / clamped-distance kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from simple_osm_queries_ray.stages.geo import node_way_buffer_join, segment_cross_join
+
+
+def _ways_table(ways):
+    ids = np.arange(len(ways), dtype=np.int64)
+    lons = [[p[0] for p in w] for w in ways]
+    lats = [[p[1] for p in w] for w in ways]
+    lf = pa.list_(pa.float64())
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "node_lons": pa.array(lons, type=lf),
+            "node_lats": pa.array(lats, type=lf),
+            "minlon": pa.array([min(x) for x in lons]),
+            "minlat": pa.array([min(y) for y in lats]),
+            "maxlon": pa.array([max(x) for x in lons]),
+            "maxlat": pa.array([max(y) for y in lats]),
+        }
+    )
+
+
+def _seg_cross(a1, a2, b1, b2):
+    def d(p, q, r):
+        return np.sign((q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0]))
+
+    return d(a1, a2, b1) * d(a1, a2, b2) < 0 and d(b1, b2, a1) * d(b1, b2, a2) < 0
+
+
+def brute_cross(ways):
+    out = set()
+    for i in range(len(ways)):
+        for j in range(i + 1, len(ways)):
+            hit = any(
+                _seg_cross(ways[i][s], ways[i][s + 1], ways[j][t], ways[j][t + 1])
+                for s in range(len(ways[i]) - 1)
+                for t in range(len(ways[j]) - 1)
+            )
+            if hit:
+                out.add((i, j))
+    return out
+
+
+def _pt_seg_d2(p, a, b):
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    den = dx * dx + dy * dy
+    t = 0.0 if den == 0 else ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / den
+    t = min(max(t, 0.0), 1.0)
+    ex, ey = p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy)
+    return ex * ex + ey * ey
+
+
+coord = st.floats(min_value=0.0, max_value=0.375, allow_nan=False, width=32)
+snapped = st.builds(lambda x: round(x * 10) / 10, coord)
+point = st.tuples(st.one_of(coord, snapped), st.one_of(coord, snapped))
+way = st.lists(point, min_size=2, max_size=5)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ways=st.lists(way, min_size=2, max_size=12))
+def test_segment_cross_join_matches_bruteforce(ways):
+    ds = ray.data.from_arrow(_ways_table(ways))
+    got = segment_cross_join(ds).to_pandas()
+    got_pairs = (
+        set() if len(got) == 0 else set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+    )
+    assert got_pairs == brute_cross(ways)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ways=st.lists(way, min_size=1, max_size=6),
+    pts=st.lists(point, min_size=1, max_size=20),
+    eps=st.sampled_from([0.02, 0.05]),
+)
+def test_buffer_join_matches_bruteforce(ways, pts, eps):
+    wtbl = _ways_table(ways)
+    ntbl = pa.table(
+        {
+            "id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "lon": pa.array([p[0] for p in pts], type=pa.float64()),
+            "lat": pa.array([p[1] for p in pts], type=pa.float64()),
+        }
+    )
+    got = node_way_buffer_join(
+        ray.data.from_arrow(ntbl), ray.data.from_arrow(wtbl), eps=eps
+    ).to_pandas()
+    got_pairs = (
+        set() if len(got) == 0 else set(zip(got["node_id"].tolist(), got["way_id"].tolist()))
+    )
+    want = set()
+    for ni, p in enumerate(pts):
+        for wi, w in enumerate(ways):
+            if any(_pt_seg_d2(p, w[s], w[s + 1]) <= eps * eps for s in range(len(w) - 1)):
+                want.add((ni, wi))
+    assert got_pairs == want
