@@ -728,6 +728,12 @@ def _q_distinctive_terms(sf_dir: str):
     return distinctive_terms(sf_dir)
 
 
+def _q_tpch_q14(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q14_promo_revenue
+
+    return q14_promo_revenue(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -847,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q14": _q_tpch_q14,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_tiles": _q_image_tiles,
@@ -1652,6 +1659,19 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 GROUP BY n_name
+""",
+        "tpch_q14": """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS BIGINT) AS promo_hc,
+       CAST(SUM(rev) AS BIGINT) AS total_hc,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+FROM j
 """,
         "orders_per_nation": """
 SELECT n.n_name, count(*) AS n_orders

@@ -275,3 +275,56 @@ def q5_local_supplier_revenue(
         .groupby("n_name")
         .aggregate(Sum("revenue_hc", alias_name="revenue_hc"))
     )
+
+
+def q14_promo_revenue(
+    sf_dir: str, month_lo: str = "1995-09-01", month_hi: str = "1995-10-01",
+    promo_type: str = "ECONOMY",
+) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from parts of one type.
+    Output: one row (promo_hc, total_hc, promo_pct).
+
+    lineitem(month-filtered) JOIN part on partkey is a partitioned hash join
+    (part is the smaller-but-large table — not broadcast, matching the plan
+    at real scale); both sums accumulate as integer hundredths-of-cents in
+    per-batch partials so the single final division is the only float op
+    and is bit-identical to the SQL's CAST(...)/CAST(...)."""
+    from ..stages.joins import hash_join_attach
+
+    lo, hi = np.datetime64(month_lo), np.datetime64(month_hi)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["l_shipdate"], dtype="datetime64[D]")
+        return batch.select(["l_partkey", "l_extendedprice", "l_discount"]).filter(
+            pa.array((d >= lo) & (d < hi))
+        )
+
+    part = read_parquet_sized(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    joined = hash_join_attach(
+        li.map_batches(filt, batch_format="pyarrow"),
+        "l_partkey", part, "p_partkey", {"p_type": pa.string()},
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"])
+        disc = np.round(np.asarray(batch["l_discount"], dtype=np.float64) * 100).astype(np.int64)
+        rev = price_c * (100 - disc)
+        promo = np.asarray(pa.compute.equal(batch["p_type"], pa.scalar(promo_type)).fill_null(False))
+        return pa.table(
+            {
+                "promo_hc": pa.array([int(rev[promo].sum())], type=pa.int64()),
+                "total_hc": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    parts_ = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_hc = int(parts_["promo_hc"].sum())
+    total_hc = int(parts_["total_hc"].sum())
+    pct = 100.0 * float(promo_hc) / float(total_hc) if total_hc else 0.0
+    return pd.DataFrame(
+        {"promo_hc": [promo_hc], "total_hc": [total_hc], "promo_pct": [pct]}
+    )
