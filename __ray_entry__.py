@@ -716,6 +716,12 @@ def _q_tpch_q5(sf_dir: str):
     return q5_local_supplier_revenue(sf_dir)
 
 
+def _q_sample_exact(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import sample_exact
+
+    return sample_exact(sf_dir, n=100)
+
+
 def _q_doc_len_quantiles_per_lang(sf_dir: str):
     from simple_osm_queries_ray.stages.text import doc_len_quantiles_per_lang
 
@@ -839,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "top_quality_per_lang": _q_top_quality_per_lang,
         "stratified_sample": _q_stratified_sample,
+        "sample_exact": _q_sample_exact,
         "pack_sequences": _q_pack_sequences,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_len_quantiles_per_lang": _q_doc_len_quantiles_per_lang,
@@ -1466,6 +1473,10 @@ SELECT CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE),
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+""",
+        "sample_exact": """
+SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hk
+FROM documents ORDER BY hk, doc_id LIMIT 100
 """,
         "doc_len_quantiles_per_lang": """
 SELECT lang, CAST(0.5 AS DOUBLE) AS q,

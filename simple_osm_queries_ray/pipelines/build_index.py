@@ -328,3 +328,54 @@ def _empty_like(base: str) -> pa.Table:
 
                 return pq.read_schema(os.path.join(root, f)).empty_table()
     return pa.table({"id": pa.array([], type=pa.int64())})
+
+
+def compact_index(index_dir: str, target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Compact the small-file debris a blockwise write leaves behind: for
+    every ``<otype>/pid=<p>`` partition whose files are individually smaller
+    than ``target_bytes``, rewrite them as one file (row order preserved:
+    files merge in name order). Idempotent; rows never change, so the
+    manifest stays valid. One raw Ray task per partition (a filesystem
+    rewrite, not a data transform — the legitimate task-API case).
+
+    At 100 TB this is the standard post-ingest maintenance pass: query-side
+    scan efficiency depends on partition files being row-group-sized, and a
+    resumable wave-based import (write_index) produces one file per block
+    per wave. Returns {"partitions": examined, "compacted": rewritten,
+    "files_before": n, "files_after": m}.
+    """
+    import glob as _glob
+
+    import ray as _ray
+
+    part_dirs = sorted(_glob.glob(os.path.join(index_dir, "*", "pid=*")))
+
+    @_ray.remote
+    def _compact(pdir: str, tgt: int) -> tuple[int, int]:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if len(files) <= 1:
+            return (len(files), len(files))
+        if sum(os.path.getsize(f) for f in files) > tgt:
+            return (len(files), len(files))
+        tbl = _pa.concat_tables([_pq.read_table(f) for f in files])
+        out = os.path.join(pdir, "compacted-0.parquet")
+        tmp = out + ".tmp"
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, out)
+        for f in files:
+            if os.path.basename(f) != "compacted-0.parquet":
+                os.remove(f)
+        return (len(files), 1)
+
+    results = _ray.get([_compact.remote(p, target_bytes) for p in part_dirs])
+    before = sum(r[0] for r in results)
+    after = sum(r[1] for r in results)
+    return {
+        "partitions": len(part_dirs),
+        "compacted": sum(1 for r in results if r[1] < r[0]),
+        "files_before": before,
+        "files_after": after,
+    }

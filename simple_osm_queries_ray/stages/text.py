@@ -763,3 +763,29 @@ def distinctive_terms(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(argmax, batch_format="pyarrow")
+
+
+def sample_exact(sf_dir: str, n: int = 100) -> "pd.DataFrame":
+    """Exactly-n deterministic corpus sample: the n documents with the
+    smallest multiplicative hash of doc_id (Knuth constant, mod 2^32) —
+    the distributed equivalent of reservoir sampling but reproducible and
+    oracle-checkable (ORDER BY hash LIMIT n in SQL). Output: (doc_id, hk).
+
+    Shape: per-batch partial top-n (argpartition on the hash key), then one
+    tiny driver-side reduce over num_batches*n candidate rows — the corpus
+    itself never shuffles or sorts globally."""
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        hk = (ids * np.int64(_SAMPLE_MUL)) % np.int64(_SAMPLE_MOD)
+        if len(ids) > n:
+            keep = np.argpartition(hk, n)[:n]
+            ids, hk = ids[keep], hk[keep]
+        return pa.table({"doc_id": pa.array(ids), "hk": pa.array(hk)})
+
+    cand = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["hk", "doc_id"], kind="mergesort").head(n)
+    return cand.reset_index(drop=True)

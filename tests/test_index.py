@@ -194,3 +194,33 @@ def test_text_index_partition_pruning(tmp_path):
         if all(t in r.text.lower().split() for t in toks)
     )
     assert got == want
+
+
+def test_compact_index(tmp_path):
+    """Compaction merges multi-file partitions into one file per partition
+    without changing any rows, and is idempotent."""
+    import glob
+
+    from simple_osm_queries_ray.pipelines.build_index import (
+        DiskRepo,
+        compact_index,
+        write_index,
+    )
+    from simple_osm_queries_ray.sources.repo import build_repo
+
+    repo = build_repo("/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    write_index(repo, d)
+    before_rows = DiskRepo(d).table("relation").to_pandas().sort_values("id").reset_index(drop=True)
+    n_files_before = len(glob.glob(f"{d}/relation/pid=*/*.parquet"))
+    stats = compact_index(d)
+    assert stats["files_after"] <= stats["files_before"]
+    n_files_after = len(glob.glob(f"{d}/relation/pid=*/*.parquet"))
+    assert n_files_after < n_files_before
+    after_rows = DiskRepo(d).table("relation").to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before_rows, after_rows)
+    # idempotent
+    stats2 = compact_index(d)
+    assert stats2["compacted"] == 0
