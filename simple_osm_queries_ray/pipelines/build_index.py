@@ -379,3 +379,89 @@ def compact_index(index_dir: str, target_bytes: int = 128 * 1024 * 1024) -> dict
         "files_before": before,
         "files_after": after,
     }
+
+
+class CellPartitionCache:
+    """LRU of decoded cell-partition tables, held per actor (reference ST2,
+    the per-cell feature cache ``src/index/cache.go:38-155`` — there a
+    process-global LRU of 10 cells; here one LRU per reader actor, so a hot
+    query working set stays decoded in the actor's heap across queries).
+    """
+
+    def __init__(self, capacity: int = 10):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._od = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path: str):
+        import pyarrow.parquet as pq
+
+        if path in self._od:
+            self._od.move_to_end(path)
+            self.hits += 1
+            return self._od[path]
+        self.misses += 1
+        tbl = pq.read_table(path)
+        self._od[path] = tbl
+        if len(self._od) > self.capacity:
+            self._od.popitem(last=False)
+        return tbl
+
+
+class CachedCellReader:
+    """Actor-pool stage: decode cell-partition files with a per-actor LRU.
+
+    Input batches carry partition file paths; output is the features they
+    hold. ``DiskRepo.table_cached`` feeds it the pruned path list, so
+    repeated queries over a hot region hit the actor cache instead of the
+    filesystem — the literal 'actor pools holding per-partition cell
+    indexes' stage of the north star. State (the LRU) lives in ``__init__``
+    (once per actor); ``__call__`` only gathers tables.
+    """
+
+    def __init__(self, capacity: int = 10):
+        self.cache = CellPartitionCache(capacity)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tbls = []
+        for p in batch["path"].to_pylist():
+            t = self.cache.get(p)
+            # the hive pid lives in the directory name; the plain reader
+            # materializes it as a column and _dedup_replicas keys on it
+            pid = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            # plain read_parquet surfaces hive columns as strings - match it
+            tbls.append(t.append_column("pid", pa.array([str(pid)] * len(t), type=pa.string())))
+        if not tbls:
+            return pa.table({})
+        return pa.concat_tables(tbls, promote_options="default")
+
+
+def table_cached(
+    repo: "DiskRepo", otype: str, cells: np.ndarray | None = None, *, concurrency: int = 2
+) -> ray.data.Dataset:
+    """DiskRepo.table through the CachedCellReader actor pool. Same rows as
+    the plain read (pinned by test); the win is repeated-query locality."""
+    base = os.path.join(repo.index_dir, otype)
+    if cells is None:
+        pids = list(range(repo.plan.num_partitions))
+    else:
+        pids = repo.plan.pids_for_cells(cells)
+    dirs = [os.path.join(base, f"pid={p}") for p in pids]
+    paths = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return ray.data.from_arrow(_empty_like(base))
+    ds = ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        CachedCellReader, concurrency=concurrency, batch_size=4, batch_format="pyarrow"
+    )
+    if otype == "node":
+        return ds
+    return _dedup_replicas(ds)

@@ -224,3 +224,42 @@ def test_compact_index(tmp_path):
     # idempotent
     stats2 = compact_index(d)
     assert stats2["compacted"] == 0
+
+
+def test_cached_cell_reader_matches_plain_read(tmp_path):
+    """The actor-pool cached reader returns the same rows as the plain
+    pruned read, and the LRU itself counts hits on re-access."""
+    import numpy as np
+
+    from simple_osm_queries_ray.pipelines.build_index import (
+        CellPartitionCache,
+        DiskRepo,
+        table_cached,
+        write_index,
+    )
+    from simple_osm_queries_ray.sources.repo import build_repo
+
+    repo = build_repo("/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    write_index(repo, d)
+    disk = DiskRepo(d)
+    plain = disk.table("node").to_pandas().sort_values("id").reset_index(drop=True)
+    cached = table_cached(disk, "node").to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+
+    plain["pid"] = plain["pid"].astype(str)
+    cached["pid"] = cached["pid"].astype(str)
+    pd.testing.assert_frame_equal(
+        plain[sorted(plain.columns)], cached[sorted(cached.columns)]
+    )
+
+    # LRU unit behavior: second access of the same path is a hit, capacity evicts
+    import glob
+
+    paths = sorted(glob.glob(f"{d}/node/pid=*/*.parquet"))[:2]
+    c = CellPartitionCache(capacity=1)
+    c.get(paths[0]); c.get(paths[0])
+    assert (c.hits, c.misses) == (1, 1)
+    if len(paths) > 1:
+        c.get(paths[1]); c.get(paths[0])  # evicted -> miss again
+        assert c.misses == 3
