@@ -641,6 +641,12 @@ def _q_image_phash_near_dup(sf_dir: str):
     return phash_near_dup(dup_image_table(sf_dir), max_hamming=6)
 
 
+def _q_caption_doc_retrieval(sf_dir: str):
+    from simple_osm_queries_ray.stages.image import caption_doc_retrieval
+
+    return caption_doc_retrieval(sf_dir)
+
+
 def _q_video_frames(sf_dir: str):
     from simple_osm_queries_ray.stages.image import sample_video_frames, synthetic_video_table
 
@@ -866,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": _q_image_tiles,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
+        "caption_doc_retrieval": _q_caption_doc_retrieval,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
@@ -1473,6 +1480,25 @@ SELECT CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT CAST(0.99 AS DOUBLE),
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+""",
+        # image captions ARE the doc texts (sources/images.py derivation), so
+        # the SQL can rebuild the truncated caption queries from documents
+        "caption_doc_retrieval": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+q AS (SELECT doc_id AS qid, unnest(list_distinct(t[1:8])) AS token
+      FROM toks WHERE doc_id % 20 = 0),
+d AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+sc AS (SELECT q.qid, d.doc_id, COUNT(*) AS score
+       FROM q JOIN d USING (token) GROUP BY q.qid, d.doc_id)
+SELECT qid, doc_id AS best_doc, CAST(score AS BIGINT) AS score FROM (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM sc) t
+WHERE rn = 1
 """,
         "sample_exact": """
 SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hk

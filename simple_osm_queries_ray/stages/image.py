@@ -237,3 +237,77 @@ def synthetic_video_table(sf_dir: str, frames_per_video: int = 12) -> ray.data.D
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def caption_doc_retrieval(sf_dir: str, *, qmod: int = 20, qtokens: int = 8):
+    """Cross-modal retrieval: for every query image (id % qmod == 0), find
+    the document with the largest distinct-token overlap against the FIRST
+    ``qtokens`` caption tokens. Output: (qid, best_doc, score) — argmax by
+    (score desc, doc_id asc), all-integer so bit-exact vs SQL.
+
+    Shape: the query set is tiny (benchmarks/query workloads always are vs
+    the corpus), so the per-query token sets broadcast once via ray.put;
+    the corpus streams through ONE map_batches that scores every (query,
+    doc) overlap vectorized (merge on token, groupby count) and emits only
+    each batch's best row per query — the driver reduces |queries| x
+    |batches| partial rows."""
+    import pandas as pd
+
+    from ..sources.images import image_table
+    from ..sources.read import read_parquet_sized
+    from ..state.broadcast import get as bget
+    from .text import _doc_tokens
+
+    q = image_table(sf_dir).select_columns(["image_id", "caption"])
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        ids = np.asarray([int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64)
+        keep = ids % qmod == 0
+        return pa.table(
+            {"qid": pa.array(ids[keep]), "caption": batch["caption"].filter(pa.array(keep))}
+        )
+
+    qrows = pa.concat_tables(
+        q.map_batches(pick_queries, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    qids = np.asarray(qrows["qid"], dtype=np.int64)
+    qmap: list[tuple[int, str]] = []
+    caps = qrows["caption"].to_pylist()
+    for qid, cap in zip(qids, caps):
+        toks = cap.lower().split()[:qtokens]
+        for t in dict.fromkeys(toks):  # distinct, order-preserving
+            qmap.append((int(qid), t))
+    qdf = pd.DataFrame(qmap, columns=["qid", "token"])
+    ref = ray.put(qdf)
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qd = bget(ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "best_doc": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        d = pd.DataFrame({"token": flat, "doc": ids[doc_of]}).drop_duplicates()
+        sc = d.merge(qd, on="token").groupby(["qid", "doc"], as_index=False).size()
+        if len(sc) == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "best_doc": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        sc = sc.sort_values(["qid", "size", "doc"], ascending=[True, False, True], kind="mergesort")
+        best = sc.drop_duplicates("qid", keep="first")
+        return pa.table(
+            {
+                "qid": pa.array(best["qid"].to_numpy(), type=pa.int64()),
+                "best_doc": pa.array(best["doc"].to_numpy(), type=pa.int64()),
+                "score": pa.array(best["size"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["qid", "score", "best_doc"], ascending=[True, False, True], kind="mergesort")
+    return parts.drop_duplicates("qid", keep="first").reset_index(drop=True)
