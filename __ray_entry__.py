@@ -788,6 +788,12 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, n=4, eval_mod=53)
 
 
+def _q_events_funnel(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def _q_events_retention(sf_dir: str):
     from simple_osm_queries_ray.stages.text import events_retention
 
@@ -862,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "decontaminate": _q_decontaminate,
         "events_retention": _q_events_retention,
+        "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
@@ -1589,6 +1596,17 @@ sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
        WHERE len(t) >= 4),
 ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
 SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) WHERE sh.doc_id % 53 <> 0
+""",
+        "events_funnel": """
+WITH m AS (SELECT user_id,
+  MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS tv,
+  MIN(CASE WHEN event_type='click' THEN epoch_us(ts) END) AS tc,
+  MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY user_id)
+SELECT CAST(COUNT(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT) AS n_step1,
+       CAST(COUNT(CASE WHEN tv < tc THEN 1 END) AS BIGINT) AS n_step12,
+       CAST(COUNT(CASE WHEN tv < tc AND tc < tp THEN 1 END) AS BIGINT) AS n_full
+FROM m
 """,
         "events_retention": """
 WITH ud AS (SELECT DISTINCT user_id,

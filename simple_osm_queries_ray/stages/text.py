@@ -789,3 +789,65 @@ def sample_exact(sf_dir: str, n: int = 100) -> "pd.DataFrame":
     cand = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["hk", "doc_id"], kind="mergesort").head(n)
     return cand.reset_index(drop=True)
+
+
+def events_funnel(
+    sf_dir: str, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> "pd.DataFrame":
+    """Ordered funnel: users whose EARLIEST step events are strictly ordered
+    step1 < step2 < step3. Output one row: (n_step1, n_step12, n_full).
+
+    Shape: per-batch partials of per-(user, step) min timestamp, one shuffle
+    keyed on hash(user) bucket, per-bucket vectorized min + ordering flags,
+    then three tiny counts summed driver-side. Same partitioning assumption
+    as sessionization (a user's history fits a task)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"])
+    num_buckets = 32
+    s1, s2, s3 = steps
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"])
+        keep = np.isin(et, list(steps))
+        u = np.asarray(batch["user_id"], dtype=np.int64)[keep]
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)[keep]
+        step = np.searchsorted(np.sort(np.array(steps, dtype=object)), et[keep])
+        # min per (user, original step name) — map via sorted order back to index
+        names = np.sort(np.array(steps, dtype=object))
+        df = pd.DataFrame({"user_id": u, "step": names[step], "ts_us": ts})
+        g = df.groupby(["user_id", "step"], as_index=False)["ts_us"].min()
+        b = np.abs((g["user_id"].to_numpy() * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        g["__bucket"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby(["user_id", "step"])["ts_us"].min().unstack()
+        t1 = g[s1] if s1 in g else pd.Series(np.nan, index=g.index)
+        t2 = g[s2] if s2 in g else pd.Series(np.nan, index=g.index)
+        t3 = g[s3] if s3 in g else pd.Series(np.nan, index=g.index)
+        n1 = int(t1.notna().sum())
+        n12 = int((t1 < t2).sum())
+        n123 = int(((t1 < t2) & (t2 < t3)).sum())
+        return pa.table(
+            {
+                "n_step1": pa.array([n1], type=pa.int64()),
+                "n_step12": pa.array([n12], type=pa.int64()),
+                "n_full": pa.array([n123], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_step1": [int(parts["n_step1"].sum())],
+            "n_step12": [int(parts["n_step12"].sum())],
+            "n_full": [int(parts["n_full"].sum())],
+        }
+    )
