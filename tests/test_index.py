@@ -263,3 +263,25 @@ def test_cached_cell_reader_matches_plain_read(tmp_path):
     if len(paths) > 1:
         c.get(paths[1]); c.get(paths[0])  # evicted -> miss again
         assert c.misses == 3
+
+
+def test_run_logged_artifact(tmp_path):
+    """run_logged writes the result + a run.json with lineage, row count,
+    wall time and Ray stats; a rerun with identical lineage is a no-op."""
+    import json
+
+    import ray.data
+
+    from simple_osm_queries_ray.state.runlog import run_logged
+
+    ds = ray.data.range(1000)
+    out = str(tmp_path / "run")
+    lineage = {"input": "range(1000)", "op": "identity", "params": {}}
+    m = run_logged(ds, out, lineage)
+    assert m["rows"] == 1000 and m["complete"]
+    assert "ray_stats" in m and m["seconds"] >= 0
+    on_disk = json.load(open(f"{out}/run.json"))
+    assert on_disk["lineage"] == lineage
+    # resume: same lineage -> returned without rewriting
+    m2 = run_logged(ray.data.range(1000), out, lineage)
+    assert m2["finished_at"] == m["finished_at"]
