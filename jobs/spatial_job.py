@@ -62,6 +62,10 @@ def main() -> int:
     n_pairs = polygon_join(nodes, synthetic_polygons(64)).count()
     times["polygon_join"] = round(time.time() - t0, 3)
 
+    # tile-assignment result persisted as a run artifact (lineage + metrics,
+    # state/runlog.py) so a rerun with the same inputs is a no-op
+    from simple_osm_queries_ray.state.runlog import run_logged
+
     t0 = time.time()
 
     def partial(batch):
@@ -70,14 +74,19 @@ def main() -> int:
         t, c = np.unique(np.asarray(batch["tile"], dtype=np.int64), return_counts=True)
         return pa.table({"tile": pa.array(t), "n": pa.array(c.astype(np.int64))})
 
-    n_tiles = (
+    hist = (
         assign_tiles(nodes, args.zoom)
         .map_batches(partial, batch_format="pyarrow")
         .repartition(8)
         .groupby("tile")
         .aggregate(Sum("n", alias_name="n"))
-        .count()
     )
+    run_meta = run_logged(
+        hist,
+        os.path.join(args.index_dir, "tile-hist-run"),
+        {"input": args.sf_dir, "op": "tile_assign_hist", "zoom": args.zoom},
+    )
+    n_tiles = run_meta["rows"]
     times["tile_assign_hist"] = round(time.time() - t0, 3)
 
     n_rows = nodes.count()
