@@ -641,6 +641,16 @@ def _q_image_phash_near_dup(sf_dir: str):
     return phash_near_dup(dup_image_table(sf_dir), max_hamming=6)
 
 
+def _q_tile_mosaic(sf_dir: str):
+    """Rows-only (pixels are RNG-derived so SQL cannot recompute them);
+    exact per-tile means are pinned against a direct numpy computation in
+    tests/test_image.py::test_tile_mosaic_matches_direct_computation."""
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.stages.image import tile_mosaic
+
+    return tile_mosaic(image_table(sf_dir), zoom=6)
+
+
 def _q_caption_doc_retrieval(sf_dir: str):
     from simple_osm_queries_ray.stages.image import caption_doc_retrieval
 
@@ -879,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": _q_image_tiles,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
+        "tile_mosaic": _q_tile_mosaic,
         "caption_doc_retrieval": _q_caption_doc_retrieval,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,

@@ -311,3 +311,72 @@ def caption_doc_retrieval(sf_dir: str, *, qmod: int = 20, qtokens: int = 8):
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["qid", "score", "best_doc"], ascending=[True, False, True], kind="mergesort")
     return parts.drop_duplicates("qid", keep="first").reset_index(drop=True)
+
+
+class TileMosaicPartial:
+    """Actor-pool stage for the raster mosaic: decode each image once per
+    batch (decoder state in __init__) and emit per-(tile) partial sums of
+    mean-RGB numerators/denominators — the aggregate ships 4 ints per tile
+    per batch instead of pixels."""
+
+    def __init__(self, zoom: int):
+        from ..sources.images import decode_image
+        from ..sources.synthetic import geolocate
+        from .geo import tile_id
+
+        self._decode = decode_image
+        self._geolocate = geolocate
+        self._tile_of = tile_id
+        self.zoom = zoom
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        lon, lat = self._geolocate(ids)
+        tiles = self._tile_of(lon, lat, self.zoom)
+        sums = np.zeros((len(ids), 3), dtype=np.int64)
+        npx = np.zeros(len(ids), dtype=np.int64)
+        for i, blob in enumerate(batch["bytes"].to_pylist()):  # decode is per-payload
+            px = self._decode(blob)
+            sums[i] = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            npx[i] = px.shape[0] * px.shape[1]
+        df = pd.DataFrame(
+            {"tile": tiles, "r": sums[:, 0], "g": sums[:, 1], "b": sums[:, 2], "n": npx}
+        ).groupby("tile", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def tile_mosaic(ds: ray.data.Dataset, zoom: int = 6, *, concurrency: int = 4):
+    """Raster mosaic: mean RGB of all image pixels per raster tile. Output:
+    (tile, mean_r, mean_g, mean_b, n_pixels) with means as integer
+    milli-values (sum*1000//n) so the result is exactly reproducible.
+
+    Shape: actor-pool decode + per-batch per-tile partial sums, then a tiny
+    groupby over (tile) partials — pixels never shuffle."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.select_columns(["image_id", "bytes"])
+        .map_batches(TileMosaicPartial(zoom), concurrency=concurrency,
+                     batch_size=256, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("tile")
+        .aggregate(
+            Sum("r", alias_name="r"), Sum("g", alias_name="g"),
+            Sum("b", alias_name="b"), Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        out = {"tile": batch["tile"]}
+        for c, name in (("r", "mean_r_milli"), ("g", "mean_g_milli"), ("b", "mean_b_milli")):
+            s = np.asarray(batch[c], dtype=np.int64)
+            out[name] = pa.array(s * 1000 // np.maximum(n, 1), type=pa.int64())
+        out["n_pixels"] = pa.array(n)
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

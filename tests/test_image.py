@@ -134,3 +134,35 @@ def test_video_frame_sampler(ray_session):
     np.testing.assert_array_equal(
         px, reference_pixels(doc_id * 1000 + int(row.frame_idx), w, h)
     )
+
+
+def test_tile_mosaic_matches_direct_computation():
+    """Per-tile mean RGB from the distributed mosaic equals a direct numpy
+    computation over the same decoded pixels."""
+    import numpy as np
+
+    from simple_osm_queries_ray.sources.images import decode_image, image_table
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+    from simple_osm_queries_ray.stages.geo import tile_id
+    from simple_osm_queries_ray.stages.image import tile_mosaic
+
+    SF = "/root/testdata/sf0.001"
+    got = tile_mosaic(image_table(SF), zoom=6).to_pandas().sort_values("tile").reset_index(drop=True)
+
+    rows = image_table(SF).select_columns(["image_id", "bytes"]).to_pandas()
+    ids = np.array([int(s[3:]) for s in rows["image_id"]], dtype=np.int64)
+    lon, lat = geolocate(ids)
+    tiles = tile_id(lon, lat, 6)
+    acc: dict[int, list] = {}
+    for t, blob in zip(tiles, rows["bytes"]):
+        px = decode_image(blob)
+        e = acc.setdefault(int(t), [np.zeros(3, dtype=np.int64), 0])
+        e[0] += px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        e[1] += px.shape[0] * px.shape[1]
+    assert len(got) == len(acc)
+    for row in got.itertuples():
+        s, n = acc[int(row.tile)]
+        assert row.n_pixels == n
+        assert row.mean_r_milli == s[0] * 1000 // n
+        assert row.mean_g_milli == s[1] * 1000 // n
+        assert row.mean_b_milli == s[2] * 1000 // n
