@@ -24,17 +24,14 @@ from ..sources.read import read_parquet_sized
 
 
 def _token_shard(tokens: pd.Series | np.ndarray, num_shards: int) -> np.ndarray:
-    """Stable token shard: FNV-1a over utf-8 bytes, vectorized per batch via
-    pandas hashing is NOT stable across runs, so use a fixed polynomial."""
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    MUL = np.uint64(1099511628211)
-    with np.errstate(over="ignore"):  # FNV-1a relies on mod-2^64 wraparound
-        for i, t in enumerate(tokens):  # vocabulary-sized loop per batch, not corpus-sized
-            h = np.uint64(14695981039346656037)
-            for b in t.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * MUL
-            out[i] = h
-    return (out % np.uint64(num_shards)).astype(np.int64)
+    """Stable token shard: pandas' keyed siphash (hash_key is fixed, so the
+    assignment is identical across runs, processes and machines — build and
+    search must agree). Vectorized C over the whole token array; at real
+    corpus scale the vocabulary is millions of tokens per batch and a
+    per-byte Python hash would dominate the build."""
+    arr = np.asarray(tokens, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(num_shards)).astype(np.int64)
 
 
 def build_text_index(
