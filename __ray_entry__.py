@@ -750,6 +750,12 @@ def _q_distinctive_terms(sf_dir: str):
     return distinctive_terms(sf_dir)
 
 
+def _q_pagerank_suppliers(sf_dir: str):
+    from simple_osm_queries_ray.stages.graph import pagerank_suppliers
+
+    return pagerank_suppliers(sf_dir, iters=2, k=20)
+
+
 def _q_tpch_q14(sf_dir: str):
     from simple_osm_queries_ray.pipelines.relational import q14_promo_revenue
 
@@ -884,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,
         "tpch_q14": _q_tpch_q14,
+        "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_tiles": _q_image_tiles,
@@ -1725,6 +1732,26 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 GROUP BY n_name
+""",
+        # fixed-point integer PageRank: contributions are sc*85 // (100*deg),
+        # integer sums are exactly associative, so 2 distributed rounds are
+        # bit-identical to this serial CTE replay
+        "pagerank_suppliers": """
+WITH e AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+ed AS (SELECT o*2 AS src, s*2+1 AS dst FROM e
+       UNION ALL SELECT s*2+1 AS src, o*2 AS dst FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+s0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS sc FROM deg),
+p1 AS (SELECT ed.dst AS v, SUM(s0.sc * 85 // (100 * deg.d)) AS acc
+       FROM ed JOIN s0 ON ed.src = s0.v JOIN deg ON deg.src = ed.src
+       GROUP BY ed.dst),
+s1 AS (SELECT v, 150000 + acc AS sc FROM p1),
+p2 AS (SELECT ed.dst AS v, SUM(s1.sc * 85 // (100 * deg.d)) AS acc
+       FROM ed JOIN s1 ON ed.src = s1.v JOIN deg ON deg.src = ed.src
+       GROUP BY ed.dst),
+s2 AS (SELECT v, 150000 + acc AS sc FROM p2)
+SELECT (v-1)//2 AS s_suppkey, CAST(sc AS BIGINT) AS score FROM s2
+WHERE v % 2 = 1 ORDER BY score DESC, s_suppkey LIMIT 20
 """,
         "tpch_q14": """
 WITH j AS (
