@@ -671,6 +671,12 @@ def _q_audio_features(sf_dir: str):
     return audio_features(synthetic_audio_table(sf_dir))
 
 
+def _q_events_sessions_incremental(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import incremental_sessions
+
+    return incremental_sessions(sf_dir, n_chunks=4)
+
+
 def _q_events_sessions(sf_dir: str):
     from simple_osm_queries_ray.stages.text import session_window_events
 
@@ -886,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
+        "events_sessions_incremental": _q_events_sessions_incremental,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,
@@ -1774,6 +1781,26 @@ GROUP BY n.n_name
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+)
+SELECT user_id, min(ts_us) AS session_start, count(*) AS n,
+       ROUND(SUM(value), 6) AS value_sum
+FROM s GROUP BY user_id, sess_id
+""",
+        # the micro-batch pipeline's contract is bit-equality with the batch
+        # sessionization, so it shares that oracle verbatim
+        "events_sessions_incremental": """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us, value,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000

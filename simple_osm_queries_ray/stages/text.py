@@ -851,3 +851,111 @@ def events_funnel(
             "n_full": [int(parts["n_full"].sum())],
         }
     )
+
+
+def incremental_sessions(
+    sf_dir: str, n_chunks: int = 4, gap_us: int = 1_800_000_000
+) -> "pd.DataFrame":
+    """Micro-batch (streaming-shaped) sessionization: process the event
+    stream in ``n_chunks`` consecutive time slices, carrying open sessions
+    across slice boundaries, and produce EXACTLY the batch result of
+    :func:`session_window_events` (pinned by test).
+
+    Per slice the work is the same bucketed vectorized sessionization as the
+    batch op, additionally emitting each session's last_ts; the cross-slice
+    merge operates on SESSION rows (bounded by active users per slice, not
+    events — the state a streaming engine would checkpoint) and joins a
+    session to its predecessor when the gap across the boundary closes.
+    Value sums stay raw across merges and round once at the end, matching
+    the batch op's per-session rounding."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {"user_id": pa.array(u), "ts_us": pa.array(ts), "value": batch["value"],
+             "__bucket": pa.array(b)}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    lo = prepped.min("ts_us")
+    hi = prepped.max("ts_us")
+    bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
+
+    def sessionize_chunk(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts_us"], dtype=np.int64)
+        val = np.asarray(tbl["value"], dtype=np.float64)
+        order = np.lexsort((ts, u))
+        u, ts, val = u[order], ts[order], val[order]
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "session_start": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "vsum": pa.array([], type=pa.float64()),
+                             "last_ts": pa.array([], type=pa.int64())})
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        st = np.nonzero(new)[0]
+        en = np.append(st[1:], len(u))
+        return pa.table(
+            {
+                "user_id": pa.array(u[st]),
+                "session_start": pa.array(ts[st]),
+                "n": pa.array(en - st),
+                "vsum": pa.array(np.add.reduceat(val, st)),
+                "last_ts": pa.array(ts[en - 1]),
+            }
+        )
+
+    chunks = []
+    for ci in range(n_chunks):
+        t0, t1 = int(bounds[ci]), int(bounds[ci + 1])
+
+        def in_range(batch: pa.Table, _a=t0, _b=t1) -> pa.Table:
+            ts = np.asarray(batch["ts_us"], dtype=np.int64)
+            return batch.filter(pa.array((ts >= _a) & (ts < _b)))
+
+        sess = (
+            prepped.map_batches(in_range, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda t: sessionize_chunk(t.drop_columns(["__bucket"])),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        chunks.append(sess)
+
+    alls = pd.concat(chunks, ignore_index=True).sort_values(
+        ["user_id", "session_start"], kind="mergesort"
+    )
+    u = alls["user_id"].to_numpy()
+    st = alls["session_start"].to_numpy()
+    en = alls["last_ts"].to_numpy()
+    # merge a session into its predecessor when the boundary gap closes
+    cont = np.zeros(len(alls), dtype=bool)
+    if len(alls) > 1:
+        cont[1:] = (u[1:] == u[:-1]) & (st[1:] - en[:-1] <= gap_us)
+    grp = np.cumsum(~cont) - 1
+    out = pd.DataFrame(
+        {
+            "user_id": u,
+            "session_start": st,
+            "n": alls["n"].to_numpy(),
+            "vsum": alls["vsum"].to_numpy(),
+            "grp": grp,
+        }
+    ).groupby("grp", as_index=False).agg(
+        user_id=("user_id", "first"),
+        session_start=("session_start", "first"),
+        n=("n", "sum"),
+        vsum=("vsum", "sum"),
+    )
+    out["value_sum"] = np.round(out["vsum"].to_numpy(), 6)
+    return out[["user_id", "session_start", "n", "value_sum"]].reset_index(drop=True)

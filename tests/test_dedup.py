@@ -114,3 +114,25 @@ def test_dedup_groups_planted(dup_df):
         if i % 10 == 0:
             assert g[i + EXACT_OFFSET] == g[i]
     assert len(g) == len(dup_df)
+
+
+def test_incremental_sessions_equals_batch():
+    """Micro-batch sessionization with cross-slice carry equals the batch
+    result exactly (ints) / to float tolerance (value sums)."""
+    import numpy as np
+
+    from simple_osm_queries_ray.stages.text import (
+        incremental_sessions,
+        session_window_events,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    inc = incremental_sessions(SF, n_chunks=5).sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    bat = session_window_events(SF).to_pandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert len(inc) == len(bat)
+    assert (inc["user_id"].to_numpy() == bat["user_id"].to_numpy()).all()
+    assert (inc["session_start"].to_numpy() == bat["session_start"].to_numpy()).all()
+    assert (inc["n"].to_numpy() == bat["n"].to_numpy()).all()
+    assert np.allclose(inc["value_sum"], bat["value_sum"], atol=1e-5)
