@@ -671,6 +671,14 @@ def _q_audio_features(sf_dir: str):
     return audio_features(synthetic_audio_table(sf_dir))
 
 
+def _q_hll_distinct_users(sf_dir: str):
+    """Rows-only: an estimator has no exact SQL twin; accuracy (~1.6% std
+    error at p=12) and exact sketch mergeability are pinned in tests."""
+    from simple_osm_queries_ray.stages.text import hll_distinct_users
+
+    return hll_distinct_users(sf_dir)
+
+
 def _q_events_sessions_incremental(sf_dir: str):
     from simple_osm_queries_ray.stages.text import incremental_sessions
 
@@ -893,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
+        "hll_distinct_users": _q_hll_distinct_users,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,

@@ -959,3 +959,71 @@ def incremental_sessions(
     )
     out["value_sum"] = np.round(out["vsum"].to_numpy(), 6)
     return out[["user_id", "session_start", "n", "value_sum"]].reset_index(drop=True)
+
+
+_HLL_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hll_registers(ids: np.ndarray, p: int) -> np.ndarray:
+    """Register maxima for one batch: a 64-bit mix hash, top-p bits pick the
+    register, leading-zero rank of the rest sets the value. Vectorized."""
+    x = ids.astype(np.uint64) * _HLL_MIX
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC2B2AE3D27D4EB4F)
+    x ^= x >> np.uint64(29)
+    m = 1 << p
+    idx = (x >> np.uint64(64 - p)).astype(np.int64)
+    rest = (x << np.uint64(p)) | np.uint64(1)  # sentinel bit caps the rank
+    # leading zeros of a uint64 via float64 exponent is unsafe; use bit_length
+    lz = np.uint64(64) - np.uint64(1) - np.floor(np.log2(rest.astype(np.float64))).astype(np.uint64)
+    rank = (lz + np.uint64(1)).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range correction
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12) -> "pd.DataFrame":
+    """Approximate distinct user count via a mergeable HyperLogLog sketch.
+    Output: one row (estimate [int], p, registers_nonzero).
+
+    Shape: the canonical mergeable-sketch aggregation — each batch emits its
+    2^p register maxima as ONE row; the driver elementwise-maxes the partial
+    register arrays (merge is associative + commutative, so any tree of
+    partial merges gives the identical sketch — pinned by test). The corpus
+    never shuffles; the exchange is num_batches * 2^p bytes.
+
+    Rows-only (an estimator has no exact SQL twin); accuracy vs the exact
+    distinct count is pinned within the standard ~1.04/sqrt(2^p) band in
+    tests/test_dedup.py."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(batch["user_id"], dtype=np.int64))
+        regs = _hll_registers(ids, p)
+        return pa.table({"regs": pa.array([regs.tolist()], type=pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for row in b["regs"].to_pylist():
+            merged = np.maximum(merged, np.asarray(row, dtype=np.uint8))
+    return pd.DataFrame(
+        {
+            "estimate": [int(round(hll_estimate(merged)))],
+            "p": [p],
+            "registers_nonzero": [int((merged > 0).sum())],
+        }
+    )

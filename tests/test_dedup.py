@@ -136,3 +136,31 @@ def test_incremental_sessions_equals_batch():
     assert (inc["session_start"].to_numpy() == bat["session_start"].to_numpy()).all()
     assert (inc["n"].to_numpy() == bat["n"].to_numpy()).all()
     assert np.allclose(inc["value_sum"], bat["value_sum"], atol=1e-5)
+
+
+def test_hll_distinct_users_accuracy_and_mergeability():
+    import numpy as np
+
+    from simple_osm_queries_ray.stages.text import (
+        _hll_registers,
+        hll_distinct_users,
+        hll_estimate,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    exact = len(np.unique(pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"]))
+    out = hll_distinct_users(SF, p=12)
+    est = int(out["estimate"].iloc[0])
+    # standard error ~1.04/sqrt(4096) = 1.6%; allow 3 sigma + small-N slack
+    assert abs(est - exact) / exact < 0.08, (est, exact)
+
+    # mergeability: sketch(a ∪ b) == max(sketch(a), sketch(b)) exactly
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 10_000, 5_000)
+    b = rng.integers(5_000, 15_000, 5_000)
+    u = np.concatenate([a, b])
+    ra, rb, ru = (_hll_registers(np.unique(x), 12) for x in (a, b, u))
+    assert (np.maximum(ra, rb) == ru).all()
+    assert hll_estimate(ru) > 0
