@@ -178,7 +178,8 @@ def orders_per_nation(sf_dir: str) -> ray.data.Dataset:
 
 
 def q5_local_supplier_revenue(
-    sf_dir: str, region: str = "ASIA", date_lo: str = "1995-01-01", date_hi: str = "1996-01-01"
+    sf_dir: str, region: str = "ASIA", date_lo: str = "1995-01-01", date_hi: str = "1996-01-01",
+    *, bloom_prefilter: bool = False,
 ) -> ray.data.Dataset:
     """TPC-H Q5 shape: revenue per nation where customer and supplier share the
     nation, within one region and order-date year. Output: (n_name,
@@ -238,6 +239,22 @@ def q5_local_supplier_revenue(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
+    if bloom_prefilter:
+        # the date filter makes orders selective; a bloom of its orderkeys
+        # drops most lineitem rows BEFORE the join's shuffle (no false
+        # negatives -> identical result, pinned by test)
+        from ..functions.bloom import build_bloom
+
+        orders_cn = orders_cn.materialize()  # consumed by bloom build AND join
+        bl = ray.put(build_bloom(orders_cn, "o_orderkey"))
+        from ..state.broadcast import get as _bget
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            f = _bget(bl)
+            keep = f.might_contain(np.asarray(batch["l_orderkey"], dtype=np.int64))
+            return batch.filter(pa.array(keep))
+
+        lineitem = lineitem.map_batches(prefilter, batch_format="pyarrow")
     joined = hash_join_attach(
         lineitem, "l_orderkey", orders_cn, "o_orderkey", {"c_nationkey": pa.int32()}
     )

@@ -164,3 +164,41 @@ def test_hll_distinct_users_accuracy_and_mergeability():
     ra, rb, ru = (_hll_registers(np.unique(x), 12) for x in (a, b, u))
     assert (np.maximum(ra, rb) == ru).all()
     assert hll_estimate(ru) > 0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from simple_osm_queries_ray.functions.bloom import BloomFilter
+
+    rng = np.random.default_rng(3)
+    present = rng.choice(10_000_000, 50_000, replace=False).astype(np.int64)
+    absent = np.setdiff1d(
+        rng.choice(10_000_000, 100_000, replace=False).astype(np.int64), present
+    )
+    f = BloomFilter()
+    f.add(present)
+    assert f.might_contain(present).all()  # no false negatives, ever
+    fp = f.might_contain(absent).mean()
+    assert fp < 0.02, fp  # 1M bits / 50k keys, k=5 -> well under 1%
+
+    # mergeability: or-of-partials == single build
+    f1, f2 = BloomFilter(), BloomFilter()
+    f1.add(present[:25_000]); f2.add(present[25_000:])
+    assert (f1.merge(f2).bits == f.bits).all()
+
+
+def test_bloom_prefilter_preserves_q5():
+    """q5 with the bloom prefilter on the lineitem probe side returns the
+    identical result (no false negatives) while dropping probe rows."""
+    from simple_osm_queries_ray.pipelines.relational import q5_local_supplier_revenue
+
+    SF = "/root/testdata/sf0.001"
+    base = q5_local_supplier_revenue(SF).to_pandas().sort_values("n_name").reset_index(drop=True)
+    opt = (
+        q5_local_supplier_revenue(SF, bloom_prefilter=True)
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, opt)
