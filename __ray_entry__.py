@@ -671,6 +671,12 @@ def _q_audio_features(sf_dir: str):
     return audio_features(synthetic_audio_table(sf_dir))
 
 
+def _q_events_window_pairs(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import events_window_pairs
+
+    return events_window_pairs(sf_dir)
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Rows-only: an estimator has no exact SQL twin; accuracy (~1.6% std
     error at p=12) and exact sketch mergeability are pinned in tests."""
@@ -902,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
         "hll_distinct_users": _q_hll_distinct_users,
+        "events_window_pairs": _q_events_window_pairs,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,
@@ -1630,6 +1637,14 @@ sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
        WHERE len(t) >= 4),
 ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0)
 SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) WHERE sh.doc_id % 53 <> 0
+""",
+        "events_window_pairs": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events)
+SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON a.user_id = b.user_id
+ AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+ AND b.t <= a.t + 60000000
+GROUP BY a.user_id
 """,
         "events_funnel": """
 WITH m AS (SELECT user_id,

@@ -1027,3 +1027,65 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> "pd.DataFrame":
             "registers_nonzero": [int((merged > 0).sum())],
         }
     )
+
+
+def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> "pd.DataFrame":
+    """Temporal self-join: per user, the number of ordered event pairs
+    (a, b) with a.ts < b.ts <= a.ts + window (ties broken by event_id so
+    simultaneous events pair deterministically). Output: (user_id, n_pairs).
+
+    Shape: ONE shuffle keyed on hash(user) bucket; within a bucket each
+    user's events sort once and the pair count is a vectorized two-pointer:
+    searchsorted of (ts + window) against the sorted ts array — no pair is
+    ever materialized, so a burst of k events costs O(k log k), not O(k^2)
+    rows."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_id"])
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {"user_id": pa.array(u), "ts_us": pa.array(ts),
+             "event_id": batch["event_id"], "__bucket": pa.array(b)}
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts_us"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        # user segment bounds
+        seg = np.ones(len(u), dtype=bool)
+        seg[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(seg) - 1
+        seg_starts = np.nonzero(seg)[0]
+        # ts is sorted only WITHIN a user segment; shift each segment by a
+        # huge per-segment base so the concatenated array is globally
+        # monotone and one searchsorted stays inside the right segment
+        span = np.int64(ts.max() - ts.min() + window_us + 1) if len(ts) else np.int64(1)
+        ts_adj = (ts - ts.min()) + seg_id * span if len(ts) else ts
+        hi = np.searchsorted(ts_adj, ts_adj + window_us, side="right")
+        n_after = hi - np.arange(len(u)) - 1
+        cnt = np.maximum(n_after, 0)
+        d, c = (
+            u[seg_starts],
+            np.add.reduceat(cnt, seg_starts) if len(u) else np.zeros(0, np.int64),
+        )
+        return pa.table({"user_id": pa.array(d), "n_pairs": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+    out = agg.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return out[out["n_pairs"] > 0].reset_index(drop=True)
