@@ -752,6 +752,12 @@ def _q_tpch_q5(sf_dir: str):
     return q5_local_supplier_revenue(sf_dir)
 
 
+def _q_weighted_sample(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
 def _q_sample_exact(sf_dir: str):
     from simple_osm_queries_ray.stages.text import sample_exact
 
@@ -894,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_lang": _q_top_quality_per_lang,
         "stratified_sample": _q_stratified_sample,
         "sample_exact": _q_sample_exact,
+        "weighted_sample": _q_weighted_sample,
         "pack_sequences": _q_pack_sequences,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_len_quantiles_per_lang": _q_doc_len_quantiles_per_lang,
@@ -1551,6 +1558,10 @@ WHERE rn = 1
         "sample_exact": """
 SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hk
 FROM documents ORDER BY hk, doc_id LIMIT 100
+""",
+        "weighted_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < n_chars * 2147484
 """,
         "doc_len_quantiles_per_lang": """
 SELECT lang, CAST(0.5 AS DOUBLE) AS q,

@@ -1089,3 +1089,23 @@ def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> "pd.DataFra
     )
     out = agg.to_pandas().sort_values("user_id").reset_index(drop=True)
     return out[out["n_pairs"] > 0].reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, rate_per_char: int = 2_147_484) -> ray.data.Dataset:
+    """Length-weighted deterministic sample: keep a doc iff
+    hash(doc_id) < n_chars * rate_per_char (hash uniform on [0, 2^32)), so
+    the keep probability is proportional to document length (~0.05% per
+    char) — the curriculum-style 'prefer longer documents' downsample.
+    Zero-shuffle map-only filter; exact SQL oracle. Output: (doc_id, n_chars).
+    """
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        nch = np.asarray(batch["n_chars"], dtype=np.int64)
+        hk = (ids * np.int64(_SAMPLE_MUL)) % np.int64(_SAMPLE_MOD)
+        return batch.filter(pa.array(hk < nch * np.int64(rate_per_char)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
