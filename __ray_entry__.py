@@ -776,6 +776,12 @@ def _q_distinctive_terms(sf_dir: str):
     return distinctive_terms(sf_dir)
 
 
+def _q_orders_rollup(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
 def _q_pagerank_suppliers(sf_dir: str):
     from simple_osm_queries_ray.stages.graph import pagerank_suppliers
 
@@ -921,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q14": _q_tpch_q14,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_tiles": _q_image_tiles,
@@ -1774,6 +1781,14 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 GROUP BY n_name
+""",
+        "orders_rollup": """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
 """,
         # fixed-point integer PageRank: contributions are sc*85 // (100*deg),
         # integer sums are exactly associative, so 2 distributed rounds are

@@ -345,3 +345,59 @@ def q14_promo_revenue(
     return pd.DataFrame(
         {"promo_hc": [promo_hc], "total_hc": [total_hc], "promo_pct": [pct]}
     )
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """OLAP rollup: order counts by (nation, priority), plus per-nation
+    subtotals and a grand total ('ALL' marker rows — no NULL ambiguity).
+    Output: (n_name, o_orderpriority, n_orders).
+
+    Shape: ONE corpus aggregation at the finest grain (per-batch partials,
+    tiny nation x priority shuffle); the coarser rollup levels derive from
+    the finest aggregate driver-side — at any scale the cube is
+    dimension-sized, not data-sized, so re-scanning per level would be
+    wasted I/O."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cnat = {
+        c: nname[n]
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cnat)
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = bget(ref)
+        df = pd.DataFrame(
+            {
+                "n_name": [m[c] for c in batch["o_custkey"].to_pylist()],
+                "o_orderpriority": np.asarray(batch["o_orderpriority"]),
+            }
+        )
+        g = df.groupby(["n_name", "o_orderpriority"], as_index=False).size()
+        g["n_orders"] = g.pop("size").astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    sub = fine.groupby("n_name", as_index=False)["n_orders"].sum()
+    sub["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {"n_name": ["ALL"], "o_orderpriority": ["ALL"], "n_orders": [fine["n_orders"].sum()]}
+    )
+    out = pd.concat([fine, sub, total], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out[["n_name", "o_orderpriority", "n_orders"]]
