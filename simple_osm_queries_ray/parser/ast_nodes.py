@@ -103,3 +103,23 @@ class Statement:
 @dataclass(frozen=True)
 class Query:
     statements: tuple[Statement, ...]
+
+
+def required_key_indices(expr: "FilterExpr") -> frozenset:
+    """Key indices every matching feature MUST carry, derived conservatively
+    from the filter tree. Both tag predicates and ``key=*`` require presence
+    (the reference's no-key => false rule holds even for ``!=``,
+    filter.go:103-128); AND unions, OR intersects, NOT and sub-statements
+    contribute nothing. Used for zone-map partition skipping — a partition
+    whose key set lacks a required key cannot hold a match."""
+    if isinstance(expr, TagFilter):
+        return frozenset([expr.key_index]) if expr.key_index >= 0 else frozenset()
+    if isinstance(expr, KeyFilter):
+        if expr.should_be_set and expr.key_index >= 0:
+            return frozenset([expr.key_index])
+        return frozenset()
+    if isinstance(expr, LogicalFilter):
+        a = required_key_indices(expr.a)
+        b = required_key_indices(expr.b)
+        return a | b if expr.op is LogicOp.AND else a & b
+    return frozenset()

@@ -235,6 +235,7 @@ def write_index(
                     )
                     rows[pid_v] = n
             manifest.record(key, rows, time.time() - t0)
+    build_zonemap(index_dir)
     return manifest
 
 
@@ -262,13 +263,43 @@ class DiskRepo:
             self.plan = PartitionPlan.from_json(json.load(f))
         self.tag_index = TagIndex.load(os.path.join(index_dir, "tag-index"))
         self.tag_index_ref = ray.put(self.tag_index)
+        zm_path = os.path.join(index_dir, "zonemap.json")
+        if os.path.exists(zm_path):
+            with open(zm_path) as f:
+                self.zonemap = {
+                    ot: {int(p): frozenset(ks) for p, ks in pids.items()}
+                    for ot, pids in json.load(f).items()
+                }
+        else:
+            self.zonemap = {}
 
-    def table(self, otype: str, cells: np.ndarray | None = None) -> ray.data.Dataset:
-        base = os.path.join(self.index_dir, otype)
+    def pids_for(
+        self, otype: str, cells: np.ndarray | None = None, required_keys=None
+    ) -> list[int]:
+        """Partitions that can hold a match: cell pruning via the plan, then
+        zone-map pruning — drop pids whose recorded key set lacks a key the
+        filter REQUIRES (conservative: unknown pids are kept)."""
         if cells is None:
+            pids = list(range(self.plan.num_partitions))
+        else:
+            pids = [int(p) for p in self.plan.pids_for_cells(cells)]
+        if required_keys:
+            zm = self.zonemap.get(otype, {})
+            req = frozenset(int(k) for k in required_keys)
+            pids = [p for p in pids if p not in zm or req <= zm[p]]
+        return pids
+
+    def table(
+        self,
+        otype: str,
+        cells: np.ndarray | None = None,
+        required_keys=None,
+    ) -> ray.data.Dataset:
+        base = os.path.join(self.index_dir, otype)
+        if cells is None and not required_keys:
             paths = [base]
         else:
-            pids = self.plan.pids_for_cells(cells)
+            pids = self.pids_for(otype, cells, required_keys)
             dirs = [os.path.join(base, f"pid={p}") for p in pids]
             # read_parquet accepts a single directory but a LIST must be files
             paths = [
@@ -465,3 +496,42 @@ def table_cached(
     if otype == "node":
         return ds
     return _dedup_replicas(ds)
+
+
+def build_zonemap(index_dir: str) -> dict:
+    """Per-partition tag-key zone map: for every ``<otype>/pid=<p>`` record
+    the distinct tag-key indices its rows carry; persisted as
+    ``zonemap.json``. A query whose filter REQUIRES a key (ast_nodes.
+    required_key_indices) then skips partitions whose key set lacks it —
+    the tag-level analogue of the cell-level partition pruning. One Ray
+    task per partition reading ONLY the tag_keys column; at import scale
+    this folds into the write wave (the column is already in memory there).
+    """
+    import glob as _glob
+
+    import ray as _ray
+
+    part_dirs = sorted(_glob.glob(os.path.join(index_dir, "*", "pid=*")))
+
+    @_ray.remote
+    def _keys(pdir: str) -> tuple[str, int, list]:
+        import pyarrow.parquet as _pq
+
+        otype = os.path.basename(os.path.dirname(pdir))
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        ks: set = set()
+        for f in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+            col = _pq.read_table(f, columns=["tag_keys"])["tag_keys"]
+            flat = col.combine_chunks().flatten()
+            ks.update(np.unique(np.asarray(flat, dtype=np.int64)).tolist())
+        return otype, pid, sorted(int(k) for k in ks)
+
+    zonemap: dict = {}
+    for otype, pid, ks in _ray.get([_keys.remote(p) for p in part_dirs]):
+        zonemap.setdefault(otype, {})[str(pid)] = ks
+    path = os.path.join(index_dir, "zonemap.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(zonemap, f)
+    os.replace(tmp, path)
+    return zonemap

@@ -42,6 +42,7 @@ from ..model import (
     QUERY_WAYS,
 )
 from ..parser import BboxLocation, Query, Statement, parse_query
+from ..parser.ast_nodes import required_key_indices
 from ..sources.repo import FeatureRepo
 from ..stages.semi_join import isin_sorted, sorted_id_array
 from ..stages.tag_filter import eval_filter_mask, find_substatements
@@ -83,11 +84,18 @@ class QueryEngine:
             out = out.union(r)
         return out
 
-    def _table(self, obj_type: str, cells: np.ndarray | None = None) -> ray.data.Dataset:
+    def _table(
+        self,
+        obj_type: str,
+        cells: np.ndarray | None = None,
+        required_keys=None,
+    ) -> ray.data.Dataset:
         """Cell-pruned read when the repo supports it (DiskRepo reads only the
-        partitions covering ``cells``); in-memory repos scan and filter."""
+        partitions covering ``cells``), additionally zone-map-pruned by the
+        filter's REQUIRED tag keys (build_index.build_zonemap); in-memory
+        repos scan and filter."""
         try:
-            return self.repo.table(obj_type, cells=cells)
+            return self.repo.table(obj_type, cells=cells, required_keys=required_keys)
         except TypeError:
             return self.repo.table(obj_type)
 
@@ -99,7 +107,9 @@ class QueryEngine:
         if stmt.query_type == QUERY_CHILD_RELATIONS:
             raise ValueError("child_relations is only valid inside sub-statements")
 
-        candidates = self._bbox_candidates(stmt.location, obj_type)
+        candidates = self._bbox_candidates(
+            stmt.location, obj_type, required_key_indices(stmt.filter)
+        )
         probes = self._resolve_substatements(stmt, candidates, obj_type)
         filt = stmt.filter
 
@@ -111,13 +121,15 @@ class QueryEngine:
         return self._project(result, obj_type) if project else result
 
     # -- helpers ----------------------------------------------------------
-    def _bbox_candidates(self, loc: BboxLocation, obj_type: str) -> ray.data.Dataset:
+    def _bbox_candidates(
+        self, loc: BboxLocation, obj_type: str, required_keys=None
+    ) -> ray.data.Dataset:
         cellset = np.sort(
             self.cell_scheme.cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
         )
         cells_ref = ray.put(cellset)
         bbox = (loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
-        ds = self._table(obj_type, cellset)
+        ds = self._table(obj_type, cellset, required_keys)
 
         if obj_type == OSM_NODE:
 
@@ -171,7 +183,9 @@ class QueryEngine:
 
     def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
         inner_obj = QUERY_TYPE_TO_OBJECT_TYPE[inner_stmt.query_type]
-        inner_ds = self._table(inner_obj, ray.get(cells_needed_ref))
+        inner_ds = self._table(
+            inner_obj, ray.get(cells_needed_ref), required_key_indices(inner_stmt.filter)
+        )
 
         if inner_obj == OSM_NODE:
 

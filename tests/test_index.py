@@ -285,3 +285,55 @@ def test_run_logged_artifact(tmp_path):
     # resume: same lineage -> returned without rewriting
     m2 = run_logged(ray.data.range(1000), out, lineage)
     assert m2["finished_at"] == m["finished_at"]
+
+
+def test_zonemap_written_and_prunes_partitions(index_dir):
+    """write_index records per-partition tag-key sets; pids_for drops
+    partitions lacking a REQUIRED key and keeps unknown ones."""
+    import json
+
+    with open(os.path.join(index_dir, "zonemap.json")) as f:
+        zm = json.load(f)
+    assert "node" in zm and len(zm["node"]) >= 1
+    disk = DiskRepo(index_dir)
+    all_pids = disk.pids_for("node")
+    # every node carries the real keys -> requiring one prunes nothing
+    some_key = zm["node"][next(iter(zm["node"]))][0]
+    assert disk.pids_for("node", required_keys=[some_key]) == all_pids
+    # a key no partition has prunes every RECORDED partition (pids absent
+    # from the zonemap — e.g. salted-plan gaps with no dir — stay, conservative)
+    recorded = {int(p) for p in zm["node"]}
+    assert [p for p in disk.pids_for("node", required_keys=[10_000]) if p in recorded] == []
+    # synthetic zonemap: drop the partition that lacks the key, keep unknowns
+    disk.zonemap = {"node": {p: frozenset([0]) for p in all_pids[:1]}}
+    got = disk.pids_for("node", required_keys=[7])
+    assert all_pids[0] not in got
+    assert set(got) == set(all_pids[1:])  # unknown pids stay (conservative)
+
+
+def test_required_key_indices():
+    from simple_osm_queries_ray.parser.ast_nodes import (
+        BinOp,
+        KeyFilter,
+        LogicalFilter,
+        LogicOp,
+        NegatedFilter,
+        TagFilter,
+        required_key_indices,
+    )
+
+    t1 = TagFilter(key_index=1, value_index=0, op=BinOp.EQ)
+    t2 = TagFilter(key_index=2, value_index=0, op=BinOp.NEQ)  # != still requires
+    k3 = KeyFilter(key_index=3, should_be_set=True)
+    k3n = KeyFilter(key_index=3, should_be_set=False)  # absence: no requirement
+    assert required_key_indices(t1) == {1}
+    assert required_key_indices(t2) == {2}
+    assert required_key_indices(k3) == {3}
+    assert required_key_indices(k3n) == frozenset()
+    assert required_key_indices(LogicalFilter(t1, t2, LogicOp.AND)) == {1, 2}
+    assert required_key_indices(LogicalFilter(t1, t2, LogicOp.OR)) == frozenset()
+    assert required_key_indices(
+        LogicalFilter(LogicalFilter(t1, k3, LogicOp.AND), t1, LogicOp.OR)
+    ) == {1}
+    assert required_key_indices(NegatedFilter(t1)) == frozenset()
+    assert required_key_indices(TagFilter(key_index=-1, value_index=0, op=BinOp.EQ)) == frozenset()
