@@ -77,6 +77,36 @@ class QueryEngine:
     def execute_string(self, text: str) -> ray.data.Dataset:
         return self.execute(parse_query(text, self.repo.tag_index))
 
+    def explain_string(self, text: str) -> list[dict]:
+        """Plan inspection without execution: per statement, the candidate
+        cell count, required tag keys, and — for a DiskRepo — how many
+        partitions the cell pruning and the zone-map pruning each leave.
+        The observability face of the planner (which pruning fired and why),
+        cheap enough to serve from the HTTP API."""
+        out = []
+        for stmt in parse_query(text, self.repo.tag_index).statements:
+            obj_type = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
+            loc = stmt.location
+            cells = np.sort(
+                self.cell_scheme.cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
+            )
+            req = sorted(required_key_indices(stmt.filter))
+            info = {
+                "object_type": obj_type,
+                "n_candidate_cells": int(len(cells)),
+                "required_key_indices": req,
+                "required_keys": [self.repo.tag_index.key_string(k) for k in req],
+                "n_substatements": len(find_substatements(stmt.filter)),
+            }
+            if hasattr(self.repo, "pids_for"):
+                info["n_partitions_total"] = int(self.repo.plan.num_partitions)
+                info["n_partitions_after_cells"] = len(self.repo.pids_for(obj_type, cells))
+                info["n_partitions_after_zonemap"] = len(
+                    self.repo.pids_for(obj_type, cells, required_keys=req)
+                )
+            out.append(info)
+        return out
+
     def execute(self, query: Query) -> ray.data.Dataset:
         results = [self.execute_statement(s) for s in query.statements]
         out = results[0]

@@ -105,12 +105,26 @@ def make_handler(engine: QueryEngine):
                 self.end_headers()
 
         def do_POST(self):
-            if self.path != "/query":
+            if self.path not in ("/query", "/explain"):
                 self.send_response(404)
                 self.end_headers()
                 return
             length = int(self.headers.get("Content-Length", "0"))
             text = self.rfile.read(length).decode("utf-8")
+            if self.path == "/explain":
+                try:
+                    plan = engine.explain_string(text)
+                except ParseError as e:
+                    self.send_response(400)
+                    self.send_header("Content-Type", "text/plain; charset=utf-8")
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(plan).encode())
+                return
             try:
                 query = parse_query(text, engine.repo.tag_index)
             except ParseError as e:

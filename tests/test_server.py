@@ -66,3 +66,19 @@ def test_multi_statement_union(server_url):
         fc = json.load(resp)
     langs = {f["properties"]["lang"] for f in fc["features"]}
     assert langs == {"en", "de"}
+
+
+def test_explain_endpoint(server_url):
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        server_url + "/explain",
+        data=b"bbox(9.85,53.45,10.05,53.65).nodes{lang=de}",
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        plan = json.loads(r.read())
+    assert plan[0]["object_type"] == "node"
+    assert plan[0]["required_keys"] == ["lang"]
+    assert plan[0]["n_candidate_cells"] > 0
