@@ -123,3 +123,26 @@ def required_key_indices(expr: "FilterExpr") -> frozenset:
         b = required_key_indices(expr.b)
         return a | b if expr.op is LogicOp.AND else a & b
     return frozenset()
+
+
+def and_level_tag_constraints(expr: "FilterExpr") -> dict:
+    """{key_index: [(op_str, value_index), ...]} for every TagFilter
+    reachable through AND edges only (OR/NOT/sub-statements stop the
+    descent — a constraint under OR is not required of every match).
+    Drives value-RANGE zone-map pruning; != contributes only presence
+    (its complement spans the whole range)."""
+    out: dict = {}
+    stack = [expr]
+    while stack:
+        e = stack.pop()
+        if isinstance(e, TagFilter) and e.key_index >= 0:
+            if e.op is not BinOp.NEQ and e.value_index >= 0:
+                out.setdefault(e.key_index, []).append((e.op.value, e.value_index))
+            else:
+                out.setdefault(e.key_index, [])
+        elif isinstance(e, KeyFilter) and e.should_be_set and e.key_index >= 0:
+            out.setdefault(e.key_index, [])
+        elif isinstance(e, LogicalFilter) and e.op is LogicOp.AND:
+            stack.append(e.a)
+            stack.append(e.b)
+    return out

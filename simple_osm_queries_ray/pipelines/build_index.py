@@ -266,15 +266,22 @@ class DiskRepo:
         zm_path = os.path.join(index_dir, "zonemap.json")
         if os.path.exists(zm_path):
             with open(zm_path) as f:
-                self.zonemap = {
-                    ot: {int(p): frozenset(ks) for p, ks in pids.items()}
-                    for ot, pids in json.load(f).items()
-                }
+                raw = json.load(f)
+            self.zonemap = {}
+            for ot, pids in raw.items():
+                self.zonemap[ot] = {}
+                for p, ks in pids.items():
+                    if isinstance(ks, list):  # v1: presence only
+                        self.zonemap[ot][int(p)] = {int(k): None for k in ks}
+                    else:
+                        self.zonemap[ot][int(p)] = {
+                            int(k): (int(r[0]), int(r[1])) for k, r in ks.items()
+                        }
         else:
             self.zonemap = {}
 
     def pids_for(
-        self, otype: str, cells: np.ndarray | None = None, required_keys=None
+        self, otype: str, cells: np.ndarray | None = None, required_keys=None, ranges=None
     ) -> list[int]:
         """Partitions that can hold a match: cell pruning via the plan, then
         zone-map pruning — drop pids whose recorded key set lacks a key the
@@ -283,10 +290,12 @@ class DiskRepo:
             pids = list(range(self.plan.num_partitions))
         else:
             pids = [int(p) for p in self.plan.pids_for_cells(cells)]
+        zm = self.zonemap.get(otype, {})
         if required_keys:
-            zm = self.zonemap.get(otype, {})
             req = frozenset(int(k) for k in required_keys)
-            pids = [p for p in pids if p not in zm or req <= zm[p]]
+            pids = [p for p in pids if p not in zm or req <= set(zm[p])]
+        if ranges:
+            pids = [p for p in pids if p not in zm or _ranges_can_match(zm[p], ranges)]
         return pids
 
     def table(
@@ -294,12 +303,13 @@ class DiskRepo:
         otype: str,
         cells: np.ndarray | None = None,
         required_keys=None,
+        ranges=None,
     ) -> ray.data.Dataset:
         base = os.path.join(self.index_dir, otype)
-        if cells is None and not required_keys:
+        if cells is None and not required_keys and not ranges:
             paths = [base]
         else:
-            pids = self.pids_for(otype, cells, required_keys)
+            pids = self.pids_for(otype, cells, required_keys, ranges)
             dirs = [os.path.join(base, f"pid={p}") for p in pids]
             # read_parquet accepts a single directory but a LIST must be files
             paths = [
@@ -499,9 +509,9 @@ def table_cached(
 
 
 def build_zonemap(index_dir: str) -> dict:
-    """Per-partition tag-key zone map: for every ``<otype>/pid=<p>`` record
-    the distinct tag-key indices its rows carry; persisted as
-    ``zonemap.json``. A query whose filter REQUIRES a key (ast_nodes.
+    """Per-partition tag zone map: for every ``<otype>/pid=<p>`` record, per
+    tag key, the [min, max] RANGE of value indices its rows carry; persisted
+    as ``zonemap.json``. A query whose filter REQUIRES a key (ast_nodes.
     required_key_indices) then skips partitions whose key set lacks it —
     the tag-level analogue of the cell-level partition pruning. One Ray
     task per partition reading ONLY the tag_keys column; at import scale
@@ -514,24 +524,60 @@ def build_zonemap(index_dir: str) -> dict:
     part_dirs = sorted(_glob.glob(os.path.join(index_dir, "*", "pid=*")))
 
     @_ray.remote
-    def _keys(pdir: str) -> tuple[str, int, list]:
+    def _keys(pdir: str) -> tuple[str, int, dict]:
+        import pandas as _pd
         import pyarrow.parquet as _pq
 
         otype = os.path.basename(os.path.dirname(pdir))
         pid = int(os.path.basename(pdir).split("=", 1)[1])
-        ks: set = set()
+        lo: dict = {}
+        hi: dict = {}
         for f in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
-            col = _pq.read_table(f, columns=["tag_keys"])["tag_keys"]
-            flat = col.combine_chunks().flatten()
-            ks.update(np.unique(np.asarray(flat, dtype=np.int64)).tolist())
-        return otype, pid, sorted(int(k) for k in ks)
+            tbl = _pq.read_table(f, columns=["tag_keys", "tag_vals"])
+            k = np.asarray(tbl["tag_keys"].combine_chunks().flatten(), dtype=np.int64)
+            v = np.asarray(tbl["tag_vals"].combine_chunks().flatten(), dtype=np.int64)
+            if len(k) == 0:
+                continue
+            g = _pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].agg(["min", "max"])
+            for kk, mn, mx in zip(g.index, g["min"], g["max"]):
+                kk = int(kk)
+                lo[kk] = min(lo.get(kk, mn), int(mn))
+                hi[kk] = max(hi.get(kk, mx), int(mx))
+        return otype, pid, {str(k): [int(lo[k]), int(hi[k])] for k in lo}
 
     zonemap: dict = {}
-    for otype, pid, ks in _ray.get([_keys.remote(p) for p in part_dirs]):
-        zonemap.setdefault(otype, {})[str(pid)] = ks
+    for otype, pid, kranges in _ray.get([_keys.remote(p) for p in part_dirs]):
+        zonemap.setdefault(otype, {})[str(pid)] = kranges
     path = os.path.join(index_dir, "zonemap.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(zonemap, f)
     os.replace(tmp, path)
     return zonemap
+
+
+def _ranges_can_match(part_keys: dict, constraints: dict) -> bool:
+    """Can any row of a partition satisfy every AND-level tag constraint?
+    ``part_keys``: {key: (min_v, max_v) | None}; ``constraints``:
+    {key: [(op_str, value_index), ...]}. A key absent from the partition
+    fails (presence is required even for !=); a None range (v1 map) only
+    checks presence."""
+    for k, cons in constraints.items():
+        r = part_keys.get(k, "missing")
+        if r == "missing":
+            return False
+        if r is None:
+            continue
+        mn, mx = r
+        for op, v in cons:
+            if op == "=" and (v < mn or v > mx):
+                return False
+            if op == ">" and mx <= v:
+                return False
+            if op == ">=" and mx < v:
+                return False
+            if op == "<" and mn >= v:
+                return False
+            if op == "<=" and mn > v:
+                return False
+    return True

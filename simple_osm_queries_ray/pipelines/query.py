@@ -42,7 +42,7 @@ from ..model import (
     QUERY_WAYS,
 )
 from ..parser import BboxLocation, Query, Statement, parse_query
-from ..parser.ast_nodes import required_key_indices
+from ..parser.ast_nodes import and_level_tag_constraints, required_key_indices
 from ..sources.repo import FeatureRepo
 from ..stages.semi_join import isin_sorted, sorted_id_array
 from ..stages.tag_filter import eval_filter_mask, find_substatements
@@ -102,7 +102,10 @@ class QueryEngine:
                 info["n_partitions_total"] = int(self.repo.plan.num_partitions)
                 info["n_partitions_after_cells"] = len(self.repo.pids_for(obj_type, cells))
                 info["n_partitions_after_zonemap"] = len(
-                    self.repo.pids_for(obj_type, cells, required_keys=req)
+                    self.repo.pids_for(
+                        obj_type, cells, required_keys=req,
+                        ranges=and_level_tag_constraints(stmt.filter),
+                    )
                 )
             out.append(info)
         return out
@@ -119,13 +122,16 @@ class QueryEngine:
         obj_type: str,
         cells: np.ndarray | None = None,
         required_keys=None,
+        ranges=None,
     ) -> ray.data.Dataset:
         """Cell-pruned read when the repo supports it (DiskRepo reads only the
         partitions covering ``cells``), additionally zone-map-pruned by the
         filter's REQUIRED tag keys (build_index.build_zonemap); in-memory
         repos scan and filter."""
         try:
-            return self.repo.table(obj_type, cells=cells, required_keys=required_keys)
+            return self.repo.table(
+                obj_type, cells=cells, required_keys=required_keys, ranges=ranges
+            )
         except TypeError:
             return self.repo.table(obj_type)
 
@@ -138,7 +144,8 @@ class QueryEngine:
             raise ValueError("child_relations is only valid inside sub-statements")
 
         candidates = self._bbox_candidates(
-            stmt.location, obj_type, required_key_indices(stmt.filter)
+            stmt.location, obj_type, required_key_indices(stmt.filter),
+            and_level_tag_constraints(stmt.filter),
         )
         probes = self._resolve_substatements(stmt, candidates, obj_type)
         filt = stmt.filter
@@ -152,14 +159,14 @@ class QueryEngine:
 
     # -- helpers ----------------------------------------------------------
     def _bbox_candidates(
-        self, loc: BboxLocation, obj_type: str, required_keys=None
+        self, loc: BboxLocation, obj_type: str, required_keys=None, ranges=None
     ) -> ray.data.Dataset:
         cellset = np.sort(
             self.cell_scheme.cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
         )
         cells_ref = ray.put(cellset)
         bbox = (loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
-        ds = self._table(obj_type, cellset, required_keys)
+        ds = self._table(obj_type, cellset, required_keys, ranges)
 
         if obj_type == OSM_NODE:
 
@@ -214,7 +221,9 @@ class QueryEngine:
     def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
         inner_obj = QUERY_TYPE_TO_OBJECT_TYPE[inner_stmt.query_type]
         inner_ds = self._table(
-            inner_obj, ray.get(cells_needed_ref), required_key_indices(inner_stmt.filter)
+            inner_obj, ray.get(cells_needed_ref),
+            required_key_indices(inner_stmt.filter),
+            and_level_tag_constraints(inner_stmt.filter),
         )
 
         if inner_obj == OSM_NODE:

@@ -295,20 +295,30 @@ def test_zonemap_written_and_prunes_partitions(index_dir):
     with open(os.path.join(index_dir, "zonemap.json")) as f:
         zm = json.load(f)
     assert "node" in zm and len(zm["node"]) >= 1
+    first = zm["node"][next(iter(zm["node"]))]
+    assert all(len(r) == 2 for r in first.values())  # v2: per-key [min,max]
     disk = DiskRepo(index_dir)
     all_pids = disk.pids_for("node")
     # every node carries the real keys -> requiring one prunes nothing
-    some_key = zm["node"][next(iter(zm["node"]))][0]
+    some_key = int(next(iter(first)))
     assert disk.pids_for("node", required_keys=[some_key]) == all_pids
     # a key no partition has prunes every RECORDED partition (pids absent
     # from the zonemap — e.g. salted-plan gaps with no dir — stay, conservative)
     recorded = {int(p) for p in zm["node"]}
     assert [p for p in disk.pids_for("node", required_keys=[10_000]) if p in recorded] == []
     # synthetic zonemap: drop the partition that lacks the key, keep unknowns
-    disk.zonemap = {"node": {p: frozenset([0]) for p in all_pids[:1]}}
+    disk.zonemap = {"node": {p: {0: (0, 5)} for p in all_pids[:1]}}
     got = disk.pids_for("node", required_keys=[7])
     assert all_pids[0] not in got
     assert set(got) == set(all_pids[1:])  # unknown pids stay (conservative)
+    # value-range pruning: key 0 spans [0,5] in the recorded partition
+    assert all_pids[0] in disk.pids_for("node", ranges={0: [("=", 3)]})
+    assert all_pids[0] not in disk.pids_for("node", ranges={0: [("=", 9)]})
+    assert all_pids[0] not in disk.pids_for("node", ranges={0: [(">", 5)]})
+    assert all_pids[0] in disk.pids_for("node", ranges={0: [(">=", 5)]})
+    assert all_pids[0] not in disk.pids_for("node", ranges={0: [("<", 0)]})
+    assert all_pids[0] in disk.pids_for("node", ranges={0: [("<=", 0)]})
+    assert all_pids[0] not in disk.pids_for("node", ranges={7: []})  # absent key
 
 
 def test_required_key_indices():
