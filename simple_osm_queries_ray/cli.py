@@ -5,7 +5,7 @@ thin wrapper around the same query path and is out of scope for the core).
 Usage (run from the repo root so workers resolve the package):
 
     python -m simple_osm_queries_ray.cli import <sf_dir|file.osm[.bz2|.gz]|file.pbf> <index_dir> [delta.osc ...]
-    python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson]
+    python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain]
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
 """
 
@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if cmd == "query":
             index_dir, qtext = argv[1], argv[2]
+            if "--explain" in argv:
+                import json as _json
+
+                from .pipelines.build_index import DiskRepo
+                from .pipelines.query import QueryEngine
+
+                plan = QueryEngine(DiskRepo(index_dir)).explain_string(qtext)
+                print(_json.dumps(plan, indent=1))
+                return 0
             out = argv[3] if len(argv) > 3 else "output.geojson"
             from .model import QUERY_TYPE_TO_OBJECT_TYPE
             from .parser import parse_query
