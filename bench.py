@@ -351,7 +351,7 @@ def run_scaling(cycles: int | None = None) -> dict:
     # efficiency, so the best cycle is the least-contaminated estimate of the
     # intrinsic ratio. All cycles are reported for transparency.
     if cycles is None:
-        cycles = int(os.environ.get("BENCH_SCALE_CYCLES", "2"))
+        cycles = int(os.environ.get("BENCH_SCALE_CYCLES", "3"))
     results = []
     for _ in range(cycles):
         r_lo, r_hi = one(lo), one(hi)
@@ -381,10 +381,10 @@ if __name__ == "__main__":
     else:
         res = run_bench()
         # the per-round BENCH artifact should carry the north rule's
-        # two-cluster-size evidence, not only BASELINE.md: two lo/hi cycles
+        # two-cluster-size evidence, not only BASELINE.md: three lo/hi cycles
         # ride along in the default run (best-of-cycles; a single cycle is
         # too exposed to the host's contention spikes — observed 0.70 single
         # vs 0.88 best-of-2). Skip with BENCH_SKIP_SCALING=1.
         if os.environ.get("BENCH_SKIP_SCALING") != "1":
-            res["scaling"] = run_scaling(cycles=2)
+            res["scaling"] = run_scaling(cycles=3)
         print(json.dumps(res))
