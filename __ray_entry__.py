@@ -888,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quad_ring": _q_knn_quad_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
         "soq_semi_join_quad_index": _q_semi_join_quad_index,
+        "soq_caption_tags": _q_soq_caption_tags,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1636,6 +1637,18 @@ SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
   FROM documents)
 GROUP BY token ORDER BY df DESC, token LIMIT 30
 """,
+        # caption tokens AS the tag dictionary: presence tags per token, so
+        # key=* queries over the caption corpus go through the soq language
+        "soq_caption_tags": f"""
+{W},
+toks AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS t
+         FROM documents)
+SELECT n.id, n.lon, n.lat
+FROM nodes_c n JOIN toks ON toks.doc_id = n.id
+WHERE list_contains(t, 'batch') AND list_contains(t, 'join')
+""",
         "keyword_search": """
 WITH tok AS (
   SELECT doc_id,
@@ -1869,3 +1882,76 @@ SELECT user_id, min(ts_us) AS session_start, count(*) AS n,
 FROM s GROUP BY user_id, sess_id
 """,
     }
+
+
+_CAPTION_REPO_CACHE: dict = {}
+
+
+def _caption_repo(sf_dir: str):
+    """Image+caption rows as soq features whose TAGS are the caption tokens
+    — the north star's 'caption tokens become the tag dictionary' sentence
+    made executable. Each image becomes a point feature (lon/lat from the
+    shared geolocate derivation) carrying one presence tag per distinct
+    caption token, so the full soq language (key=* presence, AND/OR, bbox
+    pruning) queries the caption corpus directly."""
+    if sf_dir in _CAPTION_REPO_CACHE:
+        return _CAPTION_REPO_CACHE[sf_dir]
+    import pyarrow as pa
+
+    import ray
+
+    from simple_osm_queries_ray.functions.tags import TagIndex
+    from simple_osm_queries_ray.model import cell_of
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.sources.repo import FeatureRepo
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+    from simple_osm_queries_ray.stages.tag_encode import encode_tags
+    from simple_osm_queries_ray.stages.text import _doc_tokens
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_features(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lon, lat = geolocate(ids)
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        d = pd.DataFrame({"t": flat, "d": doc_of}).drop_duplicates()
+        keys = [[] for _ in range(len(ids))]
+        for t, di in zip(d["t"], d["d"]):  # distinct (token, doc) pairs only
+            keys[di].append(t)
+        ls = pa.list_(pa.string())
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "cell": pa.array(cell_of(lon, lat)),
+                "tag_keys_str": pa.array(keys, type=ls),
+                "tag_vals_str": pa.array([["1"] * len(k) for k in keys], type=ls),
+            }
+        )
+
+    feats = docs.map_batches(to_features, batch_format="pyarrow")
+    # token vocabulary for the tag dictionary (vocabulary-sized collect)
+    vocab = set()
+    for b in feats.select_columns(["tag_keys_str"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        vocab.update(b["tag_keys_str"].combine_chunks().flatten().to_pylist())
+    ti = TagIndex.from_tag_lists({t: ["1"] for t in sorted(vocab)})
+    nodes = encode_tags(feats, ray.put(ti)).materialize()
+    empty = nodes.limit(0)
+    repo = FeatureRepo(nodes, empty, empty, ti)
+    _CAPTION_REPO_CACHE[sf_dir] = repo
+    return repo
+
+
+def _q_soq_caption_tags(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_caption_repo(sf_dir))
+    return eng.execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{batch=* AND join=*}"
+    )
