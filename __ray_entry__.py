@@ -97,6 +97,16 @@ def _q_semi_join_ways(sf_dir: str):
     )
 
 
+def _q_or_semi_join(sf_dir: str):
+    """OR combining a plain tag predicate with a sub-statement semi-join —
+    the disjunctive probe placement (filter.go evaluates sub-statements
+    anywhere in the expression tree, not only under AND)."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=zh OR this.ways{wtype=primary}}"
+    )
+
+
 def _q_anti_join(sf_dir: str):
     return _engine(sf_dir).execute_string(
         f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
@@ -856,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_and_or": _q_soq_and_or,
         "soq_neq": _q_soq_neq,
         "soq_semi_join_ways": _q_semi_join_ways,
+        "soq_or_semi_join": _q_or_semi_join,
         "soq_anti_join": _q_anti_join,
         "soq_way_semi_join_nodes": _q_way_semi_join_nodes,
         "soq_rel_semi_join_ways": _q_rel_semi_join_ways,
@@ -1149,6 +1160,10 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
         "soq_semi_join_ways": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
+        ),
+        "soq_or_semi_join": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND (lang = 'zh' OR wg % 3 = 1)"
         ),
         # anti-join on bridge=* <=> NOT wg%7=0
         "soq_anti_join": (
