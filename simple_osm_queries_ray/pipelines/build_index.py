@@ -581,3 +581,146 @@ def _ranges_can_match(part_keys: dict, constraints: dict) -> bool:
             if op == "<=" and mn > v:
                 return False
     return True
+
+
+def _assign_pids(ds: ray.data.Dataset, otype: str, plan_ref) -> ray.data.Dataset:
+    """Full-range pid assignment (the write_index per-wave assign without the
+    wave slicing): nodes map to their cell's partition, ways/relations
+    replicate to every partition overlapping their cells list."""
+
+    if otype == OSM_NODE:
+
+        def assign(batch: pa.Table) -> pa.Table:
+            p = bget_plan(plan_ref)
+            pid = p.assign(
+                np.asarray(batch["cell"], dtype=np.int64),
+                np.asarray(batch["id"], dtype=np.int64),
+            )
+            return batch.append_column("pid", pa.array(pid))
+
+    else:
+
+        def assign(batch: pa.Table) -> pa.Table:
+            from ..functions.segments import list_parts
+
+            p = bget_plan(plan_ref)
+            flat, offsets = list_parts(batch["cells"])
+            ids = np.asarray(batch["id"], dtype=np.int64)
+            reps = np.diff(offsets)
+            row_idx = np.repeat(np.arange(len(ids)), reps)
+            pid = p.assign(np.asarray(flat, dtype=np.int64), ids[row_idx])
+            pairs = np.unique(np.stack([row_idx, pid], axis=1), axis=0)
+            sub = batch.take(pa.array(pairs[:, 0]))
+            return sub.append_column("pid", pa.array(pairs[:, 1]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _content_hash_table(tbl: pa.Table) -> str:
+    """Deterministic content hash: rows sorted by id, columns sorted by
+    name, csv-serialized with full float precision."""
+    import hashlib
+
+    df = tbl.to_pandas()
+    df = df.reindex(sorted(df.columns), axis=1).sort_values("id", kind="mergesort")
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
+
+
+def refresh_index(index_dir: str, repo) -> dict:
+    """Incremental index maintenance: given an updated FeatureRepo (e.g.
+    from ``import_osm_with_changes``), rewrite ONLY the partitions whose
+    content changed under the EXISTING partition plan — untouched partition
+    files stay byte-identical on disk (pinned by mtime in tests), changed
+    ones swap in atomically, and the zone map refreshes for touched pids
+    only. Per-partition content hashes persist in ``part-hashes.json`` (the
+    first refresh derives them from the on-disk partitions).
+
+    The replication path: base import -> .osc deltas -> rebuilt repo ->
+    refresh_index. The rebuild is feature-level (a node move must reflow
+    referencing ways); THIS step makes the expensive part — the index
+    write — proportional to the changed partitions, not the corpus.
+    Returns {otype: {"changed": [...], "removed": [...], "unchanged": n}}.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    with open(os.path.join(index_dir, "plan.json")) as f:
+        plan = PartitionPlan.from_json(json.load(f))
+    plan_ref = ray.put(plan)
+    hashes_path = os.path.join(index_dir, "part-hashes.json")
+    if os.path.exists(hashes_path):
+        with open(hashes_path) as f:
+            old_hashes = json.load(f)
+    else:
+        old_hashes = {}
+
+    @ray.remote
+    def _disk_hash(pdir: str) -> tuple[str, str]:
+        import pyarrow.parquet as _pq
+
+        tbls = [
+            _pq.read_table(f)
+            for f in sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        ]
+        merged = pa.concat_tables(tbls) if tbls else None
+        pid = os.path.basename(pdir).split("=", 1)[1]
+        return pid, _content_hash_table(merged) if merged is not None else ""
+
+    report: dict = {}
+    new_hashes: dict = {}
+    for otype, ds in ((OSM_NODE, repo.nodes), (OSM_WAY, repo.ways), (OSM_RELATION, repo.relations)):
+        base = os.path.join(index_dir, otype)
+        if otype not in old_hashes:
+            dirs = sorted(_glob.glob(os.path.join(base, "pid=*")))
+            old_hashes[otype] = dict(ray.get([_disk_hash.remote(d) for d in dirs]))
+
+        def hash_group(tbl: pa.Table) -> pa.Table:
+            pid = int(tbl["pid"][0].as_py())
+            h = _content_hash_table(tbl.drop_columns(["pid"]))
+            return pa.table(
+                {"pid": pa.array([pid], type=pa.int64()), "h": pa.array([h], type=pa.string())}
+            )
+
+        assigned = _assign_pids(ds, otype, plan_ref).materialize()
+        hdf = assigned.groupby("pid").map_groups(hash_group, batch_format="pyarrow").to_pandas()
+        newh = {str(int(p)): h for p, h in zip(hdf["pid"], hdf["h"])}
+        oldh = old_hashes.get(otype, {})
+        changed = sorted(int(p) for p in newh if newh[p] != oldh.get(p))
+        removed = sorted(int(p) for p in oldh if p not in newh and oldh[p])
+        if changed:
+            staging = tempfile.mkdtemp(prefix="soqr_refresh_")
+            ch_arr = pa.array(sorted(changed), type=pa.int64())
+
+            def only_changed(batch: pa.Table) -> pa.Table:
+                return batch.filter(pa.compute.is_in(batch["pid"], value_set=ch_arr))
+
+            assigned.map_batches(only_changed, batch_format="pyarrow").write_parquet(
+                staging, partition_cols=["pid"]
+            )
+            for p in changed:
+                src = os.path.join(staging, f"pid={p}")
+                dst = os.path.join(base, f"pid={p}")
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):
+                    shutil.move(src, dst)
+            shutil.rmtree(staging, ignore_errors=True)
+        for p in removed:
+            shutil.rmtree(os.path.join(base, f"pid={p}"), ignore_errors=True)
+        new_hashes[otype] = newh
+        report[otype] = {
+            "changed": changed,
+            "removed": removed,
+            "unchanged": len([p for p in newh if newh[p] == oldh.get(p)]),
+        }
+
+    tmp = hashes_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_hashes, f)
+    os.replace(tmp, hashes_path)
+    build_zonemap(index_dir)  # touched pids re-recorded (full pass is cheap here)
+    return report

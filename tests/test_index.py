@@ -347,3 +347,51 @@ def test_required_key_indices():
     ) == {1}
     assert required_key_indices(NegatedFilter(t1)) == frozenset()
     assert required_key_indices(TagFilter(key_index=-1, value_index=0, op=BinOp.EQ)) == frozenset()
+
+
+def test_refresh_index_rewrites_only_changed_partitions(tmp_path):
+    """refresh_index with an identical repo rewrites nothing (files stay
+    byte-identical); deleting some nodes rewrites only their partitions and
+    queries reflect the change."""
+    import glob
+
+    from simple_osm_queries_ray.pipelines.build_index import (
+        DiskRepo,
+        refresh_index,
+        write_index,
+    )
+    from simple_osm_queries_ray.sources.repo import FeatureRepo, build_repo
+
+    repo = build_repo(SF)
+    d = str(tmp_path / "idx")
+    write_index(repo, d)
+    mtimes0 = {f: os.path.getmtime(f) for f in glob.glob(f"{d}/*/pid=*/*.parquet")}
+
+    rep = refresh_index(d, repo)
+    assert all(r["changed"] == [] and r["removed"] == [] for r in rep.values()), rep
+    mtimes1 = {f: os.path.getmtime(f) for f in glob.glob(f"{d}/*/pid=*/*.parquet")}
+    assert mtimes0 == mtimes1  # identical content -> untouched files
+
+    # delete a handful of nodes -> only their partitions rewrite
+    import pyarrow.compute as pc
+
+    gone = list(range(5))
+    nodes2 = repo.nodes.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b["id"], value_set=__import__("pyarrow").array(gone)))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    repo2 = FeatureRepo(nodes2, repo.ways, repo.relations, repo.tag_index)
+    rep2 = refresh_index(d, repo2)
+    assert rep2["node"]["changed"], rep2
+    assert rep2["way"]["changed"] == [] and rep2["relation"]["changed"] == []
+    changed = set(rep2["node"]["changed"])
+    for f, t in mtimes0.items():
+        pid = int(f.split("pid=")[1].split("/")[0])
+        if "/node/" in f and pid in changed:
+            continue
+        assert os.path.getmtime(f) == t, f  # untouched partitions unmodified
+    ids = set(DiskRepo(d).table("node").to_pandas()["id"])
+    assert not (set(gone) & ids)
+    assert len(ids) == repo.nodes.count() - len(gone)
