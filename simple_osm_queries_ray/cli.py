@@ -5,6 +5,7 @@ thin wrapper around the same query path and is out of scope for the core).
 Usage (run from the repo root so workers resolve the package):
 
     python -m simple_osm_queries_ray.cli import <sf_dir|file.osm[.bz2|.gz]|file.pbf> <index_dir> [delta.osc ...]
+    python -m simple_osm_queries_ray.cli refresh <src> <index_dir> [deltas.osc...]
     python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain]
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
 """
@@ -51,6 +52,29 @@ def main(argv: list[str] | None = None) -> int:
             manifest = write_index(repo, index_dir)
             print(f"index written to {index_dir}: {manifest.total_rows()} rows over "
                   f"{len(manifest.waves)} waves")
+            return 0
+        if cmd == "refresh":
+            # incremental maintenance: rebuild the repo from <src> (+ .osc
+            # deltas) and rewrite ONLY the changed partitions of an existing
+            # index under its original plan
+            src, index_dir = argv[1], argv[2]
+            changes = [a for a in argv[3:] if a.endswith(".osc")]
+            from .pipelines.build_index import refresh_index
+
+            if src.endswith((".osm", ".pbf", ".bz2", ".gz")):
+                from .pipelines.import_osm import import_osm, import_osm_with_changes
+
+                repo = (
+                    import_osm_with_changes(src, changes) if changes else import_osm(src)
+                )
+            else:
+                from .sources.repo import build_repo
+
+                repo = build_repo(src)
+            report = refresh_index(index_dir, repo)
+            import json as _json
+
+            print(_json.dumps(report))
             return 0
         if cmd == "query":
             index_dir, qtext = argv[1], argv[2]
