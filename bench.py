@@ -6,7 +6,7 @@ Prints ONE JSON line:
    "sf": ..., "num_cpus": N}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_REPLICATE (default 2000 -> 10M nodes at sf0.1), BENCH_RUNS (default 2,
+BENCH_REPLICATE (default 2000 -> 10M nodes at sf0.1), BENCH_RUNS (default 3,
 per-stage min over warm passes).
 
 --scaling: runs the spatial-join + tile-assignment job (BENCH_SCALING_REPLICATE,
@@ -192,7 +192,7 @@ def run_bench() -> dict:
 
     # the sandbox host shows intermittent multi-x contention spikes; report
     # the per-stage MIN over BENCH_RUNS full passes (labeled warm benchmark)
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for _ in range(runs):
         t, counts, n_nodes = one_pass()
@@ -288,7 +288,7 @@ def run_scaling_job() -> dict:
 
     times: dict[str, float] = {}
     n_pairs = n_tiles = 0
-    for _ in range(int(os.environ.get("BENCH_RUNS", "2"))):  # per-stage min
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):  # per-stage min
         t0 = time.time()
         # the count partial fuses with the join stage, so the (huge) pair set
         # streams through worker heaps instead of materializing in the object
