@@ -108,3 +108,49 @@ def test_buffer_join_matches_bruteforce(ways, pts, eps):
             if any(_pt_seg_d2(p, w[s], w[s + 1]) <= eps * eps for s in range(len(w) - 1)):
                 want.add((ni, wi))
     assert got_pairs == want
+
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+
+@_settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@_given(
+    left_keys=_st.lists(_st.integers(min_value=-5, max_value=5), min_size=0, max_size=30),
+    right_keys=_st.lists(_st.integers(min_value=-5, max_value=5), min_size=0, max_size=8),
+)
+def test_hash_join_attach_matches_pandas_merge(left_keys, right_keys):
+    """hash_join_attach == pandas left-merge for any key multiset (right side
+    deduped to one row per key, as the contract requires)."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.stages.joins import hash_join_attach
+
+    right_keys = sorted(set(right_keys))
+    left = pa.table(
+        {
+            "k": pa.array(left_keys, type=pa.int64()),
+            "payload": pa.array([f"L{i}" for i in range(len(left_keys))]),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(right_keys, type=pa.int64()),
+            "val": pa.array([k * 10 for k in right_keys], type=pa.int64()),
+        }
+    )
+    got = hash_join_attach(
+        ray.data.from_arrow(left), "k", ray.data.from_arrow(right), "rk",
+        {"val": pa.int64()},
+    ).to_pandas()
+    exp = left.to_pandas().merge(
+        right.to_pandas().rename(columns={"rk": "k"}), on="k", how="left"
+    )
+    if len(got) == 0 and len(exp) == 0:
+        return
+    got = got.sort_values(["k", "payload"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "payload"]).reset_index(drop=True)
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["payload"]) == list(exp["payload"])
+    gv = got["val"].astype("float64")
+    ev = exp["val"].astype("float64")
+    assert ((gv == ev) | (gv.isna() & ev.isna())).all()
