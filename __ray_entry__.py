@@ -846,6 +846,14 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, n=4, eval_mod=53)
 
 
+def _q_dup_span_docs(sf_dir: str):
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.dedup import dup_span_docs
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_span_docs(ds, n=5)
+
+
 def _q_events_funnel(sf_dir: str):
     from simple_osm_queries_ray.stages.text import events_funnel
 
@@ -928,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_df": _q_top_terms_df,
         "keyword_search": _q_keyword_search,
         "decontaminate": _q_decontaminate,
+        "dup_span_docs": _q_dup_span_docs,
         "events_retention": _q_events_retention,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
@@ -1702,6 +1711,17 @@ SELECT CAST(COUNT(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT) AS n_step1,
        CAST(COUNT(CASE WHEN tv < tc THEN 1 END) AS BIGINT) AS n_step12,
        CAST(COUNT(CASE WHEN tv < tc AND tc < tp THEN 1 END) AS BIGINT) AS n_full
 FROM m
+""",
+        "dup_span_docs": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       FROM toks, LATERAL (SELECT unnest(range(1, len(t)-3)) AS i) g
+       WHERE len(t) >= 5),
+dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT DISTINCT doc_id FROM sh JOIN dup USING (s)
 """,
         "events_retention": """
 WITH ud AS (SELECT DISTINCT user_id,

@@ -865,3 +865,53 @@ def decontaminate(
         return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dup_span_docs(
+    ds: ray.data.Dataset, *, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus-wide duplicated-span detection (the all-pairs complement of
+    :func:`decontaminate`): every document sharing at least one n-token
+    shingle with ANOTHER document. Output: (doc_id,) distinct.
+
+    Scale shape: distinct (shingle, doc) pairs per batch, ONE shuffle keyed
+    on the shingle string, per-group emit when the group spans >1 distinct
+    doc, then a doc-keyed dedup of the (bounded-by-corpus-size) hits — the
+    exact-substring-dedup building block (Lee et al. 2022's 'deduplicating
+    training data' span step at shingle granularity)."""
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sh, doc_of = _word_shingles(batch[text_col].to_pandas(), n)
+        if len(sh) == 0:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        d = pd.DataFrame({"s": sh, "doc_id": ids[doc_of]}).drop_duplicates()
+        return pa.table({"s": pa.array(d["s"].to_numpy(), type=pa.string()),
+                         "doc_id": pa.array(d["doc_id"].to_numpy(), type=pa.int64())})
+
+    def emit_shared(tbl: pa.Table) -> pa.Table:
+        s = np.asarray(tbl["s"])
+        ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        s, ids = s[order], ids[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        grp = np.cumsum(new) - 1
+        # docs are distinct within a (shingle) group already (per-batch dedup
+        # is global: each doc's text lives in exactly one row)
+        sizes = np.bincount(grp)
+        keep = sizes[grp] > 1
+        return pa.table({"doc_id": pa.array(np.unique(ids[keep]))})
+
+    hits = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("s")
+        .map_groups(emit_shared, batch_format="pyarrow")
+    )
+    return (
+        hits.groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    )
