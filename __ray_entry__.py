@@ -1952,9 +1952,8 @@ def _caption_repo(sf_dir: str):
         lon, lat = geolocate(ids)
         flat, doc_of = _doc_tokens(batch["text"].to_pandas())
         d = pd.DataFrame({"t": flat, "d": doc_of}).drop_duplicates()
-        keys = [[] for _ in range(len(ids))]
-        for t, di in zip(d["t"], d["d"]):  # distinct (token, doc) pairs only
-            keys[di].append(t)
+        grouped = d.groupby("d")["t"].agg(list)
+        keys = [grouped.get(i, []) for i in range(len(ids))]
         ls = pa.list_(pa.string())
         return pa.table(
             {
