@@ -867,6 +867,30 @@ def decontaminate(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def _shingle_hashes_n(tok: np.ndarray, offsets: np.ndarray, n: int, mix: int = 0):
+    """n-token generalization of :func:`_shingle_hashes`: combine n
+    consecutive token hashes with per-position multipliers; valid only
+    within rows. Returns (flat shingle hashes, per-row shingle offsets)."""
+    total = len(tok)
+    lens = np.diff(offsets)
+    sh_lens = np.maximum(lens - (n - 1), 0)
+    sh_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(sh_lens, out=sh_off[1:])
+    if total < n:
+        return np.array([], dtype=np.uint64), sh_off
+    ma, mb, mc = _SHINGLE_MIX[mix]
+    muls = [ma]
+    for _ in range(n - 1):
+        muls.append((muls[-1] * mb + mc) & _MASK)
+    w = total - (n - 1)
+    combined = np.zeros(w, dtype=np.uint64)
+    for j in range(n):
+        combined ^= (tok[j : w + j] * muls[j]) & _MASK
+    row_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    valid = row_id[:w] == row_id[n - 1 :]
+    return combined[valid] & _MASK, sh_off
+
+
 def dup_span_docs(
     ds: ray.data.Dataset, *, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
@@ -883,21 +907,30 @@ def dup_span_docs(
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        sh, doc_of = _word_shingles(batch[text_col].to_pandas(), n)
-        if len(sh) == 0:
-            return pa.table({"s": pa.array([], type=pa.string()),
+        texts = batch[text_col].to_pandas().str.lower()
+        tok, offsets = _token_hashes(texts)
+        h1, sh_off = _shingle_hashes_n(tok, offsets, n, mix=0)
+        h2, _ = _shingle_hashes_n(tok, offsets, n, mix=1)
+        if len(h1) == 0:
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
-        d = pd.DataFrame({"s": sh, "doc_id": ids[doc_of]}).drop_duplicates()
-        return pa.table({"s": pa.array(d["s"].to_numpy(), type=pa.string()),
-                         "doc_id": pa.array(d["doc_id"].to_numpy(), type=pa.int64())})
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(sh_off))
+        # shuffle 128-bit shingle identities, not strings: ~10x fewer bytes
+        # through the exchange; collision odds ~ V^2/2^128 are negligible
+        d = pd.DataFrame(
+            {"h1": h1.astype(np.int64), "h2": h2.astype(np.int64), "doc_id": ids[doc_of]}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
 
     def emit_shared(tbl: pa.Table) -> pa.Table:
-        s = np.asarray(tbl["s"])
+        h1 = np.asarray(tbl["h1"], dtype=np.int64)
+        h2 = np.asarray(tbl["h2"], dtype=np.int64)
         ids = np.asarray(tbl["doc_id"], dtype=np.int64)
-        order = np.argsort(s, kind="stable")
-        s, ids = s[order], ids[order]
-        new = np.ones(len(s), dtype=bool)
-        new[1:] = s[1:] != s[:-1]
+        order = np.lexsort((h2, h1))
+        h1, h2, ids = h1[order], h2[order], ids[order]
+        new = np.ones(len(h1), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         grp = np.cumsum(new) - 1
         # docs are distinct within a (shingle) group already (per-batch dedup
         # is global: each doc's text lives in exactly one row)
@@ -907,7 +940,7 @@ def dup_span_docs(
 
     hits = (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("s")
+        .groupby("h1")
         .map_groups(emit_shared, batch_format="pyarrow")
     )
     return (
