@@ -50,40 +50,7 @@ def build_ways(raw_nodes: ray.data.Dataset, num_buckets: int = 64) -> ray.data.D
         t = batch.select(["id", "lon", "lat", "cell"])
         return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
 
-    def assemble(tbl: pa.Table, wgs: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
-        ids = np.asarray(tbl["id"], dtype=np.int64)
-        lon = np.asarray(tbl["lon"], dtype=np.float64)
-        lat = np.asarray(tbl["lat"], dtype=np.float64)
-        cells = np.asarray(tbl["cell"], dtype=np.int64)
-        n = len(wgs)
-        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
-        ucells, uoff = segment_unique_lists(group_idx, cells, n)
-        tag_keys, tag_vals = way_tags_for_groups(wgs)
-        rel_ids = REL_ID_BASE + wgs // WAYS_PER_REL
-
-        def seg_reduce(vals, fn):
-            return fn.reduceat(vals, starts)
-
-        return pa.table(
-            {
-                "id": pa.array(WAY_ID_BASE + wgs, type=pa.int64()),
-                "node_ids": collect_list_column(ids, starts, ends, pa.int64()),
-                "node_lons": collect_list_column(lon, starts, ends, pa.float64()),
-                "node_lats": collect_list_column(lat, starts, ends, pa.float64()),
-                "cells": collect_list_column(
-                    ucells, uoff[:-1], uoff[1:], pa.int64()
-                ),
-                "minlon": pa.array(seg_reduce(lon, np.minimum), type=pa.float64()),
-                "minlat": pa.array(seg_reduce(lat, np.minimum), type=pa.float64()),
-                "maxlon": pa.array(seg_reduce(lon, np.maximum), type=pa.float64()),
-                "maxlat": pa.array(seg_reduce(lat, np.maximum), type=pa.float64()),
-                "tag_keys_str": tag_keys,
-                "tag_vals_str": tag_vals,
-                "relation_ids": collect_list_column(
-                    rel_ids, np.arange(n), np.arange(1, n + 1), pa.int64()
-                ),
-            }
-        )
+    assemble = _way_assemble_fn()
 
     return bucket_collect(
         raw_nodes.map_batches(add_wg, batch_format="pyarrow"),
@@ -406,3 +373,184 @@ def attach_reverse_membership(
         ways = ways.drop_columns(["relation_ids"])
     ways2 = attach(ways, "id", relations, "way_ids", "way_id", "relation_ids")
     return nodes, ways2
+
+
+def _way_assemble_fn():
+    """The way-group assemble kernel shared by both shuffle strategies:
+    (sorted rows, group keys, segment bounds) -> one way row per group."""
+
+    def assemble(tbl: pa.Table, wgs: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        lon = np.asarray(tbl["lon"], dtype=np.float64)
+        lat = np.asarray(tbl["lat"], dtype=np.float64)
+        cells = np.asarray(tbl["cell"], dtype=np.int64)
+        n = len(wgs)
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
+        ucells, uoff = segment_unique_lists(group_idx, cells, n)
+        tag_keys, tag_vals = way_tags_for_groups(wgs)
+        rel_ids = REL_ID_BASE + wgs // WAYS_PER_REL
+
+        def seg_reduce(vals, fn):
+            return fn.reduceat(vals, starts)
+
+        return pa.table(
+            {
+                "id": pa.array(WAY_ID_BASE + wgs, type=pa.int64()),
+                "node_ids": collect_list_column(ids, starts, ends, pa.int64()),
+                "node_lons": collect_list_column(lon, starts, ends, pa.float64()),
+                "node_lats": collect_list_column(lat, starts, ends, pa.float64()),
+                "cells": collect_list_column(
+                    ucells, uoff[:-1], uoff[1:], pa.int64()
+                ),
+                "minlon": pa.array(seg_reduce(lon, np.minimum), type=pa.float64()),
+                "minlat": pa.array(seg_reduce(lat, np.minimum), type=pa.float64()),
+                "maxlon": pa.array(seg_reduce(lon, np.maximum), type=pa.float64()),
+                "maxlat": pa.array(seg_reduce(lat, np.maximum), type=pa.float64()),
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+                "relation_ids": collect_list_column(
+                    rel_ids, np.arange(n), np.arange(1, n + 1), pa.int64()
+                ),
+            }
+        )
+
+    return assemble
+
+
+def _empty_ways_table() -> pa.Table:
+    ls = pa.list_(pa.string())
+    lf = pa.list_(pa.float64())
+    li = pa.list_(pa.int64())
+    return pa.table(
+        {
+            "id": pa.array([], type=pa.int64()),
+            "node_ids": pa.array([], type=li),
+            "node_lons": pa.array([], type=lf),
+            "node_lats": pa.array([], type=lf),
+            "cells": pa.array([], type=li),
+            "minlon": pa.array([], type=pa.float64()),
+            "minlat": pa.array([], type=pa.float64()),
+            "maxlon": pa.array([], type=pa.float64()),
+            "maxlat": pa.array([], type=pa.float64()),
+            "tag_keys_str": pa.array([], type=ls),
+            "tag_vals_str": pa.array([], type=ls),
+            "relation_ids": pa.array([], type=li),
+        }
+    )
+
+
+def build_ways_local_first(
+    raw_nodes: ray.data.Dataset,
+    num_buckets: int = 64,
+    expected_group_size: int = None,
+) -> ray.data.Dataset:
+    """build_ways with MAP-SIDE grouping: a way group whose
+    ``expected_group_size`` members all sit in one input block assembles
+    locally without touching the exchange; only the residue — groups split
+    across blocks (boundary groups, or any input that is not clustered by
+    way) — goes through the keyed shuffle. Results are identical to
+    :func:`build_ways` for any input (pinned by test); the win scales with
+    input clustering: the bench generator emits whole replicas per task, so
+    its residue is empty and the headline's dominant all-to-all disappears.
+
+    This is the grouping analogue of a map-side combine: exploit physical
+    clustering when present, stay correct when absent. The id-derived group
+    key guarantees a group can never EXCEED the expected size, so
+    'reached expected size' == 'complete'."""
+    if expected_group_size is None:
+        expected_group_size = NODES_PER_WAY
+
+    def add_wg(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        t = batch.select(["id", "lon", "lat", "cell"])
+        return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
+
+    assemble = _way_assemble_fn()
+
+    def local_or_residue(batch: pa.Table) -> pa.Table:
+        wg = np.asarray(batch["wg"], dtype=np.int64)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        order = np.lexsort((ids, wg))
+        tbl = batch.take(pa.array(order))
+        wg_s = wg[order]
+        new = np.ones(len(wg_s), dtype=bool)
+        new[1:] = wg_s[1:] != wg_s[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(wg_s))
+        complete = (ends - starts) == expected_group_size
+        sizes_all = ends - starts
+        keep = np.repeat(complete, sizes_all)  # row-level complete mask
+        comp = None
+        res = None
+        if complete.any():
+            c_starts, c_ends = starts[complete], ends[complete]
+            sub = tbl.filter(pa.array(keep))
+            sizes = c_ends - c_starts
+            s2 = np.zeros(len(sizes), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=s2[1:])
+            comp = assemble(sub, wg_s[c_starts], s2, s2 + sizes)
+        if (~complete).any():
+            res = tbl.filter(pa.array(~keep))
+        return comp, res
+
+    # ONE local pass per batch: emit assembled way rows and residue node
+    # rows in a union schema distinguished by __res (sorting/grouping each
+    # batch once — a two-pass variant pays the local work twice), then split
+    # downstream: way rows pass through, residue rows take the keyed shuffle.
+    way_schema = _empty_ways_table().schema
+
+    def local_pass(batch: pa.Table) -> pa.Table:
+        comp, res = local_or_residue(batch)
+        parts = []
+        if comp is not None:
+            t = comp
+            for name, typ in (("lon", pa.float64()), ("lat", pa.float64()),
+                              ("cell", pa.int64()), ("wg", pa.int64())):
+                t = t.append_column("__r_" + name, pa.nulls(len(t), typ))
+            parts.append(t.append_column("__res", pa.array(np.zeros(len(t), dtype=np.int8))))
+        if res is not None and len(res):
+            n = len(res)
+            cols = {f.name: pa.nulls(n, f.type) for f in way_schema}
+            cols["id"] = res["id"]
+            cols["__r_lon"] = res["lon"]
+            cols["__r_lat"] = res["lat"]
+            cols["__r_cell"] = res["cell"]
+            cols["__r_wg"] = res["wg"]
+            cols["__res"] = pa.array(np.ones(n, dtype=np.int8))
+            parts.append(pa.table(cols))
+        if not parts:
+            t = _empty_ways_table()
+            for name, typ in (("lon", pa.float64()), ("lat", pa.float64()),
+                              ("cell", pa.int64()), ("wg", pa.int64())):
+                t = t.append_column("__r_" + name, pa.array([], type=typ))
+            return t.append_column("__res", pa.array([], type=pa.int8()))
+        return pa.concat_tables(parts, promote_options="default")
+
+    mixed = raw_nodes.map_batches(add_wg, batch_format="pyarrow").map_batches(
+        local_pass, batch_format="pyarrow"
+    )
+
+    def ways_only(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch["__res"], pa.scalar(0, type=pa.int8()))
+        return batch.filter(m).select([f.name for f in way_schema])
+
+    def residue_only(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch["__res"], pa.scalar(1, type=pa.int8()))
+        sub = batch.filter(m)
+        return pa.table(
+            {
+                "id": sub["id"],
+                "lon": sub["__r_lon"],
+                "lat": sub["__r_lat"],
+                "cell": sub["__r_cell"],
+                "wg": sub["__r_wg"],
+            }
+        )
+
+    mixed = mixed.materialize()
+    complete_ds = mixed.map_batches(ways_only, batch_format="pyarrow")
+    residue_ways = bucket_collect(
+        mixed.map_batches(residue_only, batch_format="pyarrow"),
+        "wg", assemble, sort_col="id", num_buckets=num_buckets,
+    )
+    return complete_ds.union(residue_ways)

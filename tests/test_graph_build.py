@@ -83,3 +83,24 @@ def test_tag_index_contents(repo):
     ki = ti.key_index("n_chars")
     vals = [int(v) for v in ti.values[ki]]
     assert vals == sorted(vals)
+
+
+def test_build_ways_local_first_matches_shuffle():
+    """Local-first grouping equals the shuffle build on clustered AND
+    deliberately scattered inputs (residue path)."""
+    from simple_osm_queries_ray.pipelines.build_graph import (
+        build_ways,
+        build_ways_local_first,
+    )
+    from simple_osm_queries_ray.sources.synthetic import generated_nodes
+
+    nodes = generated_nodes("/root/testdata/sf0.001", replicate=4).materialize()
+    for ds in (nodes, nodes.random_shuffle(seed=3).materialize()):
+        a = build_ways(ds).to_pandas().sort_values("id").reset_index(drop=True)
+        b = build_ways_local_first(ds).to_pandas().sort_values("id").reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a["id"] == b["id"]).all()
+        for x, y in zip(a["node_ids"], b["node_ids"]):
+            assert list(x) == list(y)
+        for x, y in zip(a["cells"], b["cells"]):
+            assert list(x) == list(y)
