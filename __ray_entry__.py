@@ -768,6 +768,12 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample(sf_dir)
 
 
+def _q_corpus_clean(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import corpus_clean
+
+    return corpus_clean(sf_dir)
+
+
 def _q_sample_exact(sf_dir: str):
     from simple_osm_queries_ray.stages.text import sample_exact
 
@@ -927,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "sample_exact": _q_sample_exact,
         "weighted_sample": _q_weighted_sample,
+        "corpus_clean": _q_corpus_clean,
         "pack_sequences": _q_pack_sequences,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_len_quantiles_per_lang": _q_doc_len_quantiles_per_lang,
@@ -1594,6 +1601,28 @@ FROM documents ORDER BY hk, doc_id LIMIT 100
         "weighted_sample": """
 SELECT doc_id, n_chars FROM documents
 WHERE (doc_id * 2654435761) % 4294967296 < n_chars * 2147484
+""",
+        # the cleaning composite: decontamination AND stratified sample AND
+        # length band AND not-the-eval-split, composed from the individually
+        # oracled rules
+        "corpus_clean": """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
+       FROM toks, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i) g
+       WHERE len(t) >= 4),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0),
+contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+                 WHERE sh.doc_id % 53 <> 0)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 % 1000 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250 WHEN 'es' THEN 500
+                WHEN 'fr' THEN 750 ELSE 1000 END
+  AND n_chars BETWEEN 100 AND 2000
+  AND doc_id % 53 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """,
         "doc_len_quantiles_per_lang": """
 SELECT lang, CAST(0.5 AS DOUBLE) AS q,

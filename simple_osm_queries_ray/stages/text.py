@@ -1109,3 +1109,52 @@ def weighted_sample(sf_dir: str, rate_per_char: int = 2_147_484) -> ray.data.Dat
         return batch.filter(pa.array(hk < nch * np.int64(rate_per_char)))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_clean(sf_dir: str, *, len_lo: int = 100, len_hi: int = 2000) -> ray.data.Dataset:
+    """The flagship training-data cleaning composite: one streaming pass
+    keeps a document iff it (1) shares no 4-token shingle with the eval
+    split (decontamination), (2) survives the per-language stratified
+    downsample, and (3) has n_chars within [len_lo, len_hi]. Output:
+    (doc_id, lang, n_chars) survivors.
+
+    Composition shape: the contaminated-id set comes from the broadcast
+    eval-shingle probe (bounded by the eval split), the sampling and length
+    rules are pure per-row arithmetic — so the whole chain is a single
+    map_batches with three vectorized masks, no shuffle at any stage.
+    Every rule is individually oracle-checked elsewhere; the composite has
+    its own composed SQL oracle."""
+    from ..sources.read import read_parquet_sized
+    from ..state.broadcast import get as bget
+    from .dedup import decontaminate
+
+    docs_t = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bad = set()
+    for b in decontaminate(docs_t, n=4, eval_mod=53).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        bad.update(b["doc_id"].to_pylist())
+    bad_ref = ray.put(frozenset(bad))
+    rates = dict(SAMPLE_RATES_PERMILLE)
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        contaminated = bget(bad_ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        nch = np.asarray(batch["n_chars"], dtype=np.int64)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        h = ((ids.astype(np.uint64) % _SAMPLE_MOD) * _SAMPLE_MUL) % _SAMPLE_MOD % 1000
+        thresh = np.array([rates.get(l, 1000) for l in lang], dtype=np.uint64)
+        ok = (
+            (h < thresh)
+            & (nch >= len_lo)
+            & (nch <= len_hi)
+            & ~pd.Series(ids).isin(contaminated).to_numpy()
+            & (ids % 53 != 0)  # the eval split itself never trains
+        )
+        return batch.filter(pa.array(ok))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
