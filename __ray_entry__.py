@@ -107,6 +107,15 @@ def _q_or_semi_join(sf_dir: str):
     )
 
 
+def _q_or_not_semi_join(sf_dir: str):
+    """OR with a NEGATED sub-statement — completes the driver-verified
+    expression-tree combos (probe under NOT under OR)."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=zh OR !this.ways{wtype=primary}}"
+    )
+
+
 def _q_anti_join(sf_dir: str):
     return _engine(sf_dir).execute_string(
         f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
@@ -881,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_neq": _q_soq_neq,
         "soq_semi_join_ways": _q_semi_join_ways,
         "soq_or_semi_join": _q_or_semi_join,
+        "soq_or_not_semi_join": _q_or_not_semi_join,
         "soq_anti_join": _q_anti_join,
         "soq_way_semi_join_nodes": _q_way_semi_join_nodes,
         "soq_rel_semi_join_ways": _q_rel_semi_join_ways,
@@ -1180,6 +1190,10 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
         "soq_or_semi_join": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND (lang = 'zh' OR wg % 3 = 1)"
+        ),
+        "soq_or_not_semi_join": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND (lang = 'zh' OR NOT wg % 3 = 1)"
         ),
         # anti-join on bridge=* <=> NOT wg%7=0
         "soq_anti_join": (
