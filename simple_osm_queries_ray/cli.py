@@ -7,6 +7,7 @@ Usage (run from the repo root so workers resolve the package):
     python -m simple_osm_queries_ray.cli import <sf_dir|file.osm[.bz2|.gz]|file.pbf> <index_dir> [delta.osc ...]
     python -m simple_osm_queries_ray.cli refresh <src> <index_dir> [deltas.osc...]
     python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain]
+    python -m simple_osm_queries_ray.cli stats <index_dir>
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
 """
 
@@ -106,6 +107,39 @@ def main(argv: list[str] | None = None) -> int:
                     ds, out, repo.tag_index, QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
                 )
             print(f"wrote {total} features to {out}")
+            return 0
+        if cmd == "stats":
+            # index observability: manifest waves/rows, partition counts,
+            # zone-map coverage, refresh-hash presence
+            index_dir = argv[1]
+            import glob as _glob
+            import json as _json
+            import os
+
+            out = {"index_dir": index_dir}
+            with open(os.path.join(index_dir, "manifest.json")) as f:
+                man = _json.load(f)
+            out["waves"] = len(man.get("waves", {}))
+            out["rows"] = sum(w["rows"] for w in man.get("waves", {}).values())
+            out["build_seconds"] = round(
+                sum(w.get("seconds", 0) for w in man.get("waves", {}).values()), 3
+            )
+            out["partitions"] = {
+                ot: len(_glob.glob(os.path.join(index_dir, ot, "pid=*")))
+                for ot in ("node", "way", "relation")
+            }
+            zm_path = os.path.join(index_dir, "zonemap.json")
+            if os.path.exists(zm_path):
+                with open(zm_path) as f:
+                    zm = _json.load(f)
+                out["zonemap_keys"] = {
+                    ot: sorted({int(k) for pid in zm.get(ot, {}).values() for k in pid})
+                    for ot in zm
+                }
+            out["refresh_hashes"] = os.path.exists(
+                os.path.join(index_dir, "part-hashes.json")
+            )
+            print(_json.dumps(out, indent=1))
             return 0
         if cmd == "server":
             index_dir = argv[1]
