@@ -697,8 +697,9 @@ def _q_events_window_pairs(sf_dir: str):
 
 
 def _q_hll_distinct_users(sf_dir: str):
-    """Rows-only: an estimator has no exact SQL twin; accuracy (~1.6% std
-    error at p=12) and exact sketch mergeability are pinned in tests."""
+    """Exact-oracled: the sketch is deterministic (mix hash + register max +
+    estimator), so DuckDB recomputes it bit-for-bit (see _hll_oracle_sql).
+    Accuracy (~1.6% std error at p=12) and mergeability are pinned in tests."""
     from simple_osm_queries_ray.stages.text import hll_distinct_users
 
     return hll_distinct_users(sf_dir)
@@ -1049,6 +1050,43 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _hll_oracle_sql(p: int = 12) -> str:
+    """DuckDB twin of ``stages/text.py::hll_distinct_users``. See the
+    comment at the dict entry; validated equal at sf0.001/0.01/0.1."""
+    m1, m2, two64, m = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 1 << 64, 1 << p
+
+    def mulmod(e: str, c: int) -> str:
+        # (e * c) mod 2^64 without overflowing signed 128-bit HUGEINT:
+        # split e into 32-bit halves; each partial product stays < 2^96.
+        return (
+            f"CAST(( (CAST({e} AS HUGEINT) % 4294967296) * {c} "
+            f"+ ((( (CAST({e} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f") % {two64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (SELECT DISTINCT user_id AS id FROM events),
+s1 AS (SELECT {mulmod('id', m1)} AS x FROM u),
+s2 AS (SELECT xor(x, x >> 33) AS x FROM s1),
+s3 AS (SELECT {mulmod('x', m2)} AS x FROM s2),
+s4 AS (SELECT xor(x, x >> 29) AS x FROM s3),
+r AS (SELECT x >> {64 - p} AS idx,
+             64 - 1 - floor(log2(CAST(CAST((CAST(x AS HUGEINT) * {m}) % {two64} AS UBIGINT) | 1 AS DOUBLE))) + 1 AS rank
+      FROM s4),
+regs AS (SELECT idx, MAX(rank) AS rank FROM r GROUP BY idx),
+agg AS (SELECT COUNT(*) AS nonzero, SUM(power(2.0, -rank)) AS sp FROM regs),
+est AS (SELECT nonzero, {m} - nonzero AS zeros,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m} / (sp + ({m} - nonzero)) AS raw
+        FROM agg)
+SELECT CAST(ROUND(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                       ELSE raw END) AS BIGINT) AS estimate,
+       CAST({p} AS BIGINT) AS p,
+       CAST(nonzero AS BIGINT) AS registers_nonzero
+FROM est
 """
 
 
@@ -1744,6 +1782,15 @@ FROM e a JOIN e b ON a.user_id = b.user_id
  AND b.t <= a.t + 60000000
 GROUP BY a.user_id
 """,
+        # Exact SQL twin of the HLL sketch (stages/text.py::_hll_registers /
+        # hll_estimate): the 64-bit mix hash is replicated op-for-op via
+        # HUGEINT modular multiplies (split into 32-bit halves so no product
+        # exceeds 2^96 < HUGEINT max), and the leading-zero rank reuses the
+        # engine's own float64 log2 formulation so even its rounding quirk at
+        # power-of-two boundaries reproduces bit-for-bit. The estimator
+        # (alpha*m^2/sum(2^-reg) with linear-counting correction) is plain
+        # float64 arithmetic DuckDB evaluates identically.
+        "hll_distinct_users": _hll_oracle_sql(),
         "events_funnel": """
 WITH m AS (SELECT user_id,
   MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS tv,
