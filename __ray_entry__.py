@@ -1053,6 +1053,64 @@ WHERE EXISTS (
 """
 
 
+_IVF_ITER_SQL = """
+a{K} AS (SELECT s.vec_id, s.u,
+        (SELECT c.cid FROM c{P} c ORDER BY list_inner_product(s.u, c.cu) DESC, c.cid LIMIT 1) AS cl
+       FROM samp s),
+m{K} AS (SELECT cl AS cid, g.i, AVG(u[g.i]) AS mv
+       FROM a{K}, LATERAL (SELECT unnest(range(1, 65)) AS i) g
+       GROUP BY cl, g.i),
+n{K} AS (SELECT cid, list(mv ORDER BY i) AS mu FROM m{K} GROUP BY cid),
+c{K} AS (SELECT p.cid,
+        CASE WHEN n.cid IS NULL OR sqrt(list_inner_product(n.mu, n.mu)) = 0
+             THEN p.cu
+             ELSE list_transform(n.mu, x -> x / sqrt(list_inner_product(n.mu, n.mu))) END AS cu
+       FROM c{P} p LEFT JOIN n{K} n USING (cid)),
+"""
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of ``stages/embed.py::ann_search_ivf`` (n_lists=16,
+    nprobe=4, kmeans_iters=5, sample_limit=4096, queries ANN_QUERY_IDS,
+    k=ANN_K): normalize -> sample (first 4096 by vec_id; `_collect_matrix`
+    sorts by id, and the synthetic parquet is id-ordered so Ray's
+    ``limit`` picks the same rows) -> evenly-spaced init (pos j*stride,
+    cid=j) -> 5 Lloyd iterations (argmax-cosine assignment with
+    first-max/lowest-cid tie-break = ORDER BY dot DESC, cid; mean then
+    re-normalize, empty/zero-norm clusters keep the old centroid) ->
+    full-table list assignment -> per-query top-nprobe probe lists ->
+    top-k over probed candidates by (cos DESC, vec_id). Output is integer
+    (qid, vec_id) only, so float summation-order ulps can't surface unless
+    they flip an argmax at an exact tie (measure-zero for random vectors;
+    validated bit-equal at sf0.001 and sf0.01)."""
+    iters = "".join(_IVF_ITER_SQL.format(K=k, P=k - 1) for k in range(1, 6))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+        list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u
+      FROM e),
+samp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+         FROM u QUALIFY row_number() OVER (ORDER BY vec_id) <= 4096),
+st AS (SELECT GREATEST(1, COUNT(*) // 16) AS s FROM samp),
+c0 AS (SELECT pos // s AS cid, u AS cu
+       FROM samp, st WHERE pos % s = 0 AND pos // s < 16),
+{iters}
+lst AS (SELECT t.vec_id, t.u,
+         (SELECT c.cid FROM c5 c ORDER BY list_inner_product(t.u, c.cu) DESC, c.cid LIMIT 1) AS list_id
+        FROM u t),
+probe AS (SELECT q.vec_id AS qid, q.u AS qu, c.cid AS list_id
+          FROM u q, c5 c
+          WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_inner_product(q.u, c.cu) DESC, c.cid) <= 4),
+cand AS (SELECT p.qid, l.vec_id, list_inner_product(p.qu, l.u) AS cos
+         FROM probe p
+         JOIN lst l ON l.list_id = p.list_id AND l.vec_id <> p.qid)
+SELECT qid, vec_id FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= {ANN_K}
+"""
+
+
 def _hll_oracle_sql(p: int = 12) -> str:
     """DuckDB twin of ``stages/text.py::hll_distinct_users``. See the
     comment at the dict entry; validated equal at sf0.001/0.01/0.1."""
@@ -1791,6 +1849,10 @@ GROUP BY a.user_id
         # (alpha*m^2/sum(2^-reg) with linear-counting correction) is plain
         # float64 arithmetic DuckDB evaluates identically.
         "hll_distinct_users": _hll_oracle_sql(),
+        # Exact SQL twin of the whole IVF chain (sample -> deterministic
+        # k-means -> inverted-list assignment -> nprobe probe -> top-k);
+        # see _ivf_oracle_sql's docstring for the tie-break mapping.
+        "ann_ivf": _ivf_oracle_sql(),
         "events_funnel": """
 WITH m AS (SELECT user_id,
   MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS tv,
