@@ -97,6 +97,35 @@ def _q_semi_join_ways(sf_dir: str):
     )
 
 
+def _q_buffer(sf_dir: str):
+    """``this.buffer(r)`` — the reference's PLANNED location modifier
+    (README.md:155-181, never built there): nodes with a primary way within
+    0.01 deg, by spatial semi-join instead of membership."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND this.buffer(0.01).ways{wtype=primary}}"
+    )
+
+
+def _q_not_buffer(sf_dir: str):
+    """The reference's second documented buffer pattern: ``!this.buffer``
+    ('no matching way within the radius')."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND !this.buffer(0.01).ways{wtype=primary}}"
+    )
+
+
+def _q_buffer_nodes_m(sf_dir: str):
+    """Buffered NODE sub-statement with the reference's metre unit
+    (``2000m`` -> degrees at parse time): de-nodes with a zh-node within
+    2 km."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND this.buffer(2000m).nodes{lang=zh}}"
+    )
+
+
 def _q_or_semi_join(sf_dir: str):
     """OR combining a plain tag predicate with a sub-statement semi-join —
     the disjunctive probe placement (filter.go evaluates sub-statements
@@ -890,6 +919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_and_or": _q_soq_and_or,
         "soq_neq": _q_soq_neq,
         "soq_semi_join_ways": _q_semi_join_ways,
+        "soq_buffer": _q_buffer,
+        "soq_not_buffer": _q_not_buffer,
+        "soq_buffer_nodes_m": _q_buffer_nodes_m,
         "soq_or_semi_join": _q_or_semi_join,
         "soq_or_not_semi_join": _q_or_not_semi_join,
         "soq_anti_join": _q_anti_join,
@@ -1050,6 +1082,43 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _soq_buffer_ways_sql(
+    W: str, bbox: str, node_pred: str, way_pred: str, *, negate: bool, eps: str = "0.01"
+) -> str:
+    """Oracle for ``nodes{.. this.buffer(eps).ways{..}}``: [NOT] EXISTS over
+    way segments with the clamped point-to-segment distance of
+    ``stages/geo.py::node_way_buffer_join`` (same float64 expression tree as
+    the green ``node_way_buffer`` oracle). The expanded-bbox prefilter in
+    the EXISTS mirrors the engine's candidate prefilter — a pure superset
+    filter ahead of the exact distance test on both sides."""
+    E = f"CAST({eps} AS DOUBLE)"
+    den = "((s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1))"
+    t = (
+        f"LEAST(GREATEST(CASE WHEN {den} > 0 THEN "
+        f"((n.lon-s.x1)*(s.x2-s.x1)+(n.lat-s.y1)*(s.y2-s.y1)) / {den} "
+        f"ELSE 0 END, 0), 1)"
+    )
+    ddx = f"(n.lon - (s.x1 + {t} * (s.x2-s.x1)))"
+    ddy = f"(n.lat - (s.y1 + {t} * (s.y2-s.y1)))"
+    maybe_not = "NOT " if negate else ""
+    return f"""
+{W},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg),
+wb AS (SELECT wg, min(lon) AS minlon, min(lat) AS minlat,
+              max(lon) AS maxlon, max(lat) AS maxlat
+       FROM nodes_c GROUP BY wg)
+SELECT n.id, n.lon, n.lat FROM nodes_c n
+WHERE {bbox} AND n.{node_pred}
+  AND {maybe_not}EXISTS (
+  SELECT 1 FROM wb w JOIN seg s ON s.wg = w.wg
+  WHERE w.{way_pred}
+    AND n.lon >= w.minlon - {E} AND n.lon <= w.maxlon + {E}
+    AND n.lat >= w.minlat - {E} AND n.lat <= w.maxlat + {E}
+    AND {ddx} * {ddx} + {ddy} * {ddy} <= {E} * {E})
 """
 
 
@@ -1283,6 +1352,31 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
         ),
+        # this.buffer(r) — the reference's PLANNED location modifier
+        # (README.md:155-181): spatial semi-join instead of membership.
+        # The EXISTS re-derives the clamped point-to-segment distance of
+        # stages/geo.py::node_way_buffer_join op-for-op in float64
+        # (segments = consecutive member nodes per way group).
+        "soq_buffer": _soq_buffer_ways_sql(
+            W, bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat"),
+            "lang = 'de'", "wg % 3 = 1", negate=False
+        ),
+        "soq_not_buffer": _soq_buffer_ways_sql(
+            W, bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat"),
+            "lang = 'de'", "wg % 3 = 1", negate=True
+        ),
+        # buffered NODE sub-statement with the metre unit: 2000m parses to
+        # 2000/111320 degrees; the SQL computes the identical float64 value
+        "soq_buffer_nodes_m": f"""
+{W}
+SELECT n.id, n.lon, n.lat FROM nodes_c n
+WHERE {bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat")} AND n.lang = 'de' AND EXISTS (
+  SELECT 1 FROM nodes_c m
+  WHERE m.lang = 'zh' AND m.id <> n.id
+    AND (n.lon - m.lon) * (n.lon - m.lon) + (n.lat - m.lat) * (n.lat - m.lat)
+        <= (CAST(2000 AS DOUBLE) / CAST(111320 AS DOUBLE))
+         * (CAST(2000 AS DOUBLE) / CAST(111320 AS DOUBLE)))
+""",
         "soq_or_semi_join": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND (lang = 'zh' OR wg % 3 = 1)"

@@ -193,6 +193,25 @@ class QuadCellScheme:
         cov = quad_covering((minlon, minlat, maxlon, maxlat), self.level)
         return covering_to_max_level(cov, self.level)
 
+    def expand_cells(self, cells: np.ndarray, eps: float) -> np.ndarray:
+        """Cells within planar distance ``eps`` of the given level-L cells
+        (buffered sub-statements read these instead of the bare outer
+        covering). Vectorized morton decode -> ring expand -> re-encode."""
+        cells = np.asarray(cells, dtype=np.int64)
+        if len(cells) == 0:
+            return cells
+        L = self.level
+        n = 1 << L
+        m = cells - (np.int64(1) << np.int64(2 * L))
+        tx = _compact1by1(m)
+        ty = _compact1by1(m >> np.int64(1))
+        rx = int(np.ceil(eps / (360.0 / n)))
+        ry = int(np.ceil(eps / (180.0 / n)))
+        dx, dy = np.meshgrid(np.arange(-rx, rx + 1), np.arange(-ry, ry + 1), indexing="ij")
+        ex = np.clip(tx[:, None] + dx.ravel()[None, :], 0, n - 1).ravel()
+        ey = np.clip(ty[:, None] + dy.ravel()[None, :], 0, n - 1).ravel()
+        return np.unique((np.int64(1) << np.int64(2 * L)) + morton(ex, ey))
+
 
 class GridCellScheme:
     """The reference's flat 0.1-degree grid (default scheme)."""
@@ -210,3 +229,19 @@ class GridCellScheme:
         from ..model import cells_for_bbox
 
         return cells_for_bbox(minlon, minlat, maxlon, maxlat)
+
+    def expand_cells(self, cells: np.ndarray, eps: float) -> np.ndarray:
+        """Grid cells within planar distance ``eps`` of the given cells
+        (ring expansion by ceil(eps / cell side) in each axis)."""
+        from ..model import CELL_H, CELL_W, pack_cell, unpack_cell
+
+        cells = np.asarray(cells, dtype=np.int64)
+        if len(cells) == 0:
+            return cells
+        cx, cy = unpack_cell(cells)
+        rx = int(np.ceil(eps / CELL_W))
+        ry = int(np.ceil(eps / CELL_H))
+        dx, dy = np.meshgrid(np.arange(-rx, rx + 1), np.arange(-ry, ry + 1), indexing="ij")
+        ex = (cx[:, None] + dx.ravel()[None, :]).ravel()
+        ey = (cy[:, None] + dy.ravel()[None, :]).ravel()
+        return np.unique(pack_cell(ex, ey))

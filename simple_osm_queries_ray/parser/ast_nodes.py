@@ -43,7 +43,18 @@ class BboxLocation:
 
 @dataclass(frozen=True)
 class ContextAwareLocation:
-    """`this` — candidate cells derive from the outer feature's geometry."""
+    """`this` — candidate cells derive from the outer feature's geometry.
+
+    ``buffer_deg`` implements the reference's PLANNED ``this.buffer(5m)``
+    location modifier (``/root/reference/README.md:155-181`` — documented
+    but never built there; the `LocationExpression` seam at
+    ``src/query/location.go:14-19`` is where it would have gone): when set,
+    the sub-statement matches inner features within that planar-degree
+    radius of the outer feature instead of by membership. ``5m`` in query
+    text is converted at parse time (meters / 111320, the flat-earth
+    approximation our degree-space geometry uses throughout)."""
+
+    buffer_deg: float | None = None
 
 
 Location = Union[BboxLocation, ContextAwareLocation]

@@ -106,7 +106,7 @@ class _Parser:
         if tok.lexeme == "bbox":
             location = self._parse_bbox()
         elif is_context_aware:
-            location = ContextAwareLocation()
+            location = ContextAwareLocation(buffer_deg=self._maybe_parse_buffer())
         else:
             raise ParseError(
                 f"Expected location expression (bbox or this) at position {tok.start}, found '{tok.lexeme}'"
@@ -129,6 +129,48 @@ class _Parser:
         filt = self.parse_filter_expressions()
         self.expect(TokenKind.CLOSING_BRACES, "'}'")
         return Statement(location=location, query_type=query_type, filter=filt)
+
+    def _maybe_parse_buffer(self) -> float | None:
+        """``.buffer(<number>[m])`` after ``this`` (reference README.md:
+        155-181, planned there). Returns the radius in planar degrees
+        (bare number = degrees; ``m`` suffix = meters / 111320). Leaves the
+        cursor untouched when the next tokens are not a buffer clause."""
+        nxt, after = self.peek(), (
+            self.tokens[self.i + 2] if self.i + 2 < len(self.tokens) else None
+        )
+        if not (
+            nxt is not None
+            and nxt.kind == TokenKind.EXPRESSION_SEPARATOR
+            and after is not None
+            and after.kind == TokenKind.KEYWORD
+            and after.lexeme == "buffer"
+        ):
+            return None
+        self.advance()  # '.'
+        self.advance()  # 'buffer'
+        self.expect(TokenKind.OPENING_PARENTHESIS, "'('")
+        num = self.advance()
+        if num.kind != TokenKind.NUMBER:
+            raise ParseError(
+                f"Expected buffer radius at position {num.start}, found '{num.lexeme}'"
+            )
+        try:
+            radius = float(num.lexeme)
+        except ValueError as e:
+            raise ParseError(f"Invalid number '{num.lexeme}' at position {num.start}") from e
+        tok = self.advance()
+        if tok.kind == TokenKind.KEYWORD:
+            if tok.lexeme != "m":
+                raise ParseError(
+                    f"Unknown buffer unit '{tok.lexeme}' at position {tok.start} (use m or bare degrees)"
+                )
+            radius = radius / 111320.0
+            tok = self.advance()
+        if tok.kind != TokenKind.CLOSING_PARENTHESIS:
+            raise ParseError(f"Expected ')' at position {tok.start}, found '{tok.lexeme}'")
+        if radius <= 0:
+            raise ParseError(f"Buffer radius must be positive at position {num.start}")
+        return radius
 
     def _parse_bbox(self) -> BboxLocation:
         self.expect(TokenKind.OPENING_PARENTHESIS, "'('")

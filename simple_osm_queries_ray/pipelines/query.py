@@ -44,7 +44,7 @@ from ..model import (
 from ..parser import BboxLocation, Query, Statement, parse_query
 from ..parser.ast_nodes import and_level_tag_constraints, required_key_indices
 from ..sources.repo import FeatureRepo
-from ..stages.semi_join import isin_sorted, sorted_id_array
+from ..stages.semi_join import isin_sorted, sorted_id_array, sorted_unique_id_array
 from ..stages.tag_filter import eval_filter_mask, find_substatements
 from ..state.broadcast import get as bget
 
@@ -208,6 +208,14 @@ class QueryEngine:
         probes: dict[tuple, tuple[str, object]] = {}
         for path, sub in subs:
             inner_stmt = sub.statement
+            buf = getattr(inner_stmt.location, "buffer_deg", None)
+            if buf is not None:
+                ids_ref = self._buffer_matched_outer_ids(
+                    inner_stmt, candidates, obj_type, buf, cells_needed_ref,
+                    outer_loc=stmt.location,
+                )
+                probes[path] = ("@id", ids_ref)
+                continue
             col = _MEMBERSHIP.get((obj_type, inner_stmt.query_type))
             if col is None:
                 raise ValueError(
@@ -218,15 +226,88 @@ class QueryEngine:
             probes[path] = (col, ids_ref)
         return probes
 
+    def _buffer_matched_outer_ids(
+        self,
+        inner_stmt: Statement,
+        candidates: ray.data.Dataset,
+        obj_type: str,
+        eps: float,
+        cells_needed_ref,
+        outer_loc=None,
+    ) -> "ray.ObjectRef":
+        """``this.buffer(r)`` probe (the reference's planned location
+        modifier, README.md:155-181): outer ids with at least one inner
+        feature matching the sub-filter within planar distance ``eps`` —
+        a spatial semi-join instead of the membership probe.
+
+        Pruning soundness differs by inner type. Inner NODES within eps of
+        an outer feature have home cells within ceil(eps/cell) rings of the
+        outer cells, so the read prunes on the eps-EXPANDED outer cell set.
+        Inner WAYS must NOT be cell-pruned that way: a way's cell list holds
+        member-NODE home cells only, while a long segment passes within eps
+        of cells containing neither endpoint — instead ways prefilter on
+        bbox-intersect with the outer statement's bbox expanded by eps
+        (sound: a way within eps of an outer candidate has a bbox meeting
+        that box), falling back to a full way scan when the outer location
+        is itself context-aware. The join is the bucketed
+        single-meeting-cell machinery of
+        :func:`~..stages.geo.node_way_buffer_join` /
+        :func:`~..stages.geo.node_node_buffer_join`."""
+        from ..stages.geo import node_node_buffer_join, node_way_buffer_join
+
+        if obj_type != OSM_NODE:
+            raise ValueError(
+                "this.buffer(...) sub-statements are supported for node outer "
+                f"statements only (got {obj_type}); way/relation outers need "
+                "segment-to-segment distance, which the reference never "
+                "specified either"
+            )
+        outer_geom = candidates.select_columns(["id", "lon", "lat"])
+        if inner_stmt.query_type == QUERY_WAYS:
+            bbox = None
+            if isinstance(outer_loc, BboxLocation):
+                bbox = (
+                    outer_loc.minlon - eps, outer_loc.minlat - eps,
+                    outer_loc.maxlon + eps, outer_loc.maxlat + eps,
+                )
+            matched = self._matched_features(inner_stmt, None, bbox_intersect=bbox)
+            pairs = node_way_buffer_join(outer_geom, matched, eps=eps)
+        elif inner_stmt.query_type == QUERY_NODES:
+            expanded_ref = ray.put(
+                self.cell_scheme.expand_cells(ray.get(cells_needed_ref), eps)
+            )
+            matched = self._matched_features(inner_stmt, expanded_ref)
+            pairs = node_node_buffer_join(outer_geom, matched, eps=eps)
+        else:
+            raise ValueError(
+                f"this.buffer(...) supports .nodes/.ways sub-statements, got "
+                f"{inner_stmt.query_type}"
+            )
+        return sorted_unique_id_array(pairs, "node_id")
+
     def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
+        return sorted_id_array(self._matched_features(inner_stmt, cells_needed_ref))
+
+    def _matched_features(
+        self, inner_stmt: Statement, cells_needed_ref, bbox_intersect=None
+    ) -> ray.data.Dataset:
+        """Inner features passing the sub-statement's filter.
+        ``cells_needed_ref`` (broadcast sorted cell array) prunes by cell
+        membership; ``None`` skips cell pruning (buffered way probes, where
+        member-node cells under-cover the polyline). ``bbox_intersect``
+        additionally prefilters ways/relations whose bbox meets the given
+        (minlon, minlat, maxlon, maxlat)."""
         inner_obj = QUERY_TYPE_TO_OBJECT_TYPE[inner_stmt.query_type]
         inner_ds = self._table(
-            inner_obj, ray.get(cells_needed_ref),
+            inner_obj,
+            ray.get(cells_needed_ref) if cells_needed_ref is not None else None,
             required_key_indices(inner_stmt.filter),
             and_level_tag_constraints(inner_stmt.filter),
         )
 
-        if inner_obj == OSM_NODE:
+        if cells_needed_ref is None:
+            prune = None
+        elif inner_obj == OSM_NODE:
 
             def prune(batch: pa.Table) -> pa.Table:
                 cs = bget(cells_needed_ref)
@@ -241,7 +322,22 @@ class QueryEngine:
                 hit = isin_sorted(np.asarray(flat, dtype=np.int64), cs)
                 return batch.filter(pa.array(segment_any(hit, offsets)))
 
-        inner_candidates = inner_ds.map_batches(prune, batch_format="pyarrow")
+        inner_candidates = (
+            inner_ds.map_batches(prune, batch_format="pyarrow") if prune else inner_ds
+        )
+        if bbox_intersect is not None and inner_obj != OSM_NODE:
+            bb = bbox_intersect
+
+            def bbox_pre(batch: pa.Table) -> pa.Table:
+                keep = (
+                    (np.asarray(batch["minlon"], dtype=np.float64) <= bb[2])
+                    & (np.asarray(batch["maxlon"], dtype=np.float64) >= bb[0])
+                    & (np.asarray(batch["minlat"], dtype=np.float64) <= bb[3])
+                    & (np.asarray(batch["maxlat"], dtype=np.float64) >= bb[1])
+                )
+                return batch.filter(pa.array(keep))
+
+            inner_candidates = inner_candidates.map_batches(bbox_pre, batch_format="pyarrow")
         # nested `this` inside the inner filter: context switches to the inner
         # feature (filter.go:193-196) — recurse with the inner candidates
         probes = self._resolve_substatements(inner_stmt, inner_candidates, inner_obj)
@@ -251,8 +347,7 @@ class QueryEngine:
             mask = eval_filter_mask(filt, batch, probes)
             return batch.filter(pa.array(mask))
 
-        matched = inner_candidates.map_batches(apply_filter, batch_format="pyarrow")
-        return sorted_id_array(matched)
+        return inner_candidates.map_batches(apply_filter, batch_format="pyarrow")
 
     def _distinct_cells_ref(self, candidates: ray.data.Dataset, obj_type: str) -> "ray.ObjectRef":
         if obj_type == OSM_NODE:

@@ -582,3 +582,93 @@ def node_way_buffer_join(
         nodes.select_columns(["id", "lon", "lat"]).map_batches(rep_nodes, batch_format="pyarrow")
     )
     return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def node_node_buffer_join(
+    nodes: ray.data.Dataset, inner: ray.data.Dataset, eps: float
+) -> ray.data.Dataset:
+    """Cross-table radius join: (node_id, other_id) pairs where an ``inner``
+    point lies within planar degree distance ``eps`` of a ``nodes`` point
+    (self-pairs with equal ids excluded). Backs the ``this.buffer(r).nodes``
+    sub-statement; unlike :func:`~.knn.radius_join` (a self-join) the two
+    sides are different filtered datasets.
+
+    Plan: inner points replicate to their (2r+1)^2 cell neighborhood
+    (r = ceil(eps / cell)), outer points go to their single home cell, so
+    every candidate pair meets in exactly one bucket (the outer's home
+    cell) — no dedup pass. Within a bucket one (outer x inner) squared-
+    distance matrix decides; both sides of a bucket are cell-sized, so the
+    matrix is bounded by local density, not corpus size."""
+    from ..model import CELL_H, CELL_W, pack_cell
+
+    rx = int(np.ceil(eps / CELL_W))
+    ry = int(np.ceil(eps / CELL_H))
+
+    def rep_inner(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cx = np.floor(lon / CELL_W).astype(np.int64)
+        cy = np.floor(lat / CELL_H).astype(np.int64)
+        dx, dy = np.meshgrid(np.arange(-rx, rx + 1), np.arange(-ry, ry + 1), indexing="ij")
+        dx = dx.ravel()
+        dy = dy.ravel()
+        k = len(dx)
+        row = np.repeat(np.arange(len(ids_), dtype=np.int64), k)
+        cell = pack_cell(cx[row] + np.tile(dx, len(ids_)), cy[row] + np.tile(dy, len(ids_)))
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "oid": pa.array(ids_[row]),
+                "olon": pa.array(lon[row]),
+                "olat": pa.array(lat[row]),
+                "side": pa.array(np.ones(len(row), dtype=np.int8)),
+            }
+        )
+
+    def rep_outer(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cell = pack_cell(
+            np.floor(lon / CELL_W).astype(np.int64), np.floor(lat / CELL_H).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "oid": pa.array(ids_),
+                "olon": pa.array(lon),
+                "olat": pa.array(lat),
+                "side": pa.array(np.zeros(len(ids_), dtype=np.int8)),
+            }
+        )
+
+    e2 = eps * eps
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"node_id": pa.array([], type=pa.int64()), "other_id": pa.array([], type=pa.int64())}
+        )
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        ni = np.nonzero(side == 0)[0]
+        ii = np.nonzero(side == 1)[0]
+        if len(ni) == 0 or len(ii) == 0:
+            return empty
+        nid = np.asarray(tbl["oid"].take(pa.array(ni)), dtype=np.int64)
+        nx = np.asarray(tbl["olon"].take(pa.array(ni)), dtype=np.float64)
+        ny = np.asarray(tbl["olat"].take(pa.array(ni)), dtype=np.float64)
+        iid = np.asarray(tbl["oid"].take(pa.array(ii)), dtype=np.int64)
+        ix = np.asarray(tbl["olon"].take(pa.array(ii)), dtype=np.float64)
+        iy = np.asarray(tbl["olat"].take(pa.array(ii)), dtype=np.float64)
+        ddx = nx[:, None] - ix[None, :]
+        ddy = ny[:, None] - iy[None, :]
+        hit = (ddx * ddx + ddy * ddy <= e2) & (nid[:, None] != iid[None, :])
+        a, b = np.nonzero(hit)
+        if len(a) == 0:
+            return empty
+        return pa.table({"node_id": pa.array(nid[a]), "other_id": pa.array(iid[b])})
+
+    unioned = inner.select_columns(["id", "lon", "lat"]).map_batches(
+        rep_inner, batch_format="pyarrow"
+    ).union(nodes.select_columns(["id", "lon", "lat"]).map_batches(rep_outer, batch_format="pyarrow"))
+    return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")

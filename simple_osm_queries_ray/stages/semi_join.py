@@ -38,6 +38,19 @@ def sorted_id_array(ds: ray.data.Dataset, id_col: str = "id") -> "ray.ObjectRef"
     return ray.put(ids)
 
 
+def sorted_unique_id_array(ds: "ray.data.Dataset", id_col: str = "id") -> "ray.ObjectRef":
+    """:func:`sorted_id_array` with driver-side dedup — for id sources that
+    emit one row per JOIN PAIR (e.g. buffer-join output), where the same id
+    recurs once per partner and broadcasting duplicates would bloat the
+    probe array."""
+    parts = [
+        np.unique(np.asarray(b[id_col], dtype=np.int64))
+        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    ids = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+    return ray.put(ids)
+
+
 def isin_sorted(values: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
     """Vectorized membership of values in a sorted id array."""
     if len(sorted_ids) == 0 or len(values) == 0:

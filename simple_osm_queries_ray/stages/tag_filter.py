@@ -31,7 +31,7 @@ from ..parser.ast_nodes import (
     SubStatementFilter,
     TagFilter,
 )
-from .semi_join import probe_membership_lists
+from .semi_join import isin_sorted, probe_membership_lists
 
 
 def eval_filter_mask(
@@ -62,6 +62,12 @@ def eval_filter_mask(
         if not sub_probe_cols or _path not in sub_probe_cols:
             raise RuntimeError("SubStatementFilter not resolved by the planner")
         col, ids_ref = sub_probe_cols[_path]
+        if col == "@id":
+            # buffered sub-statement: the planner already resolved the
+            # spatial semi-join to a set of matching OUTER ids
+            from ..state.broadcast import get as bget
+
+            return isin_sorted(np.asarray(batch["id"], dtype=np.int64), bget(ids_ref))
         return probe_membership_lists(batch[col], ids_ref)
     raise TypeError(f"Unknown filter expression {type(expr)}")
 

@@ -211,3 +211,159 @@ def test_multi_statement_union_no_dedup(engine, graph):
 def test_invalid_membership_combo_raises(engine):
     with pytest.raises(ValueError):
         q(engine, f"{bbox_str(BBOX)}.nodes{{this.nodes{{lang=en}}}}")
+
+
+# -- this.buffer(r) — the reference's PLANNED location modifier ------------
+# (/root/reference/README.md:155-181; never built there)
+
+
+def _brute_buffer_way_ids(nodes_df, ways_df, bbox, eps, node_pred, way_pred):
+    import numpy as np
+
+    prim = ways_df[[way_pred(w) for _, w in ways_df.iterrows()]]
+    e2 = eps * eps
+    hits = set()
+    for _, n in nodes_df.iterrows():
+        if not (bbox[0] <= n.lon <= bbox[2] and bbox[1] <= n.lat <= bbox[3]):
+            continue
+        if not node_pred(n):
+            continue
+        for _, w in prim.iterrows():
+            xs, ys = np.asarray(w.lons), np.asarray(w.lats)
+            dx, dy = np.diff(xs), np.diff(ys)
+            den = dx * dx + dy * dy
+            t = np.where(den > 0, ((n.lon - xs[:-1]) * dx + (n.lat - ys[:-1]) * dy) / np.where(den > 0, den, 1.0), 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            ddx = n.lon - (xs[:-1] + t * dx)
+            ddy = n.lat - (ys[:-1] + t * dy)
+            if ((ddx * ddx + ddy * ddy) <= e2).any():
+                hits.add(n.id)
+                break
+    return hits
+
+
+def test_buffer_parse(engine):
+    from simple_osm_queries_ray.parser import parse_query
+    from simple_osm_queries_ray.parser.ast_nodes import SubStatementFilter
+
+    qy = parse_query(
+        f"{bbox_str(BBOX)}.nodes{{this.buffer(5m).ways{{wtype=primary}}}}",
+        engine.repo.tag_index,
+    )
+    sub = qy.statements[0].filter
+    assert isinstance(sub, SubStatementFilter)
+    assert sub.statement.location.buffer_deg == 5 / 111320.0
+    deg = parse_query(
+        f"{bbox_str(BBOX)}.nodes{{this.buffer(0.01).ways{{wtype=primary}}}}",
+        engine.repo.tag_index,
+    ).statements[0].filter
+    assert deg.statement.location.buffer_deg == 0.01
+
+
+def test_buffer_parse_errors(engine):
+    from simple_osm_queries_ray.parser import ParseError, parse_query
+
+    for bad in (
+        f"{bbox_str(BBOX)}.nodes{{this.buffer(5km).ways{{wtype=*}}}}",  # unknown unit
+        f"{bbox_str(BBOX)}.nodes{{this.buffer().ways{{wtype=*}}}}",  # missing radius
+        f"{bbox_str(BBOX)}.nodes{{this.buffer(0).ways{{wtype=*}}}}",  # non-positive
+    ):
+        with pytest.raises(ParseError):
+            parse_query(bad, engine.repo.tag_index)
+
+
+def test_buffer_ways_vs_oracle(engine, graph):
+    nodes_df, ways_df, _ = graph
+    got = q(
+        engine,
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND this.buffer(0.01).ways{{wtype=primary}}}}",
+    )
+    exp = _brute_buffer_way_ids(
+        nodes_df, ways_df, BBOX, 0.01,
+        lambda n: n.tags.get("lang") == "de",
+        lambda w: w.tags.get("wtype") == "primary",
+    )
+    assert got == exp and got
+
+
+def test_buffer_negated(engine, graph):
+    nodes_df, ways_df, _ = graph
+    got = q(
+        engine,
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND !this.buffer(0.01).ways{{wtype=primary}}}}",
+    )
+    near = _brute_buffer_way_ids(
+        nodes_df, ways_df, BBOX, 0.01,
+        lambda n: n.tags.get("lang") == "de",
+        lambda w: w.tags.get("wtype") == "primary",
+    )
+    all_de = oracle.select_nodes(nodes_df, BBOX, lambda r: r.tags.get("lang") == "de")
+    assert got == all_de - near and got
+
+
+def test_buffer_nodes_vs_oracle(engine, graph):
+    import numpy as np
+
+    nodes_df, _, _ = graph
+    eps = 2000 / 111320.0
+    got = q(
+        engine,
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND this.buffer(2000m).nodes{{lang=zh}}}}",
+    )
+    zh = nodes_df[[r.tags.get("lang") == "zh" for _, r in nodes_df.iterrows()]]
+    exp = set()
+    for _, n in nodes_df.iterrows():
+        if n.tags.get("lang") != "de":
+            continue
+        if not (BBOX[0] <= n.lon <= BBOX[2] and BBOX[1] <= n.lat <= BBOX[3]):
+            continue
+        d2 = (zh.lon.values - n.lon) ** 2 + (zh.lat.values - n.lat) ** 2
+        if ((d2 <= eps * eps) & (zh.id.values != n.id)).any():
+            exp.add(n.id)
+    assert got == exp and got
+
+
+def test_buffer_quad_scheme_same_result(graph):
+    """The buffered probe composes with the pluggable cell scheme: a quad-
+    cell repo (different cell ids, different expand_cells) returns the
+    identical id set."""
+    from simple_osm_queries_ray.functions.hiercell import QuadCellScheme
+
+    scheme = QuadCellScheme(level=12)
+    eng2 = QueryEngine(build_repo(SF, cell_scheme=scheme), cell_scheme=scheme)
+    nodes_df, ways_df, _ = graph
+    got = q(
+        eng2,
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND this.buffer(0.01).ways{{wtype=primary}}}}",
+    )
+    exp = _brute_buffer_way_ids(
+        nodes_df, ways_df, BBOX, 0.01,
+        lambda n: n.tags.get("lang") == "de",
+        lambda w: w.tags.get("wtype") == "primary",
+    )
+    assert got == exp and got
+
+
+def test_buffer_invalid_combos(engine):
+    with pytest.raises(ValueError):
+        q(engine, f"{bbox_str(BBOX)}.ways{{this.buffer(0.01).nodes{{lang=de}}}}")
+    with pytest.raises(ValueError):
+        q(engine, f"{bbox_str(BBOX)}.nodes{{this.buffer(0.01).relations{{rtype=route}}}}")
+
+
+def test_buffer_small_bbox_long_segments(engine, graph):
+    """Regression: inner ways must NOT be cell-pruned by member-node cells —
+    synthetic way segments span degrees, so a segment can pass within eps
+    of an outer node while every member node lives cells away. A small
+    outer bbox makes that pruning visibly lossy if reintroduced."""
+    nodes_df, ways_df, _ = graph
+    got = q(
+        engine,
+        f"{bbox_str(SMALL)}.nodes{{lang=de AND this.buffer(0.01).ways{{wtype=primary}}}}",
+    )
+    exp = _brute_buffer_way_ids(
+        nodes_df, ways_df, SMALL, 0.01,
+        lambda n: n.tags.get("lang") == "de",
+        lambda w: w.tags.get("wtype") == "primary",
+    )
+    assert got == exp and got
