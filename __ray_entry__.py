@@ -330,6 +330,15 @@ def _q_way_cross_pairs(sf_dir: str):
     return segment_cross_join(_repo(sf_dir).ways)
 
 
+def _q_nearest_road(sf_dir: str):
+    """Snap-to-road: every node's nearest way polyline (exact, unbounded),
+    two-phase cell-guarantee plan (stages/geo.py::nearest_way_join)."""
+    from simple_osm_queries_ray.stages.geo import nearest_way_join
+
+    repo = _repo(sf_dir)
+    return nearest_way_join(repo.nodes, repo.ways)
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_overlap_pairs": _q_way_overlap_pairs,
         "way_cross_pairs": _q_way_cross_pairs,
         "node_way_buffer": _q_node_way_buffer,
+        "nearest_road": _q_nearest_road,
         "way_lengths": _q_way_lengths,
         "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
@@ -1082,6 +1092,35 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _nearest_road_sql(W: str) -> str:
+    """nearest_road oracle: per (node, way) the MIN over segment rows of the
+    clamped point-to-segment distance (same float64 expression tree as the
+    green ``node_way_buffer`` oracle — min is order-independent and exact,
+    so the bit pattern matches the engine's reduceat), then the per-node
+    lexicographic (d2, way id) winner via ROW_NUMBER."""
+    from simple_osm_queries_ray.model import WAY_ID_BASE
+
+    den = "((s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1))"
+    t = (
+        f"LEAST(GREATEST(CASE WHEN {den} > 0 THEN "
+        f"((n.lon-s.x1)*(s.x2-s.x1)+(n.lat-s.y1)*(s.y2-s.y1)) / {den} "
+        f"ELSE 0 END, 0), 1)"
+    )
+    ddx = f"(n.lon - (s.x1 + {t} * (s.x2-s.x1)))"
+    ddy = f"(n.lat - (s.y1 + {t} * (s.y2-s.y1)))"
+    return f"""
+{W},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg),
+d AS (SELECT n.id AS node_id, s.wg, MIN({ddx} * {ddx} + {ddy} * {ddy}) AS wd2
+      FROM nodes_c n CROSS JOIN seg s GROUP BY n.id, s.wg),
+r AS (SELECT node_id, {WAY_ID_BASE} + wg AS way_id, wd2 AS d2,
+        ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY wd2, wg) AS rn
+      FROM d)
+SELECT node_id, way_id, d2 FROM r WHERE rn = 1
 """
 
 
@@ -1428,6 +1467,7 @@ WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
         # evaluates the identical float64 expression tree (same t clamp,
         # same d^2 <= 0.01*0.01), so the boundary agrees bit-exactly
         "node_way_buffer": _buffer_join_sql(W, WAYS_CTE),
+        "nearest_road": _nearest_road_sql(W),
         # strict proper-crossing test; the engine evaluates the identical
         # sign expressions in float64, so orientation signs agree bit-exactly
         "way_cross_pairs": f"""

@@ -672,3 +672,288 @@ def node_node_buffer_join(
         rep_inner, batch_format="pyarrow"
     ).union(nodes.select_columns(["id", "lon", "lat"]).map_batches(rep_outer, batch_format="pyarrow"))
     return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+def _seg_min_d2(
+    qx: np.ndarray, qy: np.ndarray,
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+) -> np.ndarray:
+    """Squared clamped point-to-segment distances, (len(q), len(seg)) matrix.
+    Same float64 expression tree as :func:`node_way_buffer_join` / the SQL
+    oracles (CASE den>0, LEAST/GREATEST clamp, d2 = ddx^2 + ddy^2)."""
+    dx, dy = x2 - x1, y2 - y1
+    den = dx * dx + dy * dy
+    sden = np.where(den > 0, den, 1.0)
+    t = ((qx[:, None] - x1[None, :]) * dx[None, :] + (qy[:, None] - y1[None, :]) * dy[None, :]) / sden[None, :]
+    t = np.where(den[None, :] > 0, t, 0.0)
+    t = np.minimum(np.maximum(t, 0.0), 1.0)
+    ddx = qx[:, None] - (x1[None, :] + t * dx[None, :])
+    ddy = qy[:, None] - (y1[None, :] + t * dy[None, :])
+    return ddx * ddx + ddy * ddy
+
+
+def nearest_way_join(
+    nodes: ray.data.Dataset, ways: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Snap-to-road: for every node, the id and squared planar distance of
+    the NEAREST way polyline (exact clamped point-to-segment distance,
+    tie -> smallest way id). Output (node_id, way_id, d2). Nodes produce no
+    row only when the way table is empty. The unbounded-nearest counterpart
+    of :func:`node_way_buffer_join` (which finds ways *within* a radius) —
+    the grid-reader analogue is the same cell-prune-then-refine shape as
+    ``/root/reference/src/index/grid_reader.go:168-184``.
+
+    Two-phase exact plan mirroring ``knn.nn_join``. Phase 1: each way
+    replicates to the grid covering of its bbox expanded by
+    g = min(cell side); nodes go to their single home cell; per bucket the
+    (node x candidate-way) minimum runs vectorized with one reduceat per
+    pair over the segment axis. A bucket-local minimum is provably global
+    when d2 <= g^2: a way absent from the node's bucket has an expanded
+    bbox missing that cell, so every point of it lies farther than g.
+    Phase 2 collects the (rare at any realistic road density) unresolved
+    nodes driver-side, broadcasts their coordinates once (``ray.put``), and
+    STREAMS the way table through ``map_batches`` emitting per-batch
+    partial argmins; a tiny final groupby picks the lexicographic
+    (d2, way_id) minimum. Worst case (no way within g of anything) it
+    degrades to one streamed scan of the ways — never a shuffle of the
+    corpus, never a wrong answer."""
+    from ..functions.segments import list_parts
+    from ..model import CELL_H, CELL_W, pack_cell
+
+    g = float(min(CELL_W, CELL_H))
+    g2 = g * g
+    BIG_ID = np.iinfo(np.int64).max
+
+    def rep_ways(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        mnx = np.asarray(batch["minlon"], dtype=np.float64) - g
+        mny = np.asarray(batch["minlat"], dtype=np.float64) - g
+        mxx = np.asarray(batch["maxlon"], dtype=np.float64) + g
+        mxy = np.asarray(batch["maxlat"], dtype=np.float64) + g
+        cx0 = np.floor(mnx / CELL_W).astype(np.int64)
+        cx1 = np.floor(mxx / CELL_W).astype(np.int64)
+        cy0 = np.floor(mny / CELL_H).astype(np.int64)
+        cy1 = np.floor(mxy / CELL_H).astype(np.int64)
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
+        offs = np.zeros(len(ids_), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        k = np.arange(total, dtype=np.int64) - offs[row]
+        cell = pack_cell(cx0[row] + k // ny[row], cy0[row] + k % ny[row])
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "way_id": pa.array(ids_[row]),
+                "lons": batch["node_lons"].take(pa.array(row)),
+                "lats": batch["node_lats"].take(pa.array(row)),
+                "mnx": pa.array(mnx[row]), "mny": pa.array(mny[row]),
+                "mxx": pa.array(mxx[row]), "mxy": pa.array(mxy[row]),
+                "node_id": pa.nulls(total, pa.int64()),
+                "lon": pa.nulls(total, pa.float64()),
+                "lat": pa.nulls(total, pa.float64()),
+                "side": pa.array(np.ones(total, dtype=np.int8)),
+            }
+        )
+
+    def rep_nodes(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cell = pack_cell(
+            np.floor(lon / CELL_W).astype(np.int64), np.floor(lat / CELL_H).astype(np.int64)
+        )
+        n = len(ids_)
+        lf = pa.list_(pa.float64())
+        return pa.table(
+            {
+                "bucket": pa.array(cell),
+                "way_id": pa.nulls(n, pa.int64()),
+                "lons": pa.nulls(n, lf),
+                "lats": pa.nulls(n, lf),
+                "mnx": pa.nulls(n, pa.float64()), "mny": pa.nulls(n, pa.float64()),
+                "mxx": pa.nulls(n, pa.float64()), "mxy": pa.nulls(n, pa.float64()),
+                "node_id": pa.array(ids_),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node_id": pa.array([], type=pa.int64()),
+                "lon": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
+                "way_id": pa.array([], type=pa.int64()),
+                "d2": pa.array([], type=pa.float64()),
+            }
+        )
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        ni = np.nonzero(side == 0)[0]
+        if len(ni) == 0:
+            return empty
+        take_n = pa.array(ni)
+        nid = np.asarray(tbl["node_id"].take(take_n), dtype=np.int64)
+        px = np.asarray(tbl["lon"].take(take_n), dtype=np.float64)
+        py = np.asarray(tbl["lat"].take(take_n), dtype=np.float64)
+        best_d2 = np.full(len(ni), np.inf)
+        best_id = np.full(len(ni), BIG_ID, dtype=np.int64)
+        wi = np.nonzero(side == 1)[0]
+        if len(wi):
+            take_w = pa.array(wi)
+            wid = np.asarray(tbl["way_id"].take(take_w), dtype=np.int64)
+            mnx = np.asarray(tbl["mnx"].take(take_w), dtype=np.float64)
+            mny = np.asarray(tbl["mny"].take(take_w), dtype=np.float64)
+            mxx = np.asarray(tbl["mxx"].take(take_w), dtype=np.float64)
+            mxy = np.asarray(tbl["mxy"].take(take_w), dtype=np.float64)
+            wx, woff = list_parts(tbl["lons"].take(take_w))
+            wy, _ = list_parts(tbl["lats"].take(take_w))
+            wx = np.asarray(wx, dtype=np.float64)
+            wy = np.asarray(wy, dtype=np.float64)
+            # candidate pairs by EXPANDED-bbox containment: sound for the
+            # g-guarantee — a way pruned here is farther than g from the
+            # node, so it can never beat a resolved (<= g) local minimum,
+            # and unresolved nodes go to phase 2 regardless.
+            cnd = (
+                (px[:, None] >= mnx[None, :]) & (px[:, None] <= mxx[None, :])
+                & (py[:, None] >= mny[None, :]) & (py[:, None] <= mxy[None, :])
+            )
+            pi, wj = np.nonzero(cnd)
+            if len(pi):
+                nseg = np.maximum(np.diff(woff) - 1, 0)
+                counts = nseg[wj]
+                total = int(counts.sum())
+                if total:
+                    pair = np.repeat(np.arange(len(pi), dtype=np.int64), counts)
+                    offs = np.zeros(len(pi), dtype=np.int64)
+                    np.cumsum(counts[:-1], out=offs[1:])
+                    seg = np.arange(total, dtype=np.int64) - offs[pair] + woff[:-1][wj][pair]
+                    x1, y1, x2, y2 = wx[seg], wy[seg], wx[seg + 1], wy[seg + 1]
+                    qx, qy = px[pi][pair], py[pi][pair]
+                    dx, dy = x2 - x1, y2 - y1
+                    den = dx * dx + dy * dy
+                    t = np.where(den > 0, ((qx - x1) * dx + (qy - y1) * dy) / np.where(den > 0, den, 1.0), 0.0)
+                    t = np.minimum(np.maximum(t, 0.0), 1.0)
+                    ddx, ddy = qx - (x1 + t * dx), qy - (y1 + t * dy)
+                    d2 = ddx * ddx + ddy * ddy
+                    starts = np.minimum(offs, total - 1)
+                    pair_min = np.minimum.reduceat(d2, starts)
+                    pair_min[counts == 0] = np.inf
+                    # per-node lexicographic (d2, way_id) minimum over pairs
+                    order = np.lexsort((wid[wj], pair_min, pi))
+                    first = np.ones(len(order), dtype=bool)
+                    first[1:] = pi[order][1:] != pi[order][:-1]
+                    sel = order[first]
+                    rows = pi[sel]
+                    keep = np.isfinite(pair_min[sel])
+                    best_d2[rows[keep]] = pair_min[sel][keep]
+                    best_id[rows[keep]] = wid[wj][sel][keep]
+        return pa.table(
+            {
+                "node_id": pa.array(nid),
+                "lon": pa.array(px),
+                "lat": pa.array(py),
+                "way_id": pa.array(best_id),
+                "d2": pa.array(best_d2),
+            }
+        )
+
+    local = (
+        ways.select_columns(
+            ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+        )
+        .map_batches(rep_ways, batch_format="pyarrow")
+        .union(
+            nodes.select_columns(["id", "lon", "lat"]).map_batches(
+                rep_nodes, batch_format="pyarrow"
+            )
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    resolved = local.filter(expr=f"d2 <= {g2!r}").select_columns(["node_id", "way_id", "d2"])
+
+    un = local.filter(expr=f"d2 > {g2!r}").select_columns(["node_id", "lon", "lat"]).to_pandas()
+    if len(un) == 0:
+        return resolved
+
+    import ray as _ray
+
+    qids = un["node_id"].to_numpy(dtype=np.int64)
+    qx = un["lon"].to_numpy(dtype=np.float64)
+    qy = un["lat"].to_numpy(dtype=np.float64)
+    q_ref = _ray.put((qids, qx, qy))
+
+    def batch_partial(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        empty = pa.table(
+            {
+                "node_id": pa.array([], type=pa.int64()),
+                "way_id": pa.array([], type=pa.int64()),
+                "d2": pa.array([], type=pa.float64()),
+            }
+        )
+        ids_, px_, py_ = bget(q_ref)
+        wid = np.asarray(batch["id"], dtype=np.int64)
+        wx, woff = list_parts(batch["node_lons"])
+        wy, _ = list_parts(batch["node_lats"])
+        wx = np.asarray(wx, dtype=np.float64)
+        wy = np.asarray(wy, dtype=np.float64)
+        nseg = np.maximum(np.diff(woff) - 1, 0)
+        tot = int(nseg.sum())
+        if tot == 0:
+            return empty
+        segway = np.repeat(np.arange(len(wid), dtype=np.int64), nseg)
+        offs = np.zeros(len(wid), dtype=np.int64)
+        np.cumsum(nseg[:-1], out=offs[1:])
+        seg = np.arange(tot, dtype=np.int64) - offs[segway] + woff[:-1][segway]
+        x1, y1, x2, y2 = wx[seg], wy[seg], wx[seg + 1], wy[seg + 1]
+        out_n, out_w, out_d = [], [], []
+        starts = np.minimum(offs, tot - 1)
+        for s in range(0, len(ids_), 256):
+            d2 = _seg_min_d2(px_[s : s + 256], py_[s : s + 256], x1, y1, x2, y2)
+            wmin = np.minimum.reduceat(d2, starts, axis=1)
+            wmin[:, nseg == 0] = np.inf
+            m = wmin.min(axis=1)
+            w = np.where(wmin == m[:, None], wid[None, :], BIG_ID).min(axis=1)
+            out_n.append(ids_[s : s + 256])
+            out_w.append(w)
+            out_d.append(m)
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate(out_n)),
+                "way_id": pa.array(np.concatenate(out_w)),
+                "d2": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def pick_min(tbl: pa.Table) -> pa.Table:
+        nid = np.asarray(tbl["node_id"], dtype=np.int64)
+        wid = np.asarray(tbl["way_id"], dtype=np.int64)
+        d2 = np.asarray(tbl["d2"], dtype=np.float64)
+        order = np.lexsort((wid, d2, nid))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = nid[order][1:] != nid[order][:-1]
+        sel = order[first]
+        keep = np.isfinite(d2[sel])
+        sel = sel[keep]
+        return pa.table(
+            {
+                "node_id": pa.array(nid[sel]),
+                "way_id": pa.array(wid[sel]),
+                "d2": pa.array(d2[sel]),
+            }
+        )
+
+    fixed = (
+        ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(batch_partial, batch_format="pyarrow")
+        .groupby("node_id")
+        .map_groups(pick_min, batch_format="pyarrow")
+    )
+    return resolved.union(fixed)

@@ -154,3 +154,38 @@ def test_hash_join_attach_matches_pandas_merge(left_keys, right_keys):
     gv = got["val"].astype("float64")
     ev = exp["val"].astype("float64")
     assert ((gv == ev) | (gv.isna() & ev.isna())).all()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ways=st.lists(way, min_size=1, max_size=6),
+    pts=st.lists(point, min_size=1, max_size=20),
+)
+def test_nearest_way_join_matches_bruteforce(ways, pts):
+    """nearest_way_join == brute-force argmin over (d2, way_id), exact in
+    float64 — exercises both the bucket-local phase (close ways) and the
+    streamed phase-2 residue (points far from every way, since the domain
+    spans several 0.1-degree cells)."""
+    from simple_osm_queries_ray.stages.geo import nearest_way_join
+
+    wtbl = _ways_table(ways)
+    ntbl = pa.table(
+        {
+            "id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "lon": pa.array([p[0] for p in pts], type=pa.float64()),
+            "lat": pa.array([p[1] for p in pts], type=pa.float64()),
+        }
+    )
+    got = nearest_way_join(
+        ray.data.from_arrow(ntbl), ray.data.from_arrow(wtbl)
+    ).to_pandas()
+    got_map = {r.node_id: (r.way_id, r.d2) for r in got.itertuples()}
+    want = {}
+    for ni, p in enumerate(pts):
+        best = None
+        for wi, w in enumerate(ways):
+            d2 = min(_pt_seg_d2(p, w[s], w[s + 1]) for s in range(len(w) - 1))
+            if best is None or d2 < best[1] or (d2 == best[1] and wi < best[0]):
+                best = (wi, d2)
+        want[ni] = best
+    assert got_map == want
