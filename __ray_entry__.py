@@ -621,6 +621,16 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style duplicate-trigram mass per document (repetition filter
+    signal; stages/text.py::repetition_stats)."""
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.text import repetition_stats
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds, n=3)
+
+
 # -- relational pipelines over the TPC-H-ish tables --------------------------
 
 
@@ -979,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
+        "doc_repetition": _q_doc_repetition,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
@@ -2056,6 +2067,18 @@ WITH RECURSIVE fp AS (
 )
 SELECT id, h1 * CAST(2147483648 AS BIGINT) + h2 AS fingerprint
 FROM fp WHERE i = n + 1
+""",
+        # duplicate-trigram mass per doc: explode char trigrams (texts are
+        # ASCII so length()/substr() walk the same units as the engine's
+        # byte codes), COUNT vs COUNT DISTINCT, exact float64 division
+        "doc_repetition": """
+SELECT doc_id,
+  COUNT(*) AS total_ngrams,
+  COUNT(DISTINCT g) AS distinct_ngrams,
+  CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      FROM documents, LATERAL unnest(range(1, GREATEST(length(text) - 2, 0) + 1)) AS r(i))
+GROUP BY doc_id
 """,
         "events_window": """
 SELECT event_type, epoch_us(ts) // 3600000000 AS window, count(*) AS n

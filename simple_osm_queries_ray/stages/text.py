@@ -1158,3 +1158,72 @@ def corpus_clean(sf_dir: str, *, len_lo: int = 100, len_hi: int = 2000) -> ray.d
         return batch.filter(pa.array(ok))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_stats(ds: ray.data.Dataset, n: int = 3) -> ray.data.Dataset:
+    """Gopher-style within-document repetition signal (the duplicate-n-gram
+    filters of Rae et al. 2021 §A1.1): per document the total and DISTINCT
+    character ``n``-gram counts and the duplicated-gram ratio
+    ``(total - distinct) / total``. Documents shorter than ``n`` emit no row
+    (they have no n-grams). Output: (doc_id, total_ngrams, distinct_ngrams,
+    dup_ratio). A corpus-cleaning primitive the reference has no analogue
+    for; complements the cross-document dedup family in ``stages/dedup``.
+
+    Fully vectorized per batch: the Arrow string column's UTF-8 buffer is
+    viewed as one uint8 array, n-gram byte codes are built with shifted
+    adds, and per-doc distinct counts come from one ``np.unique`` over
+    (doc_idx << 8n | code) composites — no per-text Python in the hot path.
+    Documents containing non-ASCII bytes (where byte n-grams differ from
+    character n-grams) take a per-document fallback; the synthetic corpus
+    and typical LLM English-web shards are ASCII-dominant, and the fallback
+    count is one Python set per exceptional document only. Embarrassingly
+    parallel — no shuffle at any scale."""
+    if not 1 <= n <= 5:
+        raise ValueError(f"n must be in 1..5 (byte codes fit int64), got {n}")
+    shift = 8 * n
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        arr = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        nbytes = np.asarray(pc.binary_length(arr), dtype=np.int64)
+        nchars = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+        ascii_ok = nbytes == nchars
+        # raw byte offsets into the (possibly shared/sliced) values buffer
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        counts = np.where(ascii_ok, np.maximum(nbytes - n + 1, 0), 0)
+        total = int(counts.sum())
+        ndocs = len(ids)
+        t_out = np.maximum(nchars - n + 1, 0)
+        d_out = np.zeros(ndocs, dtype=np.int64)
+        if total:
+            doc = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+            offs = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            pos = np.arange(total, dtype=np.int64) - offs[doc] + offsets[:-1][doc]
+            code = np.zeros(total, dtype=np.int64)
+            for j in range(n):
+                code = (code << np.int64(8)) | flat[pos + j].astype(np.int64)
+            u = np.unique((doc << np.int64(shift)) | code)
+            d_out += np.bincount(u >> np.int64(shift), minlength=ndocs)
+        for i in np.nonzero(~ascii_ok)[0]:  # rare non-ASCII fallback
+            s = arr[i].as_py()
+            d_out[i] = len({s[j : j + n] for j in range(len(s) - n + 1)})
+        keep = t_out > 0
+        t_k, d_k = t_out[keep], d_out[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "total_ngrams": pa.array(t_k),
+                "distinct_ngrams": pa.array(d_k),
+                "dup_ratio": pa.array(
+                    (t_k - d_k).astype(np.float64) / t_k.astype(np.float64)
+                ),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

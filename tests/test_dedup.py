@@ -202,3 +202,39 @@ def test_bloom_prefilter_preserves_q5():
     import pandas as pd
 
     pd.testing.assert_frame_equal(base, opt)
+
+
+def test_repetition_stats_matches_python_sets():
+    """repetition_stats == per-doc Python set count, incl. the non-ASCII
+    per-doc fallback, short-doc dropping (< n chars -> no row) and sliced
+    Arrow string buffers (two input blocks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import repetition_stats
+
+    texts = [
+        "abcabcabc",          # heavy repetition
+        "abcdefg",            # all distinct
+        "ab",                 # shorter than n -> dropped
+        "",                   # empty -> dropped
+        "aaaaaaa",            # single distinct trigram
+        "héllo héllo héllo",  # non-ASCII fallback path
+        "xyzxy" * 40,
+    ]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow([tbl.slice(0, 3), tbl.slice(3)])
+    got = repetition_stats(ds, n=3).to_pandas().set_index("doc_id").sort_index()
+    exp = {}
+    for i, s in zip(ids, texts):
+        t = max(len(s) - 2, 0)
+        if t == 0:
+            continue
+        d = len({s[j : j + 3] for j in range(t)})
+        exp[i] = (t, d, (t - d) / t)
+    assert set(got.index) == set(exp)
+    for i, (t, d, r) in exp.items():
+        row = got.loc[i]
+        assert (row.total_ngrams, row.distinct_ngrams, row.dup_ratio) == (t, d, r)
