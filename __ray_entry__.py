@@ -621,6 +621,57 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
+def _q_osm_xml_ingest(sf_dir: str):
+    """S1 end-to-end under the driver gate: the synthetic node set is
+    serialized to REAL ``.osm`` XML shards (repr-precision coordinates
+    survive the text round-trip bit-exactly), read back through
+    ``sources/osm_xml.read_osm_xml`` (one decode task per shard — the
+    reference's ``OsmReader.Read`` entry point, reader.go:40-112), and
+    reduced to (id, lon, lat, lang). The oracle re-derives the same rows
+    from the documents table, so a decode bug anywhere in the XML path
+    breaks the hash."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from simple_osm_queries_ray.sources.osm_xml import (
+        ETYPE_NODE,
+        read_osm_xml,
+        write_osm_xml_shards,
+    )
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lon, lat = geolocate(ids)
+        return pa.table(
+            {"id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat), "lang": batch["lang"]}
+        )
+
+    out_dir = f"/tmp/soq_osm_ingest/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)  # drop stale shard layouts
+    paths = write_osm_xml_shards(docs.map_batches(to_nodes, batch_format="pyarrow"), out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["etype"], ETYPE_NODE))
+        return pa.table(
+            {
+                "id": batch["id"],
+                "lon": batch["lon"],
+                "lat": batch["lat"],
+                "lang": pc.list_element(batch["tag_vals_str"], 0),
+            }
+        )
+
+    return read_osm_xml(paths).map_batches(project, batch_format="pyarrow")
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style duplicate-trigram mass per document (repetition filter
     signal; stages/text.py::repetition_stats)."""
@@ -990,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "doc_repetition": _q_doc_repetition,
+        "osm_xml_ingest": _q_osm_xml_ingest,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
@@ -2068,6 +2120,9 @@ WITH RECURSIVE fp AS (
 SELECT id, h1 * CAST(2147483648 AS BIGINT) + h2 AS fingerprint
 FROM fp WHERE i = n + 1
 """,
+        # S1 ingest round-trip: the .osm XML serialize->decode pipeline must
+        # reproduce exactly the rows NODES_CTE derives from documents
+        "osm_xml_ingest": f"{W} SELECT id, lon, lat, lang FROM nodes_c",
         # duplicate-trigram mass per doc: explode char trigrams (texts are
         # ASCII so length()/substr() walk the same units as the engine's
         # byte codes), COUNT vs COUNT DISTINCT, exact float64 division

@@ -200,3 +200,57 @@ def split_elements(
         ["id", "member_nodes", "member_ways", "member_rels", "tag_keys_str", "tag_vals_str"],
     )
     return nodes, ways, rels
+
+
+def write_osm_xml_shards(nodes: ray.data.Dataset, out_dir: str) -> list[str]:
+    """Serialize a node Dataset (``id, lon, lat`` + any extra columns, each
+    extra column becoming a ``<tag k=.. v=..>``) to ``.osm`` XML shard
+    files, one file per input block — the distributed inverse of
+    :func:`read_osm_xml`, used for fixture generation and ingest round-trip
+    verification. Each map task writes its own shard and emits the path
+    (tiny), so the payload never collects on the driver. Coordinates are
+    written with ``repr`` precision: Python float repr round-trips IEEE
+    doubles bit-exactly through ``float()`` on the read side.
+
+    Shard names are content-addressed (md5 of the id array), so reruns over
+    the same input are idempotent; callers should clear ``out_dir`` when the
+    input may have changed shape."""
+    import hashlib
+    import os
+    from xml.sax.saxutils import quoteattr
+
+    os.makedirs(out_dir, exist_ok=True)
+    tag_cols = [c for c in nodes.schema().names if c not in ("id", "lon", "lat")]
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        if len(ids_) == 0:
+            return pa.table({"path": pa.array([], type=pa.string())})
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        tags = {c: batch[c].to_pylist() for c in tag_cols}
+        name = hashlib.md5(ids_.tobytes()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.osm")
+        # the per-row loop is the ingest/egress boundary, mirroring the
+        # reference's streaming encoder — everything upstream is Arrow
+        lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+        for i in range(len(ids_)):
+            body = "".join(
+                f"<tag k={quoteattr(c)} v={quoteattr(str(tags[c][i]))}/>"
+                for c in tag_cols
+                if tags[c][i] is not None
+            )
+            head = f'<node id="{ids_[i]}" lon="{lon[i]!r}" lat="{lat[i]!r}">'
+            lines.append(head + body + "</node>" if body else head[:-1] + "/>")
+        lines.append("</osm>")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        os.replace(tmp, path)  # atomic: readers never see partial shards
+        return pa.table({"path": pa.array([path])})
+
+    paths = [
+        r["path"]
+        for r in nodes.map_batches(write_shard, batch_format="pyarrow").take_all()
+    ]
+    return sorted(paths)

@@ -227,3 +227,39 @@ def test_osc_change_merge(tmp_path):
     # node 3's modify REPLACED the element: backrest flipped to no
     assert ids(eng.execute_string(f"{bb}.nodes{{backrest=yes}}")) == set()
     assert ids(eng.execute_string(f"{bb}.nodes{{backrest=no}}")) == {3}
+
+
+def test_write_osm_xml_shards_roundtrip(tmp_path):
+    """write_osm_xml_shards -> read_osm_xml reproduces ids, repr-exact
+    coordinates and attribute-escaped tag values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.sources.osm_xml import (
+        ETYPE_NODE,
+        read_osm_xml,
+        write_osm_xml_shards,
+    )
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "lon": pa.array([9.123456789012345, -0.1, 180.0]),
+            "lat": pa.array([53.000000000000014, 0.0, -90.0]),
+            "name": pa.array(['a"b<c>&d', "plain", None]),
+        }
+    )
+    paths = write_osm_xml_shards(ray.data.from_arrow(tbl), str(tmp_path))
+    got = (
+        read_osm_xml(paths)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (got["etype"] == ETYPE_NODE).all()
+    assert got["id"].tolist() == [1, 2, 3]
+    assert got["lon"].tolist() == tbl["lon"].to_pylist()  # bit-exact
+    assert got["lat"].tolist() == tbl["lat"].to_pylist()
+    assert got["tag_vals_str"].tolist()[0] == ['a"b<c>&d']
+    assert len(got["tag_keys_str"].tolist()[2]) == 0  # None tag omitted
