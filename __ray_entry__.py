@@ -330,6 +330,14 @@ def _q_way_cross_pairs(sf_dir: str):
     return segment_cross_join(_repo(sf_dir).ways)
 
 
+def _q_way_simplify(sf_dir: str):
+    """Douglas-Peucker simplification of every way at eps=0.05 deg
+    (stages/geo.py::simplify_ways, level-synchronous vectorized DP)."""
+    from simple_osm_queries_ray.stages.geo import simplify_ways
+
+    return simplify_ways(_repo(sf_dir).ways, eps=0.05)
+
+
 def _q_nearest_road(sf_dir: str):
     """Snap-to-road: every node's nearest way polyline (exact, unbounded),
     two-phase cell-guarantee plan (stages/geo.py::nearest_way_join)."""
@@ -1009,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_cross_pairs": _q_way_cross_pairs,
         "node_way_buffer": _q_node_way_buffer,
         "nearest_road": _q_nearest_road,
+        "way_simplify": _q_way_simplify,
         "way_lengths": _q_way_lengths,
         "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
@@ -1155,6 +1164,63 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _way_simplify_sql(W: str, eps: float) -> str:
+    """way_simplify oracle: the Douglas-Peucker keep-set re-derived in a
+    RECURSIVE CTE. ``r`` enumerates the split ranges (wg, i0, i1); each
+    range's argmax interior point j (perpendicular d2 to the chord, ties ->
+    smallest k — ``ORDER BY d2 DESC, k``) splits it into two children while
+    its max d2 exceeds eps^2. Kept = endpoints plus every splitting j. The
+    d2 expression mirrors ``stages/geo.py::simplify_ways`` op-for-op in
+    float64 (cross^2/len2, point distance for a degenerate chord)."""
+    from simple_osm_queries_ray.model import NODES_PER_WAY, WAY_ID_BASE
+
+    E2 = f"(CAST({eps!r} AS DOUBLE) * CAST({eps!r} AS DOUBLE))"
+
+    def d2(p: str = "p", a: str = "a", b: str = "b") -> str:
+        dx = f"({b}.lon - {a}.lon)"
+        dy = f"({b}.lat - {a}.lat)"
+        len2 = f"({dx} * {dx} + {dy} * {dy})"
+        cross = f"({dx} * ({p}.lat - {a}.lat) - {dy} * ({p}.lon - {a}.lon))"
+        ptd = f"(({p}.lon - {a}.lon) * ({p}.lon - {a}.lon) + ({p}.lat - {a}.lat) * ({p}.lat - {a}.lat))"
+        return f"CASE WHEN {len2} > 0 THEN ({cross} * {cross}) / {len2} ELSE {ptd} END"
+
+    def split_cols(src: str) -> str:
+        sub = (
+            f"FROM pts p JOIN pts a ON a.wg = {src}.wg AND a.k = {src}.i0 "
+            f"JOIN pts b ON b.wg = {src}.wg AND b.k = {src}.i1 "
+            f"WHERE p.wg = {src}.wg AND p.k > {src}.i0 AND p.k < {src}.i1"
+        )
+        return (
+            f"(SELECT p.k {sub} ORDER BY {d2()} DESC, p.k LIMIT 1) AS j, "
+            f"(SELECT MAX({d2()}) {sub}) AS dmax"
+        )
+
+    W_rec = W.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+{W_rec},
+pts AS (SELECT wg, id % {NODES_PER_WAY} AS k, lon, lat FROM nodes_c),
+last AS (SELECT wg, max(k) AS kn FROM pts GROUP BY wg),
+r AS (
+  SELECT wg, CAST(0 AS BIGINT) AS i0, kn AS i1 FROM last WHERE kn >= 2
+  UNION ALL
+  SELECT s.wg,
+         CASE WHEN v.s = 0 THEN s.i0 ELSE s.j END,
+         CASE WHEN v.s = 0 THEN s.j ELSE s.i1 END
+  FROM (SELECT r.wg, r.i0, r.i1, {split_cols('r')} FROM r) s,
+       (VALUES (0), (1)) v(s)
+  WHERE s.dmax > {E2}
+    AND (CASE WHEN v.s = 0 THEN s.j - s.i0 ELSE s.i1 - s.j END) >= 2
+),
+splits AS (SELECT s.wg, s.j FROM (SELECT r.wg, r.i0, r.i1, {split_cols('r')} FROM r) s
+           WHERE s.dmax > {E2})
+SELECT {WAY_ID_BASE} + wg AS way_id, CAST(0 AS BIGINT) AS k FROM last
+UNION ALL
+SELECT {WAY_ID_BASE} + wg, kn FROM last WHERE kn >= 1
+UNION ALL
+SELECT {WAY_ID_BASE} + wg, j FROM splits
 """
 
 
@@ -1531,6 +1597,7 @@ WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
         # same d^2 <= 0.01*0.01), so the boundary agrees bit-exactly
         "node_way_buffer": _buffer_join_sql(W, WAYS_CTE),
         "nearest_road": _nearest_road_sql(W),
+        "way_simplify": _way_simplify_sql(W, 0.05),
         # strict proper-crossing test; the engine evaluates the identical
         # sign expressions in float64, so orientation signs agree bit-exactly
         "way_cross_pairs": f"""

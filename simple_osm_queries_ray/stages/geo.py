@@ -957,3 +957,87 @@ def nearest_way_join(
         .map_groups(pick_min, batch_format="pyarrow")
     )
     return resolved.union(fixed)
+
+
+def simplify_ways(ways: ray.data.Dataset, eps: float) -> ray.data.Dataset:
+    """Douglas-Peucker polyline simplification: per way, the kept member
+    indices (0-based position within the way) for tolerance ``eps``.
+    Output: (way_id, k) rows — endpoints always kept; an interior point is
+    kept iff it is the max-distance split point (ties -> smallest index) of
+    some recursive range whose max perpendicular-to-chord distance exceeds
+    ``eps``. Distances are squared-compared (cross^2/len2 vs eps^2, point
+    distance when the chord is degenerate) in float64, mirrored op-for-op
+    by the recursive-CTE SQL oracle.
+
+    The classic formulation is per-way recursion; here each batch runs
+    LEVEL-SYNCHRONOUSLY: one frontier of (way, i0, i1) ranges across ALL
+    ways in the batch per iteration, each iteration fully vectorized
+    (explode inner points, one lexsort-argmax per range). Iteration count
+    is the max split-tree depth, not the point count. Embarrassingly
+    parallel across batches — no shuffle; the simplification an OSM tile
+    renderer would run before rasterizing (the reference stores raw
+    geometry only; ``src/index/grid_reader.go:513-517`` leaves geometry
+    work as its TODO)."""
+    from ..functions.segments import list_parts
+
+    e2 = eps * eps
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        wx, woff = list_parts(batch["node_lons"])
+        wy, _ = list_parts(batch["node_lats"])
+        wx = np.asarray(wx, dtype=np.float64)
+        wy = np.asarray(wy, dtype=np.float64)
+        npts = np.diff(woff)
+        out_w, out_k = [], []
+        # endpoints of every non-empty way
+        nz = np.nonzero(npts > 0)[0]
+        out_w.append(ids_[nz]); out_k.append(np.zeros(len(nz), dtype=np.int64))
+        multi = np.nonzero(npts > 1)[0]
+        out_w.append(ids_[multi]); out_k.append(npts[multi] - 1)
+        # frontier: ranges with at least one interior point
+        fw = np.nonzero(npts > 2)[0].astype(np.int64)
+        fi0 = np.zeros(len(fw), dtype=np.int64)
+        fi1 = npts[fw] - 1
+        while len(fw):
+            counts = fi1 - fi0 - 1
+            total = int(counts.sum())
+            rng = np.repeat(np.arange(len(fw), dtype=np.int64), counts)
+            offs = np.zeros(len(fw), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            k = np.arange(total, dtype=np.int64) - offs[rng] + fi0[rng] + 1
+            pos = woff[:-1][fw[rng]] + k
+            ax = wx[woff[:-1][fw] + fi0][rng]; ay = wy[woff[:-1][fw] + fi0][rng]
+            bx = wx[woff[:-1][fw] + fi1][rng]; by = wy[woff[:-1][fw] + fi1][rng]
+            px, py = wx[pos], wy[pos]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            cross = dx * (py - ay) - dy * (px - ax)
+            d2 = np.where(
+                len2 > 0,
+                (cross * cross) / np.where(len2 > 0, len2, 1.0),
+                (px - ax) * (px - ax) + (py - ay) * (py - ay),
+            )
+            order = np.lexsort((k, -d2, rng))
+            first = np.ones(total, dtype=bool)
+            first[1:] = rng[order][1:] != rng[order][:-1]
+            sel = order[first]
+            split = d2[sel] > e2
+            sw, sj = fw[rng[sel][split]], k[sel][split]
+            out_w.append(ids_[sw]); out_k.append(sj)
+            s0, s1 = fi0[rng[sel][split]], fi1[rng[sel][split]]
+            fw = np.concatenate([sw, sw])
+            fi0 = np.concatenate([s0, sj])
+            fi1 = np.concatenate([sj, s1])
+            live = fi1 - fi0 >= 2
+            fw, fi0, fi1 = fw[live], fi0[live], fi1[live]
+        return pa.table(
+            {
+                "way_id": pa.array(np.concatenate(out_w)),
+                "k": pa.array(np.concatenate(out_k)),
+            }
+        )
+
+    return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

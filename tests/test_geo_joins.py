@@ -189,3 +189,48 @@ def test_nearest_way_join_matches_bruteforce(ways, pts):
                 best = (wi, d2)
         want[ni] = best
     assert got_map == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ways=st.lists(way, min_size=1, max_size=8), eps=st.sampled_from([0.01, 0.05, 0.2]))
+def test_simplify_ways_matches_recursive_dp(ways, eps):
+    """Level-synchronous vectorized DP == the textbook per-way recursion
+    (same argmax tie-break, same degenerate-chord fallback)."""
+    from simple_osm_queries_ray.stages.geo import simplify_ways
+
+    ds = ray.data.from_arrow(_ways_table(ways))
+    got = simplify_ways(ds, eps=eps).to_pandas()
+    gm = {}
+    for r in got.itertuples():
+        gm.setdefault(r.way_id, set()).add(r.k)
+
+    def dp(pts, eps):
+        n = len(pts)
+        keep = {0, n - 1}
+        e2 = eps * eps
+
+        def rec(i0, i1):
+            if i1 - i0 < 2:
+                return
+            (ax, ay), (bx, by) = pts[i0], pts[i1]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            best = (-1.0, None)
+            for k in range(i0 + 1, i1):
+                px, py = pts[k]
+                if len2 > 0:
+                    cr = dx * (py - ay) - dy * (px - ax)
+                    d2 = (cr * cr) / len2
+                else:
+                    d2 = (px - ax) ** 2 + (py - ay) ** 2
+                if d2 > best[0]:
+                    best = (d2, k)
+            if best[0] > e2:
+                keep.add(best[1])
+                rec(i0, best[1])
+                rec(best[1], i1)
+
+        rec(0, n - 1)
+        return keep
+
+    assert gm == {i: dp(w, eps) for i, w in enumerate(ways)}
