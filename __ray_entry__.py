@@ -680,6 +680,26 @@ def _q_osm_xml_ingest(sf_dir: str):
     return read_osm_xml(paths).map_batches(project, batch_format="pyarrow")
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking: 200-char windows every 150 chars
+    (stages/text.py::chunk_docs, buffer-gather vectorized)."""
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.text import chunk_docs
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_docs(ds, size=200, overlap=50)
+
+
+def _q_train_shards(sf_dir: str):
+    """Deterministic shuffle-to-shards with stable in-shard positions
+    (stages/text.py::train_shards)."""
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.text import train_shards
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return train_shards(ds, num_shards=8)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style duplicate-trigram mass per document (repetition filter
     signal; stages/text.py::repetition_stats)."""
@@ -1051,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "doc_repetition": _q_doc_repetition,
         "osm_xml_ingest": _q_osm_xml_ingest,
+        "chunk_docs": _q_chunk_docs,
+        "train_shards": _q_train_shards,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
@@ -2190,6 +2212,21 @@ FROM fp WHERE i = n + 1
         # S1 ingest round-trip: the .osm XML serialize->decode pipeline must
         # reproduce exactly the rows NODES_CTE derives from documents
         "osm_xml_ingest": f"{W} SELECT id, lon, lat, lang FROM nodes_c",
+        # 200-char windows every 150: chunk k covers substr(k*150+1, 200);
+        # ceil(len/150) chunks, none for empty docs (ASCII: chars == bytes)
+        "chunk_docs": """
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk_text
+FROM documents, LATERAL unnest(range(0, (length(text) + 149) // 150)) AS r(k)
+""",
+        # multiplicative-hash shard + ROW_NUMBER position, BIGINT-exact
+        "train_shards": """
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+FROM (SELECT doc_id, (doc_id * 2654435761) % 2147483647 AS h,
+             ((doc_id * 2654435761) % 2147483647) % 8 AS shard
+      FROM documents)
+""",
         # duplicate-trigram mass per doc: explode char trigrams (texts are
         # ASCII so length()/substr() walk the same units as the engine's
         # byte codes), COUNT vs COUNT DISTINCT, exact float64 division

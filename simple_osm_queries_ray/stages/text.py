@@ -1227,3 +1227,128 @@ def repetition_stats(ds: ray.data.Dataset, n: int = 3) -> ray.data.Dataset:
         )
 
     return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_docs(
+    ds: ray.data.Dataset, size: int = 200, overlap: int = 50
+) -> ray.data.Dataset:
+    """Context-window chunking: split each document into windows of ``size``
+    characters starting every ``size - overlap`` characters (the standard
+    LLM pretraining / RAG chunker). Output: (doc_id, chunk_id, chunk_text);
+    empty documents emit no chunk. Embarrassingly parallel, no shuffle.
+
+    Vectorized per batch: chunk starts come from one repeat/cumsum explode;
+    for ASCII batches the chunk texts are gathered directly out of the
+    Arrow string buffer into a new StringArray (byte ranges, zero per-row
+    Python); documents with multi-byte characters fall back to per-doc
+    Python slicing (chunks are CHARACTER windows, matching SQL substr)."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError(f"need size > 0 and 0 <= overlap < size, got {size}/{overlap}")
+    step = size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        arr = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        nbytes = np.asarray(pc.binary_length(arr), dtype=np.int64)
+        nchars = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+        ascii_ok = nbytes == nchars
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        nchunks = (nchars + step - 1) // step  # 0 chunks for empty docs
+        out_ids, out_cid, out_txt = [], [], []
+        av = np.nonzero(ascii_ok & (nchunks > 0))[0]
+        if len(av):
+            cts = nchunks[av]
+            total = int(cts.sum())
+            row = np.repeat(av, cts)
+            offs = np.zeros(len(av), dtype=np.int64)
+            np.cumsum(cts[:-1], out=offs[1:])
+            cid = np.arange(total, dtype=np.int64) - offs[np.repeat(np.arange(len(av)), cts)]
+            starts = offsets[:-1][row] + cid * step
+            stops = np.minimum(starts + size, offsets[1:][row])
+            lens = stops - starts
+            new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            gather = np.repeat(starts, lens) + (
+                np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(new_off[:-1].astype(np.int64), lens)
+            )
+            chunk_arr = pa.StringArray.from_buffers(
+                total,
+                pa.py_buffer(new_off.tobytes()),
+                pa.py_buffer(flat[gather].tobytes()),
+            )
+            out_ids.append(ids[row])
+            out_cid.append(cid)
+            out_txt.append(chunk_arr)
+        for i in np.nonzero((~ascii_ok) & (nchunks > 0))[0]:  # rare fallback
+            s = arr[i].as_py()
+            ks = list(range(int(nchunks[i])))
+            out_ids.append(np.full(len(ks), ids[i], dtype=np.int64))
+            out_cid.append(np.array(ks, dtype=np.int64))
+            out_txt.append(pa.array([s[k * step : k * step + size] for k in ks]))
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chunk_id": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "chunk_id": pa.array(np.concatenate(out_cid)),
+                "chunk_text": pa.concat_arrays(out_txt),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+_SHARD_MUL = 2654435761  # Knuth multiplicative constant, also the corpus geolocator's
+_SHARD_MOD = 2147483647  # 2^31 - 1: products stay < 2^63, SQL BIGINT-exact
+
+
+def train_shards(ds: ray.data.Dataset, num_shards: int = 8) -> ray.data.Dataset:
+    """Deterministic training-shard assignment: every document gets a
+    pseudo-random 31-bit rank ``h = (doc_id * MUL) % MOD``, lands in shard
+    ``h % num_shards`` and receives its stable position within the shard
+    (ordered by (h, doc_id)). Output: (doc_id, shard, pos). This is the
+    global-shuffle-to-shards step of a pretraining data pipeline, made
+    reproducible: same corpus -> same shard files, independent of block
+    layout or cluster size.
+
+    Scale shape: the hash assignment is a stateless map; the only exchange
+    is ONE groupby on shard (num_shards keys, uniformly loaded by the
+    multiplicative hash), and positions come from a vectorized argsort
+    within each shard group — no global sort, no driver materialization."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        h = (ids * _SHARD_MUL) % _SHARD_MOD
+        return pa.table(
+            {"doc_id": pa.array(ids), "h": pa.array(h), "shard": pa.array(h % num_shards)}
+        )
+
+    def position(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+        h = np.asarray(tbl["h"], dtype=np.int64)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids), "shard": tbl["shard"], "pos": pa.array(pos)}
+        )
+
+    return (
+        ds.select_columns(["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(position, batch_format="pyarrow")
+    )

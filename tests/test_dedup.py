@@ -238,3 +238,71 @@ def test_repetition_stats_matches_python_sets():
     for i, (t, d, r) in exp.items():
         row = got.loc[i]
         assert (row.total_ngrams, row.distinct_ngrams, row.dup_ratio) == (t, d, r)
+
+
+def test_chunk_docs_matches_python_slicing():
+    """chunk_docs == per-doc Python slicing: window starts every
+    size-overlap chars, empty docs dropped, non-ASCII fallback, sliced
+    Arrow buffers (two blocks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import chunk_docs
+
+    texts = ["", "short", "x" * 10, "abcdefghij" * 3, "héllo wörld" * 4, "y" * 9]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow([tbl.slice(0, 2), tbl.slice(2)])
+    got = chunk_docs(ds, size=10, overlap=3).to_pandas()
+    gm = {(r.doc_id, r.chunk_id): r.chunk_text for r in got.itertuples()}
+    exp = {}
+    for i, s in enumerate(texts):
+        k = 0
+        while k * 7 < len(s):
+            exp[(i, k)] = s[k * 7 : k * 7 + 10]
+            k += 1
+    assert gm == exp
+
+
+def test_chunk_docs_rejects_bad_params():
+    import pytest
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import chunk_docs
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    for size, ov in [(0, 0), (5, 5), (5, -1)]:
+        with pytest.raises(ValueError):
+            chunk_docs(ds, size=size, overlap=ov)
+
+
+def test_train_shards_stable_and_dense():
+    """train_shards: positions are 0..n_s-1 dense per shard, the full
+    assignment is independent of input block layout, and matches the
+    multiplicative-hash spec."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.text import _SHARD_MOD, _SHARD_MUL, train_shards
+
+    ids = np.arange(137, dtype=np.int64) * 13 + 5
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    a = train_shards(ray.data.from_arrow(tbl), num_shards=4).to_pandas()
+    b = train_shards(
+        ray.data.from_arrow([tbl.slice(0, 50), tbl.slice(50, 30), tbl.slice(80)]),
+        num_shards=4,
+    ).to_pandas()
+    ka = a.sort_values("doc_id").reset_index(drop=True)
+    kb = b.sort_values("doc_id").reset_index(drop=True)
+    assert ka.equals(kb)
+    h = (ids * _SHARD_MUL) % _SHARD_MOD
+    assert (ka.set_index("doc_id")["shard"].loc[ids].to_numpy() == h % 4).all()
+    for s, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+        # order within shard follows (h, doc_id)
+        grp = grp.sort_values("pos")
+        hh = (grp["doc_id"].to_numpy() * _SHARD_MUL) % _SHARD_MOD
+        assert (np.diff(hh) >= 0).all()
