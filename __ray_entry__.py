@@ -25,6 +25,8 @@ TRIANGLE = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
 KNN_QUERIES = [(9.95, 53.55), (9.2, 53.8), (10.5, 54.5)]
 KNN_K = 5
 RADIUS_JOIN_R = 0.05
+DBSCAN_EPS = 0.02
+DBSCAN_MIN_PTS = 4
 TILE_ZOOM = 12
 
 
@@ -444,6 +446,12 @@ def _q_radius_join(sf_dir: str):
     from simple_osm_queries_ray.stages.knn import radius_join
 
     return radius_join(_repo(sf_dir).nodes, RADIUS_JOIN_R)
+
+
+def _q_dbscan(sf_dir: str):
+    from simple_osm_queries_ray.stages.knn import dbscan
+
+    return dbscan(_repo(sf_dir).nodes, DBSCAN_EPS, DBSCAN_MIN_PTS)
 
 
 def _q_nn_join(sf_dir: str):
@@ -1051,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
         "radius_join": _q_radius_join,
+        "dbscan_clusters": _q_dbscan,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
         "knn_quad_ring": _q_knn_quad_ring,
@@ -1752,6 +1761,46 @@ FROM nodes_c a JOIN nodes_c b ON a.id < b.id
 WHERE (a.lon - b.lon) * (a.lon - b.lon)
       + (a.lat - b.lat) * (a.lat - b.lat)
       <= CAST({RADIUS_JOIN_R!r} AS DOUBLE) * CAST({RADIUS_JOIN_R!r} AS DOUBLE)
+""",
+        # exact deterministic DBSCAN: eps-graph degrees -> core points ->
+        # components over core-core edges (transitive min-label closure) ->
+        # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan
+        "dbscan_clusters": f"""
+WITH RECURSIVE {NODES_CTE},
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nodes_c a JOIN nodes_c b ON a.id < b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat)
+        <= CAST({DBSCAN_EPS!r} AS DOUBLE) * CAST({DBSCAN_EPS!r} AS DOUBLE)
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs),
+deg AS (SELECT src AS id, count(*) AS n FROM e GROUP BY 1),
+core AS (SELECT id FROM deg WHERE n + 1 >= {DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT e.src, e.dst FROM e
+  WHERE e.src IN (SELECT id FROM core) AND e.dst IN (SELECT id FROM core)
+),
+reach AS (
+  SELECT id, id AS r FROM core
+  UNION
+  SELECT ce.dst AS id, reach.r FROM reach JOIN ce ON ce.src = reach.id
+),
+grp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+nbr AS (
+  SELECT e.src AS id, min(g.cluster) AS cluster
+  FROM e JOIN grp g ON g.id = e.dst
+  GROUP BY 1
+)
+SELECT n.id,
+       COALESCE(c.cluster, b.cluster, -1) AS cluster,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM nodes_c n
+LEFT JOIN grp c ON c.id = n.id
+LEFT JOIN nbr b ON b.id = n.id
 """,
         "soq_semi_join_disk_index": (
             f"{W} SELECT id, lon, lat FROM nodes_c "

@@ -484,3 +484,261 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
         }
     )
     return resolved.union(ray.data.from_arrow(fixed))
+
+
+_ATTACH_MUL = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
+
+
+def _attach_int64(
+    left: ray.data.Dataset,
+    keyed: ray.data.Dataset,
+    key_col: str,
+    out_name: str,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """Inner-join lookup without ``Dataset.join``: attach ``keyed``'s ``v``
+    to every ``left`` row whose ``key_col`` matches ``keyed.k`` (unique keys;
+    unmatched left rows are dropped). All columns must be int64.
+
+    Both sides hash-bucket on the key (multiplicative hash, one groupby
+    shuffle over ``n_buckets`` bounded groups) and the match runs vectorized
+    inside each bucket (argsort + searchsorted). This sidesteps a Ray Data
+    hash-join edge case — a partition that receives zero left rows builds a
+    schema-less empty block and Arrow rejects the join — and keeps the
+    lookup's memory bounded per bucket rather than per build side.
+    """
+    left_cols = [c for c in left.schema().names]
+    SENT = np.iinfo(np.int64).min
+
+    def bkt_of(k: np.ndarray) -> np.ndarray:
+        return ((k.astype(np.uint64) * _ATTACH_MUL) >> np.uint64(40)).astype(
+            np.int64
+        ) % n_buckets
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        cols = {"bkt": pa.array(bkt_of(k))}
+        for c in left_cols:
+            cols[c] = batch[c]
+        cols["_v"] = pa.array(np.full(len(k), SENT, dtype=np.int64))
+        return pa.table(cols)
+
+    def tag_keyed(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["k"], dtype=np.int64)
+        cols = {"bkt": pa.array(bkt_of(k))}
+        for c in left_cols:
+            cols[c] = pa.array(k if c == key_col else np.zeros(len(k), dtype=np.int64))
+        cols["_v"] = batch["v"]
+        return pa.table(cols)
+
+    def local(tbl: pa.Table) -> pa.Table:
+        v = np.asarray(tbl["_v"], dtype=np.int64)
+        k = np.asarray(tbl[key_col], dtype=np.int64)
+        is_right = v != SENT
+        rk, rv = k[is_right], v[is_right]
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        li = np.flatnonzero(~is_right)
+        pos = np.searchsorted(rk, k[li])
+        pos_c = np.minimum(pos, max(len(rk) - 1, 0))
+        matched = (len(rk) > 0) & (rk[pos_c] == k[li]) if len(rk) else np.zeros(
+            len(li), dtype=bool
+        )
+        keep = li[matched]
+        cols = {c: tbl[c].take(pa.array(keep)) for c in left_cols}
+        cols[out_name] = pa.array(rv[pos_c[matched]])
+        return pa.table(cols)
+
+    return (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .union(keyed.map_batches(tag_keyed, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(local, batch_format="pyarrow")
+    )
+
+
+def dbscan(
+    ds: ray.data.Dataset,
+    eps: float,
+    min_pts: int,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed exact DBSCAN over point features (deterministic variant).
+
+    Standard DBSCAN semantics with the one well-known nondeterminism — which
+    cluster claims a border point reachable from several — resolved to the
+    MINIMUM candidate cluster label, so output is order-independent:
+
+    - ``core``: at least ``min_pts`` points (self included) within ``eps``;
+    - cluster = connected component of the core-core eps-graph, labeled by
+      its minimum core id;
+    - ``border``: non-core within eps of >= 1 core -> min core-neighbor's
+      cluster; everything else ``noise`` (cluster -1).
+
+    Distributed plan, all pieces already scale-audited: the eps-neighbor
+    graph comes from :func:`radius_join` (grid-bucket replication, one
+    cell-keyed shuffle, never all-pairs); degrees are one groupby-count over
+    the edge list; core-core components run through
+    ``stages.dedup.connected_components`` (hash-min label propagation,
+    rounds = graph diameter); the final role/label resolution is ONE
+    groupby over a union of small (id, label, flag) row sets — for a core
+    point every core neighbor is in the same component, so min() over
+    component + neighbor rows cannot mix labels.
+
+    Returns (id, cluster, role). Generalizes the reference's cell-index
+    machinery (``src/index/grid_reader.go:39-78``) to density clustering.
+    """
+    import ray as _ray
+
+    from .dedup import connected_components
+
+    if min_pts < 2:
+        raise ValueError("min_pts must be >= 2 (min_pts=1 makes every point core)")
+    if num_partitions is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+
+    pairs = radius_join(ds, eps).select_columns(["id_a", "id_b"]).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def all_noise(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch["id"],
+                "cluster": pa.array(np.full(n, -1, dtype=np.int64)),
+                "role": pa.array(np.full(n, "noise", dtype=object), type=pa.string()),
+            }
+        )
+
+    if edges.count() == 0:
+        # nothing within eps of anything -> all noise (and an empty dataset
+        # has no schema to group by)
+        return ds.select_columns(["id"]).map_batches(all_noise, batch_format="pyarrow")
+
+    deg = edges.groupby("src").count()
+    cnt_col = "count()" if "count()" in deg.schema().names else deg.schema().names[-1]
+    deg = deg.rename_columns({cnt_col: "n_nbr"})
+    # |N(p)| includes p itself in the classic formulation -> degree+1
+    core = (
+        deg.filter(expr=f"n_nbr >= {min_pts - 1}")
+        .select_columns(["src"])
+        .rename_columns({"src": "cid"})
+        .materialize()
+    )
+
+    if core.count() == 0:
+        # no dense region anywhere -> everything is noise
+        return ds.select_columns(["id"]).map_batches(all_noise, batch_format="pyarrow")
+
+    n_buckets = num_partitions * 4
+
+    # core-core edges: filter both endpoints through the core set with the
+    # bucketed local lookup (no Dataset.join -- see _attach_int64)
+    core_flag = core.map_batches(
+        lambda b: pa.table(
+            {"k": b["cid"], "v": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    core_pairs = (
+        _attach_int64(
+            _attach_int64(edges, core_flag, "src", "cs", n_buckets),
+            core_flag,
+            "dst",
+            "cd",
+            n_buckets,
+        )
+        .filter(expr="src < dst")
+        .select_columns(["src", "dst"])
+        .rename_columns({"src": "id_a", "dst": "id_b"})
+        .materialize()
+    )
+    # tiny graphs -> one partition: a hash-join partition that receives zero
+    # left rows builds a schema-less empty block and Arrow rejects the join
+    np_cc = 1 if core.count() < 2048 else num_partitions
+    comp = connected_components(
+        core.rename_columns({"cid": "id"}), core_pairs, num_partitions=np_cc
+    ).materialize()  # (id, group_id) for core points only
+
+    # every point's min core-neighbor cluster: pull dst's component label
+    # onto each edge (inner semantics drop non-core dst), groupby-min on src
+    comp_kv = comp.rename_columns({"id": "k", "group_id": "v"})
+    neighbor_min = (
+        _attach_int64(edges, comp_kv, "dst", "grp", n_buckets)
+        .select_columns(["src", "grp"])
+        .groupby("src")
+        .min("grp")
+    )
+    nm_col = "min(grp)" if "min(grp)" in neighbor_min.schema().names else "grp"
+
+    SENT = np.iinfo(np.int64).max
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch["id"],
+                "grp": batch["group_id"],
+                "is_core": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def neighbor_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch["src"],
+                "grp": batch[nm_col],
+                "is_core": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id": batch["id"],
+                "grp": pa.array(np.full(n, SENT, dtype=np.int64)),
+                "is_core": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    merged = (
+        comp.map_batches(comp_rows, batch_format="pyarrow")
+        .union(neighbor_min.map_batches(neighbor_rows, batch_format="pyarrow"))
+        .union(ds.select_columns(["id"]).map_batches(base_rows, batch_format="pyarrow"))
+        .groupby("id")
+        .aggregate(Min("grp", alias_name="grp"), Max("is_core", alias_name="is_core"))
+    )
+
+    ROLES = np.array(["noise", "border", "core"], dtype=object)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        grp = np.asarray(batch["grp"], dtype=np.int64)
+        is_core = np.asarray(batch["is_core"], dtype=np.int64)
+        cluster = np.where(grp == SENT, np.int64(-1), grp)
+        role = ROLES[np.where(is_core == 1, 2, np.where(cluster >= 0, 1, 0))]
+        return pa.table(
+            {
+                "id": batch["id"],
+                "cluster": pa.array(cluster),
+                "role": pa.array(role, type=pa.string()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
