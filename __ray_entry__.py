@@ -27,6 +27,7 @@ KNN_K = 5
 RADIUS_JOIN_R = 0.05
 DBSCAN_EPS = 0.02
 DBSCAN_MIN_PTS = 4
+GEOHASH_P = 7
 TILE_ZOOM = 12
 
 
@@ -387,6 +388,31 @@ def _q_quad_cells(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import assign_quad_cells
 
     return assign_quad_cells(_repo(sf_dir).nodes, QUAD_LEVEL).select_columns(["id", "qcell"])
+
+
+def _q_geohash_cells(sf_dir: str):
+    """Base32 geohash cell key per node (precision 7, ~150 m)."""
+    from simple_osm_queries_ray.stages.geo import assign_geohash
+
+    return assign_geohash(_repo(sf_dir).nodes, GEOHASH_P).select_columns(["id", "gh"])
+
+
+def _q_geohash_density(sf_dir: str):
+    """Point density per coarse geohash (precision 5): the prefix property
+    makes this the 5-char rollup of the precision-7 key."""
+    from simple_osm_queries_ray.stages.geo import assign_geohash
+
+    out = (
+        assign_geohash(_repo(sf_dir).nodes, GEOHASH_P - 2)
+        .select_columns(["gh"])
+        .groupby("gh")
+        .count()
+    )
+    return (
+        out.rename_columns({"count()": "n_pts"})
+        if "count()" in out.schema().names
+        else out
+    )
 
 
 def _q_quad_rollup(sf_dir: str):
@@ -1053,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": _q_tile_histogram,
         "way_tiles": _q_way_tiles,
         "quad_cells": _q_quad_cells,
+        "geohash_cells": _q_geohash_cells,
+        "geohash_density": _q_geohash_density,
         "quad_rollup": _q_quad_rollup,
         "quad_bbox_filter": _q_quad_bbox_filter,
         "pip_triangle": _q_pip_triangle,
@@ -1430,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         bbox_where,
         tile_expr,
     )
+    from simple_osm_queries_ray.functions.geohash import geohash_sql
     from simple_osm_queries_ray.functions.hiercell import quad_cell_sql
     from simple_osm_queries_ray.sources.dup_docs import DUP_DOCS_SQL
     from simple_osm_queries_ray.sources.dup_embeddings import DUP_EMB_SQL
@@ -1707,6 +1736,13 @@ WHERE rg % 3 = 0 AND EXISTS (
         ),
         "way_tiles": _way_tiles_sql(),
         "quad_cells": f"{W} SELECT id, {quad_cell_sql(QUAD_LEVEL)} AS qcell FROM nodes_c",
+        "geohash_cells": (
+            f"{W} SELECT id, {geohash_sql('lon', 'lat', GEOHASH_P)} AS gh FROM nodes_c"
+        ),
+        "geohash_density": (
+            f"{W} SELECT {geohash_sql('lon', 'lat', GEOHASH_P - 2)} AS gh, "
+            "count(*) AS n_pts FROM nodes_c GROUP BY 1"
+        ),
         "quad_rollup": (
             f"{W} SELECT {quad_cell_sql(QUAD_ROLLUP_LEVEL)} AS qcell8, count(*) AS n "
             "FROM nodes_c GROUP BY 1"

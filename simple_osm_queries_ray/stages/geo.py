@@ -1041,3 +1041,22 @@ def simplify_ways(ways: ray.data.Dataset, eps: float) -> ray.data.Dataset:
     return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def assign_geohash(
+    ds: ray.data.Dataset, precision: int = 7, out_col: str = "gh"
+) -> ray.data.Dataset:
+    """Batched base32 geohash assignment (functions/geohash.py): the
+    string-keyed sibling of :func:`assign_quad_cells`; prefix truncation =
+    coarser precision, so hierarchical rollups are plain groupbys on a
+    substring (or a re-encode at the coarser precision — identical by the
+    floor-composition property)."""
+    from ..functions.geohash import geohash_encode
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = geohash_encode(
+            np.asarray(batch["lon"]), np.asarray(batch["lat"]), precision
+        )
+        return batch.append_column(out_col, pa.array(g, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
