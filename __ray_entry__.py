@@ -474,6 +474,12 @@ def _q_radius_join(sf_dir: str):
     return radius_join(_repo(sf_dir).nodes, RADIUS_JOIN_R)
 
 
+def _q_bm25_rank(sf_dir: str):
+    from simple_osm_queries_ray.stages.text import bm25_rank
+
+    return bm25_rank(sf_dir)
+
+
 def _q_dbscan(sf_dir: str):
     from simple_osm_queries_ray.stages.knn import dbscan
 
@@ -1088,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "radius_join": _q_radius_join,
         "dbscan_clusters": _q_dbscan,
+        "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
         "knn_quad_ring": _q_knn_quad_ring,
@@ -1441,6 +1448,54 @@ SELECT CAST(ROUND(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
        CAST({p} AS BIGINT) AS p,
        CAST(nonzero AS BIGINT) AS registers_nonzero
 FROM est
+"""
+
+
+def _bm25_sql(k: int = 10) -> str:
+    """DuckDB twin of stages/text.py::bm25_rank — generated from the same
+    term list so the two can't drift."""
+    from simple_osm_queries_ray.stages.text import BM25_TERMS
+
+    tf_defs, dfs, contribs = [], [], []
+    for i, t in enumerate(BM25_TERMS):
+        plen = len(t) + 2
+        tf_defs.append(
+            f"(length(t) - length(replace(t, ' {t} ', ''))) // {plen} AS tf{i}"
+        )
+        dfs.append(
+            f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        )
+        contribs.append(
+            f"(((n - df{i}) + CAST(0.5 AS DOUBLE)) / (df{i} + CAST(0.5 AS DOUBLE)))"
+            f" * ((CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+            f" / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+            f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+            f" * (CAST(dl AS DOUBLE) / avgdl))))"
+        )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, ' ', ''))) + 1 AS dl,
+         ' ' || replace(text, ' ', '  ') || ' ' AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, dl, {', '.join(tf_defs)} FROM d),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {', '.join(dfs)}
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, {' + '.join(contribs)} AS score, ({any_tf}) AS anytf
+  FROM tf, st
+),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE anytf > 0
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1798,6 +1853,9 @@ WHERE (a.lon - b.lon) * (a.lon - b.lon)
       + (a.lat - b.lat) * (a.lat - b.lat)
       <= CAST({RADIUS_JOIN_R!r} AS DOUBLE) * CAST({RADIUS_JOIN_R!r} AS DOUBLE)
 """,
+        # BM25 (no-log idf ratio variant): the whole scoring expression tree
+        # mirrors stages/text.py::bm25_rank op-for-op in IEEE doubles
+        "bm25_rank": _bm25_sql(),
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->
         # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan

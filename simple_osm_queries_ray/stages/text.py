@@ -1352,3 +1352,91 @@ def train_shards(ds: ray.data.Dataset, num_shards: int = 8) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(position, batch_format="pyarrow")
     )
+
+
+BM25_TERMS = ("query", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_rank(
+    sf_dir: str, terms: tuple[str, ...] = BM25_TERMS, k: int = 10
+) -> "pd.DataFrame":
+    """BM25 top-k document ranking for a fixed multi-term query (the scoring
+    complement of the inverted-index `keyword_search` AND lookup).
+
+    Deterministic no-log idf variant: idf_t = (N - df_t + 0.5)/(df_t + 0.5)
+    (ln() is monotone in this ratio, so ranking semantics match classic BM25
+    for a single term and the whole expression tree stays in exactly-rounded
+    IEEE ops — +,-,*,/ — that DuckDB reproduces bit-for-bit; libm ln() has
+    no such cross-engine guarantee). k1 = 1.2, b = 0.75.
+
+    Two streaming passes over a materialized (doc_id, dl, tf_*) projection
+    — integers only, a tiny fraction of corpus bytes:
+    1. corpus stats: one-row partials per batch (N, sum dl, df per term),
+       driver-reduced (rows = block count);
+    2. scoring: broadcast scalar stats, per-batch top-k partial
+       (argpartition), driver reduce over k x num_batches candidates.
+    The corpus never shuffles; term frequencies come from non-overlapping
+    substring counts on space-doubled padded text (' t ' cannot share its
+    delimiter spaces after doubling), identical semantics to SQL
+    length-replace counting.
+    """
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf_cols = [f"tf{i}" for i in range(len(terms))]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        dl = pc.add(pc.count_substring(texts, " "), 1).cast(pa.int64())
+        padded = pc.binary_join_element_wise(
+            " ", pc.replace_substring(texts, " ", "  "), " ", ""
+        )
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64()), "dl": dl}
+        for i, t in enumerate(terms):
+            cols[tf_cols[i]] = pc.count_substring(padded, f" {t} ").cast(pa.int64())
+        return pa.table(cols)
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        out = {
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "sdl": pa.array([pc.sum(batch["dl"]).as_py() or 0], type=pa.int64()),
+        }
+        for c in tf_cols:
+            tf = np.asarray(batch[c], dtype=np.int64)
+            out[f"df_{c}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        return pa.table(out)
+
+    st = prepped.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs, sum_dl = float(st["n"]), float(st["sdl"])
+    avgdl = sum_dl / n_docs
+    idf = [
+        ((n_docs - float(st[f"df_{c}"])) + 0.5) / (float(st[f"df_{c}"]) + 0.5)
+        for c in tf_cols
+    ]
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch["dl"], dtype=np.float64)
+        norm = 0.25 + 0.75 * (dl / avgdl)
+        score = np.zeros(len(dl), dtype=np.float64)
+        any_tf = np.zeros(len(dl), dtype=bool)
+        for i, c in enumerate(tf_cols):
+            tf = np.asarray(batch[c], dtype=np.float64)
+            score = score + idf[i] * ((tf * 2.2) / (tf + 1.2 * norm))
+            any_tf |= tf > 0
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[any_tf]
+        score = score[any_tf]
+        if len(ids) > k:
+            keep = np.argpartition(-score, k)[:k]
+            ids, score = ids[keep], score[keep]
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(score)})
+
+    cand = prepped.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand.reset_index(drop=True)

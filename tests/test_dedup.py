@@ -306,3 +306,45 @@ def test_train_shards_stable_and_dense():
         grp = grp.sort_values("pos")
         hh = (grp["doc_id"].to_numpy() * _SHARD_MUL) % _SHARD_MOD
         assert (np.diff(hh) >= 0).all()
+
+
+def test_bm25_rank_small_corpus(tmp_path):
+    """BM25 ranking on a hand-built corpus: scores recomputed serially, the
+    no-log idf ratio, dl normalization and tf saturation all exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_osm_queries_ray.stages.text import bm25_rank
+
+    texts = [
+        "query query query scan",          # high tf for 'query', short
+        "query merge merge",               # mixes two terms
+        "scan scan scan scan scan scan",   # no query terms except none
+        "vector",                          # rare term -> high idf
+        "query " + "filler " * 40 + "end", # long doc -> dl penalty
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = bm25_rank(str(tmp_path), k=5)
+
+    # serial recompute
+    terms = ("query", "merge", "vector")
+    dl = np.array([len(t.split()) for t in texts], dtype=np.float64)
+    tf = np.array(
+        [[t.split().count(term) for term in terms] for t in texts],
+        dtype=np.float64,
+    )
+    n, avgdl = 5.0, dl.sum() / 5.0
+    dfreq = (tf > 0).sum(axis=0).astype(np.float64)
+    idf = ((n - dfreq) + 0.5) / (dfreq + 0.5)
+    norm = 0.25 + 0.75 * (dl / avgdl)
+    score = np.zeros(5)
+    for i in range(3):
+        score = score + idf[i] * ((tf[:, i] * 2.2) / (tf[:, i] + 1.2 * norm))
+    keep = tf.sum(axis=1) > 0
+    order = np.lexsort((np.arange(5)[keep], -score[keep]))
+    want_ids = np.arange(5)[keep][order]
+    assert got["doc_id"].tolist() == want_ids.tolist()
+    assert np.allclose(got["score"].to_numpy(), score[want_ids])
+    # doc 2 has no query terms at all -> excluded
+    assert 2 not in got["doc_id"].tolist()
