@@ -28,6 +28,8 @@ RADIUS_JOIN_R = 0.05
 DBSCAN_EPS = 0.02
 DBSCAN_MIN_PTS = 4
 GEOHASH_P = 7
+HEX_SIZE = 0.05
+HEX_SIZE_COARSE = 0.25
 TILE_ZOOM = 12
 
 
@@ -412,6 +414,60 @@ def _q_geohash_density(sf_dir: str):
         out.rename_columns({"count()": "n_pts"})
         if "count()" in out.schema().names
         else out
+    )
+
+
+def _q_hex_cells(sf_dir: str):
+    """Batched H3-style hexagonal cell assignment (functions/hexcell.py):
+    axial cube-rounding to the nearest hex center, packed int64 ids."""
+    from simple_osm_queries_ray.stages.geo import assign_hex
+
+    return assign_hex(_repo(sf_dir).nodes, HEX_SIZE).select_columns(["id", "hcell"])
+
+
+def _q_hex_density(sf_dir: str):
+    """Point density per coarse hexagon — the hex-lattice histogram the
+    reference computes per grid cell (A1), with uniform 6-neighbor cells."""
+    from simple_osm_queries_ray.stages.geo import assign_hex
+
+    out = (
+        assign_hex(_repo(sf_dir).nodes, HEX_SIZE_COARSE)
+        .select_columns(["hcell"])
+        .groupby("hcell")
+        .count()
+    )
+    return (
+        out.rename_columns({"count()": "n_pts"})
+        if "count()" in out.schema().names
+        else out
+    )
+
+
+def _q_semi_join_hex_index(sf_dir: str):
+    """The soq semi-join executed over an H3-style HEXAGONAL-lattice index:
+    repo built with HexCellScheme, persisted + partition-pruned via DiskRepo,
+    bbox candidates from the conservative hex covering — same results as the
+    flat-grid and quad-cell paths (same oracle as soq_semi_join_ways)."""
+    import os
+    import tempfile
+
+    from simple_osm_queries_ray.functions.hexcell import HexCellScheme
+    from simple_osm_queries_ray.pipelines.build_index import DiskRepo, write_index
+    from simple_osm_queries_ray.pipelines.query import QueryEngine
+    from simple_osm_queries_ray.sources.repo import build_repo
+
+    scheme = HexCellScheme(HEX_SIZE)
+    cache_key = "hex:" + sf_dir
+    if cache_key not in _DISK_REPO_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(), "soqr_hidx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        write_index(build_repo(sf_dir, cell_scheme=scheme), index_dir)
+        _DISK_REPO_CACHE[cache_key] = DiskRepo(index_dir)
+    eng = QueryEngine(_DISK_REPO_CACHE[cache_key], cell_scheme=scheme)
+    return eng.execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".nodes{lang=de AND this.ways{wtype=primary}}"
     )
 
 
@@ -1087,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quad_cells": _q_quad_cells,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
+        "hex_cells": _q_hex_cells,
+        "hex_density": _q_hex_density,
         "quad_rollup": _q_quad_rollup,
         "quad_bbox_filter": _q_quad_bbox_filter,
         "pip_triangle": _q_pip_triangle,
@@ -1100,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quad_ring": _q_knn_quad_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
         "soq_semi_join_quad_index": _q_semi_join_quad_index,
+        "soq_semi_join_hex_index": _q_semi_join_hex_index,
         "soq_caption_tags": _q_soq_caption_tags,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -1514,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         tile_expr,
     )
     from simple_osm_queries_ray.functions.geohash import geohash_sql
+    from simple_osm_queries_ray.functions.hexcell import hex_cell_sql
     from simple_osm_queries_ray.functions.hiercell import quad_cell_sql
     from simple_osm_queries_ray.sources.dup_docs import DUP_DOCS_SQL
     from simple_osm_queries_ray.sources.dup_embeddings import DUP_EMB_SQL
@@ -1798,6 +1858,14 @@ WHERE rg % 3 = 0 AND EXISTS (
             f"{W} SELECT {geohash_sql('lon', 'lat', GEOHASH_P - 2)} AS gh, "
             "count(*) AS n_pts FROM nodes_c GROUP BY 1"
         ),
+        "hex_cells": (
+            f"{W} SELECT id, {hex_cell_sql('lon', 'lat', HEX_SIZE)} AS hcell "
+            "FROM nodes_c"
+        ),
+        "hex_density": (
+            f"{W} SELECT {hex_cell_sql('lon', 'lat', HEX_SIZE_COARSE)} AS hcell, "
+            "count(*) AS n_pts FROM nodes_c GROUP BY 1"
+        ),
         "quad_rollup": (
             f"{W} SELECT {quad_cell_sql(QUAD_ROLLUP_LEVEL)} AS qcell8, count(*) AS n "
             "FROM nodes_c GROUP BY 1"
@@ -1901,6 +1969,10 @@ LEFT JOIN nbr b ON b.id = n.id
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
         ),
         "soq_semi_join_quad_index": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
+        ),
+        "soq_semi_join_hex_index": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND lang = 'de' AND wg % 3 = 1"
         ),

@@ -1043,6 +1043,21 @@ def simplify_ways(ways: ray.data.Dataset, eps: float) -> ray.data.Dataset:
     )
 
 
+def assign_hex(
+    ds: ray.data.Dataset, size: float, out_col: str = "hcell"
+) -> ray.data.Dataset:
+    """Batched H3-style hexagonal cell assignment (functions/hexcell.py):
+    the hex-lattice counterpart of :func:`assign_quad_cells` — one fused
+    multiply-add + cube-rounding kernel per batch, packed int64 ids."""
+    from ..functions.hexcell import hex_cell
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = hex_cell(np.asarray(batch["lon"]), np.asarray(batch["lat"]), size)
+        return batch.append_column(out_col, pa.array(c, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def assign_geohash(
     ds: ray.data.Dataset, precision: int = 7, out_col: str = "gh"
 ) -> ray.data.Dataset:
