@@ -566,6 +566,17 @@ def _q_knn_quad_ring(sf_dir: str):
     return knn_quad_ring(repo.nodes, KNN_QUERIES[0], KNN_K, level=12)
 
 
+def _q_knn_hex_ring(sf_dir: str):
+    """Index-path kNN via expanding HEXAGONAL rings (H3 gridDisk shape)
+    over a hex-celled repo (same oracle as knn_ring)."""
+    from simple_osm_queries_ray.functions.hexcell import HexCellScheme
+    from simple_osm_queries_ray.sources.repo import build_repo
+    from simple_osm_queries_ray.stages.knn import knn_hex_ring
+
+    repo = build_repo(sf_dir, cell_scheme=HexCellScheme(HEX_SIZE))
+    return knn_hex_ring(repo.nodes, KNN_QUERIES[0], KNN_K, size=HEX_SIZE)
+
+
 _DISK_REPO_CACHE: dict[str, Any] = {}
 
 
@@ -1156,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
         "knn_quad_ring": _q_knn_quad_ring,
+        "knn_hex_ring": _q_knn_hex_ring,
         "soq_semi_join_disk_index": _q_semi_join_disk_index,
         "soq_semi_join_quad_index": _q_semi_join_quad_index,
         "soq_semi_join_hex_index": _q_semi_join_hex_index,
@@ -1990,6 +2002,19 @@ ranked AS (
 SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
 """,
         "knn_quad_ring": f"""
+{W},
+scored AS (
+  SELECT n.id,
+         (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon) * (CAST({KNN_QUERIES[0][0]!r} AS DOUBLE) - n.lon)
+       + (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) * (CAST({KNN_QUERIES[0][1]!r} AS DOUBLE) - n.lat) AS dist2
+  FROM nodes_c n
+),
+ranked AS (
+  SELECT id, dist2, ROW_NUMBER() OVER (ORDER BY dist2, id) AS rank FROM scored
+)
+SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
+""",
+        "knn_hex_ring": f"""
 {W},
 scored AS (
   SELECT n.id,

@@ -192,6 +192,82 @@ def knn_cell_ring(
     )
 
 
+def knn_hex_ring(
+    ds: "ray.data.Dataset | None",
+    query_point: tuple[float, float],
+    k: int,
+    *,
+    size: float = 0.05,
+    max_rings: int = 64,
+    repo=None,
+) -> "pa.Table":
+    """Index-path kNN over the H3-style HEXAGONAL lattice: expanding true
+    hex rings (ring r = the 6r cells at hex distance r, H3's gridDisk
+    shape) around the query's cell, with a distance-bound stop.
+
+    Bound: hex centers at hex distance d are >= 1.5*size*d apart on the
+    plane (two lattice basis vectors of length sqrt(3)*size at 60 degrees;
+    the minimal d-step combination has norm d*sqrt(3)*size*cos(30deg)), and
+    both the query and any unseen point sit within ``size`` of their cell
+    centers — so every point beyond ring r is at least
+    ``1.5*size*(r+1) - 2*size`` away. Once the k-th best distance is under
+    that, later rings cannot improve the answer.
+
+    ``repo`` (a HexCellScheme-built DiskRepo) turns each ring into a pruned
+    partition read; otherwise ``ds`` (with a hex 'cell' column) is scanned
+    with a vectorized ring-membership filter.
+    """
+    from ..functions.hexcell import hex_axial, hex_pack
+    from .semi_join import isin_sorted
+
+    qlon, qlat = float(query_point[0]), float(query_point[1])
+    q0, r0 = hex_axial(np.array([qlon]), np.array([qlat]), size)
+    q0, r0 = int(q0[0]), int(r0[0])
+
+    best: list[tuple[float, int]] = []
+    for r in range(max_rings):
+        dq, dr = np.meshgrid(
+            np.arange(-r, r + 1, dtype=np.int64),
+            np.arange(-r, r + 1, dtype=np.int64),
+            indexing="ij",
+        )
+        dq, dr = dq.ravel(), dr.ravel()
+        hd = np.maximum(np.maximum(np.abs(dq), np.abs(dr)), np.abs(dq + dr))
+        on_ring = hd == r
+        cells = np.sort(hex_pack(q0 + dq[on_ring], r0 + dr[on_ring]))
+
+        def prune(batch: pa.Table, _cells=cells) -> pa.Table:
+            mask = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), _cells)
+            return batch.filter(pa.array(mask))
+
+        source = repo.table("node", cells=cells) if repo is not None else ds
+        ring_tbl = (
+            source.map_batches(prune, batch_format="pyarrow")
+            .select_columns(["id", "lon", "lat"])
+            .to_pandas()
+        )
+        if len(ring_tbl):
+            d2 = (ring_tbl["lon"].to_numpy() - qlon) ** 2 + (
+                ring_tbl["lat"].to_numpy() - qlat
+            ) ** 2
+            best.extend(
+                (float(d), int(i)) for d, i in zip(d2, ring_tbl["id"].to_numpy())
+            )
+            best.sort()
+            best = best[:k]
+        lower = 1.5 * size * (r + 1) - 2.0 * size
+        if len(best) == k and lower > 0 and best[-1][0] <= lower * lower:
+            break
+    arr = best[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(arr) + 1, dtype=np.int64)),
+            "id": pa.array([b[1] for b in arr], type=pa.int64()),
+            "dist2": pa.array([b[0] for b in arr], type=pa.float64()),
+        }
+    )
+
+
 def knn_quad_ring(
     ds: "ray.data.Dataset | None",
     query_point: tuple[float, float],

@@ -125,6 +125,28 @@ def test_assign_hex_stage():
     assert (out["hcell"].to_numpy() == hex_cell(lon, lat, SIZE)).all()
 
 
+def test_knn_hex_ring_matches_bruteforce():
+    import ray.data
+
+    from simple_osm_queries_ray.stages.knn import knn_hex_ring
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    lon = rng.uniform(9, 11, n)
+    lat = rng.uniform(53, 55, n)
+    ids = np.arange(n, dtype=np.int64)
+    cells = hex_cell(lon, lat, SIZE)
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "lon": lon, "lat": lat, "cell": cells})
+    )
+    qp, k = (9.95, 53.55), 7
+    got = knn_hex_ring(ds, qp, k, size=SIZE).to_pandas()
+    d2 = (lon - qp[0]) ** 2 + (lat - qp[1]) ** 2
+    order = np.lexsort((ids, d2))[:k]
+    assert got["id"].tolist() == ids[order].tolist()
+    assert np.allclose(got["dist2"].to_numpy(), d2[order])
+
+
 def test_query_engine_on_hex_scheme(tmp_path):
     """The full soq path (bbox covering -> partition-pruned disk reads ->
     tag filter) over a HexCellScheme-built index equals the flat-grid
