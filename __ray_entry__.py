@@ -503,6 +503,44 @@ def _q_quad_bbox_filter(sf_dir: str):
     ).select_columns(["id", "lon", "lat"])
 
 
+HILBERT_ORDER_Q = 10
+HILBERT_SHARD_K = 32
+POLY_TILES_N = 16
+
+
+def _q_hilbert_cells(sf_dir: str):
+    """Hilbert space-filling-curve index per node (extent grid, order 10):
+    the locality-preserving alternative to the Morton/quad ids, bit-exact
+    SQL twin generated by functions/hilbert.py."""
+    from simple_osm_queries_ray.stages.spacefill import assign_hilbert
+
+    return assign_hilbert(_repo(sf_dir).nodes, HILBERT_ORDER_Q).select_columns(
+        ["id", "hd"]
+    )
+
+
+def _q_hilbert_shards(sf_dir: str):
+    """Equal-count Hilbert range sharding (NTILE-exact, k=32): the spatial
+    partitioning plan a 100 TB import would write parquet by — balanced by
+    count, compact by curve locality (stages/spacefill.py)."""
+    from simple_osm_queries_ray.stages.spacefill import hilbert_shards
+
+    return hilbert_shards(
+        _repo(sf_dir).nodes.select_columns(["id", "lon", "lat"]),
+        k=HILBERT_SHARD_K,
+    )
+
+
+def _q_polygon_tiles(sf_dir: str):
+    """Polygon -> raster-tile scanline rasterization: all zoom-12 tiles whose
+    center lies inside each synthetic geofence (stages/raster.py). The
+    vector->raster direction of the north rule's tile<->feature assignment."""
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.raster import polygon_raster_tiles
+
+    return polygon_raster_tiles(synthetic_polygons(POLY_TILES_N), TILE_ZOOM)
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -1152,6 +1190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": _q_tile_histogram,
         "way_tiles": _q_way_tiles,
         "quad_cells": _q_quad_cells,
+        "hilbert_cells": _q_hilbert_cells,
+        "hilbert_shards": _q_hilbert_shards,
+        "polygon_tiles": _q_polygon_tiles,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -1264,6 +1305,66 @@ FROM wt w,
      UNNEST(generate_series(0, w.tx1 - w.tx0)) AS gx(tx),
      UNNEST(generate_series(0, w.ty1 - w.ty0)) AS gy(ty)
 """
+
+
+def _hilbert_cells_sql(order: int, extra: str = "SELECT id, hd") -> str:
+    """Generated CTE chain replaying functions/hilbert.py bit-exactly."""
+    from simple_osm_queries_ray.functions.hilbert import (
+        extent_grid_sql,
+        hilbert_sql_ctes,
+    )
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    gx, gy = extent_grid_sql(order)
+    ctes, fin = hilbert_sql_ctes(order, "hgrid", "gx", "gy", ["id"])
+    return (
+        f"WITH {NODES_CTE}, hgrid AS (SELECT id, {gx} AS gx, {gy} AS gy FROM nodes_c),\n"
+        f"{ctes}\n{extra} FROM {fin}"
+    )
+
+
+def _hilbert_shards_sql() -> str:
+    from simple_osm_queries_ray.stages.spacefill import SHARD_ORDER
+
+    return _hilbert_cells_sql(
+        SHARD_ORDER,
+        extra=(
+            f"SELECT id, hd, CAST(NTILE({HILBERT_SHARD_K}) OVER (ORDER BY hd, id) "
+            "AS BIGINT) - 1 AS shard"
+        ),
+    )
+
+
+def _polygon_tiles_sql() -> str:
+    """Per-tile-center PIP over each polygon's bbox tile grid — the exact
+    complement of the engine's scanline fill (stages/raster.py docstring
+    proves the parity-count equivalence)."""
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import pip_sql_condition
+    from simple_osm_queries_ray.stages.raster import _tile_ranges
+
+    polys = synthetic_polygons(POLY_TILES_N)
+    n = 1 << TILE_ZOOM
+    nd = f"CAST({float(n)!r} AS DOUBLE)"
+    cx = (
+        f"((CAST(gx.tx AS DOUBLE) + CAST(0.5 AS DOUBLE)) / {nd}) "
+        "* CAST(360 AS DOUBLE) - CAST(180 AS DOUBLE)"
+    )
+    cy = (
+        f"CAST(90 AS DOUBLE) - ((CAST(gy.ty AS DOUBLE) + CAST(0.5 AS DOUBLE)) / {nd}) "
+        "* CAST(180 AS DOUBLE)"
+    )
+    parts = []
+    for pi, (poly, r) in enumerate(zip(polys, _tile_ranges(polys, TILE_ZOOM))):
+        tx0, tx1, ty0, ty1 = r
+        parts.append(
+            f"SELECT CAST({pi} AS BIGINT) AS poly_id, ty * {n} + tx AS tile, tx, ty "
+            f"FROM (SELECT gx.tx AS tx, gy.ty AS ty, {cx} AS ccx, {cy} AS ccy "
+            f"FROM UNNEST(generate_series({tx0}, {tx1})) AS gx(tx), "
+            f"UNNEST(generate_series({ty0}, {ty1})) AS gy(ty)) "
+            f"WHERE {pip_sql_condition(poly, 'ccx', 'ccy')}"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _polygon_join_sql() -> str:
@@ -1889,6 +1990,9 @@ WHERE rg % 3 = 0 AND EXISTS (
             f"{W} SELECT id, lon, lat FROM nodes_c WHERE {pip_sql_condition(TRIANGLE)}"
         ),
         "polygon_join": _polygon_join_sql(),
+        "hilbert_cells": _hilbert_cells_sql(HILBERT_ORDER_Q),
+        "hilbert_shards": _hilbert_shards_sql(),
+        "polygon_tiles": _polygon_tiles_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

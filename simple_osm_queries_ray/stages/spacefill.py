@@ -1,0 +1,165 @@
+"""Hilbert-curve spatial ordering and equal-count locality sharding.
+
+The scale problem this solves: a 100 TB feature table must be cut into
+shards that are (a) equal-sized so no worker starves, and (b) spatially
+compact so a bbox / polygon / tile query touches few shards.  The
+reference's import solves (a) with a nodes-per-extent bin-packing plan
+(``/root/reference/src/importing/import.go:74-84``) and gets (b) only
+coarsely.  Hilbert range partitioning gives both: order every feature by
+its Hilbert index (``functions/hilbert.py``) and cut the ORDER into
+equal-count ranges — contiguous curve ranges are spatially compact by the
+curve's unit-step property (test-pinned in ``tests/test_spacefill.py``).
+
+Plan shape (nothing materializes the table driver-side):
+
+1. one ``map_batches`` pass emits sparse per-batch (cell, count) histogram
+   partials over the 4^order Hilbert cells — the only thing the driver ever
+   sees is the aggregated histogram (bounded by 4^order rows, not by table
+   size; at order 8 that is <= 65 536 rows);
+2. the driver cumsums the histogram and places the NTILE boundaries
+   (exact equal-count semantics: first N%K shards get one extra row);
+   cells a boundary splits mid-cell are resolved by collecting ONLY those
+   cells' (cell, id) pairs — at most K-1 cells regardless of table size;
+3. the tiny plan (per-cell shard array + per-straddle-cell id thresholds)
+   is broadcast via ``ray.put`` and a second ``map_batches`` pass stamps
+   the shard id — two streaming passes total, no sort, no shuffle.
+
+This matches ``NTILE(K) OVER (ORDER BY hd, id)`` exactly (the SQL twin in
+``__ray_entry__.oracle_sql``), and is how the engine would lay out parquet
+partitions for the resumable 100 TB import (cf. the density-planned wave
+writer in ``pipelines/build_index.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hilbert import extent_grid_xy, hilbert_d
+from ..state.broadcast import get as bget
+
+HILBERT_ORDER = 10  # hilbert_cells query: 1024x1024 extent grid
+SHARD_ORDER = 8  # histogram resolution for shard planning: 65 536 cells
+
+
+def assign_hilbert(
+    ds: ray.data.Dataset, order: int = HILBERT_ORDER, out_col: str = "hd"
+) -> ray.data.Dataset:
+    """Append the extent-grid Hilbert index (vectorized, zero-copy Arrow)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gx, gy = extent_grid_xy(
+            np.asarray(batch["lon"]), np.asarray(batch["lat"]), order
+        )
+        return batch.append_column(out_col, pa.array(hilbert_d(gx, gy, order)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ntile_starts(n_rows: int, k: int) -> np.ndarray:
+    """0-based start rank of each of the k NTILE buckets (SQL semantics:
+    first n_rows % k buckets hold one extra row)."""
+    q, r = divmod(n_rows, k)
+    sizes = np.full(k, q, dtype=np.int64)
+    sizes[:r] += 1
+    return np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+
+def hilbert_shards(
+    ds: ray.data.Dataset,
+    k: int,
+    order: int = SHARD_ORDER,
+    id_col: str = "id",
+) -> ray.data.Dataset:
+    """Equal-count Hilbert range sharding: (id, hd, shard), shard in [0, k).
+
+    Exact ``NTILE(k) OVER (ORDER BY hd, id)`` semantics.  ``ds`` must carry
+    ``lon``/``lat``/``id_col``.  Two streaming passes; driver state is the
+    4^order histogram and the <= k-1 straddled cells' id lists (for a
+    deeper grid than one histogram level can hold, recurse the same plan on
+    the straddled cells — not needed at order 8).
+    """
+    with_hd = assign_hilbert(ds, order)
+
+    # pass 1: sparse histogram partials -> tiny aggregated histogram
+    def partial(batch: pa.Table) -> pa.Table:
+        hd = np.asarray(batch["hd"])
+        cells, counts = np.unique(hd, return_counts=True)
+        return pa.table({"hd": cells, "n": counts.astype(np.int64)})
+
+    hist = (
+        with_hd.select_columns(["hd"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hd")
+        .sum("n")
+        .to_pandas()
+        .sort_values("hd")
+    )
+    cells = hist["hd"].to_numpy()
+    counts = hist["sum(n)"].to_numpy()
+    n_rows = int(counts.sum())
+    starts = _ntile_starts(n_rows, k)  # start rank of shard j, j=1..k-1 cut points
+    cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # cell i spans ranks [cum_before[i], cum_before[i]+counts[i]);
+    # its first shard = number of shard starts <= cum_before[i]
+    first_shard = np.searchsorted(starts, cum_before, side="right") - 1
+    last_shard = np.searchsorted(starts, cum_before + counts - 1, side="right") - 1
+    straddle_idx = np.nonzero(first_shard != last_shard)[0]
+
+    # dense per-cell shard lookup (-1 marks straddlers)
+    n_cells = 1 << (2 * order)
+    cell_shard = np.full(n_cells, -1, dtype=np.int32)
+    clean = first_shard == last_shard
+    cell_shard[cells[clean]] = first_shard[clean].astype(np.int32)
+
+    # resolve straddled cells: collect ONLY their ids (<= k-1 cells)
+    straddle: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if len(straddle_idx):
+        scells = set(int(c) for c in cells[straddle_idx])
+        sc_arr = np.array(sorted(scells), dtype=np.int64)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            hd = np.asarray(batch["hd"])
+            m = np.isin(hd, sc_arr)
+            return pa.table(
+                {"hd": hd[m], id_col: np.asarray(batch[id_col])[m]}
+            )
+
+        picked = (
+            with_hd.select_columns(["hd", id_col])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+        )
+        for ci in straddle_idx:
+            c = int(cells[ci])
+            ids = np.sort(picked.loc[picked["hd"] == c, id_col].to_numpy())
+            # shard cut ranks that fall strictly inside this cell's rank span
+            lo, span = int(cum_before[ci]), int(counts[ci])
+            cuts = starts[(starts > lo) & (starts < lo + span)] - lo
+            # row with within-cell rank r belongs to shard first + #(cuts <= r)
+            straddle[c] = (ids[cuts], np.int32(first_shard[ci]))
+
+    plan = ray.put((cell_shard, straddle))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        cs, strad = bget(plan)
+        hd = np.asarray(batch["hd"])
+        ids = np.asarray(batch[id_col])
+        shard = cs[hd].copy()
+        if strad:
+            for c, (thr, first) in strad.items():
+                m = hd == c
+                if m.any():
+                    shard[m] = first + np.searchsorted(
+                        thr, ids[m], side="right"
+                    ).astype(np.int32)
+        return pa.table(
+            {id_col: ids, "hd": hd, "shard": shard.astype(np.int64)}
+        )
+
+    return with_hd.select_columns([id_col, "hd"]).map_batches(
+        stamp, batch_format="pyarrow"
+    )

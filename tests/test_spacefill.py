@@ -1,0 +1,237 @@
+"""Hilbert curve index, locality sharding, and polygon rasterization.
+
+Brute-force checks: the numpy Hilbert kernel against the textbook scalar
+loop, unit-step adjacency (the locality property range sharding relies
+on), NTILE-exact shard assignment against pandas, and scanline
+rasterization against per-tile point-in-polygon evaluated directly.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from simple_osm_queries_ray.functions.hilbert import (
+    extent_grid_xy,
+    hilbert_d,
+    hilbert_sql_ctes,
+    hilbert_xy,
+)
+from simple_osm_queries_ray.stages.raster import polygon_raster_tiles
+from simple_osm_queries_ray.stages.spacefill import (
+    _ntile_starts,
+    assign_hilbert,
+    hilbert_shards,
+)
+
+
+def _scalar_hilbert(x: int, y: int, order: int) -> int:
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_scalar_reference():
+    order = 5
+    n = 1 << order
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+    got = hilbert_d(gx, gy, order)
+    exp = np.array([_scalar_hilbert(int(a), int(b), order) for a, b in zip(gx, gy)])
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_hilbert_bijection_and_roundtrip():
+    order = 6
+    n = 1 << order
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+    d = hilbert_d(gx, gy, order)
+    assert len(np.unique(d)) == n * n
+    assert d.min() == 0 and d.max() == n * n - 1
+    rx, ry = hilbert_xy(d, order)
+    np.testing.assert_array_equal(rx, gx)
+    np.testing.assert_array_equal(ry, gy)
+
+
+def test_hilbert_unit_steps():
+    """Consecutive curve positions are grid neighbors — the locality
+    property that makes contiguous ranges spatially compact."""
+    order = 5
+    n = 1 << order
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(gx.ravel(), gy.ravel(), order)
+    pos = np.empty((n * n, 2), dtype=np.int64)
+    pos[d] = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_hilbert_sql_twin_matches_numpy():
+    duckdb = pytest.importorskip("duckdb")
+    order = 7
+    rng = np.random.RandomState(3)
+    n = 1 << order
+    x = rng.randint(0, n, 500)
+    y = rng.randint(0, n, 500)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"x": x, "y": y, "id": np.arange(500)}))
+    ctes, fin = hilbert_sql_ctes(order, "pts", "x", "y", ["id"])
+    got = con.sql(f"WITH {ctes} SELECT hd FROM {fin} ORDER BY id").fetchnumpy()["hd"]
+    np.testing.assert_array_equal(got, hilbert_d(x, y, order))
+
+
+def test_ntile_starts_matches_sql_semantics():
+    # 10 rows, 4 buckets -> sizes 3,3,2,2 -> starts 0,3,6,8
+    np.testing.assert_array_equal(_ntile_starts(10, 4), [0, 3, 6, 8])
+    np.testing.assert_array_equal(_ntile_starts(8, 4), [0, 2, 4, 6])
+    np.testing.assert_array_equal(_ntile_starts(3, 4), [0, 1, 2, 3])
+
+
+def _pandas_ntile(df: pd.DataFrame, k: int) -> pd.Series:
+    order = df.sort_values(["hd", "id"]).index
+    n = len(df)
+    starts = _ntile_starts(n, k)
+    ranks = pd.Series(np.arange(n), index=order)
+    return ranks.map(lambda r: int(np.searchsorted(starts, r, side="right") - 1))
+
+
+@pytest.mark.parametrize("k", [4, 7, 32])
+def test_hilbert_shards_exact_ntile(k):
+    rng = np.random.RandomState(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "lon": 9.0 + rng.rand(n) * 2,
+            "lat": 53.0 + rng.rand(n) * 2,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = hilbert_shards(ds, k=k, order=6).to_pandas().sort_values("id")
+    gx, gy = extent_grid_xy(df["lon"].to_numpy(), df["lat"].to_numpy(), 6)
+    hd = hilbert_d(gx, gy, 6)
+    ref = pd.DataFrame({"id": df["id"], "hd": hd})
+    exp_shard = _pandas_ntile(ref, k)
+    np.testing.assert_array_equal(got["hd"].to_numpy(), hd)
+    np.testing.assert_array_equal(
+        got["shard"].to_numpy(), exp_shard.sort_index().to_numpy()
+    )
+    # equal-count property
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert len(sizes) == k
+
+
+def test_hilbert_shards_are_spatially_contiguous_ranges():
+    """Each shard covers one contiguous hd range (range partitioning)."""
+    rng = np.random.RandomState(5)
+    n = 1500
+    df = pd.DataFrame(
+        {"id": np.arange(n), "lon": 9.0 + rng.rand(n) * 2, "lat": 53.0 + rng.rand(n) * 2}
+    )
+    got = hilbert_shards(ray.data.from_pandas(df), k=8, order=6).to_pandas()
+    g = got.sort_values(["hd", "id"])
+    # shards are non-decreasing along the curve order
+    assert (np.diff(g["shard"].to_numpy()) >= 0).all()
+
+
+def test_assign_hilbert_column():
+    df = pd.DataFrame({"id": [0, 1], "lon": [9.0, 10.99], "lat": [53.0, 54.99]})
+    out = assign_hilbert(ray.data.from_pandas(df), order=4).to_pandas()
+    gx, gy = extent_grid_xy(df["lon"].to_numpy(), df["lat"].to_numpy(), 4)
+    np.testing.assert_array_equal(out["hd"].to_numpy(), hilbert_d(gx, gy, 4))
+
+
+# -- polygon rasterization ---------------------------------------------------
+
+
+def _pip(poly, px, py) -> bool:
+    inside = False
+    m = len(poly)
+    for i in range(m):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % m]
+        if ((y1 > py) != (y2 > py)) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def _brute_tiles(polys, zoom):
+    n = 1 << zoom
+    rows = []
+    for pid, poly in enumerate(polys):
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        tx0 = int(np.floor((min(xs) + 180.0) / 360.0 * n))
+        tx1 = int(np.floor((max(xs) + 180.0) / 360.0 * n))
+        ty0 = int(np.floor((90.0 - max(ys)) / 180.0 * n))
+        ty1 = int(np.floor((90.0 - min(ys)) / 180.0 * n))
+        for ty in range(ty0, ty1 + 1):
+            cy = 90.0 - (ty + 0.5) / n * 180.0
+            for tx in range(tx0, tx1 + 1):
+                cx = (tx + 0.5) / n * 360.0 - 180.0
+                if _pip(poly, cx, cy):
+                    rows.append((pid, ty * n + tx, tx, ty))
+    return pd.DataFrame(rows, columns=["poly_id", "tile", "tx", "ty"])
+
+
+def test_polygon_raster_tiles_matches_brute_force():
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+
+    polys = synthetic_polygons(8)
+    got = (
+        polygon_raster_tiles(polys, zoom=11)
+        .to_pandas()
+        .sort_values(["poly_id", "tile"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _brute_tiles(polys, 11).sort_values(["poly_id", "tile"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    assert len(got) > 100  # non-trivial coverage
+
+
+def test_polygon_raster_concave_polygon():
+    # U-shaped concave polygon: the notch tiles must be excluded
+    poly = [
+        (9.0, 53.0),
+        (9.5, 53.0),
+        (9.5, 53.4),
+        (9.35, 53.4),
+        (9.35, 53.1),
+        (9.15, 53.1),
+        (9.15, 53.4),
+        (9.0, 53.4),
+    ]
+    got = polygon_raster_tiles([poly], zoom=12).to_pandas()
+    exp = _brute_tiles([poly], 12)
+    assert set(map(tuple, got[["tile"]].values.tolist())) == set(
+        map(tuple, exp[["tile"]].values.tolist())
+    )
+    # a center in the notch: (9.25, 53.3) -> its tile must be absent
+    n = 1 << 12
+    ntx = int(np.floor((9.25 + 180.0) / 360.0 * n))
+    nty = int(np.floor((90.0 - 53.3) / 180.0 * n))
+    assert nty * n + ntx not in set(got["tile"])
+
+
+def test_polygon_raster_ragged_vertex_counts():
+    tri = [(10.0, 54.0), (10.3, 54.0), (10.15, 54.3)]
+    quad = [(9.0, 53.0), (9.4, 53.0), (9.4, 53.4), (9.0, 53.4)]
+    got = polygon_raster_tiles([tri, quad], zoom=12).to_pandas()
+    exp = _brute_tiles([tri, quad], 12)
+    for pid in (0, 1):
+        assert set(got.loc[got.poly_id == pid, "tile"]) == set(
+            exp.loc[exp.poly_id == pid, "tile"]
+        )
