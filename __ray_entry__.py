@@ -541,6 +541,44 @@ def _q_polygon_tiles(sf_dir: str):
     return polygon_raster_tiles(synthetic_polygons(POLY_TILES_N), TILE_ZOOM)
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Raster-space zonal statistics: per geofence polygon, count of covered
+    tiles plus integer aggregates of the nodes in them (stages/raster.py) —
+    features aggregate to tiles once, polygons join the tiny tile table; no
+    per-feature PIP."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.sources.synthetic import (
+        geolocate,
+        synthetic_polygons,
+    )
+    from simple_osm_queries_ray.stages.raster import zonal_stats
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def geo(batch: "pa.Table") -> "pa.Table":
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lon, lat = geolocate(ids)
+        return pa.table(
+            {"lon": lon, "lat": lat, "n_chars": batch["n_chars"]}
+        )
+
+    nodes = docs.map_batches(geo, batch_format="pyarrow")
+    return zonal_stats(nodes, synthetic_polygons(POLY_TILES_N), TILE_ZOOM)
+
+
+def _q_way_trace_tiles(sf_dir: str):
+    """Supercover way rasterization: tiles actually crossed by each way's
+    polyline via an exact separating-axis test — tighter than way_tiles'
+    bbox span (the reference stores bbox only, grid_reader.go:513-517)."""
+    from simple_osm_queries_ray.stages.raster import way_segment_tiles
+
+    return way_segment_tiles(_repo(sf_dir).ways, TILE_ZOOM)
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -1193,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_cells": _q_hilbert_cells,
         "hilbert_shards": _q_hilbert_shards,
         "polygon_tiles": _q_polygon_tiles,
+        "zonal_stats": _q_zonal_stats,
+        "way_trace_tiles": _q_way_trace_tiles,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -1365,6 +1405,79 @@ def _polygon_tiles_sql() -> str:
             f"WHERE {pip_sql_condition(poly, 'ccx', 'ccy')}"
         )
     return " UNION ALL ".join(parts)
+
+
+def _zonal_stats_sql() -> str:
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, tile_expr
+
+    return f"""
+WITH {NODES_CTE},
+nt AS (
+  SELECT {tile_expr(TILE_ZOOM)} AS tile, CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(n_chars) AS BIGINT) AS sc
+  FROM nodes_c GROUP BY 1
+),
+pt AS ({_polygon_tiles_sql()})
+SELECT pt.poly_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(COALESCE(SUM(nt.nn), 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(SUM(nt.sc), 0) AS BIGINT) AS sum_chars
+FROM pt LEFT JOIN nt ON pt.tile = nt.tile
+GROUP BY pt.poly_id
+"""
+
+
+def _way_trace_tiles_sql() -> str:
+    """Candidate tiles from each segment's bbox + the 4-corner cross-product
+    side test — the same separating-axis logic as stages/raster.py
+    way_segment_tiles, op-for-op in doubles."""
+    from simple_osm_queries_ray.model import WAY_ID_BASE
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    n = 1 << TILE_ZOOM
+    nd = f"CAST({float(n)!r} AS DOUBLE)"
+    d360 = "CAST(360 AS DOUBLE)"
+    d180 = "CAST(180 AS DOUBLE)"
+    return f"""
+WITH {NODES_CTE},
+seg AS (
+  SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+  FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg
+),
+segt AS (
+  SELECT *,
+    CAST(FLOOR((LEAST(x1, x2) + 180.0) / {d360} * {nd}) AS BIGINT) AS tx0,
+    CAST(FLOOR((GREATEST(x1, x2) + 180.0) / {d360} * {nd}) AS BIGINT) AS tx1,
+    CAST(FLOOR((90.0 - GREATEST(y1, y2)) / {d180} * {nd}) AS BIGINT) AS ty0,
+    CAST(FLOOR((90.0 - LEAST(y1, y2)) / {d180} * {nd}) AS BIGINT) AS ty1
+  FROM seg
+),
+cand AS (
+  SELECT wg, x1, y1, x2, y2, tx0 + gx.i AS tx, ty0 + gy.j AS ty
+  FROM segt,
+       UNNEST(generate_series(0, tx1 - tx0)) AS gx(i),
+       UNNEST(generate_series(0, ty1 - ty0)) AS gy(j)
+),
+corner AS (
+  SELECT wg, tx, ty, x1, y1, x2, y2,
+    CAST(tx AS DOUBLE) / {nd} * {d360} - {d180} AS lon_lo,
+    CAST(tx + 1 AS DOUBLE) / {nd} * {d360} - {d180} AS lon_hi,
+    CAST(90 AS DOUBLE) - CAST(ty AS DOUBLE) / {nd} * {d180} AS lat_hi,
+    CAST(90 AS DOUBLE) - CAST(ty + 1 AS DOUBLE) / {nd} * {d180} AS lat_lo
+  FROM cand
+),
+crx AS (
+  SELECT wg, tx, ty,
+    (x2 - x1) * (lat_lo - y1) - (y2 - y1) * (lon_lo - x1) AS c1,
+    (x2 - x1) * (lat_hi - y1) - (y2 - y1) * (lon_lo - x1) AS c2,
+    (x2 - x1) * (lat_lo - y1) - (y2 - y1) * (lon_hi - x1) AS c3,
+    (x2 - x1) * (lat_hi - y1) - (y2 - y1) * (lon_hi - x1) AS c4
+  FROM corner
+)
+SELECT DISTINCT {WAY_ID_BASE} + wg AS id, ty * {n} + tx AS tile
+FROM crx
+WHERE NOT ((c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
+        OR (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0))
+"""
 
 
 def _polygon_join_sql() -> str:
@@ -1993,6 +2106,8 @@ WHERE rg % 3 = 0 AND EXISTS (
         "hilbert_cells": _hilbert_cells_sql(HILBERT_ORDER_Q),
         "hilbert_shards": _hilbert_shards_sql(),
         "polygon_tiles": _polygon_tiles_sql(),
+        "zonal_stats": _zonal_stats_sql(),
+        "way_trace_tiles": _way_trace_tiles_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

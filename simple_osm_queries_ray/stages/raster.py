@@ -124,3 +124,170 @@ def polygon_raster_tiles(
 
     ds = ray.data.from_items(scanlines)
     return ds.map_batches(rasterize, batch_format="pyarrow")
+
+
+def zonal_stats(
+    nodes: ray.data.Dataset,
+    polys: list[list[tuple[float, float]]],
+    zoom: int,
+    value_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Raster-space zonal statistics: per polygon, aggregate the features of
+    every tile the polygon covers (tiles from :func:`polygon_raster_tiles`).
+
+    Classic GIS zonal stats through the raster layer: features aggregate to
+    tiles ONCE (integer partial sums per batch, then a tiny groupby bounded
+    by the count of distinct non-empty tiles, never by feature count), and
+    polygons join the per-tile table — no per-feature point-in-polygon.
+    The per-tile aggregate is the broadcast small side (``ray.put`` once;
+    its size is bounded by occupied tiles — at deeper zooms bucket the join
+    with the ``_attach_int64`` machinery instead).  Integer sums keep the
+    oracle comparison exact (no float summation-order drift).
+
+    Output: (poly_id, n_tiles, n_nodes, sum_chars) — n_tiles counts ALL
+    covered tiles including empty ones (LEFT-join semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    from .geo import tile_id
+
+    pt = polygon_raster_tiles(polys, zoom).select_columns(["poly_id", "tile"])
+
+    def agg(batch: pa.Table) -> pa.Table:
+        t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        tiles, inv = np.unique(t, return_inverse=True)
+        nn = np.bincount(inv, minlength=len(tiles)).astype(np.int64)
+        sv = np.zeros(len(tiles), dtype=np.int64)
+        np.add.at(sv, inv, v)
+        return pa.table({"tile": tiles, "nn": nn, "sv": sv})
+
+    tile_aggs = (
+        nodes.select_columns(["lon", "lat", value_col])
+        .map_batches(agg, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("nn", alias_name="nn"), Sum("sv", alias_name="sv"))
+        .to_pandas()
+        .sort_values("tile")
+    )
+    side = ray.put(
+        (
+            tile_aggs["tile"].to_numpy(np.int64),
+            tile_aggs["nn"].to_numpy(np.int64),
+            tile_aggs["sv"].to_numpy(np.int64),
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tiles, nn, sv = bget(side)
+        t = np.asarray(batch["tile"])
+        pos = np.searchsorted(tiles, t)
+        pos_c = np.minimum(pos, max(len(tiles) - 1, 0))
+        hit = (len(tiles) > 0) & (tiles[pos_c] == t)
+        pid = np.asarray(batch["poly_id"])
+        # partial per-polygon sums within the batch
+        pids, inv = np.unique(pid, return_inverse=True)
+        n_tiles = np.bincount(inv, minlength=len(pids)).astype(np.int64)
+        n_nodes = np.zeros(len(pids), dtype=np.int64)
+        sum_chars = np.zeros(len(pids), dtype=np.int64)
+        np.add.at(n_nodes, inv, np.where(hit, nn[pos_c], 0))
+        np.add.at(sum_chars, inv, np.where(hit, sv[pos_c], 0))
+        return pa.table(
+            {
+                "poly_id": pids,
+                "n_tiles": n_tiles,
+                "n_nodes": n_nodes,
+                "sum_chars": sum_chars,
+            }
+        )
+
+    return (
+        pt.map_batches(attach, batch_format="pyarrow")
+        .groupby("poly_id")
+        .aggregate(
+            Sum("n_tiles", alias_name="n_tiles"),
+            Sum("n_nodes", alias_name="n_nodes"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
+    """Supercover line rasterization: tiles actually CROSSED by each way's
+    polyline — tighter than the reference's bbox-span assignment
+    (``/root/reference/src/index/grid_reader.go:513-517`` stores bbox only;
+    this exceeds reference parity with real geometry).
+
+    Exact separating-axis test per (segment, candidate tile): the x/y axes
+    are handled by candidate generation from the segment bbox, and the
+    segment-normal axis by the 4-corner cross-product side test — a segment
+    intersects the tile rectangle iff not all corners lie strictly on one
+    side.  Only multiplies/subtracts, so the DuckDB twin reproduces it
+    bit-for-bit.  All work is one numpy broadcast per batch; ways carry
+    their geometry as list columns so a way's tiles dedup locally.
+
+    Output: (id, tile) distinct.
+    """
+    from ..functions.segments import list_parts
+
+    nt = np.int64(1 << zoom)
+    ntf = float(nt)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        wid = np.asarray(batch["id"], dtype=np.int64)
+        counts = off[1:] - off[:-1]
+        # segment k of row i: flat positions off[i]..off[i+1]-2 paired with +1
+        valid = np.ones(len(lons), dtype=bool)
+        nz = counts > 0
+        valid[(off[1:] - 1)[nz]] = False  # a row's last node starts no segment
+        si = np.flatnonzero(valid)
+        x1, y1, x2, y2 = lons[si], lats[si], lons[si + 1], lats[si + 1]
+        seg_way = np.repeat(wid, np.maximum(counts - 1, 0))
+        # candidate tile ranges from segment bboxes
+        tx0 = np.floor((np.minimum(x1, x2) + 180.0) / 360.0 * ntf).astype(np.int64)
+        tx1 = np.floor((np.maximum(x1, x2) + 180.0) / 360.0 * ntf).astype(np.int64)
+        ty0 = np.floor((90.0 - np.maximum(y1, y2)) / 180.0 * ntf).astype(np.int64)
+        ty1 = np.floor((90.0 - np.minimum(y1, y2)) / 180.0 * ntf).astype(np.int64)
+        w = tx1 - tx0 + 1
+        cnt = w * (ty1 - ty0 + 1)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()), "tile": pa.array([], type=pa.int64())}
+            )
+        row = np.repeat(np.arange(len(si)), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(total) - offs[row]
+        tx = tx0[row] + k % w[row]
+        ty = ty0[row] + k // w[row]
+        # tile rectangle corners in lon/lat
+        lon_lo = tx.astype(np.float64) / ntf * 360.0 - 180.0
+        lon_hi = (tx + 1).astype(np.float64) / ntf * 360.0 - 180.0
+        lat_hi = 90.0 - ty.astype(np.float64) / ntf * 180.0
+        lat_lo = 90.0 - (ty + 1).astype(np.float64) / ntf * 180.0
+        dx = x2[row] - x1[row]
+        dy = y2[row] - y1[row]
+        rx1, ry1 = x1[row], y1[row]
+
+        def cr(cx, cy):
+            return dx * (cy - ry1) - dy * (cx - rx1)
+
+        c1 = cr(lon_lo, lat_lo)
+        c2 = cr(lon_lo, lat_hi)
+        c3 = cr(lon_hi, lat_lo)
+        c4 = cr(lon_hi, lat_hi)
+        sep = ((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)) | (
+            (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+        )
+        hit = ~sep
+        key = seg_way[row[hit]] * (nt * nt) + ty[hit] * nt + tx[hit]
+        uk = np.unique(key)
+        return pa.table({"id": uk // (nt * nt), "tile": uk % (nt * nt)})
+
+    return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -235,3 +235,142 @@ def test_polygon_raster_ragged_vertex_counts():
         assert set(got.loc[got.poly_id == pid, "tile"]) == set(
             exp.loc[exp.poly_id == pid, "tile"]
         )
+
+
+# -- zonal stats and way supercover tiles ------------------------------------
+
+
+def test_zonal_stats_matches_brute_force():
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import tile_id
+    from simple_osm_queries_ray.stages.raster import zonal_stats
+
+    rng = np.random.RandomState(2)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "lon": 9.0 + rng.rand(n) * 2,
+            "lat": 53.0 + rng.rand(n) * 2,
+            "n_chars": rng.randint(1, 500, n),
+        }
+    )
+    polys = synthetic_polygons(6)
+    zoom = 11
+    got = (
+        zonal_stats(ray.data.from_pandas(df), polys, zoom)
+        .to_pandas()
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+    # brute force: tile -> aggregate, polygon tiles -> left join
+    t = tile_id(df["lon"].to_numpy(), df["lat"].to_numpy(), zoom)
+    agg = (
+        pd.DataFrame({"tile": t, "n_chars": df["n_chars"]})
+        .groupby("tile")
+        .agg(nn=("n_chars", "size"), sc=("n_chars", "sum"))
+        .reset_index()
+    )
+    pt = _brute_tiles(polys, zoom)
+    m = pt.merge(agg, on="tile", how="left").fillna(0)
+    exp = (
+        m.groupby("poly_id")
+        .agg(
+            n_tiles=("tile", "size"), n_nodes=("nn", "sum"), sum_chars=("sc", "sum")
+        )
+        .reset_index()
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def _seg_hits_tile(x1, y1, x2, y2, tx, ty, zoom):
+    n = 1 << zoom
+    lon_lo = tx / n * 360.0 - 180.0
+    lon_hi = (tx + 1) / n * 360.0 - 180.0
+    lat_hi = 90.0 - ty / n * 180.0
+    lat_lo = 90.0 - (ty + 1) / n * 180.0
+    crs = [
+        (x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+        for cx, cy in [(lon_lo, lat_lo), (lon_lo, lat_hi), (lon_hi, lat_lo), (lon_hi, lat_hi)]
+    ]
+    return not (all(c > 0 for c in crs) or all(c < 0 for c in crs))
+
+
+def _brute_way_tiles(ways, zoom):
+    n = 1 << zoom
+    out = set()
+    for wid, pts in ways:
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            tx0 = int(np.floor((min(x1, x2) + 180.0) / 360.0 * n))
+            tx1 = int(np.floor((max(x1, x2) + 180.0) / 360.0 * n))
+            ty0 = int(np.floor((90.0 - max(y1, y2)) / 180.0 * n))
+            ty1 = int(np.floor((90.0 - min(y1, y2)) / 180.0 * n))
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    if _seg_hits_tile(x1, y1, x2, y2, tx, ty, zoom):
+                        out.add((wid, ty * n + tx))
+    return out
+
+
+def _ways_ds(ways):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([w for w, _ in ways], type=pa.int64()),
+                "node_lons": pa.array(
+                    [[p[0] for p in pts] for _, pts in ways],
+                    type=pa.list_(pa.float64()),
+                ),
+                "node_lats": pa.array(
+                    [[p[1] for p in pts] for _, pts in ways],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+
+
+def test_way_segment_tiles_matches_brute_force():
+    from simple_osm_queries_ray.stages.raster import way_segment_tiles
+
+    rng = np.random.RandomState(9)
+    ways = []
+    for wid in range(20):
+        m = rng.randint(2, 8)
+        pts = list(
+            zip(9.0 + rng.rand(m) * 2, 53.0 + rng.rand(m) * 2)
+        )
+        ways.append((wid, pts))
+    got = way_segment_tiles(_ways_ds(ways), zoom=10).to_pandas()
+    exp = _brute_way_tiles(ways, 10)
+    assert set(zip(got["id"], got["tile"])) == exp
+
+
+def test_way_segment_tiles_diagonal_is_tighter_than_bbox():
+    """A long diagonal: supercover tiles ~ O(n), bbox span ~ O(n^2)."""
+    from simple_osm_queries_ray.stages.raster import way_segment_tiles
+
+    ways = [(7, [(9.0, 53.0), (10.5, 54.5)])]
+    zoom = 12
+    got = way_segment_tiles(_ways_ds(ways), zoom).to_pandas()
+    n = 1 << zoom
+    tx0 = int(np.floor((9.0 + 180.0) / 360.0 * n))
+    tx1 = int(np.floor((10.5 + 180.0) / 360.0 * n))
+    ty0 = int(np.floor((90.0 - 54.5) / 180.0 * n))
+    ty1 = int(np.floor((90.0 - 53.0) / 180.0 * n))
+    bbox_tiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    assert len(got) < bbox_tiles / 4  # dramatically tighter
+    assert set(zip(got["id"], got["tile"])) == _brute_way_tiles(ways, zoom)
+
+
+def test_way_segment_tiles_single_point_way():
+    """Degenerate duplicate-node segment rasterizes its containing tile."""
+    from simple_osm_queries_ray.stages.geo import tile_id
+    from simple_osm_queries_ray.stages.raster import way_segment_tiles
+
+    ways = [(3, [(9.5, 53.5), (9.5, 53.5)])]
+    got = way_segment_tiles(_ways_ds(ways), zoom=12).to_pandas()
+    t = tile_id(np.array([9.5]), np.array([53.5]), 12)[0]
+    assert set(zip(got["id"], got["tile"])) == {(3, t)}
