@@ -579,6 +579,30 @@ def _q_way_trace_tiles(sf_dir: str):
     return way_segment_tiles(_repo(sf_dir).ways, TILE_ZOOM)
 
 
+FOCAL_RADIUS = 2
+CMS_PROBES = [0, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+
+
+def _q_tile_focal_density(sf_dir: str):
+    """Raster focal statistics: per tile, feature count in the 5x5 tile
+    window around it (stages/raster.py::tile_focal_density) — occupied
+    tiles scatter to their window, integer sums, tiny groupbys."""
+    from simple_osm_queries_ray.stages.raster import tile_focal_density
+
+    return tile_focal_density(_repo(sf_dir).nodes, TILE_ZOOM, FOCAL_RADIUS)
+
+
+def _q_cms_user_counts(sf_dir: str):
+    """Count-min sketch of per-user event frequencies (mergeable integer
+    partial sketches; exact HUGEINT SQL twin) probed at fixed user ids,
+    with the distributed exact count alongside (stages/sketch.py)."""
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.sketch import cms_user_counts
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_user_counts(ev, CMS_PROBES)
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -1233,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_tiles": _q_polygon_tiles,
         "zonal_stats": _q_zonal_stats,
         "way_trace_tiles": _q_way_trace_tiles,
+        "tile_focal_density": _q_tile_focal_density,
+        "cms_user_counts": _q_cms_user_counts,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -1477,6 +1503,83 @@ SELECT DISTINCT {WAY_ID_BASE} + wg AS id, ty * {n} + tx AS tile
 FROM crx
 WHERE NOT ((c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
         OR (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0))
+"""
+
+
+def _tile_focal_density_sql() -> str:
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, tile_expr
+
+    n, r = 1 << TILE_ZOOM, FOCAL_RADIUS
+    return f"""
+WITH {NODES_CTE},
+nt AS (SELECT {tile_expr(TILE_ZOOM)} AS tile, CAST(COUNT(*) AS BIGINT) AS c
+       FROM nodes_c GROUP BY 1),
+sh AS (SELECT dx.i AS dx, dy.j AS dy
+       FROM UNNEST(generate_series(-{r}, {r})) AS dx(i),
+            UNNEST(generate_series(-{r}, {r})) AS dy(j)),
+sc AS (SELECT ((nt.tile // {n}) + dy) * {n} + ((nt.tile % {n}) + dx) AS tile, c
+       FROM nt, sh
+       WHERE (nt.tile % {n}) + dx >= 0 AND (nt.tile % {n}) + dx < {n}
+         AND (nt.tile // {n}) + dy >= 0 AND (nt.tile // {n}) + dy < {n})
+SELECT tile, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY tile
+"""
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB twin of stages/sketch.py: the seeded 64-bit mix hash replayed
+    in HUGEINT per depth (same split-multiply trick as _hll_oracle_sql),
+    sketch counts grouped per (depth, bucket), probes answered by MIN."""
+    from simple_osm_queries_ray.stages.sketch import (
+        CMS_DEPTH,
+        CMS_SEED_STEP,
+        CMS_WBITS,
+    )
+
+    m1, m2, two64 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 1 << 64
+    shift = 64 - CMS_WBITS
+
+    def mulmod(e: str, c: int) -> str:
+        return (
+            f"CAST(( (CAST({e} AS HUGEINT) % 4294967296) * {c} "
+            f"+ ((( (CAST({e} AS HUGEINT) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f") % {two64} AS UBIGINT)"
+        )
+
+    def chain(prefix: str, src: str, j: int, carry: str = "") -> str:
+        seed = j * CMS_SEED_STEP
+        cs = f"{carry}, " if carry else ""
+        return (
+            f"{prefix}a AS (SELECT {cs}{mulmod(f'(id + {seed})', m1)} AS x FROM {src}),\n"
+            f"{prefix}b AS (SELECT {cs}xor(x, x >> 33) AS x FROM {prefix}a),\n"
+            f"{prefix}c AS (SELECT {cs}{mulmod('x', m2)} AS x FROM {prefix}b),\n"
+            f"{prefix}d AS (SELECT {cs}xor(x, x >> 29) AS x FROM {prefix}c),\n"
+            f"{prefix} AS (SELECT {cs}{j} AS j, CAST(x >> {shift} AS BIGINT) AS b "
+            f"FROM {prefix}d)"
+        )
+
+    probes_vals = ", ".join(f"({v})" for v in CMS_PROBES)
+    ev_chains = ",\n".join(chain(f"e{j}", "ev", j) for j in range(CMS_DEPTH))
+    pb_chains = ",\n".join(chain(f"p{j}", "pr", j, carry="uid") for j in range(CMS_DEPTH))
+    ev_union = " UNION ALL ".join(f"SELECT j, b FROM e{j}" for j in range(CMS_DEPTH))
+    pb_union = " UNION ALL ".join(
+        f"SELECT uid, j, b FROM p{j}" for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT user_id AS id FROM events),
+pr0(uid) AS (VALUES {probes_vals}),
+pr AS (SELECT CAST(uid AS BIGINT) AS uid, CAST(uid AS BIGINT) AS id FROM pr0),
+{ev_chains},
+{pb_chains},
+counts AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM ({ev_union}) GROUP BY j, b),
+pb AS ({pb_union}),
+est AS (SELECT pb.uid, MIN(COALESCE(counts.c, 0)) AS est
+        FROM pb LEFT JOIN counts ON pb.j = counts.j AND pb.b = counts.b
+        GROUP BY pb.uid),
+ex AS (SELECT p.uid, CAST(COUNT(ev.id) AS BIGINT) AS exact
+       FROM (SELECT DISTINCT uid FROM pr) p LEFT JOIN ev ON ev.id = p.uid
+       GROUP BY p.uid)
+SELECT est.uid AS user_id, CAST(est.est AS BIGINT) AS est, ex.exact AS exact
+FROM est JOIN ex ON est.uid = ex.uid
 """
 
 
@@ -2108,6 +2211,8 @@ WHERE rg % 3 = 0 AND EXISTS (
         "polygon_tiles": _polygon_tiles_sql(),
         "zonal_stats": _zonal_stats_sql(),
         "way_trace_tiles": _way_trace_tiles_sql(),
+        "tile_focal_density": _tile_focal_density_sql(),
+        "cms_user_counts": _cms_oracle_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

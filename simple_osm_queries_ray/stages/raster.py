@@ -291,3 +291,58 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
     return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def tile_focal_density(
+    nodes: ray.data.Dataset, zoom: int, radius: int
+) -> ray.data.Dataset:
+    """Raster focal (moving-window) statistics: for every tile, the count of
+    features within the (2*radius+1)^2 tile window centered on it — the
+    standard KDE-with-box-kernel / focal-sum raster operator.
+
+    Scale shape: features first collapse to per-tile counts (integer
+    partials + a groupby bounded by occupied tiles); each occupied tile then
+    scatters its count to its window's tiles — (2r+1)^2 emissions per
+    OCCUPIED TILE, not per feature — and one tiny groupby sums the overlaps.
+    Grid edges clip (no wraparound), matching the SQL twin's bounds filter.
+
+    Output: (tile, n) for every tile whose window holds >= 1 feature.
+    """
+    from .geo import tile_id
+
+    n = np.int64(1 << zoom)
+    k = 2 * radius + 1
+
+    def count_tiles(batch: pa.Table) -> pa.Table:
+        t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)
+        tiles, counts = np.unique(t, return_counts=True)
+        return pa.table({"tile": tiles, "c": counts.astype(np.int64)})
+
+    per_tile = (
+        nodes.select_columns(["lon", "lat"])
+        .map_batches(count_tiles, batch_format="pyarrow")
+        .groupby("tile")
+        .sum("c")
+    )
+
+    dx = np.tile(np.arange(-radius, radius + 1), k)
+    dy = np.repeat(np.arange(-radius, radius + 1), k)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["tile"])
+        c = np.asarray(batch["sum(c)"])
+        tx = (t % n)[:, None] + dx[None, :]
+        ty = (t // n)[:, None] + dy[None, :]
+        ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+        out_t = (ty * n + tx)[ok]
+        out_c = np.broadcast_to(c[:, None], ok.shape)[ok]
+        tiles, inv = np.unique(out_t, return_inverse=True)
+        sums = np.zeros(len(tiles), dtype=np.int64)
+        np.add.at(sums, inv, out_c)
+        return pa.table({"tile": tiles, "nw": sums})
+
+    out = per_tile.map_batches(scatter, batch_format="pyarrow").groupby("tile").sum("nw")
+    return out.map_batches(
+        lambda b: pa.table({"tile": b["tile"], "n": b["sum(nw)"]}),
+        batch_format="pyarrow",
+    )

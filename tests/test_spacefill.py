@@ -374,3 +374,40 @@ def test_way_segment_tiles_single_point_way():
     got = way_segment_tiles(_ways_ds(ways), zoom=12).to_pandas()
     t = tile_id(np.array([9.5]), np.array([53.5]), 12)[0]
     assert set(zip(got["id"], got["tile"])) == {(3, t)}
+
+
+def test_tile_focal_density_matches_brute_force():
+    from simple_osm_queries_ray.stages.geo import tile_id
+    from simple_osm_queries_ray.stages.raster import tile_focal_density
+
+    rng = np.random.RandomState(6)
+    n_pts, zoom, r = 2000, 10, 2
+    df = pd.DataFrame(
+        {"lon": 9.0 + rng.rand(n_pts) * 2, "lat": 53.0 + rng.rand(n_pts) * 2}
+    )
+    got = (
+        tile_focal_density(ray.data.from_pandas(df), zoom, r)
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    n = 1 << zoom
+    t = tile_id(df["lon"].to_numpy(), df["lat"].to_numpy(), zoom)
+    counts = pd.Series(t).value_counts()
+    acc = {}
+    for tile, c in counts.items():
+        tx, ty = tile % n, tile // n
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if 0 <= tx + dx < n and 0 <= ty + dy < n:
+                    k = (ty + dy) * n + (tx + dx)
+                    acc[k] = acc.get(k, 0) + int(c)
+    exp = (
+        pd.DataFrame(sorted(acc.items()), columns=["tile", "n"])
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    # window sums dominate the center count
+    center = counts.reindex(got["tile"]).fillna(0).to_numpy()
+    assert (got["n"].to_numpy() >= center).all()
