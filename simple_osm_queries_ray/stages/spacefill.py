@@ -82,8 +82,27 @@ def hilbert_shards(
     the straddled cells — not needed at order 8).
     """
     with_hd = assign_hilbert(ds, order)
+    plan = _plan_shards(with_hd, k, order, id_col)
 
-    # pass 1: sparse histogram partials -> tiny aggregated histogram
+    def stamp(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col])
+        hd = np.asarray(batch["hd"])
+        return pa.table(
+            {id_col: ids, "hd": hd, "shard": _stamp_shards(plan, hd, ids)}
+        )
+
+    return with_hd.select_columns([id_col, "hd"]).map_batches(
+        stamp, batch_format="pyarrow"
+    )
+
+
+def _plan_shards(
+    with_hd: ray.data.Dataset, k: int, order: int, id_col: str
+):
+    """The tiny driver-side shard plan: one histogram pass + boundary-cell id
+    collection.  Returns a ray.put handle to (cell_shard, straddle) plus the
+    histogram arrays for lineage (cells, counts, starts)."""
+
     def partial(batch: pa.Table) -> pa.Table:
         hd = np.asarray(batch["hd"])
         cells, counts = np.unique(hd, return_counts=True)
@@ -142,24 +161,158 @@ def hilbert_shards(
             # row with within-cell rank r belongs to shard first + #(cuts <= r)
             straddle[c] = (ids[cuts], np.int32(first_shard[ci]))
 
-    plan = ray.put((cell_shard, straddle))
+    handle = ray.put((cell_shard, straddle))
+    return {
+        "handle": handle,
+        "cells": cells,
+        "counts": counts,
+        "starts": starts,
+        "k": k,
+        "order": order,
+    }
 
-    def stamp(batch: pa.Table) -> pa.Table:
-        cs, strad = bget(plan)
+
+def _stamp_shards(plan: dict, hd: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized shard assignment from the broadcast plan."""
+    cs, strad = bget(plan["handle"])
+    shard = cs[hd].copy()
+    if strad:
+        for c, (thr, first) in strad.items():
+            m = hd == c
+            if m.any():
+                shard[m] = first + np.searchsorted(
+                    thr, ids[m], side="right"
+                ).astype(np.int32)
+    return shard.astype(np.int64)
+
+
+# -- partitioned parquet layout over the shard plan ---------------------------
+
+
+def _shard_hd_bounds(
+    cells: np.ndarray, counts: np.ndarray, starts: np.ndarray
+) -> list[tuple[int, int]]:
+    """Per shard: the [hd_lo, hd_hi] Hilbert range its rank span covers.
+    Empty shards get (0, -1).  Contiguity (non-overlapping except at
+    boundary-straddling cells) follows from range partitioning."""
+    n_rows = int(counts.sum())
+    cum = np.concatenate([np.cumsum(counts) - counts, [n_rows]])
+    bounds = []
+    ends = np.concatenate([starts[1:], [n_rows]])
+    for s, e in zip(starts, ends):
+        if e <= s:
+            bounds.append((0, -1))
+            continue
+        lo = int(cells[np.searchsorted(cum, s, side="right") - 1])
+        hi = int(cells[np.searchsorted(cum, e - 1, side="right") - 1])
+        bounds.append((lo, hi))
+    return bounds
+
+
+def write_hilbert_partitioned(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    k: int = 32,
+    order: int = SHARD_ORDER,
+    waves: int = 4,
+    id_col: str = "id",
+    lineage: dict | None = None,
+) -> "object":
+    """Materialize ``ds`` as hive-partitioned parquet ``shard=<s>/`` under the
+    equal-count Hilbert plan — the resumable spatial layout for a 100 TB
+    import: balanced by count, compact by curve, one directory per shard so
+    a rerun (or a reader) touches only the partitions it needs.
+
+    Shards write in ``waves`` groups, each recorded in the checkpoint
+    manifest (``state/manifest.py``) with per-partition row counts; a rerun
+    skips recorded waves.  The shard plan (k, order, per-shard Hilbert
+    ranges) persists in the manifest meta as the layout's lineage, which
+    :func:`shards_for_bbox` uses for pruned reads.  Returns the Manifest.
+    """
+    import time as _time
+
+    from ..state.manifest import Manifest
+
+    with_hd = assign_hilbert(ds, order)
+    plan = _plan_shards(with_hd, k, order, id_col)
+    cells, counts, starts = plan["cells"], plan["counts"], plan["starts"]
+    bounds = _shard_hd_bounds(cells, counts, starts)
+    n_rows = int(counts.sum())
+    sizes = np.diff(np.concatenate([starts, [n_rows]]))  # exact NTILE sizes
+
+    meta = {
+        "kind": "hilbert_partitioned",
+        "k": k,
+        "order": order,
+        "shard_hd": [list(b) for b in bounds],
+        **(lineage or {}),
+    }
+    man = Manifest.load_or_create(out_dir, meta)
+
+    def stamp_full(batch: pa.Table) -> pa.Table:
         hd = np.asarray(batch["hd"])
         ids = np.asarray(batch[id_col])
-        shard = cs[hd].copy()
-        if strad:
-            for c, (thr, first) in strad.items():
-                m = hd == c
-                if m.any():
-                    shard[m] = first + np.searchsorted(
-                        thr, ids[m], side="right"
-                    ).astype(np.int32)
-        return pa.table(
-            {id_col: ids, "hd": hd, "shard": shard.astype(np.int64)}
-        )
+        return batch.append_column("shard", pa.array(_stamp_shards(plan, hd, ids)))
 
-    return with_hd.select_columns([id_col, "hd"]).map_batches(
-        stamp, batch_format="pyarrow"
-    )
+    full = with_hd.map_batches(stamp_full, batch_format="pyarrow")
+
+    per_wave = max(1, (k + waves - 1) // waves)
+    for w in range(waves):
+        lo, hi = w * per_wave, min((w + 1) * per_wave, k)
+        if lo >= hi:
+            continue
+        key = f"wave_{lo}_{hi}"
+        if man.is_done(key):
+            continue
+        t0 = _time.time()
+
+        def pick(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            s = np.asarray(batch["shard"])
+            return batch.filter(pa.array((s >= lo) & (s < hi)))
+
+        full.map_batches(pick, batch_format="pyarrow").write_parquet(
+            f"{out_dir}/data", partition_cols=["shard"]
+        )
+        # per-partition counts come exactly from the NTILE plan — no extra pass
+        man.record(
+            key, {s: int(sizes[s]) for s in range(lo, hi)}, _time.time() - t0
+        )
+    return man
+
+
+def shards_for_bbox(
+    bbox: tuple[float, float, float, float],
+    shard_hd: list[tuple[int, int]],
+    order: int = SHARD_ORDER,
+) -> list[int]:
+    """Shards whose Hilbert range can hold any cell of ``bbox`` — the
+    pruning set for a range read (conservative superset; readers still
+    apply the exact geometry filter)."""
+    from ..functions.hilbert import extent_grid_xy, hilbert_d
+
+    gx0, gy0 = extent_grid_xy(np.array([bbox[0]]), np.array([bbox[1]]), order)
+    gx1, gy1 = extent_grid_xy(np.array([bbox[2]]), np.array([bbox[3]]), order)
+    xs = np.arange(gx0[0], gx1[0] + 1)
+    ys = np.arange(gy0[0], gy1[0] + 1)
+    mx, my = np.meshgrid(xs, ys)
+    hds = np.unique(hilbert_d(mx.ravel(), my.ravel(), order))
+    out = []
+    for s, (lo, hi) in enumerate(shard_hd):
+        if hi < lo:
+            continue
+        pos = np.searchsorted(hds, lo)
+        if pos < len(hds) and hds[pos] <= hi:
+            out.append(s)
+    return out
+
+
+def read_hilbert_shards(out_dir: str, shards: list[int]) -> ray.data.Dataset:
+    """Read ONLY the given shard partitions (hive dirs) — the pruned path."""
+    import os
+
+    paths = [
+        d
+        for s in shards
+        if os.path.isdir(d := f"{out_dir}/data/shard={s}")
+    ]
+    return ray.data.read_parquet(paths)

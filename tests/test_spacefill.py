@@ -411,3 +411,98 @@ def test_tile_focal_density_matches_brute_force():
     # window sums dominate the center count
     center = counts.reindex(got["tile"]).fillna(0).to_numpy()
     assert (got["n"].to_numpy() >= center).all()
+
+
+# -- partitioned layout: write waves, resume, pruned reads --------------------
+
+
+def _pts_df(n=1200, seed=13):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "lon": 9.0 + rng.rand(n) * 2,
+            "lat": 53.0 + rng.rand(n) * 2,
+            "payload": rng.randint(0, 1000, n),
+        }
+    )
+
+
+def test_write_hilbert_partitioned_roundtrip_and_resume(tmp_path):
+    import json
+    import os
+
+    from simple_osm_queries_ray.stages.spacefill import write_hilbert_partitioned
+
+    df = _pts_df()
+    out = str(tmp_path / "hp")
+    k = 8
+    man = write_hilbert_partitioned(
+        ray.data.from_pandas(df), out, k=k, order=6, waves=3
+    )
+    # every shard dir exists with the exact NTILE row count
+    sizes = {}
+    for s in range(k):
+        d = f"{out}/data/shard={s}"
+        assert os.path.isdir(d)
+        sizes[s] = ray.data.read_parquet(d).count()
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == len(df)
+    # round trip: all ids exactly once
+    back = ray.data.read_parquet(f"{out}/data").to_pandas()
+    assert sorted(back["id"]) == sorted(df["id"])
+    # manifest recorded all waves with lineage
+    m = json.load(open(f"{out}/manifest.json"))
+    assert m["meta"]["k"] == k and len(m["meta"]["shard_hd"]) == k
+    assert sum(w["rows"] for w in m["waves"].values()) == len(df)
+    # resume: a rerun skips every recorded wave (no files rewritten)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    write_hilbert_partitioned(ray.data.from_pandas(df), out, k=k, order=6, waves=3)
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert mtimes == mtimes2
+
+
+def test_hilbert_pruned_bbox_read(tmp_path):
+    import json
+
+    from simple_osm_queries_ray.stages.spacefill import (
+        read_hilbert_shards,
+        shards_for_bbox,
+        write_hilbert_partitioned,
+    )
+
+    df = _pts_df(3000, seed=21)
+    out = str(tmp_path / "hp2")
+    k = 16
+    write_hilbert_partitioned(ray.data.from_pandas(df), out, k=k, order=6, waves=4)
+    m = json.load(open(f"{out}/manifest.json"))
+    bounds = [tuple(b) for b in m["meta"]["shard_hd"]]
+    bbox = (9.1, 53.1, 9.35, 53.35)
+    shards = shards_for_bbox(bbox, bounds, order=6)
+    # locality: a small bbox touches a strict minority of the shards
+    assert 0 < len(shards) < k // 2
+    got = read_hilbert_shards(out, shards).to_pandas()
+    got = got[
+        (got["lon"] >= bbox[0])
+        & (got["lon"] <= bbox[2])
+        & (got["lat"] >= bbox[1])
+        & (got["lat"] <= bbox[3])
+    ]
+    exp = df[
+        (df["lon"] >= bbox[0])
+        & (df["lon"] <= bbox[2])
+        & (df["lat"] >= bbox[1])
+        & (df["lat"] <= bbox[3])
+    ]
+    assert sorted(got["id"]) == sorted(exp["id"])
+    assert len(exp) > 0
