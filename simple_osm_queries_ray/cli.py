@@ -9,6 +9,7 @@ Usage (run from the repo root so workers resolve the package):
     python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain]
     python -m simple_osm_queries_ray.cli stats <index_dir>
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
+    python -m simple_osm_queries_ray.cli shard <sf_dir> <out_dir> [k] [waves]
 """
 
 from __future__ import annotations
@@ -140,6 +141,24 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(index_dir, "part-hashes.json")
             )
             print(_json.dumps(out, indent=1))
+            return 0
+        if cmd == "shard":
+            # equal-count Hilbert locality sharding -> hive-partitioned
+            # parquet with manifest resume (stages/spacefill.py)
+            sf_dir, out_dir = argv[1], argv[2]
+            k = int(argv[3]) if len(argv) > 3 else 32
+            waves = int(argv[4]) if len(argv) > 4 else 4
+            from .sources.repo import build_repo
+            from .stages.spacefill import write_hilbert_partitioned
+
+            nodes = build_repo(sf_dir).nodes
+            man = write_hilbert_partitioned(
+                nodes, out_dir, k=k, waves=waves, lineage={"source": sf_dir}
+            )
+            print(
+                f"sharded {man.total_rows()} rows into {k} hilbert partitions "
+                f"under {out_dir}/data ({len(man.waves)} waves)"
+            )
             return 0
         if cmd == "server":
             index_dir = argv[1]
