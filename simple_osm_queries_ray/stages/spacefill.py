@@ -108,9 +108,20 @@ def _plan_shards(
         cells, counts = np.unique(hd, return_counts=True)
         return pa.table({"hd": cells, "n": counts.astype(np.int64)})
 
+    def combine(batch: pa.Table) -> pa.Table:
+        c, inv = np.unique(np.asarray(batch["hd"]), return_inverse=True)
+        n = np.zeros(len(c), dtype=np.int64)
+        np.add.at(n, inv, np.asarray(batch["n"]))
+        return pa.table({"hd": c, "n": n})
+
+    # partials can hold up to 4^order rows PER BLOCK; funnel them through a
+    # narrow repartition + re-combine so the final groupby shuffles a few
+    # combined partials, not (blocks x occupied-cells) rows
     hist = (
         with_hd.select_columns(["hd"])
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(combine, batch_format="pyarrow")
         .groupby("hd")
         .sum("n")
         .to_pandas()
@@ -173,16 +184,19 @@ def _plan_shards(
 
 
 def _stamp_shards(plan: dict, hd: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    """Vectorized shard assignment from the broadcast plan."""
+    """Vectorized shard assignment from the broadcast plan.  Only straddle
+    cells PRESENT in this batch are resolved (the plan may hold up to k-1
+    of them globally; a batch usually sees none or a handful)."""
     cs, strad = bget(plan["handle"])
     shard = cs[hd].copy()
-    if strad:
-        for c, (thr, first) in strad.items():
+    miss = shard < 0
+    if strad and miss.any():
+        for c in np.unique(hd[miss]):
+            thr, first = strad[int(c)]
             m = hd == c
-            if m.any():
-                shard[m] = first + np.searchsorted(
-                    thr, ids[m], side="right"
-                ).astype(np.int32)
+            shard[m] = first + np.searchsorted(
+                thr, ids[m], side="right"
+            ).astype(np.int32)
     return shard.astype(np.int64)
 
 
