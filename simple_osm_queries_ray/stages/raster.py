@@ -233,6 +233,45 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
     nt = np.int64(1 << zoom)
     ntf = float(nt)
 
+    def ranges_at(x1, x2, y1, y2, level: int):
+        """Per-segment candidate tile spans at ``level`` (floor of the same
+        expressions the oracle uses; composes across levels because
+        floor(v * 2^L) == floor(v * 2^z) >> (z - L))."""
+        f = float(1 << level)
+        a0 = np.floor((np.minimum(x1, x2) + 180.0) / 360.0 * f).astype(np.int64)
+        a1 = np.floor((np.maximum(x1, x2) + 180.0) / 360.0 * f).astype(np.int64)
+        b0 = np.floor((90.0 - np.maximum(y1, y2)) / 180.0 * f).astype(np.int64)
+        b1 = np.floor((90.0 - np.minimum(y1, y2)) / 180.0 * f).astype(np.int64)
+        return a0, a1, b0, b1
+
+    def corner_hit(seg, tx, ty, x1, y1, x2, y2, level: int):
+        """Separating-axis corner test of segment ``seg`` vs tile (tx, ty)
+        at ``level``.  The {cr > 0} half-plane is convex, so a hit at a
+        child implies a hit at every ancestor — coarse-level pruning drops
+        no final tile."""
+        f = float(1 << level)
+        lon_lo = tx.astype(np.float64) / f * 360.0 - 180.0
+        lon_hi = (tx + 1).astype(np.float64) / f * 360.0 - 180.0
+        lat_hi = 90.0 - ty.astype(np.float64) / f * 180.0
+        lat_lo = 90.0 - (ty + 1).astype(np.float64) / f * 180.0
+        dx = x2[seg] - x1[seg]
+        dy = y2[seg] - y1[seg]
+        rx, ry = x1[seg], y1[seg]
+
+        def cr(cx, cy):
+            return dx * (cy - ry) - dy * (cx - rx)
+
+        c1 = cr(lon_lo, lat_lo)
+        c2 = cr(lon_lo, lat_hi)
+        c3 = cr(lon_hi, lat_lo)
+        c4 = cr(lon_hi, lat_hi)
+        sep = ((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)) | (
+            (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+        )
+        return ~sep
+
+    COARSE_LEVELS = 4  # start 4 zooms up: 16x fewer seed candidates per axis
+
     def fn(batch: pa.Table) -> pa.Table:
         lons, off = list_parts(batch["node_lons"])
         lats, _ = list_parts(batch["node_lats"])
@@ -247,44 +286,43 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
         si = np.flatnonzero(valid)
         x1, y1, x2, y2 = lons[si], lats[si], lons[si + 1], lats[si + 1]
         seg_way = np.repeat(wid, np.maximum(counts - 1, 0))
-        # candidate tile ranges from segment bboxes
-        tx0 = np.floor((np.minimum(x1, x2) + 180.0) / 360.0 * ntf).astype(np.int64)
-        tx1 = np.floor((np.maximum(x1, x2) + 180.0) / 360.0 * ntf).astype(np.int64)
-        ty0 = np.floor((90.0 - np.maximum(y1, y2)) / 180.0 * ntf).astype(np.int64)
-        ty1 = np.floor((90.0 - np.minimum(y1, y2)) / 180.0 * ntf).astype(np.int64)
-        w = tx1 - tx0 + 1
-        cnt = w * (ty1 - ty0 + 1)
-        total = int(cnt.sum())
-        if total == 0:
+        n_seg = len(si)
+        if n_seg == 0:
             return pa.table(
                 {"id": pa.array([], type=pa.int64()), "tile": pa.array([], type=pa.int64())}
             )
-        row = np.repeat(np.arange(len(si)), cnt)
+
+        # seed candidates at the coarse level from segment bboxes
+        z0 = max(1, zoom - COARSE_LEVELS)
+        a0, a1, b0, b1 = ranges_at(x1, x2, y1, y2, z0)
+        w = a1 - a0 + 1
+        cnt = w * (b1 - b0 + 1)
+        total = int(cnt.sum())
+        seg = np.repeat(np.arange(n_seg), cnt)
         offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-        k = np.arange(total) - offs[row]
-        tx = tx0[row] + k % w[row]
-        ty = ty0[row] + k // w[row]
-        # tile rectangle corners in lon/lat
-        lon_lo = tx.astype(np.float64) / ntf * 360.0 - 180.0
-        lon_hi = (tx + 1).astype(np.float64) / ntf * 360.0 - 180.0
-        lat_hi = 90.0 - ty.astype(np.float64) / ntf * 180.0
-        lat_lo = 90.0 - (ty + 1).astype(np.float64) / ntf * 180.0
-        dx = x2[row] - x1[row]
-        dy = y2[row] - y1[row]
-        rx1, ry1 = x1[row], y1[row]
+        kk = np.arange(total) - offs[seg]
+        tx = a0[seg] + kk % w[seg]
+        ty = b0[seg] + kk // w[seg]
 
-        def cr(cx, cy):
-            return dx * (cy - ry1) - dy * (cx - rx1)
+        # coarse-to-fine: keep hits, expand to the 4 children, clip to the
+        # child level's bbox ranges (exact: range floors compose by shifts)
+        level = z0
+        while True:
+            keep = corner_hit(seg, tx, ty, x1, y1, x2, y2, level)
+            seg, tx, ty = seg[keep], tx[keep], ty[keep]
+            if level == zoom:
+                break
+            level += 1
+            seg = np.repeat(seg, 4)
+            tx = np.repeat(tx * 2, 4) + np.tile([0, 1, 0, 1], len(tx))
+            ty = np.repeat(ty * 2, 4) + np.tile([0, 0, 1, 1], len(ty))
+            a0, a1, b0, b1 = ranges_at(x1, x2, y1, y2, level)
+            inb = (
+                (tx >= a0[seg]) & (tx <= a1[seg]) & (ty >= b0[seg]) & (ty <= b1[seg])
+            )
+            seg, tx, ty = seg[inb], tx[inb], ty[inb]
 
-        c1 = cr(lon_lo, lat_lo)
-        c2 = cr(lon_lo, lat_hi)
-        c3 = cr(lon_hi, lat_lo)
-        c4 = cr(lon_hi, lat_hi)
-        sep = ((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)) | (
-            (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
-        )
-        hit = ~sep
-        key = seg_way[row[hit]] * (nt * nt) + ty[hit] * nt + tx[hit]
+        key = seg_way[seg] * (nt * nt) + ty * nt + tx
         uk = np.unique(key)
         return pa.table({"id": uk // (nt * nt), "tile": uk % (nt * nt)})
 
