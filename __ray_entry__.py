@@ -603,6 +603,16 @@ def _q_cms_user_counts(sf_dir: str):
     return cms_user_counts(ev, CMS_PROBES)
 
 
+def _q_way_polygon_join(sf_dir: str):
+    """Vector-vector spatial join: ways x geofence polygons by proper
+    segment-edge crossing OR first-node containment (stages/raster.py) —
+    broadcast edges, streamed ways, one numpy broadcast per batch."""
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.raster import way_polygon_join
+
+    return way_polygon_join(_repo(sf_dir).ways, synthetic_polygons(POLY_TILES_N))
+
+
 def _q_pip_triangle(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import filter_in_polygon
 
@@ -1259,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_trace_tiles": _q_way_trace_tiles,
         "tile_focal_density": _q_tile_focal_density,
         "cms_user_counts": _q_cms_user_counts,
+        "way_polygon_join": _q_way_polygon_join,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -1580,6 +1591,52 @@ ex AS (SELECT p.uid, CAST(COUNT(ev.id) AS BIGINT) AS exact
        GROUP BY p.uid)
 SELECT est.uid AS user_id, CAST(est.est AS BIGINT) AS est, ex.exact AS exact
 FROM est JOIN ex ON est.uid = ex.uid
+"""
+
+
+def _way_polygon_join_sql() -> str:
+    """Ways x polygons: EXISTS proper segment-edge crossing (the
+    segment_cross_join sign formula) OR first-node ray-casting parity over
+    a VALUES edge table — both expression trees identical to the engine's."""
+    from simple_osm_queries_ray.model import NODES_PER_WAY, WAY_ID_BASE
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, WAYS_CTE
+
+    polys = synthetic_polygons(POLY_TILES_N)
+    edges = []
+    for pi, poly in enumerate(polys):
+        m = len(poly)
+        for i in range(m):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % m]
+            edges.append(
+                f"({pi}, CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE), "
+                f"CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+            )
+    return f"""
+WITH {NODES_CTE}, {WAYS_CTE},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg),
+fn AS (SELECT wg, lon, lat FROM nodes_c WHERE id % {NODES_PER_WAY} = 0),
+ed(poly_id, ex1, ey1, ex2, ey2) AS (VALUES {', '.join(edges)}),
+pp(poly_id) AS (SELECT DISTINCT poly_id FROM ed)
+SELECT w.id, CAST(pp.poly_id AS BIGINT) AS poly_id
+FROM ways w CROSS JOIN pp
+WHERE EXISTS (
+  SELECT 1 FROM seg s JOIN ed e ON e.poly_id = pp.poly_id
+  WHERE s.wg = w.id - {WAY_ID_BASE}
+    AND sign((s.x2-s.x1)*(e.ey1-s.y1)-(s.y2-s.y1)*(e.ex1-s.x1))
+      * sign((s.x2-s.x1)*(e.ey2-s.y1)-(s.y2-s.y1)*(e.ex2-s.x1)) < 0
+    AND sign((e.ex2-e.ex1)*(s.y1-e.ey1)-(e.ey2-e.ey1)*(s.x1-e.ex1))
+      * sign((e.ex2-e.ex1)*(s.y2-e.ey1)-(e.ey2-e.ey1)*(s.x2-e.ex1)) < 0)
+   OR EXISTS (
+  SELECT 1 FROM fn
+  WHERE fn.wg = w.id - {WAY_ID_BASE}
+    AND (SELECT COUNT(*) FROM ed e
+         WHERE e.poly_id = pp.poly_id
+           AND ((e.ey1 > fn.lat) <> (e.ey2 > fn.lat))
+           AND fn.lon < (e.ex2 - e.ex1) * (fn.lat - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+        ) % 2 = 1)
 """
 
 
@@ -2213,6 +2270,7 @@ WHERE rg % 3 = 0 AND EXISTS (
         "way_trace_tiles": _way_trace_tiles_sql(),
         "tile_focal_density": _tile_focal_density_sql(),
         "cms_user_counts": _cms_oracle_sql(),
+        "way_polygon_join": _way_polygon_join_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

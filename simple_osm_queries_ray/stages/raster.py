@@ -384,3 +384,123 @@ def tile_focal_density(
         lambda b: pa.table({"tile": b["tile"], "n": b["sum(nw)"]}),
         batch_format="pyarrow",
     )
+
+
+def way_polygon_join(
+    ways: ray.data.Dataset, polys: list[list[tuple[float, float]]]
+) -> ray.data.Dataset:
+    """Vector-vector spatial join: (way id, poly_id) pairs whose geometries
+    intersect — a way matches a polygon iff any way segment PROPERLY crosses
+    a polygon edge (strict orientation sign product, the same formula as
+    ``stages/geo.py::segment_cross_join``) or its first node lies inside
+    (ray-casting parity, the same formula as ``pip_sql_condition``).  The
+    disjunction covers fully-contained ways; touching-only contact is
+    excluded on both sides, so the DuckDB twin is exact on generic inputs.
+
+    Scale shape: polygon edges are broadcast once (``ray.put``; the small
+    side), ways stream through in batches; per batch, way-bbox x poly-bbox
+    prefilter (lossless: a crossing or containment implies bbox overlap),
+    then all (candidate, segment, edge) orientation tests run in one numpy
+    broadcast with a per-candidate any() reduction.
+    """
+    from ..functions.segments import list_parts
+
+    n_poly = len(polys)
+    ex1, ey1, ex2, ey2, eoff = [], [], [], [], [0]
+    pminx, pminy, pmaxx, pmaxy = [], [], [], []
+    for poly in polys:
+        m = len(poly)
+        for i in range(m):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % m]
+            ex1.append(x1), ey1.append(y1), ex2.append(x2), ey2.append(y2)
+        eoff.append(eoff[-1] + m)
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        pminx.append(min(xs)), pminy.append(min(ys))
+        pmaxx.append(max(xs)), pmaxy.append(max(ys))
+    side = ray.put(
+        (
+            np.array(ex1), np.array(ey1), np.array(ex2), np.array(ey2),
+            np.array(eoff, dtype=np.int64),
+            np.array(pminx), np.array(pminy), np.array(pmaxx), np.array(pmaxy),
+        )
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        ex1, ey1, ex2, ey2, eoff, pminx, pminy, pmaxx, pmaxy = bget(side)
+        empty = pa.table(
+            {"id": pa.array([], type=pa.int64()), "poly_id": pa.array([], type=pa.int64())}
+        )
+        W = len(batch)
+        if W == 0:
+            return empty
+        wid = np.asarray(batch["id"], dtype=np.int64)
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        wminx = np.asarray(batch["minlon"])
+        wminy = np.asarray(batch["minlat"])
+        wmaxx = np.asarray(batch["maxlon"])
+        wmaxy = np.asarray(batch["maxlat"])
+        # bbox prefilter: (way, poly) candidates
+        ov = (
+            (wminx[:, None] <= pmaxx[None, :])
+            & (pminx[None, :] <= wmaxx[:, None])
+            & (wminy[:, None] <= pmaxy[None, :])
+            & (pminy[None, :] <= wmaxy[:, None])
+        )
+        cw, cp = np.nonzero(ov)
+        if len(cw) == 0:
+            return empty
+        # containment of the way's first node (ray-casting parity)
+        fx, fy = lons[off[:-1][cw]], lats[off[:-1][cw]]
+        j0, j1 = eoff[cp], eoff[cp + 1]
+        ne = j1 - j0
+        tot_e = int(ne.sum())
+        ci = np.repeat(np.arange(len(cw)), ne)
+        eo = np.zeros(len(cw), dtype=np.int64)
+        np.cumsum(ne[:-1], out=eo[1:])
+        ej = j0[ci] + (np.arange(tot_e) - eo[ci])
+        yy1, yy2 = ey1[ej], ey2[ej]
+        fxx, fyy = fx[ci], fy[ci]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            crossing = ((yy1 > fyy) != (yy2 > fyy)) & (
+                fxx < (ex2[ej] - ex1[ej]) * (fyy - yy1) / (yy2 - yy1) + ex1[ej]
+            )
+        ncross = np.zeros(len(cw), dtype=np.int64)
+        np.add.at(ncross, ci, crossing)
+        inside = (ncross % 2) == 1
+        # proper segment x edge crossings
+        ns = np.maximum(np.diff(off), 1) - 1
+        nseg_c = ns[cw]
+        pairs = nseg_c * ne
+        tot = int(pairs.sum())
+        hit = inside.copy()
+        if tot:
+            ci2 = np.repeat(np.arange(len(cw)), pairs)
+            offs = np.zeros(len(cw), dtype=np.int64)
+            np.cumsum(pairs[:-1], out=offs[1:])
+            k = np.arange(tot) - offs[ci2]
+            sj = off[:-1][cw][ci2] + k // ne[ci2]
+            ej2 = j0[ci2] + k % ne[ci2]
+            sx1, sy1 = lons[sj], lats[sj]
+            sx2, sy2 = lons[sj + 1], lats[sj + 1]
+            tx1, ty1 = ex1[ej2], ey1[ej2]
+            tx2, ty2 = ex2[ej2], ey2[ej2]
+            d1 = np.sign((sx2 - sx1) * (ty1 - sy1) - (sy2 - sy1) * (tx1 - sx1))
+            d2 = np.sign((sx2 - sx1) * (ty2 - sy1) - (sy2 - sy1) * (tx2 - sx1))
+            d3 = np.sign((tx2 - tx1) * (sy1 - ty1) - (ty2 - ty1) * (sx1 - tx1))
+            d4 = np.sign((tx2 - tx1) * (sy2 - ty1) - (ty2 - ty1) * (sx2 - tx1))
+            cross = (d1 * d2 < 0) & (d3 * d4 < 0)
+            any_cross = np.zeros(len(cw), dtype=bool)
+            np.logical_or.at(any_cross, ci2, cross)
+            hit |= any_cross
+        return pa.table(
+            {"id": wid[cw[hit]], "poly_id": cp[hit].astype(np.int64)}
+        )
+
+    return ways.select_columns(
+        ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+    ).map_batches(join, batch_format="pyarrow")

@@ -506,3 +506,59 @@ def test_hilbert_pruned_bbox_read(tmp_path):
     ]
     assert sorted(got["id"]) == sorted(exp["id"])
     assert len(exp) > 0
+
+
+def test_way_polygon_join_matches_brute_force():
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.raster import way_polygon_join
+
+    rng = np.random.RandomState(17)
+    ways = []
+    for wid in range(40):
+        m = rng.randint(2, 6)
+        ways.append((wid, list(zip(9.0 + rng.rand(m) * 2, 53.0 + rng.rand(m) * 2))))
+    polys = synthetic_polygons(6)
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([w for w, _ in ways], type=pa.int64()),
+                "node_lons": pa.array(
+                    [[p[0] for p in pts] for _, pts in ways], type=pa.list_(pa.float64())
+                ),
+                "node_lats": pa.array(
+                    [[p[1] for p in pts] for _, pts in ways], type=pa.list_(pa.float64())
+                ),
+                "minlon": pa.array([min(p[0] for p in pts) for _, pts in ways]),
+                "minlat": pa.array([min(p[1] for p in pts) for _, pts in ways]),
+                "maxlon": pa.array([max(p[0] for p in pts) for _, pts in ways]),
+                "maxlat": pa.array([max(p[1] for p in pts) for _, pts in ways]),
+            }
+        )
+    )
+    got = way_polygon_join(ds, polys).to_pandas()
+
+    def proper_cross(a, b, c, d):
+        def s(p, q, r):
+            return np.sign((q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0]))
+
+        return s(a, b, c) * s(a, b, d) < 0 and s(c, d, a) * s(c, d, b) < 0
+
+    exp = set()
+    for wid, pts in ways:
+        for pid, poly in enumerate(polys):
+            hit = _pip(poly, pts[0][0], pts[0][1])
+            if not hit:
+                m = len(poly)
+                for sa, sb in zip(pts, pts[1:]):
+                    for i in range(m):
+                        if proper_cross(sa, sb, poly[i], poly[(i + 1) % m]):
+                            hit = True
+                            break
+                    if hit:
+                        break
+            if hit:
+                exp.add((wid, pid))
+    assert set(zip(got["id"], got["poly_id"])) == exp
+    assert len(exp) > 10
