@@ -603,6 +603,18 @@ def _q_cms_user_counts(sf_dir: str):
     return cms_user_counts(ev, CMS_PROBES)
 
 
+PYRAMID_MIN_ZOOM = 8
+
+
+def _q_tile_pyramid(sf_dir: str):
+    """Tile-pyramid overview aggregation: counts per tile at every zoom in
+    [8, 12], all levels in ONE pass + one packed groupby
+    (stages/raster.py::tile_pyramid)."""
+    from simple_osm_queries_ray.stages.raster import tile_pyramid
+
+    return tile_pyramid(_repo(sf_dir).nodes, TILE_ZOOM, PYRAMID_MIN_ZOOM)
+
+
 def _q_way_polygon_join(sf_dir: str):
     """Vector-vector spatial join: ways x geofence polygons by proper
     segment-edge crossing OR first-node containment (stages/raster.py) —
@@ -1270,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_focal_density": _q_tile_focal_density,
         "cms_user_counts": _q_cms_user_counts,
         "way_polygon_join": _q_way_polygon_join,
+        "tile_pyramid": _q_tile_pyramid,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -1592,6 +1605,25 @@ ex AS (SELECT p.uid, CAST(COUNT(ev.id) AS BIGINT) AS exact
 SELECT est.uid AS user_id, CAST(est.est AS BIGINT) AS est, ex.exact AS exact
 FROM est JOIN ex ON est.uid = ex.uid
 """
+
+
+def _tile_pyramid_sql() -> str:
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, tile_expr
+
+    n = 1 << TILE_ZOOM
+    parts = []
+    for d in range(TILE_ZOOM - PYRAMID_MIN_ZOOM + 1):
+        nz = n >> d
+        p = 1 << d
+        parts.append(
+            f"SELECT CAST({TILE_ZOOM - d} AS BIGINT) AS zoom, "
+            f"((tile // {n}) // {p}) * {nz} + ((tile % {n}) // {p}) AS tile, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM nt GROUP BY 2"
+        )
+    return (
+        f"WITH {NODES_CTE}, nt AS (SELECT {tile_expr(TILE_ZOOM)} AS tile FROM nodes_c)\n"
+        + " UNION ALL ".join(parts)
+    )
 
 
 def _way_polygon_join_sql() -> str:
@@ -2271,6 +2303,7 @@ WHERE rg % 3 = 0 AND EXISTS (
         "tile_focal_density": _tile_focal_density_sql(),
         "cms_user_counts": _cms_oracle_sql(),
         "way_polygon_join": _way_polygon_join_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

@@ -504,3 +504,60 @@ def way_polygon_join(
     return ways.select_columns(
         ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
     ).map_batches(join, batch_format="pyarrow")
+
+
+def tile_pyramid(
+    nodes: ray.data.Dataset, zoom: int, min_zoom: int
+) -> ray.data.Dataset:
+    """Tile-pyramid aggregation: feature counts per tile at every zoom in
+    [min_zoom, zoom] — the overview levels a tile server pre-computes.
+
+    One streaming pass: each batch counts its tiles at the max zoom, then
+    derives every coarser level's parents locally (tx//2^d, ty//2^d —
+    integer shifts only) and emits (level, tile) partials packed into one
+    int64 key, so a single tiny groupby sums ALL levels at once instead of
+    one shuffle per level.  Partial volume is occupied-tiles x levels per
+    block, never features x levels.
+
+    Output: (zoom, tile, n) int64.
+    """
+    from .geo import tile_id
+
+    n = np.int64(1 << zoom)
+    levels = zoom - min_zoom + 1
+    PACK = np.int64(1) << np.int64(50)  # tile < 4^zoom <= 2^48 for zoom <= 24
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)
+        tiles, counts = np.unique(t, return_counts=True)
+        tx, ty = tiles % n, tiles // n
+        keys, vals = [], []
+        for d in range(levels):
+            nz = n >> d
+            pt = (ty >> d) * nz + (tx >> d)
+            keys.append(np.int64(zoom - d) * PACK + pt)
+            vals.append(counts)
+        k = np.concatenate(keys)
+        v = np.concatenate(vals).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"zt": uk, "c": s})
+
+    out = (
+        nodes.select_columns(["lon", "lat"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("zt")
+        .sum("c")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "zoom": np.asarray(b["zt"]) // PACK,
+                "tile": np.asarray(b["zt"]) % PACK,
+                "n": b["sum(c)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

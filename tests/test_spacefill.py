@@ -562,3 +562,34 @@ def test_way_polygon_join_matches_brute_force():
                 exp.add((wid, pid))
     assert set(zip(got["id"], got["poly_id"])) == exp
     assert len(exp) > 10
+
+
+def test_tile_pyramid_matches_brute_force():
+    from simple_osm_queries_ray.stages.geo import tile_id
+    from simple_osm_queries_ray.stages.raster import tile_pyramid
+
+    rng = np.random.RandomState(8)
+    n_pts, zoom, min_zoom = 2500, 10, 7
+    df = pd.DataFrame(
+        {"lon": 9.0 + rng.rand(n_pts) * 2, "lat": 53.0 + rng.rand(n_pts) * 2}
+    )
+    got = (
+        tile_pyramid(ray.data.from_pandas(df), zoom, min_zoom)
+        .to_pandas()
+        .sort_values(["zoom", "tile"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for z in range(min_zoom, zoom + 1):
+        t = tile_id(df["lon"].to_numpy(), df["lat"].to_numpy(), z)
+        for tile, c in pd.Series(t).value_counts().items():
+            rows.append((z, int(tile), int(c)))
+    exp = (
+        pd.DataFrame(rows, columns=["zoom", "tile", "n"])
+        .sort_values(["zoom", "tile"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    # conservation: every level's counts sum to the point count
+    assert (got.groupby("zoom")["n"].sum() == n_pts).all()
