@@ -615,6 +615,31 @@ def _q_tile_pyramid(sf_dir: str):
     return tile_pyramid(_repo(sf_dir).nodes, TILE_ZOOM, PYRAMID_MIN_ZOOM)
 
 
+def _q_cell_top_lang(sf_dir: str):
+    """Grouped mode per grid cell: the most frequent language with a
+    deterministic tie-break (stages/text.py::cell_top_lang) — per-batch
+    (cell, lang) partials, one groupby, vectorized in-group argmax."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.model import cell_xy, pack_cell
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+    from simple_osm_queries_ray.stages.text import cell_top_lang
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def geo(batch: "pa.Table") -> "pa.Table":
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lon, lat = geolocate(ids)
+        return pa.table(
+            {"cell": pack_cell(*cell_xy(lon, lat)), "lang": batch["lang"]}
+        )
+
+    return cell_top_lang(docs.map_batches(geo, batch_format="pyarrow"))
+
+
 def _q_way_polygon_join(sf_dir: str):
     """Vector-vector spatial join: ways x geofence polygons by proper
     segment-edge crossing OR first-node containment (stages/raster.py) —
@@ -1283,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "way_polygon_join": _q_way_polygon_join,
         "tile_pyramid": _q_tile_pyramid,
+        "cell_top_lang": _q_cell_top_lang,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -2304,6 +2330,14 @@ WHERE rg % 3 = 0 AND EXISTS (
         "cms_user_counts": _cms_oracle_sql(),
         "way_polygon_join": _way_polygon_join_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
+        "cell_top_lang": f"""
+{W},
+cl AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS n,
+              ROW_NUMBER() OVER (PARTITION BY cell
+                                 ORDER BY COUNT(*) DESC, lang) AS rn
+       FROM nodes_c GROUP BY cell, lang)
+SELECT cell, lang, n FROM cl WHERE rn = 1
+""",
         "knn": f"""
 {W},
 q(qid, qlon, qlat) AS (VALUES {knn_points}),

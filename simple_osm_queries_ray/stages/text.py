@@ -1440,3 +1440,42 @@ def bm25_rank(
     ).head(k)
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return cand.reset_index(drop=True)
+
+
+def cell_top_lang(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped mode: per 0.1-degree grid cell, the most frequent language
+    with a deterministic tie-break (smallest lang string) — the categorical
+    counterpart of the cell density histogram (A1).
+
+    Scale shape: per-batch (cell, lang) partial counts collapse each block
+    to at most cells x languages rows before the single groupby; the argmax
+    inside each cell group is a vectorized lexsort, not a row loop.  Exact
+    oracle: ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, lang).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {"cell": np.asarray(batch["cell"]), "lang": batch["lang"].to_pandas()}
+        )
+        g = df.groupby(["cell", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def pick(group: "pd.DataFrame") -> "pd.DataFrame":
+        n = group.groupby("lang", as_index=False)["n"].sum()
+        # order: count desc, lang asc -> first row is the mode
+        n = n.sort_values(["n", "lang"], ascending=[False, True], kind="stable")
+        top = n.iloc[:1]
+        return pd.DataFrame(
+            {
+                "cell": group["cell"].iloc[:1].to_numpy(),
+                "lang": top["lang"].to_numpy(),
+                "n": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        nodes.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -593,3 +593,27 @@ def test_tile_pyramid_matches_brute_force():
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
     # conservation: every level's counts sum to the point count
     assert (got.groupby("zoom")["n"].sum() == n_pts).all()
+
+
+def test_cell_top_lang_mode_and_tiebreak():
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.stages.text import cell_top_lang
+
+    # cell 1: b wins by count; cell 2: tie between a and c -> a (lang asc)
+    tbl = pa.table(
+        {
+            "cell": pa.array([1, 1, 1, 2, 2, 2, 2], type=pa.int64()),
+            "lang": ["a", "b", "b", "c", "a", "c", "a"],
+        }
+    )
+    got = (
+        cell_top_lang(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"cell": 1, "lang": "b", "n": 2},
+        {"cell": 2, "lang": "a", "n": 2},
+    ]
