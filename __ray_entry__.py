@@ -615,6 +615,18 @@ def _q_tile_pyramid(sf_dir: str):
     return tile_pyramid(_repo(sf_dir).nodes, TILE_ZOOM, PYRAMID_MIN_ZOOM)
 
 
+KNN_JOIN_K = 3
+
+
+def _q_knn_join(sf_dir: str):
+    """All-rows kNN self-join (k=3): 3x3 cell-block local top-k with the
+    one-cell guarantee, brute-force fallback for the residue
+    (stages/knn.py::knn_join)."""
+    from simple_osm_queries_ray.stages.knn import knn_join
+
+    return knn_join(_repo(sf_dir).nodes, KNN_JOIN_K)
+
+
 def _q_cell_top_lang(sf_dir: str):
     """Grouped mode per grid cell: the most frequent language with a
     deterministic tie-break (stages/text.py::cell_top_lang) — per-batch
@@ -1309,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_polygon_join": _q_way_polygon_join,
         "tile_pyramid": _q_tile_pyramid,
         "cell_top_lang": _q_cell_top_lang,
+        "knn_join": _q_knn_join,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
         "hex_cells": _q_hex_cells,
@@ -2368,6 +2381,25 @@ ranked AS (
   FROM scored
 )
 SELECT id, nn_id, dist2 FROM ranked WHERE rn = 1
+""",
+        # all-rows kNN self-join (rank 1..k, ties -> smallest nn_id); the
+        # engine's stable argsort over id-sorted block points reproduces
+        # ROW_NUMBER(ORDER BY dist2, nn_id) exactly
+        "knn_join": f"""
+{W},
+scored AS (
+  SELECT a.id, b.id AS nn_id,
+         (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+  FROM nodes_c a JOIN nodes_c b ON a.id <> b.id
+),
+ranked AS (
+  SELECT id, nn_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, nn_id) AS rn
+  FROM scored
+)
+SELECT id, CAST(rn AS BIGINT) AS "rank", nn_id, dist2
+FROM ranked WHERE rn <= {KNN_JOIN_K}
 """,
         # distance self-join: all pairs within RADIUS_JOIN_R planar degrees
         # (the engine's grid-bucket enumeration must equal the naive cross

@@ -44,14 +44,12 @@ def _topk_per_query(
     if kk == 0:
         e = np.array([], dtype=np.int64)
         return e, e, np.array([], dtype=np.float64)
-    # argpartition per row, then exact sort of the k candidates by (d2, id)
-    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-    rows = np.arange(d2.shape[0])[:, None]
-    pd2 = d2[rows, part]
-    pids = ids[part]
-    order = np.lexsort((pids, pd2), axis=1)
-    sd2 = pd2[rows, order]
-    sids = pids[rows, order]
+    # exact (d2, id) lexicographic top-k per row — argpartition alone is
+    # NOT tie-safe at the k-boundary (equal distances straddling the cut
+    # would be kept arbitrarily, losing the smallest-id candidate)
+    order = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :kk]
+    sd2 = np.take_along_axis(d2, order, axis=1)
+    sids = ids[order]
     qids = np.repeat(np.arange(d2.shape[0], dtype=np.int64), kk)
     return qids, sids.ravel().astype(np.int64), sd2.ravel()
 
@@ -818,3 +816,155 @@ def dbscan(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """k-nearest-neighbour self-join: for every feature, its k closest
+    other features as (id, rank, nn_id, dist2), rank 1..k ordered by
+    (dist2 asc, id asc) — the all-rows generalization of :func:`nn_join`.
+
+    Same two-phase exact plan: 3x3 cell-block local top-k (the block answer
+    is provably global when the K-TH distance <= CELL^2 — any point outside
+    the block is strictly farther than one cell width), then the residue
+    (isolated points, or kth neighbour beyond a cell) resolves via the
+    broadcast brute-force kNN with k+1 and self dropped.  Block points are
+    pre-sorted by id so a stable argsort on distance reproduces the SQL
+    twin's ROW_NUMBER (ORDER BY dist2, id) tie-break exactly.
+    """
+    from ..model import CELL_H, CELL_W, cell_xy, pack_cell
+
+    guarantee2 = float(min(CELL_W, CELL_H)) ** 2
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cx, cy = cell_xy(lon, lat)
+        out_bucket, out_home = [], []
+        n = len(ids_)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out_bucket.append(pack_cell(cx + dx, cy + dy))
+                out_home.append(np.full(n, dx == 0 and dy == 0, dtype=np.bool_))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "id": pa.array(np.tile(ids_, 9)),
+                "lon": pa.array(np.tile(lon, 9)),
+                "lat": pa.array(np.tile(lat, 9)),
+                "home": pa.array(np.concatenate(out_home)),
+            }
+        )
+
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        order = np.argsort(ids_, kind="stable")  # id order for tie-breaks
+        ids_ = ids_[order]
+        lon = np.asarray(tbl["lon"], dtype=np.float64)[order]
+        lat = np.asarray(tbl["lat"], dtype=np.float64)[order]
+        home = np.asarray(tbl["home"], dtype=np.bool_)[order]
+        hi = np.flatnonzero(home)
+        out = {"id": [], "rank": [], "nn_id": [], "dist2": [], "ok": []}
+        m = len(ids_)
+        for s in range(0, len(hi), 256):
+            h = hi[s : s + 256]
+            dlon = lon[h, None] - lon[None, :]
+            dlat = lat[h, None] - lat[None, :]
+            d2 = dlon * dlon + dlat * dlat
+            d2[ids_[h, None] == ids_[None, :]] = np.inf  # exclude self
+            kk = min(k, max(m - 1, 0))
+            if kk == 0:
+                # point alone in its 3x3 block: emit a placeholder row so the
+                # residue collector still sees it (brute force replaces it)
+                rows = len(h)
+                out["id"].append(ids_[h])
+                out["rank"].append(np.zeros(rows, dtype=np.int64))
+                out["nn_id"].append(np.full(rows, -1, dtype=np.int64))
+                out["dist2"].append(np.full(rows, np.inf))
+                out["ok"].append(np.zeros(rows, dtype=np.bool_))
+                continue
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            nn = ids_[idx]
+            nd = np.take_along_axis(d2, idx, axis=1)
+            # resolved iff we found k finite neighbours and the kth is
+            # within the one-cell guarantee
+            ok = (
+                (nd.shape[1] == k)
+                & np.isfinite(nd).all(axis=1)
+                & (nd[:, -1] <= guarantee2)
+            )
+            rows = len(h)
+            out["id"].append(np.repeat(ids_[h], nd.shape[1]))
+            out["rank"].append(np.tile(np.arange(1, nd.shape[1] + 1), rows))
+            out["nn_id"].append(nn.ravel())
+            out["dist2"].append(nd.ravel())
+            out["ok"].append(np.repeat(ok, nd.shape[1]))
+        if not out["id"]:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "nn_id": pa.array([], type=pa.int64()),
+                    "dist2": pa.array([], type=pa.float64()),
+                    "ok": pa.array([], type=pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out["id"])),
+                "rank": pa.array(np.concatenate(out["rank"]).astype(np.int64)),
+                "nn_id": pa.array(np.concatenate(out["nn_id"])),
+                "dist2": pa.array(np.concatenate(out["dist2"])),
+                "ok": pa.array(np.concatenate(out["ok"])),
+            }
+        )
+
+    local = (
+        ds.select_columns(["id", "lon", "lat"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(block_topk, batch_format="pyarrow")
+        .materialize()
+    )
+    resolved = local.filter(expr="ok == True").drop_columns(["ok"])
+
+    un_pd = local.filter(expr="ok == False").select_columns(["id"]).to_pandas()
+    if "id" not in un_pd.columns or len(un_pd) == 0:
+        return resolved
+    un_ids = np.unique(np.asarray(un_pd["id"].to_numpy(), dtype=np.int64))
+
+    import ray as _ray
+
+    ids_ref = _ray.put(un_ids)
+
+    def pick_points(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        arr = bget(ids_ref)
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        pos = np.searchsorted(arr, ids_)
+        pos[pos >= len(arr)] = len(arr) - 1
+        keep = arr[pos] == ids_
+        return batch.filter(pa.array(keep))
+
+    pts = (
+        ds.select_columns(["id", "lon", "lat"])
+        .map_batches(pick_points, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("id")
+    )
+    qpts = np.stack([pts["lon"].to_numpy(), pts["lat"].to_numpy()], axis=1)
+    qids = pts["id"].to_numpy(dtype=np.int64)
+    fb = knn_bruteforce(ds, qpts, k + 1).to_pandas()
+    fb["self_id"] = qids[fb["qid"].to_numpy()]
+    fb = fb[fb["id"] != fb["self_id"]].sort_values(["qid", "rank"]).groupby("qid").head(k)
+    fb["new_rank"] = fb.groupby("qid").cumcount() + 1
+    fixed = pa.table(
+        {
+            "id": pa.array(fb["self_id"].to_numpy(dtype=np.int64)),
+            "rank": pa.array(fb["new_rank"].to_numpy(dtype=np.int64)),
+            "nn_id": pa.array(fb["id"].to_numpy(dtype=np.int64)),
+            "dist2": pa.array(fb["dist2"].to_numpy(dtype=np.float64)),
+        }
+    )
+    return resolved.union(ray.data.from_arrow(fixed))

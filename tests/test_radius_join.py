@@ -63,3 +63,52 @@ def test_nn_join_fallback_path():
     d2 = (lon[:, None] - lon[None, :]) ** 2
     np.fill_diagonal(d2, np.inf)
     assert np.allclose(got["dist2"].to_numpy(), d2.min(axis=1))
+
+
+def brute_knn(lon, lat, ids, k):
+    """(id, rank, nn_id, dist2) rows, ties -> smallest nn_id — the SQL twin."""
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    rows = []
+    for i in range(len(ids)):
+        order = sorted(
+            (float(d2[i, j]), int(ids[j])) for j in range(len(ids)) if j != i
+        )
+        for r, (d, nid) in enumerate(order[:k], start=1):
+            rows.append((int(ids[i]), r, nid, d))
+    return rows
+
+
+def _run_knn_join(lon, lat, k):
+    from simple_osm_queries_ray.stages.knn import knn_join
+
+    ids = np.arange(len(lon), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+    got = knn_join(ds, k).to_pandas().sort_values(["id", "rank"])
+    got_rows = [
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in zip(got["id"], got["rank"], got["nn_id"], got["dist2"])
+    ]
+    return got_rows, brute_knn(lon, lat, ids, k)
+
+
+def test_knn_join_isolated_point_residue():
+    """A point alone in its 3x3 block must still get its k neighbours via
+    the brute-force residue (regression: zero-row emission dropped it)."""
+    lon = np.array([0.05, 0.06, 0.07, 0.08, 5.05], dtype=np.float64)
+    lat = np.array([0.05, 0.05, 0.05, 0.05, 0.05], dtype=np.float64)
+    got, want = _run_knn_join(lon, lat, 3)
+    assert got == want
+    assert sum(1 for r in got if r[0] == 4) == 3  # isolated point resolved
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.tuples(st.one_of(coord, snapped), st.one_of(coord, snapped)),
+                 min_size=2, max_size=30),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_knn_join_matches_bruteforce(pts, k):
+    lon = np.array([p[0] for p in pts], dtype=np.float64)
+    lat = np.array([p[1] for p in pts], dtype=np.float64)
+    got, want = _run_knn_join(lon, lat, k)
+    assert got == want
