@@ -627,6 +627,18 @@ def _q_knn_join(sf_dir: str):
     return knn_join(_repo(sf_dir).nodes, KNN_JOIN_K)
 
 
+BLOB_MIN_COUNT = 2
+
+
+def _q_cell_blobs(sf_dir: str):
+    """Raster blob detection: connected-component labeling of dense grid
+    cells (count >= BLOB_MIN_COUNT) under 4-adjacency, blob = min member
+    cell key (stages/raster.py::cell_blobs)."""
+    from simple_osm_queries_ray.stages.raster import cell_blobs
+
+    return cell_blobs(_repo(sf_dir).nodes, BLOB_MIN_COUNT)
+
+
 def _q_cell_top_lang(sf_dir: str):
     """Grouped mode per grid cell: the most frequent language with a
     deterministic tie-break (stages/text.py::cell_top_lang) — per-batch
@@ -1321,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_polygon_join": _q_way_polygon_join,
         "tile_pyramid": _q_tile_pyramid,
         "cell_top_lang": _q_cell_top_lang,
+        "cell_blobs": _q_cell_blobs,
         "knn_join": _q_knn_join,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
@@ -2343,6 +2356,30 @@ WHERE rg % 3 = 0 AND EXISTS (
         "cms_user_counts": _cms_oracle_sql(),
         "way_polygon_join": _way_polygon_join_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
+        # raster blob detection: dense cells (count >= BLOB_MIN_COUNT),
+        # 4-adjacency by key arithmetic (east = cell + CELL_PACK, north =
+        # cell + 1), blob = min reachable cell key (transitive closure)
+        "cell_blobs": f"""
+WITH RECURSIVE {NODES_CTE},
+dense AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nodes_c GROUP BY cell HAVING COUNT(*) >= {BLOB_MIN_COUNT}
+),
+e0 AS (
+  SELECT d.cell AS src, x.cell AS dst
+  FROM dense d JOIN dense x ON x.cell = d.cell + 100000
+  UNION ALL
+  SELECT d.cell, x.cell FROM dense d JOIN dense x ON x.cell = d.cell + 1
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach AS (
+  SELECT cell AS id, cell AS r FROM dense
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id
+),
+grp AS (SELECT id, MIN(r) AS blob FROM reach GROUP BY id)
+SELECT d.cell, g.blob, d.n FROM dense d JOIN grp g ON g.id = d.cell
+""",
         "cell_top_lang": f"""
 {W},
 cl AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS n,

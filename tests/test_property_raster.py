@@ -92,3 +92,56 @@ def test_corner_side_test_equals_parametric_clipping(x1, y1, x2, y2):
     sat_hit = not (all(c > 0 for c in crs) or all(c < 0 for c in crs))
     lb_hit = _seg_rect_intersects_param(x1, y1, x2, y2, lo_x, lo_y, hi_x, hi_y)
     assert sat_hit == lb_hit
+
+
+def test_cell_blobs_labeling():
+    """L-shaped dense component merges transitively to its min cell key;
+    below-threshold neighbors are excluded; isolated dense cells are
+    singleton blobs."""
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.model import pack_cell
+    from simple_osm_queries_ray.stages.raster import cell_blobs
+
+    def pts(cx, cy, n):
+        # n points inside cell (cx, cy)
+        return [(cx * 0.1 + 0.05 + i * 1e-4, cy * 0.1 + 0.05) for i in range(n)]
+
+    coords = (
+        pts(90, 530, 2)      # dense, part of the L
+        + pts(91, 530, 3)    # dense, east neighbor
+        + pts(91, 531, 2)    # dense, north of the east arm -> same blob
+        + pts(90, 531, 1)    # below threshold: must NOT bridge or appear
+        + pts(95, 535, 4)    # dense but isolated -> own blob
+    )
+    lon = np.array([c[0] for c in coords])
+    lat = np.array([c[1] for c in coords])
+    ids = np.arange(len(coords), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+    got = cell_blobs(ds, 2).to_pandas().sort_values("cell").reset_index(drop=True)
+
+    k = lambda cx, cy: int(pack_cell(np.int64(cx), np.int64(cy)))
+    want = {
+        k(90, 530): (k(90, 530), 2),
+        k(91, 530): (k(90, 530), 3),
+        k(91, 531): (k(90, 530), 2),
+        k(95, 535): (k(95, 535), 4),
+    }
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        blob, n = want[int(row["cell"])]
+        assert int(row["blob"]) == blob and int(row["n"]) == n
+
+
+def test_cell_blobs_no_dense_cells():
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.raster import cell_blobs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": [1, 2], "lon": [9.05, 10.05], "lat": [53.05, 54.05]})
+    )
+    out = cell_blobs(ds, 2).to_pandas()
+    assert len(out) == 0
