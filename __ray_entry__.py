@@ -639,6 +639,14 @@ def _q_cell_blobs(sf_dir: str):
     return cell_blobs(_repo(sf_dir).nodes, BLOB_MIN_COUNT)
 
 
+def _q_cell_blob_stats(sf_dir: str):
+    """Per-blob rollup of cell_blobs: component size, total features and
+    cell-grid bbox (stages/raster.py::cell_blob_stats)."""
+    from simple_osm_queries_ray.stages.raster import cell_blob_stats
+
+    return cell_blob_stats(_repo(sf_dir).nodes, BLOB_MIN_COUNT)
+
+
 def _q_cell_top_lang(sf_dir: str):
     """Grouped mode per grid cell: the most frequent language with a
     deterministic tie-break (stages/text.py::cell_top_lang) — per-batch
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "cell_top_lang": _q_cell_top_lang,
         "cell_blobs": _q_cell_blobs,
+        "cell_blob_stats": _q_cell_blob_stats,
         "knn_join": _q_knn_join,
         "geohash_cells": _q_geohash_cells,
         "geohash_density": _q_geohash_density,
@@ -2057,6 +2066,28 @@ def oracle_sql() -> dict[str, str]:
         for i, p in enumerate(KNN_QUERIES)
     )
 
+    cell_blobs_inner = f"""
+WITH RECURSIVE {NODES_CTE},
+dense AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nodes_c GROUP BY cell HAVING COUNT(*) >= {BLOB_MIN_COUNT}
+),
+e0 AS (
+  SELECT d.cell AS src, x.cell AS dst
+  FROM dense d JOIN dense x ON x.cell = d.cell + 100000
+  UNION ALL
+  SELECT d.cell, x.cell FROM dense d JOIN dense x ON x.cell = d.cell + 1
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach AS (
+  SELECT cell AS id, cell AS r FROM dense
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id
+),
+grp AS (SELECT id, MIN(r) AS blob FROM reach GROUP BY id)
+SELECT d.cell, g.blob, d.n FROM dense d JOIN grp g ON g.id = d.cell
+"""
+
     # relation table CTE: rel(id, rg, minlon, minlat, maxlon, maxlat) with
     # child-bound absorption — the same derivation the green relations_bounds
     # oracle used, factored for reuse by the relation membership queries
@@ -2359,26 +2390,15 @@ WHERE rg % 3 = 0 AND EXISTS (
         # raster blob detection: dense cells (count >= BLOB_MIN_COUNT),
         # 4-adjacency by key arithmetic (east = cell + CELL_PACK, north =
         # cell + 1), blob = min reachable cell key (transitive closure)
-        "cell_blobs": f"""
-WITH RECURSIVE {NODES_CTE},
-dense AS (
-  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
-  FROM nodes_c GROUP BY cell HAVING COUNT(*) >= {BLOB_MIN_COUNT}
-),
-e0 AS (
-  SELECT d.cell AS src, x.cell AS dst
-  FROM dense d JOIN dense x ON x.cell = d.cell + 100000
-  UNION ALL
-  SELECT d.cell, x.cell FROM dense d JOIN dense x ON x.cell = d.cell + 1
-),
-e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-reach AS (
-  SELECT cell AS id, cell AS r FROM dense
-  UNION
-  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id
-),
-grp AS (SELECT id, MIN(r) AS blob FROM reach GROUP BY id)
-SELECT d.cell, g.blob, d.n FROM dense d JOIN grp g ON g.id = d.cell
+        "cell_blobs": cell_blobs_inner,
+        # per-blob rollup: component size, total features, cell-grid bbox
+        "cell_blob_stats": f"""
+SELECT blob,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MIN(cell // 100000) AS min_cx, MAX(cell // 100000) AS max_cx,
+       MIN(cell % 100000) AS min_cy, MAX(cell % 100000) AS max_cy
+FROM ({cell_blobs_inner}) t GROUP BY blob
 """,
         "cell_top_lang": f"""
 {W},

@@ -669,3 +669,57 @@ def cell_blobs(
     return _attach_int64(dense, lbl, "cell", "blob", n_buckets).select_columns(
         ["cell", "blob", "n"]
     )
+
+
+def cell_blob_stats(
+    nodes: ray.data.Dataset,
+    min_count: int,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-blob rollup of :func:`cell_blobs`: component size in cells, total
+    feature count and the cell-grid bounding box. One extra tiny groupby
+    over the dense-cell table (bounded by occupied cells, never input rows).
+    Returns (blob, n_cells, n_rows, min_cx, max_cx, min_cy, max_cy).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..model import unpack_cell
+
+    blobs = cell_blobs(nodes, min_count, num_partitions=num_partitions).materialize()
+    if blobs.count() == 0:
+        c = lambda: pa.array([], type=pa.int64())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "blob": c(), "n_cells": c(), "n_rows": c(),
+                    "min_cx": c(), "max_cx": c(), "min_cy": c(), "max_cy": c(),
+                }
+            )
+        )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], dtype=np.int64)
+        cx, cy = unpack_cell(cell)
+        return pa.table(
+            {
+                "blob": batch["blob"],
+                "one": pa.array(np.ones(len(cell), dtype=np.int64)),
+                "n": batch["n"],
+                "cx": pa.array(cx),
+                "cy": pa.array(cy),
+            }
+        )
+
+    return (
+        blobs.map_batches(widen, batch_format="pyarrow")
+        .groupby("blob")
+        .aggregate(
+            Sum("one", alias_name="n_cells"),
+            Sum("n", alias_name="n_rows"),
+            Min("cx", alias_name="min_cx"),
+            Max("cx", alias_name="max_cx"),
+            Min("cy", alias_name="min_cy"),
+            Max("cy", alias_name="max_cy"),
+        )
+    )

@@ -145,3 +145,29 @@ def test_cell_blobs_no_dense_cells():
     )
     out = cell_blobs(ds, 2).to_pandas()
     assert len(out) == 0
+
+
+def test_cell_blob_stats_rollup():
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.model import pack_cell
+    from simple_osm_queries_ray.stages.raster import cell_blob_stats
+
+    def pts(cx, cy, n):
+        return [(cx * 0.1 + 0.05 + i * 1e-4, cy * 0.1 + 0.05) for i in range(n)]
+
+    coords = pts(90, 530, 2) + pts(91, 530, 3) + pts(91, 531, 2) + pts(95, 535, 4)
+    lon = np.array([c[0] for c in coords])
+    lat = np.array([c[1] for c in coords])
+    ids = np.arange(len(coords), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+    got = cell_blob_stats(ds, 2).to_pandas().sort_values("blob").reset_index(drop=True)
+    k = lambda cx, cy: int(pack_cell(np.int64(cx), np.int64(cy)))
+    assert got["blob"].tolist() == [k(90, 530), k(95, 535)]
+    assert got["n_cells"].tolist() == [3, 1]
+    assert got["n_rows"].tolist() == [7, 4]
+    assert got[["min_cx", "max_cx", "min_cy", "max_cy"]].values.tolist() == [
+        [90, 91, 530, 531],
+        [95, 95, 535, 535],
+    ]
