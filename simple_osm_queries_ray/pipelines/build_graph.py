@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.segments import list_parts
@@ -355,12 +356,31 @@ def attach_reverse_membership(
     """
     from ..stages.joins import attach_edges_broadcast
 
+    def edge_count(member_ds, list_col):
+        # Size the broadcast-vs-shuffle gate WITHOUT executing the explode:
+        # sum the list lengths in a single projected scan (offsets only — the
+        # flat member values never leave the parquet reader). The explode
+        # emits exactly one edge per list element, so the counts agree.
+        # (r02 verdict: `edges.count()` here ran the full explode once for
+        # the gate and again in the chosen path — 2x the corpus-wide explode
+        # and the bench's most expensive stage.)
+        def partial(batch: pa.Table) -> pa.Table:
+            n = pc.sum(pc.list_value_length(batch[list_col])).as_py() or 0
+            return pa.table({"n": pa.array([int(n)], type=pa.int64())})
+
+        total = (
+            member_ds.select_columns([list_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sum("n")
+        )
+        return int(total or 0)
+
     def attach(ds, id_col, member_ds, list_col, edge_key, out_col):
         edges = explode_list(
             member_ds.select_columns(["id", list_col]), list_col, "id",
             out_val="__val", out_key=edge_key,
         )
-        if edges.count() <= broadcast_edge_limit:
+        if edge_count(member_ds, list_col) <= broadcast_edge_limit:
             return attach_edges_broadcast(ds, id_col, edges, edge_key, "__val", out_col)
         lists = collect_edge_lists(edges, edge_key, "__val", out_col)
         return attach_list_column(

@@ -63,7 +63,14 @@ _MEMBERSHIP = {
 
 
 class QueryEngine:
-    def __init__(self, repo: FeatureRepo, cell_scheme=None):
+    #: matched-ID sets up to this size are broadcast (``ray.put`` of a sorted
+    #: int64 array, ~8 B/id -> 400 MB at the default) and probed map-side;
+    #: bigger sets route through the partitioned hash-join fallback in
+    #: :meth:`_attach_probe_flag` — same semantics, one more shuffle, no
+    #: driver/worker materialization of the id set.
+    BROADCAST_ID_LIMIT = 50_000_000
+
+    def __init__(self, repo: FeatureRepo, cell_scheme=None, broadcast_id_limit: int | None = None):
         """``cell_scheme`` must match the scheme the repo's 'cell' columns
         were built with (default: the reference's flat grid). A hierarchical
         QuadCellScheme (functions/hiercell.py) plugs in here — the rest of
@@ -72,6 +79,9 @@ class QueryEngine:
 
         self.repo = repo
         self.cell_scheme = cell_scheme or GridCellScheme()
+        self.broadcast_id_limit = (
+            self.BROADCAST_ID_LIMIT if broadcast_id_limit is None else broadcast_id_limit
+        )
 
     # -- public API -------------------------------------------------------
     def execute_string(self, text: str) -> ray.data.Dataset:
@@ -147,7 +157,7 @@ class QueryEngine:
             stmt.location, obj_type, required_key_indices(stmt.filter),
             and_level_tag_constraints(stmt.filter),
         )
-        probes = self._resolve_substatements(stmt, candidates, obj_type)
+        candidates, probes = self._resolve_substatements(stmt, candidates, obj_type)
         filt = stmt.filter
 
         def apply_filter(batch: pa.Table) -> pa.Table:
@@ -199,13 +209,18 @@ class QueryEngine:
 
     def _resolve_substatements(
         self, stmt: Statement, candidates: ray.data.Dataset, obj_type: str
-    ) -> dict[int, tuple[str, object]]:
+    ) -> tuple[ray.data.Dataset, dict[tuple, tuple[str, object]]]:
+        """Resolve each sub-statement to a probe the per-batch filter can
+        evaluate. Returns ``(candidates, probes)`` — candidates may gain
+        attached ``__probe_N`` flag columns when a matched-ID set exceeds
+        ``broadcast_id_limit`` and the partitioned fallback runs."""
         subs = find_substatements(stmt.filter)
         if not subs:
-            return {}
+            return candidates, {}
         # all sub-statements share the same outer candidate cell set
         cells_needed_ref = self._distinct_cells_ref(candidates, obj_type)
         probes: dict[tuple, tuple[str, object]] = {}
+        n_flags = 0
         for path, sub in subs:
             inner_stmt = sub.statement
             buf = getattr(inner_stmt.location, "buffer_deg", None)
@@ -222,9 +237,78 @@ class QueryEngine:
                     f"Invalid query type {inner_stmt.query_type} requested for {obj_type} "
                     "in sub-statement expression"
                 )
-            ids_ref = self._matched_ids(inner_stmt, cells_needed_ref)
-            probes[path] = (col, ids_ref)
-        return probes
+            # one execution of the inner plan: the id projection is
+            # materialized (distributed, spillable), the gate count is then
+            # free, and BOTH paths reuse it (the broadcast previously re-ran
+            # the whole inner pipeline to collect ids)
+            matched_ids = self._matched_features(
+                inner_stmt, cells_needed_ref
+            ).select_columns(["id"]).materialize()
+            if matched_ids.count() <= self.broadcast_id_limit:
+                probes[path] = (col, sorted_id_array(matched_ids))
+            else:
+                flag_col = f"__probe_{n_flags}"
+                n_flags += 1
+                candidates = self._attach_probe_flag(candidates, col, matched_ids, flag_col)
+                probes[path] = ("@flag", flag_col)
+        return candidates, probes
+
+    def _attach_probe_flag(
+        self,
+        candidates: ray.data.Dataset,
+        member_col: str,
+        matched_ids: ray.data.Dataset,
+        flag_col: str,
+        num_partitions: int = 64,
+    ) -> ray.data.Dataset:
+        """Partitioned semi-join for matched-ID sets too big to broadcast:
+        explode the outer membership lists to (member, outer) edges, inner-
+        join the edges against the matched ids (hash-bucketed — no driver or
+        whole-worker materialization), dedup hit outer ids, and left-join a
+        flag column back onto the candidates. ``eval_filter_mask`` reads the
+        flag's validity instead of probing a broadcast array, so NOT/OR
+        compositions behave identically to the broadcast path."""
+        from ..stages.joins import explode_list, hash_join_attach
+
+        candidates = candidates.materialize()  # read by 2 plans below
+        edges = explode_list(
+            candidates.select_columns(["id", member_col]), member_col, "id",
+            out_val="__outer", out_key="__member",
+        )
+        flagged = matched_ids.map_batches(
+            lambda b: pa.table(
+                {"id": b["id"], "__m": pa.array(np.ones(len(b), dtype=np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        hit_edges = hash_join_attach(
+            edges, "__member", flagged, "id", {"__m": pa.int8()},
+            num_buckets=num_partitions,
+        ).filter(expr="__m == 1")
+
+        def batch_distinct(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"__outer": np.unique(np.asarray(batch["__outer"], dtype=np.int64))}
+            )
+
+        hits = (
+            hit_edges.map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby("__outer")
+            .count()
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "__outer": b["__outer"],
+                        flag_col: pa.array(np.ones(len(b), dtype=np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        return hash_join_attach(
+            candidates, "id", hits, "__outer", {flag_col: pa.int8()},
+            num_buckets=num_partitions,
+        )
 
     def _buffer_matched_outer_ids(
         self,
@@ -285,9 +369,6 @@ class QueryEngine:
             )
         return sorted_unique_id_array(pairs, "node_id")
 
-    def _matched_ids(self, inner_stmt: Statement, cells_needed_ref) -> "ray.ObjectRef":
-        return sorted_id_array(self._matched_features(inner_stmt, cells_needed_ref))
-
     def _matched_features(
         self, inner_stmt: Statement, cells_needed_ref, bbox_intersect=None
     ) -> ray.data.Dataset:
@@ -340,7 +421,9 @@ class QueryEngine:
             inner_candidates = inner_candidates.map_batches(bbox_pre, batch_format="pyarrow")
         # nested `this` inside the inner filter: context switches to the inner
         # feature (filter.go:193-196) — recurse with the inner candidates
-        probes = self._resolve_substatements(inner_stmt, inner_candidates, inner_obj)
+        inner_candidates, probes = self._resolve_substatements(
+            inner_stmt, inner_candidates, inner_obj
+        )
         filt = inner_stmt.filter
 
         def apply_filter(batch: pa.Table) -> pa.Table:

@@ -68,6 +68,14 @@ def eval_filter_mask(
             from ..state.broadcast import get as bget
 
             return isin_sorted(np.asarray(batch["id"], dtype=np.int64), bget(ids_ref))
+        if col == "@flag":
+            # partitioned-fallback sub-statement (matched-ID set exceeded the
+            # broadcast limit): the planner attached a nullable int8 flag
+            # column; validity IS the probe result
+            arr = batch[ids_ref]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return ~np.asarray(arr.is_null())
         return probe_membership_lists(batch[col], ids_ref)
     raise TypeError(f"Unknown filter expression {type(expr)}")
 

@@ -367,3 +367,40 @@ def test_buffer_small_bbox_long_segments(engine, graph):
         lambda w: w.tags.get("wtype") == "primary",
     )
     assert got == exp and got
+
+
+@pytest.fixture(scope="module")
+def fallback_engine():
+    """Engine with broadcast_id_limit=0: every membership sub-statement is
+    forced through the partitioned hash-join fallback (_attach_probe_flag)
+    instead of the ray.put broadcast probe."""
+    return QueryEngine(build_repo(SF), broadcast_id_limit=0)
+
+
+def test_semi_join_partitioned_fallback_matches_broadcast(engine, fallback_engine):
+    for text in [
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND this.ways{{wtype=primary}}}}",
+        f"{bbox_str(SMALL)}.ways{{this.nodes{{lang=zh}}}}",
+        f"{bbox_str(BBOX)}.nodes{{!this.ways{{bridge=*}}}}",
+        f"{bbox_str(BBOX)}.nodes{{lang=fr OR this.ways{{wtype=primary}}}}",
+    ]:
+        exp = q(engine, text)
+        got = q(fallback_engine, text)
+        assert got == exp and got, text
+
+
+def test_semi_join_fallback_nested(engine, fallback_engine):
+    text = (
+        f"{bbox_str(SMALL)}.nodes{{this.ways{{wtype=residential "
+        f"AND this.nodes{{lang=zh}}}}}}"
+    )
+    assert q(fallback_engine, text) == q(engine, text)
+
+
+def test_semi_join_fallback_projection_clean(fallback_engine):
+    """The attached __probe_N flag column must not leak into the projected
+    result schema."""
+    ds = fallback_engine.execute_string(
+        f"{bbox_str(SMALL)}.nodes{{this.ways{{wtype=primary}}}}"
+    )
+    assert set(ds.schema().names) == {"id", "lon", "lat"}
