@@ -692,7 +692,7 @@ def _seg_min_d2(
 
 
 def nearest_way_join(
-    nodes: ray.data.Dataset, ways: ray.data.Dataset
+    nodes: ray.data.Dataset, ways: ray.data.Dataset, brute_cap: int = 50_000
 ) -> ray.data.Dataset:
     """Snap-to-road: for every node, the id and squared planar distance of
     the NEAREST way polyline (exact clamped point-to-segment distance,
@@ -709,13 +709,16 @@ def nearest_way_join(
     pair over the segment axis. A bucket-local minimum is provably global
     when d2 <= g^2: a way absent from the node's bucket has an expanded
     bbox missing that cell, so every point of it lies farther than g.
-    Phase 2 collects the (rare at any realistic road density) unresolved
-    nodes driver-side, broadcasts their coordinates once (``ray.put``), and
-    STREAMS the way table through ``map_batches`` emitting per-batch
-    partial argmins; a tiny final groupby picks the lexicographic
-    (d2, way_id) minimum. Worst case (no way within g of anything) it
-    degrades to one streamed scan of the ways — never a shuffle of the
-    corpus, never a wrong answer."""
+    Phase 2 resolves the unresolved nodes DISTRIBUTED by expanding
+    coarsened-block rounds (mirroring ``knn.resolve_knn_residue``): at level
+    L the grid coarsens to 2^L x 2^L base cells, ways replicate to the
+    level-L covering of their bbox expanded by g_L = 2^L * g and are
+    filtered map-side to the cells residue nodes occupy; a bucket-local
+    minimum is global once d2 <= g_L^2. Only when the residue shrinks below
+    ``brute_cap`` does the driver pull the remaining nodes (bounded,
+    asserted) and stream the way table against the broadcast — the former
+    phase 2, whose driver pull was Theta(N) on sparse geography (r02
+    verdict #4). Worst case remains exact, never a shuffle of the corpus."""
     from ..functions.segments import list_parts
     from ..model import CELL_H, CELL_W, pack_cell
 
@@ -723,62 +726,88 @@ def nearest_way_join(
     g2 = g * g
     BIG_ID = np.iinfo(np.int64).max
 
-    def rep_ways(batch: pa.Table) -> pa.Table:
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        mnx = np.asarray(batch["minlon"], dtype=np.float64) - g
-        mny = np.asarray(batch["minlat"], dtype=np.float64) - g
-        mxx = np.asarray(batch["maxlon"], dtype=np.float64) + g
-        mxy = np.asarray(batch["maxlat"], dtype=np.float64) + g
-        cx0 = np.floor(mnx / CELL_W).astype(np.int64)
-        cx1 = np.floor(mxx / CELL_W).astype(np.int64)
-        cy0 = np.floor(mny / CELL_H).astype(np.int64)
-        cy1 = np.floor(mxy / CELL_H).astype(np.int64)
-        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
-        counts = nx * ny
-        total = int(counts.sum())
-        row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
-        offs = np.zeros(len(ids_), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offs[1:])
-        k = np.arange(total, dtype=np.int64) - offs[row]
-        cell = pack_cell(cx0[row] + k // ny[row], cy0[row] + k % ny[row])
-        return pa.table(
-            {
-                "bucket": pa.array(cell),
-                "way_id": pa.array(ids_[row]),
-                "lons": batch["node_lons"].take(pa.array(row)),
-                "lats": batch["node_lats"].take(pa.array(row)),
-                "mnx": pa.array(mnx[row]), "mny": pa.array(mny[row]),
-                "mxx": pa.array(mxx[row]), "mxy": pa.array(mxy[row]),
-                "node_id": pa.nulls(total, pa.int64()),
-                "lon": pa.nulls(total, pa.float64()),
-                "lat": pa.nulls(total, pa.float64()),
-                "side": pa.array(np.ones(total, dtype=np.int8)),
-            }
-        )
+    def make_rep_ways(level: int, needed_ref=None):
+        """Level-L way replication: bbox expanded by g_L = 2^L * g, covering
+        enumerated on the level-L grid (base cells >> level so node and way
+        cells agree bit-exactly), optionally filtered to the needed cells
+        the residue nodes occupy — a map-side prune, no way shuffle."""
+        gl = g * float(1 << level)
 
-    def rep_nodes(batch: pa.Table) -> pa.Table:
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        lon = np.asarray(batch["lon"], dtype=np.float64)
-        lat = np.asarray(batch["lat"], dtype=np.float64)
-        cell = pack_cell(
-            np.floor(lon / CELL_W).astype(np.int64), np.floor(lat / CELL_H).astype(np.int64)
-        )
-        n = len(ids_)
-        lf = pa.list_(pa.float64())
-        return pa.table(
-            {
-                "bucket": pa.array(cell),
-                "way_id": pa.nulls(n, pa.int64()),
-                "lons": pa.nulls(n, lf),
-                "lats": pa.nulls(n, lf),
-                "mnx": pa.nulls(n, pa.float64()), "mny": pa.nulls(n, pa.float64()),
-                "mxx": pa.nulls(n, pa.float64()), "mxy": pa.nulls(n, pa.float64()),
-                "node_id": pa.array(ids_),
-                "lon": pa.array(lon),
-                "lat": pa.array(lat),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-            }
-        )
+        def rep_ways(batch: pa.Table) -> pa.Table:
+            ids_ = np.asarray(batch["id"], dtype=np.int64)
+            mnx = np.asarray(batch["minlon"], dtype=np.float64) - gl
+            mny = np.asarray(batch["minlat"], dtype=np.float64) - gl
+            mxx = np.asarray(batch["maxlon"], dtype=np.float64) + gl
+            mxy = np.asarray(batch["maxlat"], dtype=np.float64) + gl
+            cx0 = np.floor(mnx / CELL_W).astype(np.int64) >> level
+            cx1 = np.floor(mxx / CELL_W).astype(np.int64) >> level
+            cy0 = np.floor(mny / CELL_H).astype(np.int64) >> level
+            cy1 = np.floor(mxy / CELL_H).astype(np.int64) >> level
+            nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+            counts = nx * ny
+            total = int(counts.sum())
+            row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
+            offs = np.zeros(len(ids_), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            k = np.arange(total, dtype=np.int64) - offs[row]
+            cell = pack_cell(cx0[row] + k // ny[row], cy0[row] + k % ny[row])
+            if needed_ref is not None:
+                from ..state.broadcast import get as bget
+
+                need = bget(needed_ref)
+                if len(need):
+                    pos = np.searchsorted(need, cell)
+                    pos[pos >= len(need)] = len(need) - 1
+                    keep = need[pos] == cell
+                else:
+                    keep = np.zeros(len(cell), dtype=bool)
+                row, cell = row[keep], cell[keep]
+                total = len(row)
+            take = pa.array(row)
+            return pa.table(
+                {
+                    "bucket": pa.array(cell),
+                    "way_id": pa.array(ids_[row]),
+                    "lons": batch["node_lons"].take(take),
+                    "lats": batch["node_lats"].take(take),
+                    "mnx": pa.array(mnx[row]), "mny": pa.array(mny[row]),
+                    "mxx": pa.array(mxx[row]), "mxy": pa.array(mxy[row]),
+                    "node_id": pa.nulls(total, pa.int64()),
+                    "lon": pa.nulls(total, pa.float64()),
+                    "lat": pa.nulls(total, pa.float64()),
+                    "side": pa.array(np.ones(total, dtype=np.int8)),
+                }
+            )
+
+        return rep_ways
+
+    def make_rep_nodes(level: int, id_col: str = "id"):
+        def rep_nodes(batch: pa.Table) -> pa.Table:
+            ids_ = np.asarray(batch[id_col], dtype=np.int64)
+            lon = np.asarray(batch["lon"], dtype=np.float64)
+            lat = np.asarray(batch["lat"], dtype=np.float64)
+            cell = pack_cell(
+                np.floor(lon / CELL_W).astype(np.int64) >> level,
+                np.floor(lat / CELL_H).astype(np.int64) >> level,
+            )
+            n = len(ids_)
+            lf = pa.list_(pa.float64())
+            return pa.table(
+                {
+                    "bucket": pa.array(cell),
+                    "way_id": pa.nulls(n, pa.int64()),
+                    "lons": pa.nulls(n, lf),
+                    "lats": pa.nulls(n, lf),
+                    "mnx": pa.nulls(n, pa.float64()), "mny": pa.nulls(n, pa.float64()),
+                    "mxx": pa.nulls(n, pa.float64()), "mxy": pa.nulls(n, pa.float64()),
+                    "node_id": pa.array(ids_),
+                    "lon": pa.array(lon),
+                    "lat": pa.array(lat),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        return rep_nodes
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -860,14 +889,14 @@ def nearest_way_join(
             }
         )
 
+    way_cols = ways.select_columns(
+        ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+    )
     local = (
-        ways.select_columns(
-            ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
-        )
-        .map_batches(rep_ways, batch_format="pyarrow")
+        way_cols.map_batches(make_rep_ways(0), batch_format="pyarrow")
         .union(
             nodes.select_columns(["id", "lon", "lat"]).map_batches(
-                rep_nodes, batch_format="pyarrow"
+                make_rep_nodes(0), batch_format="pyarrow"
             )
         )
         .groupby("bucket")
@@ -875,13 +904,77 @@ def nearest_way_join(
         .materialize()
     )
 
-    resolved = local.filter(expr=f"d2 <= {g2!r}").select_columns(["node_id", "way_id", "d2"])
-
-    un = local.filter(expr=f"d2 > {g2!r}").select_columns(["node_id", "lon", "lat"]).to_pandas()
-    if len(un) == 0:
-        return resolved
+    parts = [local.filter(expr=f"d2 <= {g2!r}").select_columns(["node_id", "way_id", "d2"])]
+    residue = (
+        local.filter(expr=f"d2 > {g2!r}")
+        .select_columns(["node_id", "lon", "lat"])
+        .materialize()
+    )
+    n_res = residue.count()
 
     import ray as _ray
+
+    from ..model import cell_xy
+
+    # expanding coarsened-block rounds (see docstring); level 13 blocks span
+    # every occupiable base cell, so termination is structural
+    MAX_LEVEL = 13
+    level = 1
+    while n_res > brute_cap and level <= MAX_LEVEL:
+        cell_parts = []
+        for b in residue.select_columns(["lon", "lat"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            cx, cy = cell_xy(
+                np.asarray(b["lon"], dtype=np.float64),
+                np.asarray(b["lat"], dtype=np.float64),
+            )
+            cell_parts.append(np.unique(pack_cell(cx >> level, cy >> level)))
+        needed = (
+            np.unique(np.concatenate(cell_parts))
+            if cell_parts
+            else np.array([], dtype=np.int64)
+        )
+        needed_ref = _ray.put(needed)
+        gl2 = (g * float(1 << level)) ** 2
+        local = (
+            way_cols.map_batches(make_rep_ways(level, needed_ref), batch_format="pyarrow")
+            .union(residue.map_batches(make_rep_nodes(level, "node_id"), batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        if level == MAX_LEVEL:
+            # the level-13 expanded covering spans every occupiable cell, so
+            # every finite minimum is global (inf = empty way table -> no row)
+            parts.append(
+                local.filter(expr=f"d2 < {1e308!r}").select_columns(
+                    ["node_id", "way_id", "d2"]
+                )
+            )
+            n_res = 0
+            break
+        parts.append(
+            local.filter(expr=f"d2 <= {gl2!r}").select_columns(["node_id", "way_id", "d2"])
+        )
+        residue = (
+            local.filter(expr=f"d2 > {gl2!r}")
+            .select_columns(["node_id", "lon", "lat"])
+            .materialize()
+        )
+        n_res = residue.count()
+        level += 1
+
+    resolved = parts[0]
+    for p in parts[1:]:
+        resolved = resolved.union(p)
+    if n_res == 0:
+        return resolved
+    assert n_res <= brute_cap, (
+        f"nearest_way residue {n_res} exceeds brute_cap {brute_cap} after the "
+        "final coarsened-block round — unreachable by construction"
+    )
+    un = residue.to_pandas()
 
     qids = un["node_id"].to_numpy(dtype=np.int64)
     qx = un["lon"].to_numpy(dtype=np.float64)

@@ -438,11 +438,10 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
     point meets everything in its 3x3 cell block and takes the block-local
     minimum. A block-local answer is provably global when d2 <= CELL^2,
     because any point outside the block is strictly farther than one cell
-    width. Phase 2 collects the (rare) unresolved points — isolated ones or
-    block minima beyond a cell — broadcasts them as query points, and
-    resolves them exactly with the brute-force kNN machinery (k=2, drop
-    self). At uniform density phase 2 is empty; worst case (all points
-    isolated) it degrades to the brute-force join, never to wrong answers.
+    width. Phase 2 resolves the (rare) unresolved points — isolated ones or
+    block minima beyond a cell — DISTRIBUTED via
+    :func:`resolve_knn_residue` (expanding coarsened blocks, k=1); the
+    driver never materializes more than the resolver's brute_cap tail.
     """
     from ..model import CELL_H, CELL_W, cell_xy, pack_cell
 
@@ -478,7 +477,7 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
         lat = np.asarray(tbl["lat"], dtype=np.float64)
         home = np.asarray(tbl["home"], dtype=np.bool_)
         hi = np.flatnonzero(home)
-        out = {"id": [], "nn_id": [], "dist2": []}
+        out = {"id": [], "nn_id": [], "dist2": [], "qlon": [], "qlat": []}
         for s in range(0, len(hi), 512):
             h = hi[s : s + 512]
             dlon = lon[h, None] - lon[None, :]
@@ -491,12 +490,16 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
             out["id"].append(ids_[h])
             out["nn_id"].append(nn)
             out["dist2"].append(m)
+            out["qlon"].append(lon[h])
+            out["qlat"].append(lat[h])
         if not out["id"]:
             return pa.table(
                 {
                     "id": pa.array([], type=pa.int64()),
                     "nn_id": pa.array([], type=pa.int64()),
                     "dist2": pa.array([], type=pa.float64()),
+                    "qlon": pa.array([], type=pa.float64()),
+                    "qlat": pa.array([], type=pa.float64()),
                 }
             )
         return pa.table(
@@ -504,6 +507,8 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
                 "id": pa.array(np.concatenate(out["id"])),
                 "nn_id": pa.array(np.concatenate(out["nn_id"])),
                 "dist2": pa.array(np.concatenate(out["dist2"])),
+                "qlon": pa.array(np.concatenate(out["qlon"])),
+                "qlat": pa.array(np.concatenate(out["qlat"])),
             }
         )
 
@@ -515,49 +520,19 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
         .materialize()
     )
 
-    resolved = local.filter(expr=f"dist2 <= {guarantee2!r}")
+    resolved = local.filter(expr=f"dist2 <= {guarantee2!r}").drop_columns(["qlon", "qlat"])
 
-    # phase 2: the unresolved residue (tiny at any realistic density)
-    unresolved = local.filter(expr=f"dist2 > {guarantee2!r}").select_columns(["id"])
-    un_ids = np.sort(
-        np.asarray(unresolved.to_pandas()["id"].to_numpy(), dtype=np.int64)
+    # phase 2: the unresolved residue stays a Dataset and resolves
+    # distributed (k=1) — no driver pull, no broadcast of ids
+    residue = (
+        local.filter(expr=f"dist2 > {guarantee2!r}")
+        .select_columns(["id", "qlon", "qlat"])
+        .rename_columns({"qlon": "lon", "qlat": "lat"})
     )
-    if len(un_ids) == 0:
+    if residue.count() == 0:
         return resolved
-
-    import ray as _ray
-
-    ids_ref = _ray.put(un_ids)
-
-    def pick_points(batch: pa.Table) -> pa.Table:
-        from ..state.broadcast import get as bget
-
-        arr = bget(ids_ref)
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        pos = np.searchsorted(arr, ids_)
-        pos[pos >= len(arr)] = len(arr) - 1
-        keep = arr[pos] == ids_
-        return batch.filter(pa.array(keep))
-
-    pts = (
-        ds.select_columns(["id", "lon", "lat"])
-        .map_batches(pick_points, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("id")
-    )
-    qpts = np.stack([pts["lon"].to_numpy(), pts["lat"].to_numpy()], axis=1)
-    qids = pts["id"].to_numpy(dtype=np.int64)
-    fb = knn_bruteforce(ds, qpts, 2).to_pandas()
-    fb["self_id"] = qids[fb["qid"].to_numpy()]
-    fb = fb[fb["id"] != fb["self_id"]].sort_values(["qid", "rank"]).groupby("qid").head(1)
-    fixed = pa.table(
-        {
-            "id": pa.array(fb["self_id"].to_numpy(dtype=np.int64)),
-            "nn_id": pa.array(fb["id"].to_numpy(dtype=np.int64)),
-            "dist2": pa.array(fb["dist2"].to_numpy(dtype=np.float64)),
-        }
-    )
-    return resolved.union(ray.data.from_arrow(fixed))
+    fixed = resolve_knn_residue(ds, residue, 1, exclude_self=True).drop_columns(["rank"])
+    return resolved.union(fixed)
 
 
 _ATTACH_MUL = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
@@ -818,6 +793,330 @@ def dbscan(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def _residue_round_fns(level: int, needed_ref, g2: float, k: int, exclude_self: bool, final: bool):
+    """Per-level kernels for :func:`resolve_knn_residue`, bound via factory
+    locals so lazy execution after the loop advances ``level`` stays correct."""
+    from ..model import cell_xy
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        need = bget(needed_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cx, cy = cell_xy(lon, lat)
+        cell = pack_cell(cx >> level, cy >> level)
+        if len(need):
+            pos = np.searchsorted(need, cell)
+            pos[pos >= len(need)] = len(need) - 1
+            keep = need[pos] == cell
+        else:
+            keep = np.zeros(len(cell), dtype=bool)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "bucket": pa.array(cell[keep]),
+                "id": t["id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "is_query": pa.array(np.zeros(len(t), dtype=np.bool_)),
+            }
+        )
+
+    def query_side(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        ids_ = np.asarray(batch["id"], dtype=np.int64)
+        cx, cy = cell_xy(lon, lat)
+        cxl, cyl = cx >> level, cy >> level
+        buckets = [
+            pack_cell(cxl + dx, cyl + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]
+        n = len(ids_)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets)),
+                "id": pa.array(np.tile(ids_, 9)),
+                "lon": pa.array(np.tile(lon, 9)),
+                "lat": pa.array(np.tile(lat, 9)),
+                "is_query": pa.array(np.ones(9 * n, dtype=np.bool_)),
+            }
+        )
+
+    _EMPTY_PART = pa.table(
+        {
+            "id": pa.array([], type=pa.int64()),
+            "nn_id": pa.array([], type=pa.int64()),
+            "dist2": pa.array([], type=pa.float64()),
+            "qlon": pa.array([], type=pa.float64()),
+            "qlat": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def partial_topk(tbl: pa.Table) -> pa.Table:
+        isq = np.asarray(tbl["is_query"], dtype=np.bool_)
+        if not isq.any():
+            return _EMPTY_PART
+        ids_ = np.asarray(tbl["id"], dtype=np.int64)
+        lon = np.asarray(tbl["lon"], dtype=np.float64)
+        lat = np.asarray(tbl["lat"], dtype=np.float64)
+        qi = np.flatnonzero(isq)
+        ci = np.flatnonzero(~isq)
+        # corpus sorted by id -> stable lexsort reproduces the (dist2, id)
+        # tie-break of the SQL twin
+        corder = ci[np.argsort(ids_[ci], kind="stable")]
+        cid, clon, clat = ids_[corder], lon[corder], lat[corder]
+        out = {c: [] for c in ("id", "nn_id", "dist2", "qlon", "qlat")}
+        if len(cid) == 0:
+            # keep empty-block queries alive for the next round
+            out["id"].append(ids_[qi])
+            out["nn_id"].append(np.full(len(qi), -1, dtype=np.int64))
+            out["dist2"].append(np.full(len(qi), np.inf))
+            out["qlon"].append(lon[qi])
+            out["qlat"].append(lat[qi])
+        for s in range(0, len(qi) if len(cid) else 0, 256):
+            h = qi[s : s + 256]
+            cand_id, cand_d2 = [], []
+            # slab the corpus axis: a coarse block can cover a dense cluster,
+            # so per-task memory must not scale with the block population
+            for cs in range(0, len(cid), 65536):
+                sl = slice(cs, cs + 65536)
+                dlon = lon[h, None] - clon[None, sl]
+                dlat = lat[h, None] - clat[None, sl]
+                d2 = dlon * dlon + dlat * dlat
+                if exclude_self:
+                    d2[ids_[h, None] == cid[None, sl]] = np.inf
+                kk = min(k, d2.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(cid[sl], d2.shape), d2), axis=1
+                )[:, :kk]
+                cand_id.append(cid[sl][order])
+                cand_d2.append(np.take_along_axis(d2, order, axis=1))
+            ad = np.concatenate(cand_d2, axis=1)
+            ai = np.concatenate(cand_id, axis=1)
+            order = np.lexsort((ai, ad), axis=1)[:, : min(k, ad.shape[1])]
+            sd2 = np.take_along_axis(ad, order, axis=1)
+            sid = np.take_along_axis(ai, order, axis=1)
+            fin = np.isfinite(sd2)
+            rows, _ = np.nonzero(fin)
+            out["id"].append(np.repeat(ids_[h], fin.sum(axis=1)))
+            out["nn_id"].append(sid[fin])
+            out["dist2"].append(sd2[fin])
+            out["qlon"].append(np.repeat(lon[h], fin.sum(axis=1)))
+            out["qlat"].append(np.repeat(lat[h], fin.sum(axis=1)))
+            # queries whose every candidate is inf (self-only block) still
+            # need a carrier row
+            none = ~fin.any(axis=1)
+            if none.any():
+                out["id"].append(ids_[h][none])
+                out["nn_id"].append(np.full(int(none.sum()), -1, dtype=np.int64))
+                out["dist2"].append(np.full(int(none.sum()), np.inf))
+                out["qlon"].append(lon[h][none])
+                out["qlat"].append(lat[h][none])
+        if not out["id"]:
+            return _EMPTY_PART
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out["id"]).astype(np.int64)),
+                "nn_id": pa.array(np.concatenate(out["nn_id"]).astype(np.int64)),
+                "dist2": pa.array(np.concatenate(out["dist2"])),
+                "qlon": pa.array(np.concatenate(out["qlon"])),
+                "qlat": pa.array(np.concatenate(out["qlat"])),
+            }
+        )
+
+    def merge_topk(tbl: pa.Table) -> pa.Table:
+        qid = np.asarray(tbl["id"], dtype=np.int64)
+        nn = np.asarray(tbl["nn_id"], dtype=np.int64)
+        d2 = np.asarray(tbl["dist2"], dtype=np.float64)
+        qlon = np.asarray(tbl["qlon"], dtype=np.float64)
+        qlat = np.asarray(tbl["qlat"], dtype=np.float64)
+        # candidates are unique per (query, corpus point): a corpus point
+        # lives in exactly one level-L cell, so no cross-bucket duplicates
+        order = np.lexsort((nn, d2, qid))
+        qid, nn, d2 = qid[order], nn[order], d2[order]
+        qlon, qlat = qlon[order], qlat[order]
+        starts = np.ones(len(qid), dtype=bool)
+        starts[1:] = qid[1:] != qid[:-1]
+        sidx = np.flatnonzero(starts)
+        ends = np.append(sidx[1:], len(qid))
+        out = {c: [] for c in ("id", "rank", "nn_id", "dist2", "ok", "lon", "lat")}
+        for s, e in zip(sidx, ends):
+            cand = slice(s, min(e, s + k))
+            cd2 = d2[cand]
+            cnn = nn[cand]
+            real = np.isfinite(cd2) & (cnn >= 0)
+            nreal = int(real.sum())
+            ok = final or (nreal == k and cd2[real][-1] <= g2)
+            if ok and nreal:
+                out["id"].append(np.full(nreal, qid[s]))
+                out["rank"].append(np.arange(1, nreal + 1, dtype=np.int64))
+                out["nn_id"].append(cnn[real])
+                out["dist2"].append(cd2[real])
+                out["ok"].append(np.ones(nreal, dtype=np.bool_))
+                out["lon"].append(np.full(nreal, qlon[s]))
+                out["lat"].append(np.full(nreal, qlat[s]))
+            else:
+                out["id"].append(np.array([qid[s]]))
+                out["rank"].append(np.array([1], dtype=np.int64))
+                out["nn_id"].append(np.array([-1], dtype=np.int64))
+                out["dist2"].append(np.array([np.inf]))
+                out["ok"].append(np.zeros(1, dtype=np.bool_))
+                out["lon"].append(np.array([qlon[s]]))
+                out["lat"].append(np.array([qlat[s]]))
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out["id"]).astype(np.int64)),
+                "rank": pa.array(np.concatenate(out["rank"]).astype(np.int64)),
+                "nn_id": pa.array(np.concatenate(out["nn_id"]).astype(np.int64)),
+                "dist2": pa.array(np.concatenate(out["dist2"])),
+                "ok": pa.array(np.concatenate(out["ok"])),
+                "lon": pa.array(np.concatenate(out["lon"])),
+                "lat": pa.array(np.concatenate(out["lat"])),
+            }
+        )
+
+    return corpus_side, query_side, partial_topk, merge_topk
+
+
+#: one 3x3 block at this level spans every occupiable base cell
+#: (2^13 = 8192 > 3600 cells across the lon range), so the final round is
+#: exact by construction and the loop always terminates
+_RESIDUE_MAX_LEVEL = 13
+
+
+def resolve_knn_residue(
+    ds: ray.data.Dataset,
+    residue: ray.data.Dataset,
+    k: int,
+    exclude_self: bool = True,
+    brute_cap: int = 50_000,
+) -> ray.data.Dataset:
+    """Exact kNN for ``residue`` queries (id, lon, lat) against ``ds``,
+    fully distributed — replaces the former driver-side whole-corpus brute
+    force (r02 verdict #4), whose cost was O(residue x N) with an unbounded
+    driver pull on sparse/skewed data.
+
+    Expanding coarsened-block rounds: at level L the grid coarsens to
+    2^L x 2^L base cells, each residue query replicates to its 3x3 level-L
+    block, the corpus is filtered MAP-SIDE to the needed level-L cells (the
+    driver holds only the unique needed-cell array, which shrinks 4x per
+    level) and grouped per block. A query resolves when its kth candidate
+    lies within the level guarantee (any point outside the block is farther
+    than 2^L * min cell side). Once the residue fits ``brute_cap`` the
+    remaining queries go through the broadcast :func:`knn_bruteforce`
+    (driver pull bounded by the cap); at ``_RESIDUE_MAX_LEVEL`` a block
+    covers the world, so the loop cannot fail to terminate.
+
+    Returns (id, rank, nn_id, dist2) with rank 1..min(k, available) per
+    query, ordered by (dist2, nn_id) — the SQL twin's tie-break.
+    """
+    import ray as _ray
+
+    from ..model import cell_xy
+
+    guarantee0 = float(min(CELL_W, CELL_H))
+    corpus = ds.select_columns(["id", "lon", "lat"])
+    resolved_parts: list[ray.data.Dataset] = []
+    residue = residue.materialize()
+    n_res = residue.count()
+    level = 1
+    while n_res > brute_cap and level <= _RESIDUE_MAX_LEVEL:
+        cell_parts = []
+        for b in residue.select_columns(["lon", "lat"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            cx, cy = cell_xy(
+                np.asarray(b["lon"], dtype=np.float64),
+                np.asarray(b["lat"], dtype=np.float64),
+            )
+            cxl, cyl = cx >> level, cy >> level
+            cell_parts.append(
+                np.unique(
+                    np.concatenate(
+                        [
+                            pack_cell(cxl + dx, cyl + dy)
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)
+                        ]
+                    )
+                )
+            )
+        needed = (
+            np.unique(np.concatenate(cell_parts))
+            if cell_parts
+            else np.array([], dtype=np.int64)
+        )
+        needed_ref = _ray.put(needed)
+        g2 = (guarantee0 * float(1 << level)) ** 2
+        final = level == _RESIDUE_MAX_LEVEL
+        corpus_side, query_side, partial_topk, merge_topk = _residue_round_fns(
+            level, needed_ref, g2, k, exclude_self, final
+        )
+        merged = (
+            corpus.map_batches(corpus_side, batch_format="pyarrow")
+            .union(residue.map_batches(query_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(partial_topk, batch_format="pyarrow")
+            .groupby("id")
+            .map_groups(merge_topk, batch_format="pyarrow")
+            .materialize()
+        )
+        resolved_parts.append(
+            merged.filter(expr="ok == True").select_columns(
+                ["id", "rank", "nn_id", "dist2"]
+            )
+        )
+        residue = (
+            merged.filter(expr="ok == False")
+            .select_columns(["id", "lon", "lat"])
+            .materialize()
+        )
+        n_res = residue.count()
+        level += 1
+
+    if n_res > 0:
+        assert n_res <= brute_cap, (
+            f"kNN residue {n_res} exceeds brute_cap {brute_cap} after the "
+            "final coarsened-block round — unreachable by construction"
+        )
+        pts = residue.to_pandas().sort_values("id")
+        qpts = np.stack(
+            [pts["lon"].to_numpy(np.float64), pts["lat"].to_numpy(np.float64)], axis=1
+        )
+        qids = pts["id"].to_numpy(dtype=np.int64)
+        extra = 1 if exclude_self else 0
+        fb = knn_bruteforce(ds, qpts, k + extra).to_pandas()
+        fb["self_id"] = qids[fb["qid"].to_numpy()]
+        if exclude_self:
+            fb = fb[fb["id"] != fb["self_id"]]
+        fb = fb.sort_values(["qid", "rank"]).groupby("qid").head(k)
+        fb["new_rank"] = fb.groupby("qid").cumcount() + 1
+        fixed = pa.table(
+            {
+                "id": pa.array(fb["self_id"].to_numpy(dtype=np.int64)),
+                "rank": pa.array(fb["new_rank"].to_numpy(dtype=np.int64)),
+                "nn_id": pa.array(fb["id"].to_numpy(dtype=np.int64)),
+                "dist2": pa.array(fb["dist2"].to_numpy(dtype=np.float64)),
+            }
+        )
+        resolved_parts.append(ray.data.from_arrow(fixed))
+
+    if not resolved_parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "nn_id": pa.array([], type=pa.int64()),
+                    "dist2": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     """k-nearest-neighbour self-join: for every feature, its k closest
     other features as (id, rank, nn_id, dist2), rank 1..k ordered by
@@ -826,10 +1125,11 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     Same two-phase exact plan: 3x3 cell-block local top-k (the block answer
     is provably global when the K-TH distance <= CELL^2 — any point outside
     the block is strictly farther than one cell width), then the residue
-    (isolated points, or kth neighbour beyond a cell) resolves via the
-    broadcast brute-force kNN with k+1 and self dropped.  Block points are
-    pre-sorted by id so a stable argsort on distance reproduces the SQL
-    twin's ROW_NUMBER (ORDER BY dist2, id) tie-break exactly.
+    (isolated points, or kth neighbour beyond a cell) resolves DISTRIBUTED
+    via :func:`resolve_knn_residue` (expanding coarsened blocks; the driver
+    never holds more than the brute_cap tail). Block points are pre-sorted
+    by id so a stable argsort on distance reproduces the SQL twin's
+    ROW_NUMBER (ORDER BY dist2, id) tie-break exactly.
     """
     from ..model import CELL_H, CELL_W, cell_xy, pack_cell
 
@@ -864,7 +1164,7 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
         lat = np.asarray(tbl["lat"], dtype=np.float64)[order]
         home = np.asarray(tbl["home"], dtype=np.bool_)[order]
         hi = np.flatnonzero(home)
-        out = {"id": [], "rank": [], "nn_id": [], "dist2": [], "ok": []}
+        out = {"id": [], "rank": [], "nn_id": [], "dist2": [], "ok": [], "qlon": [], "qlat": []}
         m = len(ids_)
         for s in range(0, len(hi), 256):
             h = hi[s : s + 256]
@@ -875,13 +1175,15 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
             kk = min(k, max(m - 1, 0))
             if kk == 0:
                 # point alone in its 3x3 block: emit a placeholder row so the
-                # residue collector still sees it (brute force replaces it)
+                # residue resolver still sees it (carrying its coordinates)
                 rows = len(h)
                 out["id"].append(ids_[h])
                 out["rank"].append(np.zeros(rows, dtype=np.int64))
                 out["nn_id"].append(np.full(rows, -1, dtype=np.int64))
                 out["dist2"].append(np.full(rows, np.inf))
                 out["ok"].append(np.zeros(rows, dtype=np.bool_))
+                out["qlon"].append(lon[h])
+                out["qlat"].append(lat[h])
                 continue
             idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
             nn = ids_[idx]
@@ -899,6 +1201,8 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
             out["nn_id"].append(nn.ravel())
             out["dist2"].append(nd.ravel())
             out["ok"].append(np.repeat(ok, nd.shape[1]))
+            out["qlon"].append(np.repeat(lon[h], nd.shape[1]))
+            out["qlat"].append(np.repeat(lat[h], nd.shape[1]))
         if not out["id"]:
             return pa.table(
                 {
@@ -907,6 +1211,8 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
                     "nn_id": pa.array([], type=pa.int64()),
                     "dist2": pa.array([], type=pa.float64()),
                     "ok": pa.array([], type=pa.bool_()),
+                    "qlon": pa.array([], type=pa.float64()),
+                    "qlat": pa.array([], type=pa.float64()),
                 }
             )
         return pa.table(
@@ -916,6 +1222,8 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
                 "nn_id": pa.array(np.concatenate(out["nn_id"])),
                 "dist2": pa.array(np.concatenate(out["dist2"])),
                 "ok": pa.array(np.concatenate(out["ok"])),
+                "qlon": pa.array(np.concatenate(out["qlon"])),
+                "qlat": pa.array(np.concatenate(out["qlat"])),
             }
         )
 
@@ -926,45 +1234,17 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
         .map_groups(block_topk, batch_format="pyarrow")
         .materialize()
     )
-    resolved = local.filter(expr="ok == True").drop_columns(["ok"])
+    resolved = local.filter(expr="ok == True").drop_columns(["ok", "qlon", "qlat"])
 
-    un_pd = local.filter(expr="ok == False").select_columns(["id"]).to_pandas()
-    if "id" not in un_pd.columns or len(un_pd) == 0:
+    # unresolved queries carry their own coordinates (one row at rank <= 1),
+    # so the residue stays a Dataset — no driver pull, no broadcast of ids
+    residue = (
+        local.filter(expr="ok == False")
+        .filter(expr="rank <= 1")
+        .select_columns(["id", "qlon", "qlat"])
+        .rename_columns({"qlon": "lon", "qlat": "lat"})
+    )
+    if residue.count() == 0:
         return resolved
-    un_ids = np.unique(np.asarray(un_pd["id"].to_numpy(), dtype=np.int64))
-
-    import ray as _ray
-
-    ids_ref = _ray.put(un_ids)
-
-    def pick_points(batch: pa.Table) -> pa.Table:
-        from ..state.broadcast import get as bget
-
-        arr = bget(ids_ref)
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        pos = np.searchsorted(arr, ids_)
-        pos[pos >= len(arr)] = len(arr) - 1
-        keep = arr[pos] == ids_
-        return batch.filter(pa.array(keep))
-
-    pts = (
-        ds.select_columns(["id", "lon", "lat"])
-        .map_batches(pick_points, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("id")
-    )
-    qpts = np.stack([pts["lon"].to_numpy(), pts["lat"].to_numpy()], axis=1)
-    qids = pts["id"].to_numpy(dtype=np.int64)
-    fb = knn_bruteforce(ds, qpts, k + 1).to_pandas()
-    fb["self_id"] = qids[fb["qid"].to_numpy()]
-    fb = fb[fb["id"] != fb["self_id"]].sort_values(["qid", "rank"]).groupby("qid").head(k)
-    fb["new_rank"] = fb.groupby("qid").cumcount() + 1
-    fixed = pa.table(
-        {
-            "id": pa.array(fb["self_id"].to_numpy(dtype=np.int64)),
-            "rank": pa.array(fb["new_rank"].to_numpy(dtype=np.int64)),
-            "nn_id": pa.array(fb["id"].to_numpy(dtype=np.int64)),
-            "dist2": pa.array(fb["dist2"].to_numpy(dtype=np.float64)),
-        }
-    )
-    return resolved.union(ray.data.from_arrow(fixed))
+    fixed = resolve_knn_residue(ds, residue, k, exclude_self=True)
+    return resolved.union(fixed)

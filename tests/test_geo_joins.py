@@ -234,3 +234,38 @@ def test_simplify_ways_matches_recursive_dp(ways, eps):
         return keep
 
     assert gm == {i: dp(w, eps) for i, w in enumerate(ways)}
+
+
+def test_nearest_way_join_ring_rounds():
+    """brute_cap=0 forces the expanding coarsened-block rounds (no driver
+    brute force): sparse nodes several cells from every way must resolve
+    distributed with the exact (d2, way_id) argmin."""
+    from simple_osm_queries_ray.stages.geo import nearest_way_join
+
+    ways = [
+        [(0.05, 0.05), (0.25, 0.05)],
+        [(5.05, 5.05), (5.25, 5.05), (5.25, 5.25)],
+    ]
+    # nodes far from both ways (multiple levels needed) + one adjacent node
+    pts = [(2.5, 2.5), (9.9, 0.1), (0.06, 0.06), (7.0, 7.0)]
+    wtbl = _ways_table(ways)
+    ntbl = pa.table(
+        {
+            "id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "lon": pa.array([p[0] for p in pts], type=pa.float64()),
+            "lat": pa.array([p[1] for p in pts], type=pa.float64()),
+        }
+    )
+    got = nearest_way_join(
+        ray.data.from_arrow(ntbl), ray.data.from_arrow(wtbl), brute_cap=0
+    ).to_pandas()
+    got_map = {r.node_id: (r.way_id, r.d2) for r in got.itertuples()}
+    want = {}
+    for ni, p in enumerate(pts):
+        best = None
+        for wi, w in enumerate(ways):
+            d2 = min(_pt_seg_d2(p, w[s], w[s + 1]) for s in range(len(w) - 1))
+            if best is None or d2 < best[1] or (d2 == best[1] and wi < best[0]):
+                best = (wi, d2)
+        want[ni] = best
+    assert got_map == want

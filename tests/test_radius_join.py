@@ -112,3 +112,76 @@ def test_knn_join_matches_bruteforce(pts, k):
     lat = np.array([p[1] for p in pts], dtype=np.float64)
     got, want = _run_knn_join(lon, lat, k)
     assert got == want
+
+
+def test_resolve_residue_rings_sparse_lattice(monkeypatch):
+    """Sparse data where EVERY point is residue (lattice spacing > 3 cells):
+    with brute_cap=0 the expanding-block rounds must resolve everything
+    distributed — no driver brute-force — and match the exact answer."""
+    from simple_osm_queries_ray.stages import knn as knn_mod
+
+    # 6x6 lattice, spacing 0.35 deg (cell = 0.1): all 3x3 blocks are singletons
+    gx, gy = np.meshgrid(np.arange(6), np.arange(6))
+    lon = (gx.ravel() * 0.35 + 0.05).astype(np.float64)
+    lat = (gy.ravel() * 0.35 + 0.05).astype(np.float64)
+    ids = np.arange(len(lon), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+
+    def no_brute(*a, **k):
+        raise AssertionError("driver brute force must not run with brute_cap=0")
+
+    monkeypatch.setattr(knn_mod, "knn_bruteforce", no_brute)
+    got = (
+        knn_mod.resolve_knn_residue(
+            ds, ds.select_columns(["id", "lon", "lat"]), 3,
+            exclude_self=True, brute_cap=0,
+        )
+        .to_pandas()
+        .sort_values(["id", "rank"])
+    )
+    got_rows = [
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in zip(got["id"], got["rank"], got["nn_id"], got["dist2"])
+    ]
+    assert got_rows == brute_knn(lon, lat, ids, 3)
+
+
+def test_knn_join_ring_residue_matches(monkeypatch):
+    """knn_join with the residue forced through the ring rounds (cap=0)
+    equals the default path on mixed dense+sparse data."""
+    from simple_osm_queries_ray.stages import knn as knn_mod
+
+    rng = np.random.default_rng(7)
+    dense = rng.uniform(0.0, 0.3, size=(40, 2))
+    sparse = np.stack(
+        [np.arange(8) * 0.9 + 2.0, np.full(8, 0.05)], axis=1
+    )
+    pts = np.concatenate([dense, sparse])
+    lon, lat = pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64)
+    want = brute_knn(lon, lat, np.arange(len(lon), dtype=np.int64), 2)
+
+    orig = knn_mod.resolve_knn_residue
+
+    def capped(ds, residue, k, exclude_self=True, brute_cap=50_000):
+        return orig(ds, residue, k, exclude_self=exclude_self, brute_cap=0)
+
+    monkeypatch.setattr(knn_mod, "resolve_knn_residue", capped)
+    got, _ = _run_knn_join(lon, lat, 2)
+    assert got == want
+
+
+def test_nn_join_ring_residue(monkeypatch):
+    from simple_osm_queries_ray.stages import knn as knn_mod
+
+    orig = knn_mod.resolve_knn_residue
+
+    def capped(ds, residue, k, exclude_self=True, brute_cap=50_000):
+        return orig(ds, residue, k, exclude_self=exclude_self, brute_cap=0)
+
+    monkeypatch.setattr(knn_mod, "resolve_knn_residue", capped)
+    lon = np.array([0.05, 1.05, 2.05, 2.07], dtype=np.float64)
+    lat = np.array([0.05, 0.05, 0.05, 0.05], dtype=np.float64)
+    ids = np.arange(4, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "lon": lon, "lat": lat}))
+    got = knn_mod.nn_join(ds).to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["nn_id"].tolist() == [1, 2, 3, 2]
