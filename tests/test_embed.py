@@ -81,3 +81,58 @@ def test_lsh_near_dup_matches_exact_planted_pairs(ray_session):
     assert pl <= pe  # within-bucket exact verify -> no false positives
     assert pl == pe  # planted near-identical pairs land in shared buckets
     assert len(pe) > 0
+
+
+def test_lsh_params_scale_with_corpus():
+    """Planes-per-band grows with log2(N): the expected bucket size is
+    bounded regardless of corpus size (r02 verdict #3), and the band count
+    compensates to keep per-pair recall at tau."""
+    from simple_osm_queries_ray.stages.embed import _lsh_params
+
+    p_small, b_small = _lsh_params(500, 0.9)
+    p_big, b_big = _lsh_params(5_000_000, 0.9)
+    assert p_small == 4
+    assert p_big >= 14  # ~ log2(5e6 / 256)
+    assert 2**p_big >= 5_000_000 // 512  # buckets/band scale with N
+    assert 1 <= b_big <= 64
+
+
+def test_lsh_bucket_size_bounded_10x_fixture(ray_session):
+    """At 10x the fixture size the max LSH bucket must stay near the
+    target bucket size, not N/16 (the old fixed-16-buckets failure mode)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.embed import _lsh_params
+
+    rng = np.random.default_rng(3)
+    n, dim = 5200, 16
+    vecs = rng.standard_normal((n, dim))
+    planes_per_band, _ = _lsh_params(n, 0.9, target_bucket=256)
+    planes = np.random.RandomState(42).standard_normal((planes_per_band, dim))
+    signs = (vecs @ planes.T) > 0
+    buckets = signs @ (1 << np.arange(planes_per_band))
+    _, counts = np.unique(buckets, return_counts=True)
+    # random data: expected bucket ~ n / 2^p; allow generous slack for skew
+    assert counts.max() <= 8 * max(n >> planes_per_band, 256)
+    assert counts.max() < n / 4  # far from the old N/16-per-bucket regime
+
+
+def test_embed_near_dup_planner_routes(ray_session):
+    """The planner takes the exact tier below the gate and the LSH plan
+    above it; both agree on the fixture."""
+    from simple_osm_queries_ray.stages.embed import (
+        embedding_near_dup,
+        embedding_near_dup_exact,
+    )
+
+    de = dup_embeddings(SF)
+    exact = embedding_near_dup_exact(de, 0.9).to_pandas()
+    pe = set(zip(exact.id_a, exact.id_b))
+    # exact tier (default gate)
+    small = embedding_near_dup(de, 0.9).to_pandas()
+    assert set(zip(small.id_a, small.id_b)) == pe
+    # forced LSH tier
+    big = embedding_near_dup(de, 0.9, exact_limit=0).to_pandas()
+    assert set(zip(big.id_a, big.id_b)) == pe
