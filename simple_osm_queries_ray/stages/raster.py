@@ -168,23 +168,41 @@ def zonal_stats(
         .groupby("tile")
         .aggregate(Sum("nn", alias_name="nn"), Sum("sv", alias_name="sv"))
         .to_pandas()
-        .sort_values("tile")
     )
-    side = ray.put(
-        (
-            tile_aggs["tile"].to_numpy(np.int64),
-            tile_aggs["nn"].to_numpy(np.int64),
-            tile_aggs["sv"].to_numpy(np.int64),
+    if "tile" not in tile_aggs.columns:
+        # zero input nodes: the empty groupby result carries no columns
+        empty = np.array([], dtype=np.int64)
+        side = ray.put((empty, empty, empty))
+    else:
+        tile_aggs = tile_aggs.sort_values("tile")
+        side = ray.put(
+            (
+                tile_aggs["tile"].to_numpy(np.int64),
+                tile_aggs["nn"].to_numpy(np.int64),
+                tile_aggs["sv"].to_numpy(np.int64),
+            )
         )
-    )
 
     def attach(batch: pa.Table) -> pa.Table:
         tiles, nn, sv = bget(side)
         t = np.asarray(batch["tile"])
-        pos = np.searchsorted(tiles, t)
-        pos_c = np.minimum(pos, max(len(tiles) - 1, 0))
-        hit = (len(tiles) > 0) & (tiles[pos_c] == t)
         pid = np.asarray(batch["poly_id"])
+        if len(tiles) == 0:
+            # zero input nodes: every polygon still reports its tile count
+            # (numpy would otherwise index the empty aggregate eagerly)
+            pids, inv = np.unique(pid, return_inverse=True)
+            zeros = np.zeros(len(pids), dtype=np.int64)
+            return pa.table(
+                {
+                    "poly_id": pids,
+                    "n_tiles": np.bincount(inv, minlength=len(pids)).astype(np.int64),
+                    "n_nodes": zeros,
+                    "sum_chars": zeros,
+                }
+            )
+        pos = np.searchsorted(tiles, t)
+        pos_c = np.minimum(pos, len(tiles) - 1)
+        hit = tiles[pos_c] == t
         # partial per-polygon sums within the batch
         pids, inv = np.unique(pid, return_inverse=True)
         n_tiles = np.bincount(inv, minlength=len(pids)).astype(np.int64)
@@ -523,9 +541,15 @@ def tile_pyramid(
     """
     from .geo import tile_id
 
+    if not 0 <= min_zoom <= zoom <= 24:
+        raise ValueError(
+            f"tile_pyramid needs 0 <= min_zoom <= zoom <= 24 (got {min_zoom}..{zoom}): "
+            "tile ids reach 4^zoom and would collide across the zoom*2^50 key "
+            "packing beyond zoom 24"
+        )
     n = np.int64(1 << zoom)
     levels = zoom - min_zoom + 1
-    PACK = np.int64(1) << np.int64(50)  # tile < 4^zoom <= 2^48 for zoom <= 24
+    PACK = np.int64(1) << np.int64(50)  # tile < 4^zoom <= 2^48 for zoom <= 24 (enforced)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)

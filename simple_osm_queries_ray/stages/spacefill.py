@@ -280,6 +280,16 @@ def write_hilbert_partitioned(
             continue
         t0 = _time.time()
 
+        # a crash mid-wave leaves partial parquet files in this wave's
+        # shard= dirs (the manifest records AFTER the write), and a rerun's
+        # write_parquet would append uniquely-named files NEXT TO them —
+        # readers would see duplicated rows. An unrecorded wave's dirs are
+        # therefore garbage by definition: clear them before rewriting.
+        import shutil as _shutil
+
+        for s in range(lo, hi):
+            _shutil.rmtree(f"{out_dir}/data/shard={s}", ignore_errors=True)
+
         def pick(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
             s = np.asarray(batch["shard"])
             return batch.filter(pa.array((s >= lo) & (s < hi)))

@@ -171,3 +171,42 @@ def test_cell_blob_stats_rollup():
         [90, 91, 530, 531],
         [95, 95, 535, 535],
     ]
+
+
+def test_zonal_stats_empty_nodes():
+    """Zero input nodes: every polygon reports its tile count with zero
+    node/char sums (regression: the empty per-tile aggregate was indexed
+    eagerly and raised IndexError)."""
+    import pyarrow as pa
+    import ray.data as ray_data
+
+    from simple_osm_queries_ray.stages.raster import zonal_stats
+
+    nodes = ray_data.from_arrow(
+        pa.table(
+            {
+                "lon": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    polys = [[(9.0, 53.0), (9.5, 53.0), (9.5, 53.5), (9.0, 53.5)]]
+    got = zonal_stats(nodes, polys, zoom=10, value_col="n_chars").to_pandas()
+    assert len(got) == 1
+    assert got["n_nodes"].iloc[0] == 0 and got["sum_chars"].iloc[0] == 0
+    assert got["n_tiles"].iloc[0] > 0
+
+
+def test_tile_pyramid_zoom_guard():
+    import pytest as _pytest
+
+    from simple_osm_queries_ray.stages.raster import tile_pyramid
+
+    import ray.data as ray_data
+
+    ds = ray_data.range(1)
+    with _pytest.raises(ValueError, match="zoom"):
+        tile_pyramid(ds, zoom=25, min_zoom=10)
+    with _pytest.raises(ValueError, match="zoom"):
+        tile_pyramid(ds, zoom=12, min_zoom=13)

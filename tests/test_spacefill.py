@@ -617,3 +617,36 @@ def test_cell_top_lang_mode_and_tiebreak():
         {"cell": 1, "lang": "b", "n": 2},
         {"cell": 2, "lang": "a", "n": 2},
     ]
+
+
+def test_write_hilbert_partitioned_crash_resume_no_duplicates(tmp_path):
+    """A crash mid-wave (partial parquet files present, wave NOT in the
+    manifest) must not duplicate rows on rerun: the rerun clears the
+    unrecorded wave's shard dirs before rewriting."""
+    import json
+    import os
+    import shutil
+
+    from simple_osm_queries_ray.stages.spacefill import write_hilbert_partitioned
+
+    df = _pts_df()
+    out = str(tmp_path / "hp")
+    k = 8
+    write_hilbert_partitioned(ray.data.from_pandas(df), out, k=k, order=6, waves=3)
+
+    # simulate the crash: un-record the middle wave and plant a stray
+    # partial file in one of its shard dirs (what an interrupted
+    # write_parquet leaves behind)
+    mpath = f"{out}/manifest.json"
+    m = json.load(open(mpath))
+    victim = sorted(m["waves"])[1]
+    lo = int(victim.split("_")[1])
+    del m["waves"][victim]
+    json.dump(m, open(mpath, "w"))
+    shard_dir = f"{out}/data/shard={lo}"
+    src = next(f for f in os.listdir(shard_dir) if f.endswith(".parquet"))
+    shutil.copy(f"{shard_dir}/{src}", f"{shard_dir}/stray_partial_{src}")
+
+    write_hilbert_partitioned(ray.data.from_pandas(df), out, k=k, order=6, waves=3)
+    back = ray.data.read_parquet(f"{out}/data").to_pandas()
+    assert sorted(back["id"]) == sorted(df["id"])  # exactly once each
