@@ -395,3 +395,26 @@ def test_refresh_index_rewrites_only_changed_partitions(tmp_path):
     ids = set(DiskRepo(d).table("node").to_pandas()["id"])
     assert not (set(gone) & ids)
     assert len(ids) == repo.nodes.count() - len(gone)
+
+
+def test_projection_pushdown_tag_only_query(index_dir):
+    """A tag-only query must not lift payload columns (caption, string tag
+    lists, membership lists) off disk: the planner pushes the statement's
+    referenced columns into read_parquet (r02 verdict #9)."""
+    from simple_osm_queries_ray.parser import parse_query
+
+    disk = DiskRepo(index_dir)
+    eng = QueryEngine(disk)
+    stmt = parse_query("bbox(9,53,11,55).nodes{lang=de}", disk.tag_index).statements[0]
+    cols = eng._stmt_columns(stmt, "node")
+    assert "caption" not in cols and "way_ids" not in cols
+    pruned = disk.table("node", columns=cols).materialize()
+    full = disk.table("node").materialize()
+    assert set(pruned.schema().names) == set(cols)
+    assert pruned.size_bytes() < 0.8 * full.size_bytes()
+    # membership probes pull exactly their column
+    stmt2 = parse_query(
+        "bbox(9,53,11,55).nodes{lang=de AND this.ways{wtype=primary}}", disk.tag_index
+    ).statements[0]
+    cols2 = eng._stmt_columns(stmt2, "node")
+    assert "way_ids" in cols2 and "relation_ids" not in cols2
