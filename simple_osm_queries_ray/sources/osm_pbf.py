@@ -97,6 +97,43 @@ def _zigzag_decode(v: np.ndarray) -> np.ndarray:
     return ((u >> np.uint64(1)).astype(np.int64)) ^ -(v & 1)
 
 
+def _decode_packed_group(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY packed-varint payloads in ONE numpy pass.
+
+    Returns (values, per_buf_counts). The payloads concatenate safely — a
+    varint never spans a packed field boundary — so the whole group costs
+    one ``_packed_varints`` scan plus a searchsorted to re-segment, instead
+    of one Python-level decode per element (r02 verdict #7: the per-way
+    loop would cost hours on a Germany-scale extract)."""
+    if not bufs:
+        return np.array([], dtype=np.int64), np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    joined = b"".join(bufs)
+    vals = _packed_varints(joined)
+    if len(joined) == 0:
+        return vals, np.zeros(len(bufs), dtype=np.int64)
+    b = np.frombuffer(joined, dtype=np.uint8)
+    ends = np.nonzero(b < 0x80)[0]  # last byte of each varint
+    bounds = np.cumsum(lens)
+    cum_counts = np.searchsorted(ends, bounds - 1, side="right")
+    counts = np.diff(np.concatenate([[0], cum_counts]))
+    return vals, counts
+
+
+def _segmented_cumsum(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum (delta-coded refs/member ids restart at
+    every element)."""
+    if len(deltas) == 0:
+        return deltas
+    cs = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    live = counts > 0
+    prev = np.zeros(len(counts), dtype=np.int64)
+    prev[live] = np.where(starts[live] > 0, cs[np.maximum(starts[live] - 1, 0)], 0)
+    seg_idx = np.repeat(np.arange(len(counts)), counts)
+    return cs - prev[seg_idx]
+
+
 def _varint(v: int) -> bytes:
     out = bytearray()
     v &= (1 << 64) - 1
@@ -259,6 +296,97 @@ def decode_primitive_block(data: bytes) -> pa.Table:
             schema=_ELEM_SCHEMA,
         )
 
+    # ways/relations batch across the whole block: the framing loop slices
+    # out each message's packed payloads (O(1) Python per element), and the
+    # varint streams decode in one numpy pass per field (_decode_packed_group)
+    way_ids: list[int] = []
+    way_keys: list[bytes] = []
+    way_vals: list[bytes] = []
+    way_refs: list[bytes] = []
+    rel_ids: list[int] = []
+    rel_keys: list[bytes] = []
+    rel_vals: list[bytes] = []
+    rel_mids: list[bytes] = []
+    rel_types: list[bytes] = []
+
+    def list_offsets(counts: np.ndarray) -> pa.Array:
+        off = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=off[1:])
+        return pa.array(off)
+
+    def tag_list_arrays(key_bufs, val_bufs, n):
+        kf, kc = _decode_packed_group(key_bufs)
+        vf, _ = _decode_packed_group(val_bufs)
+        off = list_offsets(kc if len(kc) == n else np.zeros(n, dtype=np.int64))
+        return (
+            pa.ListArray.from_arrays(off, st_arr.take(pa.array(kf, type=pa.int64()))),
+            pa.ListArray.from_arrays(off, st_arr.take(pa.array(vf, type=pa.int64()))),
+        )
+
+    def ways_table() -> pa.Table:
+        n = len(way_ids)
+        tag_keys, tag_vals = tag_list_arrays(way_keys, way_vals, n)
+        rd, rc = _decode_packed_group(way_refs)
+        refs_flat = _segmented_cumsum(_zigzag_decode(rd), rc)
+        nulls = pa.nulls(n, pa.float64())
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+
+        def empty_lists():
+            return pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int64()))
+
+        return pa.table(
+            {
+                "etype": pa.array(np.ones(n, dtype=np.int64)),
+                "id": pa.array(np.asarray(way_ids, dtype=np.int64)),
+                "lon": nulls,
+                "lat": nulls,
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+                "refs": pa.ListArray.from_arrays(
+                    list_offsets(rc), pa.array(refs_flat, type=pa.int64())
+                ),
+                "member_nodes": empty_lists(),
+                "member_ways": empty_lists(),
+                "member_rels": empty_lists(),
+            },
+            schema=_ELEM_SCHEMA,
+        )
+
+    def rels_table() -> pa.Table:
+        n = len(rel_ids)
+        tag_keys, tag_vals = tag_list_arrays(rel_keys, rel_vals, n)
+        md, mc = _decode_packed_group(rel_mids)
+        mem_flat = _segmented_cumsum(_zigzag_decode(md), mc)
+        tp, _ = _decode_packed_group(rel_types)
+        seg_idx = np.repeat(np.arange(n, dtype=np.int64), mc)
+        nulls = pa.nulls(n, pa.float64())
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+
+        def typed_members(t: int) -> pa.ListArray:
+            mask = tp == t
+            counts = np.bincount(seg_idx[mask], minlength=n).astype(np.int64)
+            return pa.ListArray.from_arrays(
+                list_offsets(counts), pa.array(mem_flat[mask], type=pa.int64())
+            )
+
+        return pa.table(
+            {
+                "etype": pa.array(np.full(n, 2, dtype=np.int64)),
+                "id": pa.array(np.asarray(rel_ids, dtype=np.int64)),
+                "lon": nulls,
+                "lat": nulls,
+                "tag_keys_str": tag_keys,
+                "tag_vals_str": tag_vals,
+                "refs": pa.ListArray.from_arrays(
+                    empty_off, pa.array([], type=pa.int64())
+                ),
+                "member_nodes": typed_members(0),
+                "member_ways": typed_members(1),
+                "member_rels": typed_members(2),
+            },
+            schema=_ELEM_SCHEMA,
+        )
+
     for g in groups:
         for field, _w, val in _iter_fields(g):
             if field == 2:  # DenseNodes
@@ -291,38 +419,45 @@ def decode_primitive_block(data: bytes) -> pa.Table:
                 add(0, int(nid), float(coord(np.array([nlon]), lon_off)[0]),
                     float(coord(np.array([nlat]), lat_off)[0]),
                     list(zip(keys, vals_)), [], [], [], [])
-            elif field == 3:  # Way
-                wid, keys, vals_, refs = 0, [], [], []
+            elif field == 3:  # Way: slice payload spans only, decode batched
+                wid, kb, vb, rb = 0, b"", b"", b""
                 for f2, _w2, v in _iter_fields(val):
                     if f2 == 1:
                         wid = v
                     elif f2 == 2:
-                        keys = _packed_varints(v).tolist()
+                        kb = v
                     elif f2 == 3:
-                        vals_ = _packed_varints(v).tolist()
+                        vb = v
                     elif f2 == 8:
-                        refs = np.cumsum(_zigzag_decode(_packed_varints(v))).tolist()
-                add(1, int(wid), None, None, list(zip(keys, vals_)), refs, [], [], [])
-            elif field == 4:  # Relation
-                rid, keys, vals_, memids, types = 0, [], [], np.array([], dtype=np.int64), []
+                        rb = v
+                way_ids.append(int(wid))
+                way_keys.append(kb)
+                way_vals.append(vb)
+                way_refs.append(rb)
+            elif field == 4:  # Relation: same span-slicing
+                rid, kb, vb, mb, tb = 0, b"", b"", b"", b""
                 for f2, _w2, v in _iter_fields(val):
                     if f2 == 1:
                         rid = v
                     elif f2 == 2:
-                        keys = _packed_varints(v).tolist()
+                        kb = v
                     elif f2 == 3:
-                        vals_ = _packed_varints(v).tolist()
+                        vb = v
                     elif f2 == 9:
-                        memids = np.cumsum(_zigzag_decode(_packed_varints(v)))
+                        mb = v
                     elif f2 == 10:
-                        types = _packed_varints(v).tolist()
-                mnodes = [int(m) for m, t in zip(memids, types) if t == 0]
-                mways = [int(m) for m, t in zip(memids, types) if t == 1]
-                mrels = [int(m) for m, t in zip(memids, types) if t == 2]
-                add(2, int(rid), None, None, list(zip(keys, vals_)), [],
-                    mnodes, mways, mrels)
+                        tb = v
+                rel_ids.append(int(rid))
+                rel_keys.append(kb)
+                rel_vals.append(vb)
+                rel_mids.append(mb)
+                rel_types.append(tb)
 
     tables = [t for t in dense_tables if len(t)]
+    if way_ids:
+        tables.append(ways_table())
+    if rel_ids:
+        tables.append(rels_table())
     if rows["id"]:
         tables.append(pa.Table.from_pydict(rows, schema=_ELEM_SCHEMA))
     return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
