@@ -112,6 +112,24 @@ def _q_buffer(sf_dir: str):
     )
 
 
+def _q_way_buffer_nodes(sf_dir: str):
+    """WAY outer + buffered node inner (round 3): primary ways with a zh
+    node within 0.003 deg of the polyline — the reference's planned
+    type-generic buffer (README.md:163-183), which it never built."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".ways{wtype=primary AND this.buffer(0.003).nodes{lang=zh}}"
+    )
+
+
+def _q_way_buffer_ways(sf_dir: str):
+    """WAY outer + buffered way inner: segment-to-segment distance."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".ways{wtype=primary AND this.buffer(0.01).ways{wtype=residential}}"
+    )
+
+
 def _q_not_buffer(sf_dir: str):
     """The reference's second documented buffer pattern: ``!this.buffer``
     ('no matching way within the radius')."""
@@ -1307,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_neq": _q_soq_neq,
         "soq_semi_join_ways": _q_semi_join_ways,
         "soq_buffer": _q_buffer,
+        "soq_way_buffer_nodes": _q_way_buffer_nodes,
+        "soq_way_buffer_ways": _q_way_buffer_ways,
         "soq_not_buffer": _q_not_buffer,
         "soq_buffer_nodes_m": _q_buffer_nodes_m,
         "soq_or_semi_join": _q_or_semi_join,
@@ -1860,6 +1880,69 @@ SELECT node_id, way_id, d2 FROM r WHERE rn = 1
 """
 
 
+def _pt_seg_d2_sql(px: str, py: str, s: str) -> str:
+    """Clamped point-to-segment squared distance for point (px, py) against
+    segment alias ``s`` — the same float64 expression tree as
+    ``stages/geo.py`` (CASE den>0, LEAST/GREATEST clamp, ddx^2+ddy^2)."""
+    den = f"(({s}.x2-{s}.x1)*({s}.x2-{s}.x1)+({s}.y2-{s}.y1)*({s}.y2-{s}.y1))"
+    t = (
+        f"LEAST(GREATEST(CASE WHEN {den} > 0 THEN "
+        f"(({px}-{s}.x1)*({s}.x2-{s}.x1)+({py}-{s}.y1)*({s}.y2-{s}.y1)) / {den} "
+        f"ELSE 0 END, 0), 1)"
+    )
+    ddx = f"({px} - ({s}.x1 + {t} * ({s}.x2-{s}.x1)))"
+    ddy = f"({py} - ({s}.y1 + {t} * ({s}.y2-{s}.y1)))"
+    return f"({ddx} * {ddx} + {ddy} * {ddy})"
+
+
+def _soq_way_buffer_nodes_sql(W: str, ways_cte: str, eps: str) -> str:
+    """Oracle for ``ways{.. this.buffer(eps).nodes{..}}``: EXISTS over this
+    way's segments x matching nodes with the clamped point-to-segment
+    distance (the node_way_buffer oracle, roles swapped)."""
+    E = f"CAST({eps} AS DOUBLE)"
+    d2 = _pt_seg_d2_sql("n.lon", "n.lat", "s")
+    return f"""
+{W}, {ways_cte},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT w.id, w.minlon, w.minlat, w.maxlon, w.maxlat FROM ways w
+WHERE w.wg % 3 = 1 AND EXISTS (
+  SELECT 1 FROM nodes_c n JOIN seg s ON s.wg = w.wg
+  WHERE n.lang = 'zh' AND {d2} <= {E} * {E})
+"""
+
+
+def _soq_way_buffer_ways_sql(W: str, ways_cte: str, eps: str) -> str:
+    """Oracle for ``ways{.. this.buffer(eps).ways{..}}``: EXISTS over
+    segment pairs; distance 0 on proper crossing (the way_cross_pairs sign
+    test), else the min of the four endpoint-to-opposite-segment clamped
+    distances — the exact segment-to-segment distance, mirroring
+    ``stages/geo.py::way_way_buffer_join`` op-for-op."""
+    E = f"CAST({eps} AS DOUBLE)"
+    cross = (
+        "sign((s.x2-s.x1)*(t.y1-s.y1)-(s.y2-s.y1)*(t.x1-s.x1))"
+        " * sign((s.x2-s.x1)*(t.y2-s.y1)-(s.y2-s.y1)*(t.x2-s.x1)) < 0"
+        " AND sign((t.x2-t.x1)*(s.y1-t.y1)-(t.y2-t.y1)*(s.x1-t.x1))"
+        " * sign((t.x2-t.x1)*(s.y2-t.y1)-(t.y2-t.y1)*(s.x2-t.x1)) < 0"
+    )
+    m = (
+        f"LEAST({_pt_seg_d2_sql('t.x1', 't.y1', 's')}, "
+        f"{_pt_seg_d2_sql('t.x2', 't.y2', 's')}, "
+        f"{_pt_seg_d2_sql('s.x1', 's.y1', 't')}, "
+        f"{_pt_seg_d2_sql('s.x2', 's.y2', 't')})"
+    )
+    return f"""
+{W}, {ways_cte},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT w.id, w.minlon, w.minlat, w.maxlon, w.maxlat FROM ways w
+WHERE w.wg % 3 = 1 AND EXISTS (
+  SELECT 1 FROM ways v JOIN seg s ON s.wg = w.wg JOIN seg t ON t.wg = v.wg
+  WHERE v.wg % 3 = 0
+    AND (({cross}) OR {m} <= {E} * {E}))
+"""
+
+
 def _soq_buffer_ways_sql(
     W: str, bbox: str, node_pred: str, way_pred: str, *, negate: bool, eps: str = "0.01"
 ) -> str:
@@ -2212,6 +2295,9 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
             W, bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat"),
             "lang = 'de'", "wg % 3 = 1", negate=True
         ),
+        # WAY outers (round 3): buffered node / way inners
+        "soq_way_buffer_nodes": _soq_way_buffer_nodes_sql(W, WAYS_CTE, "0.003"),
+        "soq_way_buffer_ways": _soq_way_buffer_ways_sql(W, WAYS_CTE, "0.01"),
         # buffered NODE sub-statement with the metre unit: 2000m parses to
         # 2000/111320 degrees; the SQL computes the identical float64 value
         "soq_buffer_nodes_m": f"""

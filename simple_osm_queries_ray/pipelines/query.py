@@ -187,6 +187,12 @@ class QueryEngine:
         for _path, sub in find_substatements(stmt.filter):
             inner = sub.statement
             if getattr(inner.location, "buffer_deg", None) is not None:
+                if obj_type != OSM_NODE:
+                    # way-outer buffer probes feed the polyline to the
+                    # segment-distance kernels
+                    for c in ("node_lons", "node_lats"):
+                        if c not in cols:
+                            cols.append(c)
                 continue
             col = _MEMBERSHIP.get((obj_type, inner.query_type))
             if col and col not in cols:
@@ -392,40 +398,95 @@ class QueryEngine:
         single-meeting-cell machinery of
         :func:`~..stages.geo.node_way_buffer_join` /
         :func:`~..stages.geo.node_node_buffer_join`."""
-        from ..stages.geo import node_node_buffer_join, node_way_buffer_join
+        from ..stages.geo import (
+            node_node_buffer_join,
+            node_way_buffer_join,
+            way_way_buffer_join,
+        )
 
-        if obj_type != OSM_NODE:
-            raise ValueError(
-                "this.buffer(...) sub-statements are supported for node outer "
-                f"statements only (got {obj_type}); way/relation outers need "
-                "segment-to-segment distance, which the reference never "
-                "specified either"
-            )
-        outer_geom = candidates.select_columns(["id", "lon", "lat"])
-        if inner_stmt.query_type == QUERY_WAYS:
-            bbox = None
-            if isinstance(outer_loc, BboxLocation):
-                bbox = (
-                    outer_loc.minlon - eps, outer_loc.minlat - eps,
-                    outer_loc.maxlon + eps, outer_loc.maxlat + eps,
+        if obj_type == OSM_NODE:
+            outer_geom = candidates.select_columns(["id", "lon", "lat"])
+            if inner_stmt.query_type == QUERY_WAYS:
+                bbox = None
+                if isinstance(outer_loc, BboxLocation):
+                    bbox = (
+                        outer_loc.minlon - eps, outer_loc.minlat - eps,
+                        outer_loc.maxlon + eps, outer_loc.maxlat + eps,
+                    )
+                matched = self._matched_features(
+                    inner_stmt, None, bbox_intersect=bbox,
+                    extra_columns=("node_lons", "node_lats"),
                 )
-            matched = self._matched_features(
-                inner_stmt, None, bbox_intersect=bbox,
-                extra_columns=("node_lons", "node_lats"),
+                pairs = node_way_buffer_join(outer_geom, matched, eps=eps)
+            elif inner_stmt.query_type == QUERY_NODES:
+                expanded_ref = ray.put(
+                    self.cell_scheme.expand_cells(ray.get(cells_needed_ref), eps)
+                )
+                matched = self._matched_features(inner_stmt, expanded_ref)
+                pairs = node_node_buffer_join(outer_geom, matched, eps=eps)
+            else:
+                raise ValueError(
+                    f"this.buffer(...) supports .nodes/.ways sub-statements, got "
+                    f"{inner_stmt.query_type}"
+                )
+            return sorted_unique_id_array(pairs, "node_id")
+
+        if obj_type == OSM_WAY:
+            # WAY outer (round 3; the reference's planned type-generic buffer,
+            # README.md:163-183, which it never built). Inner pruning must be
+            # geometry-independent of the outer CELLS (a way's cell list holds
+            # member-node home cells only): the sound prefilter is the outer
+            # candidates' aggregated bbox expanded by eps — a qualifying inner
+            # feature lies within eps of some candidate polyline, hence inside
+            # that box.
+            outer_geom = candidates.select_columns(
+                ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+            ).materialize()
+            gbox = self._global_bbox(outer_geom)
+            expanded = (
+                (gbox[0] - eps, gbox[1] - eps, gbox[2] + eps, gbox[3] + eps)
+                if gbox is not None
+                else None
             )
-            pairs = node_way_buffer_join(outer_geom, matched, eps=eps)
-        elif inner_stmt.query_type == QUERY_NODES:
-            expanded_ref = ray.put(
-                self.cell_scheme.expand_cells(ray.get(cells_needed_ref), eps)
-            )
-            matched = self._matched_features(inner_stmt, expanded_ref)
-            pairs = node_node_buffer_join(outer_geom, matched, eps=eps)
-        else:
+            if inner_stmt.query_type == QUERY_NODES:
+                matched = self._matched_features(inner_stmt, None, bbox_intersect=expanded)
+                pairs = node_way_buffer_join(matched, outer_geom, eps=eps)
+                return sorted_unique_id_array(pairs, "way_id")
+            if inner_stmt.query_type == QUERY_WAYS:
+                matched = self._matched_features(
+                    inner_stmt, None, bbox_intersect=expanded,
+                    extra_columns=("node_lons", "node_lats"),
+                )
+                pairs = way_way_buffer_join(outer_geom, matched, eps=eps)
+                return sorted_unique_id_array(pairs, "a_id")
             raise ValueError(
                 f"this.buffer(...) supports .nodes/.ways sub-statements, got "
                 f"{inner_stmt.query_type}"
             )
-        return sorted_unique_id_array(pairs, "node_id")
+
+        raise ValueError(
+            "this.buffer(...) sub-statements are supported for node and way "
+            f"outer statements (got {obj_type}); relations carry no polyline "
+            "geometry of their own — the reference never specified a relation "
+            "distance either"
+        )
+
+    def _global_bbox(self, ds: ray.data.Dataset):
+        """(minlon, minlat, maxlon, maxlat) over a bounded-feature dataset;
+        None when empty. One streaming aggregate — 4 scalars to the driver."""
+        from ray.data.aggregate import Max, Min
+
+        row = ds.aggregate(
+            Min("minlon"), Min("minlat"), Max("maxlon"), Max("maxlat")
+        )
+        if not row or row.get("min(minlon)") is None:
+            return None
+        return (
+            float(row["min(minlon)"]),
+            float(row["min(minlat)"]),
+            float(row["max(maxlon)"]),
+            float(row["max(maxlat)"]),
+        )
 
     def _matched_features(
         self, inner_stmt: Statement, cells_needed_ref, bbox_intersect=None,
@@ -466,17 +527,27 @@ class QueryEngine:
         inner_candidates = (
             inner_ds.map_batches(prune, batch_format="pyarrow") if prune else inner_ds
         )
-        if bbox_intersect is not None and inner_obj != OSM_NODE:
+        if bbox_intersect is not None:
             bb = bbox_intersect
 
-            def bbox_pre(batch: pa.Table) -> pa.Table:
-                keep = (
-                    (np.asarray(batch["minlon"], dtype=np.float64) <= bb[2])
-                    & (np.asarray(batch["maxlon"], dtype=np.float64) >= bb[0])
-                    & (np.asarray(batch["minlat"], dtype=np.float64) <= bb[3])
-                    & (np.asarray(batch["maxlat"], dtype=np.float64) >= bb[1])
-                )
-                return batch.filter(pa.array(keep))
+            if inner_obj == OSM_NODE:
+
+                def bbox_pre(batch: pa.Table) -> pa.Table:
+                    lon = np.asarray(batch["lon"], dtype=np.float64)
+                    lat = np.asarray(batch["lat"], dtype=np.float64)
+                    keep = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
+                    return batch.filter(pa.array(keep))
+
+            else:
+
+                def bbox_pre(batch: pa.Table) -> pa.Table:
+                    keep = (
+                        (np.asarray(batch["minlon"], dtype=np.float64) <= bb[2])
+                        & (np.asarray(batch["maxlon"], dtype=np.float64) >= bb[0])
+                        & (np.asarray(batch["minlat"], dtype=np.float64) <= bb[3])
+                        & (np.asarray(batch["maxlat"], dtype=np.float64) >= bb[1])
+                    )
+                    return batch.filter(pa.array(keep))
 
             inner_candidates = inner_candidates.map_batches(bbox_pre, batch_format="pyarrow")
         # nested `this` inside the inner filter: context switches to the inner

@@ -584,6 +584,207 @@ def node_way_buffer_join(
     return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def bbox_buffer_pairs(
+    a: ray.data.Dataset, b: ray.data.Dataset, eps: float
+) -> ray.data.Dataset:
+    """Cross-table candidate pairs: (a_id, b_id) where A's bbox intersects
+    B's bbox EXPANDED by eps. Exactly-once emission via the intersection
+    rectangle's min-corner cell (the :func:`bbox_overlap_join` trick,
+    generalized to two sides); the exchange carries (cell, id, 4 bounds)."""
+    from ..model import CELL_H, CELL_W, pack_cell
+
+    def make_rep(side: int, grow: float):
+        def rep(batch: pa.Table) -> pa.Table:
+            ids_ = np.asarray(batch["id"], dtype=np.int64)
+            mnx = np.asarray(batch["minlon"], dtype=np.float64) - grow
+            mny = np.asarray(batch["minlat"], dtype=np.float64) - grow
+            mxx = np.asarray(batch["maxlon"], dtype=np.float64) + grow
+            mxy = np.asarray(batch["maxlat"], dtype=np.float64) + grow
+            cx0 = np.floor(mnx / CELL_W).astype(np.int64)
+            cx1 = np.floor(mxx / CELL_W).astype(np.int64)
+            cy0 = np.floor(mny / CELL_H).astype(np.int64)
+            cy1 = np.floor(mxy / CELL_H).astype(np.int64)
+            nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+            counts = nx * ny
+            total = int(counts.sum())
+            row = np.repeat(np.arange(len(ids_), dtype=np.int64), counts)
+            offs = np.zeros(len(ids_), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            k = np.arange(total, dtype=np.int64) - offs[row]
+            cell = pack_cell(cx0[row] + k // ny[row], cy0[row] + k % ny[row])
+            return pa.table(
+                {
+                    "bucket": pa.array(cell),
+                    "pid": pa.array(ids_[row]),
+                    "mnx": pa.array(mnx[row]), "mny": pa.array(mny[row]),
+                    "mxx": pa.array(mxx[row]), "mxy": pa.array(mxy[row]),
+                    "side": pa.array(np.full(total, side, dtype=np.int8)),
+                }
+            )
+
+        return rep
+
+    cols = ["id", "minlon", "minlat", "maxlon", "maxlat"]
+
+    def pairs_in_bucket(tbl: pa.Table) -> pa.Table:
+        from ..model import CELL_H, CELL_W, pack_cell
+
+        empty = pa.table(
+            {"a_id": pa.array([], type=pa.int64()), "b_id": pa.array([], type=pa.int64())}
+        )
+        bucket = int(tbl["bucket"][0].as_py())
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        ai = np.nonzero(side == 0)[0]
+        bi = np.nonzero(side == 1)[0]
+        if len(ai) == 0 or len(bi) == 0:
+            return empty
+        ta, tb = pa.array(ai), pa.array(bi)
+        aid = np.asarray(tbl["pid"].take(ta), dtype=np.int64)
+        amnx = np.asarray(tbl["mnx"].take(ta), dtype=np.float64)
+        amny = np.asarray(tbl["mny"].take(ta), dtype=np.float64)
+        amxx = np.asarray(tbl["mxx"].take(ta), dtype=np.float64)
+        amxy = np.asarray(tbl["mxy"].take(ta), dtype=np.float64)
+        bid = np.asarray(tbl["pid"].take(tb), dtype=np.int64)
+        bmnx = np.asarray(tbl["mnx"].take(tb), dtype=np.float64)
+        bmny = np.asarray(tbl["mny"].take(tb), dtype=np.float64)
+        bmxx = np.asarray(tbl["mxx"].take(tb), dtype=np.float64)
+        bmxy = np.asarray(tbl["mxy"].take(tb), dtype=np.float64)
+        out_a, out_b = [], []
+        for s in range(0, len(ai), 512):
+            e = slice(s, s + 512)
+            inter = (
+                (amnx[e, None] <= bmxx[None, :])
+                & (bmnx[None, :] <= amxx[e, None])
+                & (amny[e, None] <= bmxy[None, :])
+                & (bmny[None, :] <= amxy[e, None])
+            )
+            # exactly-once: emit where the intersection rect's min corner is
+            ix = np.maximum(amnx[e, None], bmnx[None, :])
+            iy = np.maximum(amny[e, None], bmny[None, :])
+            home = pack_cell(
+                np.floor(ix / CELL_W).astype(np.int64),
+                np.floor(iy / CELL_H).astype(np.int64),
+            )
+            inter &= home == bucket
+            ii, jj = np.nonzero(inter)
+            out_a.append(aid[e][ii])
+            out_b.append(bid[jj])
+        a_ = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b_ = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pa.table({"a_id": pa.array(a_), "b_id": pa.array(b_)})
+
+    unioned = a.select_columns(cols).map_batches(
+        make_rep(0, 0.0), batch_format="pyarrow"
+    ).union(b.select_columns(cols).map_batches(make_rep(1, eps), batch_format="pyarrow"))
+    return unioned.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+
+def way_way_buffer_join(
+    a_ways: ray.data.Dataset, b_ways: ray.data.Dataset, eps: float
+) -> ray.data.Dataset:
+    """Polyline-to-polyline buffer join: (a_id, b_id) pairs where the MINIMUM
+    segment-to-segment distance between the two polylines is <= ``eps``.
+    Backs ``this.buffer(r).ways`` under a WAY outer statement (the
+    reference's planned type-generic buffer, README.md:163-183, which it
+    never built).
+
+    Plan: candidates from :func:`bbox_buffer_pairs` (B's bbox expanded by
+    eps — sound: two polylines within eps have bboxes within eps), both
+    geometries attached via partitioned hash joins, then the segment x
+    segment distance test runs vectorized over the flattened candidate
+    batch. Segment-to-segment distance: zero iff the segments properly
+    cross (the :func:`segment_cross_join` orientation test), else the min
+    of the four endpoint-to-opposite-segment clamped distances — exact for
+    non-degenerate segments, and collinear overlaps reduce to an endpoint
+    distance of zero."""
+    from ..functions.segments import list_parts
+    from .joins import hash_join_attach
+
+    cand = bbox_buffer_pairs(a_ways, b_ways, eps)
+    lf = pa.list_(pa.float64())
+    geo_a = a_ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        lambda b: pa.table(
+            {"id": b["id"], "lons_a": b["node_lons"], "lats_a": b["node_lats"]}
+        ),
+        batch_format="pyarrow",
+    )
+    geo_b = b_ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        lambda b: pa.table(
+            {"id": b["id"], "lons_b": b["node_lons"], "lats_b": b["node_lats"]}
+        ),
+        batch_format="pyarrow",
+    )
+    cand = hash_join_attach(cand, "a_id", geo_a, "id", {"lons_a": lf, "lats_a": lf})
+    cand = hash_join_attach(cand, "b_id", geo_b, "id", {"lons_b": lf, "lats_b": lf})
+    e2 = eps * eps
+
+    def seg_test(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a_id": pa.array([], type=pa.int64()), "b_id": pa.array([], type=pa.int64())}
+        )
+        P = len(batch)
+        if P == 0:
+            return empty
+        ida = np.asarray(batch["a_id"], dtype=np.int64)
+        idb = np.asarray(batch["b_id"], dtype=np.int64)
+        ax, aoff = list_parts(batch["lons_a"])
+        ay, _ = list_parts(batch["lats_a"])
+        bx, boff = list_parts(batch["lons_b"])
+        by, _ = list_parts(batch["lats_b"])
+        ax = np.asarray(ax, dtype=np.float64); ay = np.asarray(ay, dtype=np.float64)
+        bx = np.asarray(bx, dtype=np.float64); by = np.asarray(by, dtype=np.float64)
+        nsa = np.maximum(np.diff(aoff) - 1, 0)
+        nsb = np.maximum(np.diff(boff) - 1, 0)
+        counts = nsa * nsb
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(P, dtype=np.int64), counts)
+        offs = np.zeros(P, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        k = np.arange(total, dtype=np.int64) - offs[row]
+        ja = aoff[:-1][row] + k // nsb[row]
+        jb = boff[:-1][row] + k % nsb[row]
+        sx1, sy1, sx2, sy2 = ax[ja], ay[ja], ax[ja + 1], ay[ja + 1]
+        tx1, ty1, tx2, ty2 = bx[jb], by[jb], bx[jb + 1], by[jb + 1]
+        # proper crossing -> distance 0
+        d1 = np.sign((sx2 - sx1) * (ty1 - sy1) - (sy2 - sy1) * (tx1 - sx1))
+        d2 = np.sign((sx2 - sx1) * (ty2 - sy1) - (sy2 - sy1) * (tx2 - sx1))
+        d3 = np.sign((tx2 - tx1) * (sy1 - ty1) - (ty2 - ty1) * (sx1 - tx1))
+        d4 = np.sign((tx2 - tx1) * (sy2 - ty1) - (ty2 - ty1) * (sx2 - tx1))
+        hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+
+        def pt_seg(qx, qy, x1, y1, x2, y2):
+            dx, dy = x2 - x1, y2 - y1
+            den = dx * dx + dy * dy
+            t = np.where(
+                den > 0,
+                ((qx - x1) * dx + (qy - y1) * dy) / np.where(den > 0, den, 1.0),
+                0.0,
+            )
+            t = np.minimum(np.maximum(t, 0.0), 1.0)
+            ddx, ddy = qx - (x1 + t * dx), qy - (y1 + t * dy)
+            return ddx * ddx + ddy * ddy
+
+        m = np.minimum(
+            np.minimum(
+                pt_seg(sx1, sy1, tx1, ty1, tx2, ty2),
+                pt_seg(sx2, sy2, tx1, ty1, tx2, ty2),
+            ),
+            np.minimum(
+                pt_seg(tx1, ty1, sx1, sy1, sx2, sy2),
+                pt_seg(tx2, ty2, sx1, sy1, sx2, sy2),
+            ),
+        )
+        hit |= m <= e2
+        starts = np.minimum(offs, total - 1)
+        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
+        any_hit[counts == 0] = False
+        return pa.table({"a_id": pa.array(ida[any_hit]), "b_id": pa.array(idb[any_hit])})
+
+    return cand.map_batches(seg_test, batch_format="pyarrow")
+
+
 def node_node_buffer_join(
     nodes: ray.data.Dataset, inner: ray.data.Dataset, eps: float
 ) -> ray.data.Dataset:

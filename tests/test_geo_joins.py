@@ -269,3 +269,28 @@ def test_nearest_way_join_ring_rounds():
                 best = (wi, d2)
         want[ni] = best
     assert got_map == want
+
+
+def test_way_way_buffer_join_kernel():
+    """Hand-made polylines with controlled distances: crossing pair (d=0),
+    parallel-within-eps pair, parallel-beyond-eps pair, endpoint-near pair."""
+    from simple_osm_queries_ray.stages.geo import way_way_buffer_join
+
+    a_ways = [
+        [(0.0, 0.0), (1.0, 0.0)],        # a0: horizontal baseline
+        [(5.0, 5.0), (6.0, 5.0)],        # a1: far away from everything
+        [(2.0, 2.0), (3.0, 2.0)],        # a2: endpoint-near case
+    ]
+    b_ways = [
+        [(0.5, -0.5), (0.5, 0.5)],       # b0: crosses a0
+        [(0.0, 0.005), (1.0, 0.005)],    # b1: parallel to a0, d=0.005
+        [(0.0, 0.5), (1.0, 0.5)],        # b2: parallel to a0, d=0.5 (miss)
+        [(3.004, 2.0), (4.0, 2.0)],      # b3: 0.004 past a2's endpoint
+    ]
+    wa = _ways_table(a_ways)
+    wb = _ways_table(b_ways)
+    got = way_way_buffer_join(
+        ray.data.from_arrow(wa), ray.data.from_arrow(wb), eps=0.01
+    ).to_pandas()
+    pairs = set(zip(got["a_id"].astype(int), got["b_id"].astype(int)))
+    assert pairs == {(0, 0), (0, 1), (2, 3)}

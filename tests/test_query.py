@@ -345,10 +345,14 @@ def test_buffer_quad_scheme_same_result(graph):
 
 
 def test_buffer_invalid_combos(engine):
+    # way outers are SUPPORTED since round 3 (test_way_buffer_nodes);
+    # relation outers and .relations inners still reject
     with pytest.raises(ValueError):
-        q(engine, f"{bbox_str(BBOX)}.ways{{this.buffer(0.01).nodes{{lang=de}}}}")
+        q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).ways{{wtype=primary}}}}")
     with pytest.raises(ValueError):
         q(engine, f"{bbox_str(BBOX)}.nodes{{this.buffer(0.01).relations{{rtype=route}}}}")
+    with pytest.raises(ValueError):
+        q(engine, f"{bbox_str(BBOX)}.ways{{this.buffer(0.01).relations{{rtype=route}}}}")
 
 
 def test_buffer_small_bbox_long_segments(engine, graph):
@@ -404,3 +408,114 @@ def test_semi_join_fallback_projection_clean(fallback_engine):
         f"{bbox_str(SMALL)}.nodes{{this.ways{{wtype=primary}}}}"
     )
     assert set(ds.schema().names) == {"id", "lon", "lat"}
+
+
+def _pt_polyline_hit(xs, ys, px, py, e2):
+    import numpy as np
+
+    dx, dy = np.diff(xs), np.diff(ys)
+    den = dx * dx + dy * dy
+    t = np.where(den > 0, ((px - xs[:-1]) * dx + (py - ys[:-1]) * dy) / np.where(den > 0, den, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    ddx = px - (xs[:-1] + t * dx)
+    ddy = py - (ys[:-1] + t * dy)
+    return bool(((ddx * ddx + ddy * ddy) <= e2).any())
+
+
+def _seg_seg_d2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Exact segment-to-segment squared distance: 0 on proper crossing,
+    else min of the four endpoint-to-opposite-segment distances."""
+    import numpy as np
+
+    def side(x1, y1, x2, y2, px, py):
+        return np.sign((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1))
+
+    if (
+        side(ax1, ay1, ax2, ay2, bx1, by1) * side(ax1, ay1, ax2, ay2, bx2, by2) < 0
+        and side(bx1, by1, bx2, by2, ax1, ay1) * side(bx1, by1, bx2, by2, ax2, ay2) < 0
+    ):
+        return 0.0
+
+    def pt_seg(qx, qy, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        den = dx * dx + dy * dy
+        t = 0.0 if den == 0 else max(0.0, min(1.0, ((qx - x1) * dx + (qy - y1) * dy) / den))
+        return (qx - (x1 + t * dx)) ** 2 + (qy - (y1 + t * dy)) ** 2
+
+    return min(
+        pt_seg(bx1, by1, ax1, ay1, ax2, ay2),
+        pt_seg(bx2, by2, ax1, ay1, ax2, ay2),
+        pt_seg(ax1, ay1, bx1, by1, bx2, by2),
+        pt_seg(ax2, ay2, bx1, by1, bx2, by2),
+    )
+
+
+def test_way_buffer_nodes(engine, graph):
+    """WAY outer + buffered node inner: outer ways with a matching node
+    within eps of the polyline (round-3 extension of the reference's
+    planned buffer)."""
+    import numpy as np
+
+    nodes_df, ways_df, _ = graph
+    eps = 0.02
+    got = q(
+        engine,
+        f"{bbox_str(BBOX)}.ways{{wtype=primary AND this.buffer({eps}).nodes{{lang=zh}}}}",
+    )
+    cand = oracle.select_bound_features(
+        ways_df, BBOX, lambda w: w.tags.get("wtype") == "primary"
+    )
+    zh = [(n.lon, n.lat) for n in nodes_df.itertuples() if n.tags.get("lang") == "zh"]
+    exp = set()
+    for w in ways_df.itertuples():
+        if w.id not in cand:
+            continue
+        xs, ys = np.asarray(w.lons), np.asarray(w.lats)
+        if any(_pt_polyline_hit(xs, ys, px, py, eps * eps) for px, py in zh):
+            exp.add(w.id)
+    assert got == exp and got
+
+
+def test_way_buffer_ways(engine, graph):
+    """WAY outer + buffered way inner: segment-to-segment distance."""
+    import numpy as np
+
+    _, ways_df, _ = graph
+    eps = 0.01
+    got = q(
+        engine,
+        f"{bbox_str(SMALL)}.ways{{wtype=primary AND this.buffer({eps}).ways{{wtype=residential}}}}",
+    )
+    cand = oracle.select_bound_features(
+        ways_df, SMALL, lambda w: w.tags.get("wtype") == "primary"
+    )
+    res = [w for w in ways_df.itertuples() if w.tags.get("wtype") == "residential"]
+    e2 = eps * eps
+    exp = set()
+    for w in ways_df.itertuples():
+        if w.id not in cand:
+            continue
+        axs, ays = np.asarray(w.lons), np.asarray(w.lats)
+        hit = False
+        for r in res:
+            bxs, bys = np.asarray(r.lons), np.asarray(r.lats)
+            for i in range(len(axs) - 1):
+                for j in range(len(bxs) - 1):
+                    if _seg_seg_d2(
+                        axs[i], ays[i], axs[i + 1], ays[i + 1],
+                        bxs[j], bys[j], bxs[j + 1], bys[j + 1],
+                    ) <= e2:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                break
+        if hit:
+            exp.add(w.id)
+    assert got == exp and got
+
+
+def test_relation_buffer_still_raises(engine):
+    with pytest.raises(ValueError):
+        q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).nodes{{lang=de}}}}")
