@@ -67,7 +67,13 @@ function bounds(){let b=null;for(const f of feats){const cs=f.geometry.type==='P
 function fit(){const b=bounds();if(!b)return;view.lon=(b[0]+b[2])/2;view.lat=(b[1]+b[3])/2;
  view.scale=Math.min(cv.width/Math.max(b[2]-b[0],1e-4),cv.height/Math.max(b[3]-b[1],1e-4))*0.9;draw();}
 document.getElementById('run').onclick=async()=>{st.textContent='running...';
- const r=await fetch('/query',{method:'POST',body:document.getElementById('q').value});
+ let qq=document.getElementById('q').value;
+ // {{bbox}} placeholder -> current viewport (minlon,minlat,maxlon,maxlat),
+ // the reference web UI's client substitution (src/web/index.html:363-372)
+ if(qq.indexOf('{{bbox}}')>=0){
+  const[w0,n0]=geo(0,0),[e0,s0]=geo(cv.width,cv.height);
+  qq=qq.replace('{{bbox}}',[w0.toFixed(5),s0.toFixed(5),e0.toFixed(5),n0.toFixed(5)].join(','));}
+ const r=await fetch('/query',{method:'POST',body:qq});
  const t=await r.text();
  if(!r.ok){st.textContent='error: '+t;return;}
  feats=JSON.parse(t).features;st.textContent=feats.length+' features';fit();};

@@ -53,7 +53,10 @@ def test_parse_error_is_400(server_url):
 def test_app_page(server_url):
     with urllib.request.urlopen(f"{server_url}/app") as resp:
         assert resp.status == 200
-        assert b"/query" in resp.read()
+        html = resp.read()
+        assert b"/query" in html
+        # the reference web UI's client-side viewport substitution
+        assert b"{{bbox}}" in html
 
 
 def test_multi_statement_union(server_url):
