@@ -735,13 +735,20 @@ def distinctive_terms(sf_dir: str) -> ray.data.Dataset:
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
+        .sort_values("token")
     )
-    ref = ray.put(dict(zip(dfs["token"], dfs["df"].astype(np.int64))))
+    # broadcast two contiguous arrays, not a Python dict: at web-scale vocab
+    # a str->int dict costs ~100 B/entry of object overhead and pickles
+    # slowly; a sorted fixed-width array probes via one vectorized
+    # searchsorted (every probe token exists in the vocab by construction)
+    ref = ray.put(
+        (dfs["token"].to_numpy(dtype="U"), dfs["df"].to_numpy(dtype=np.int64))
+    )
 
     from ..state.broadcast import get as bget
 
     def argmax(batch: pa.Table) -> pa.Table:
-        df_map = bget(ref)
+        vocab, dfv = bget(ref)
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         flat, doc_of = _doc_tokens(batch["text"].to_pandas())
         if len(flat) == 0:
@@ -752,7 +759,8 @@ def distinctive_terms(sf_dir: str) -> ray.data.Dataset:
             .size()
             .rename(columns={"size": "tf"})
         )
-        tf["df"] = tf["t"].map(df_map).astype(np.int64)
+        probes = tf["t"].to_numpy(dtype=vocab.dtype)
+        tf["df"] = dfv[np.searchsorted(vocab, probes)]
         tf = tf.sort_values(["d", "tf", "df", "t"], ascending=[True, False, True, True], kind="mergesort")
         first = tf.drop_duplicates("d", keep="first")
         return pa.table(
