@@ -400,10 +400,12 @@ def run_scaling(cycles: int | None = None) -> dict:
     # real cluster where per-node overhead is proportional (module docstring)
     lo = int(os.environ.get("BENCH_SCALE_LO", "6"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "24"))
-    # The shared sandbox host has neighbor-load phases that can slow either
-    # process severalfold; contamination only ever LOWERS a cycle's measured
-    # efficiency, so the best cycle is the least-contaminated estimate of the
-    # intrinsic ratio. All cycles are reported for transparency.
+    # MEDIAN of cycles: with the fixed-overhead floor removed (module
+    # docstring) the intrinsic ratio is ~1.0, so host contention can skew a
+    # single cycle in EITHER direction (a slowed lo run reads super-linear,
+    # a slowed hi run reads sub-linear). Round 2 used best-of-cycles, which
+    # was only one-sided-robust; the median survives one bad cycle of either
+    # sign. All cycles are reported for transparency.
     if cycles is None:
         cycles = int(os.environ.get("BENCH_SCALE_CYCLES", "3"))
     results = []
@@ -411,7 +413,8 @@ def run_scaling(cycles: int | None = None) -> dict:
         r_lo, r_hi = one(lo), one(hi)
         eff = (r_hi["rows_per_s"] / r_lo["rows_per_s"]) / (hi / lo)
         results.append((eff, r_lo, r_hi))
-    eff, r_lo, r_hi = max(results, key=lambda c: c[0])
+    results.sort(key=lambda c: c[0])
+    eff, r_lo, r_hi = results[len(results) // 2]
     return {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "rows": r_lo["rows"],

