@@ -27,6 +27,11 @@ KNN_K = 5
 RADIUS_JOIN_R = 0.05
 DBSCAN_EPS = 0.02
 DBSCAN_MIN_PTS = 4
+GRAPH_SRC = 0
+GRAPH_EPS = 0.02
+GRAPH_ROUNDS = 10
+GRAPH_EPS_SPARSE = 0.01
+GRAPH_ROUNDS_SPARSE = 12
 GEOHASH_P = 7
 HEX_SIZE = 0.05
 HEX_SIZE_COARSE = 0.25
@@ -745,6 +750,39 @@ def _q_nn_join(sf_dir: str):
     return nn_join(_repo(sf_dir).nodes)
 
 
+def _q_graph_hops(sf_dir: str):
+    """Bounded-round distributed BFS over the eps-proximity graph: hop
+    distance from node GRAPH_SRC, Pregel-style supersteps (stages/graph.py)."""
+    from simple_osm_queries_ray.stages.graph import proximity_bfs
+
+    return proximity_bfs(
+        _repo(sf_dir).nodes, GRAPH_EPS, source_id=GRAPH_SRC, max_rounds=GRAPH_ROUNDS
+    )
+
+
+def _q_graph_hops_bounded(sf_dir: str):
+    """Same BFS on a sparser graph (eps=0.01) where the round bound truly
+    truncates the reachable set (full closure needs ~30 hops)."""
+    from simple_osm_queries_ray.stages.graph import proximity_bfs
+
+    return proximity_bfs(
+        _repo(sf_dir).nodes, GRAPH_EPS_SPARSE, source_id=GRAPH_SRC,
+        max_rounds=GRAPH_ROUNDS_SPARSE,
+    )
+
+
+def _q_graph_sssp(sf_dir: str):
+    """Bounded-round Bellman-Ford (min planar path length) over the same
+    eps-graph. No SQL twin — a recursive CTE would enumerate every bounded
+    -hop path (exponential); pinned bit-exact in tests/test_graph_traversal.py
+    against a local Bellman-Ford on the identical edge list."""
+    from simple_osm_queries_ray.stages.graph import proximity_sssp
+
+    return proximity_sssp(
+        _repo(sf_dir).nodes, GRAPH_EPS, source_id=GRAPH_SRC, max_rounds=GRAPH_ROUNDS
+    )
+
+
 def _q_knn_ring(sf_dir: str):
     """Index-path kNN (expanding cell rings) for the first query point."""
     from simple_osm_queries_ray.stages.knn import knn_cell_ring
@@ -1378,6 +1416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "radius_join": _q_radius_join,
         "dbscan_clusters": _q_dbscan,
+        "graph_hops": _q_graph_hops,
+        "graph_hops_bounded": _q_graph_hops_bounded,
+        "graph_sssp": _q_graph_sssp,
         "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
@@ -1791,6 +1832,35 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _graph_hops_sql(eps: float, rounds: int) -> str:
+    """graph_hops oracle: bounded-depth BFS as a recursive CTE over the same
+    eps-pair predicate as stages/knn.py::radius_join. ``reach`` enumerates
+    (node, depth) discoveries up to ``rounds``; UNION (distinct) terminates
+    because depth is bounded; MIN(depth) per node = hop distance."""
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    return f"""
+WITH RECURSIVE {NODES_CTE},
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nodes_c a JOIN nodes_c b ON a.id < b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat)
+        <= CAST({eps!r} AS DOUBLE) * CAST({eps!r} AS DOUBLE)
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT CAST({GRAPH_SRC} AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+  UNION
+  SELECT e.dst AS id, reach.d + 1 AS d
+  FROM reach JOIN e ON e.src = reach.id
+  WHERE reach.d < {rounds}
+)
+SELECT id, MIN(d) AS hops FROM reach GROUP BY id
 """
 
 
@@ -2563,6 +2633,13 @@ WHERE (a.lon - b.lon) * (a.lon - b.lon)
         # BM25 (no-log idf ratio variant): the whole scoring expression tree
         # mirrors stages/text.py::bm25_rank op-for-op in IEEE doubles
         "bm25_rank": _bm25_sql(),
+        # bounded-round BFS over the eps-proximity graph: the recursive CTE
+        # carries (node, depth) pairs with the SAME round bound as the
+        # engine's supersteps (stages/graph.py::proximity_bfs); UNION-distinct
+        # bounds the working set at N x (rounds+1), MIN(d) collapses multiple
+        # discovery depths to the hop distance
+        "graph_hops": _graph_hops_sql(GRAPH_EPS, GRAPH_ROUNDS),
+        "graph_hops_bounded": _graph_hops_sql(GRAPH_EPS_SPARSE, GRAPH_ROUNDS_SPARSE),
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->
         # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan

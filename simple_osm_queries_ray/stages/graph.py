@@ -1,16 +1,42 @@
-"""Distributed iterative graph algorithms with exact arithmetic.
+"""Iterative graph traversal over the eps-proximity graph (BFS / SSSP).
 
-PageRank-style score propagation over the order-supplier bipartite graph
-(distinct (l_orderkey, l_suppkey) pairs of lineitem, both directions). All
-arithmetic is FIXED-POINT INTEGER: contributions are ``score * 85 // (100 *
-outdeg)`` and integer sums are exactly associative, so the distributed
-result is bit-identical to a serial or SQL replay regardless of summation
-order — the same determinism discipline as the integer-cent revenue sums
-(pipelines/relational.py), applied to an iterative algorithm.
+The reference engine has no graph-traversal operator, but OSM data IS a
+graph, and the reference's bounded relation-resolution fixpoint
+(``/root/reference/src/importing/import.go`` — relations referencing
+relations resolve over a bounded number of passes) establishes the pattern
+these operators generalize: a bounded number of synchronous set-oriented
+rounds ("supersteps"), each expressed as Ray Data ops over the full edge
+set, with ``materialize()`` as the round barrier — the same shape as the
+label propagation in :func:`..stages.dedup.connected_components`.
 
-Per iteration: one partitioned hash join (edges x scores on src — neither
-side broadcast) and one groupby-sum keyed on dst. The corpus-scale shape of
-Pregel-style propagation on Ray Data.
+The graph is the eps-proximity graph produced by
+:func:`..stages.knn.radius_join` (grid-bucketed pair enumeration — the edge
+list is built distributed and never driver-held). Two traversals:
+
+* :func:`proximity_bfs` — hop distance from a source node, ``max_rounds``
+  supersteps. Exact SQL twin: a recursive CTE over the same pair predicate
+  with the same round bound.
+* :func:`proximity_sssp` — bounded-round Bellman-Ford on planar segment
+  lengths (``sqrt(dist2)``). No SQL twin (a recursive CTE would have to
+  enumerate every bounded-hop path — exponential); pinned in tests against
+  a local Bellman-Ford over the identical edge list, which is bit-exact
+  because both sides take ``min`` over the same candidate sums.
+
+Frontier/visited handling follows the repo's size-gated
+broadcast-vs-shuffle discipline (cf. ``QueryEngine._resolve_substatements``):
+
+* **broadcast path** (vertex count <= ``broadcast_limit``): the frontier /
+  visited state lives in sorted numpy arrays, ``ray.put`` once per round;
+  each round is ONE map-only pass over the distributed edge set (searchsorted
+  probes) plus a tiny partial-row pull — no shuffle at all.
+* **hash path** (bigger graphs): per-round state stays a Dataset; the
+  frontier attaches to the edge set through the bucketed
+  :func:`..stages.joins.hash_join_attach` and new labels reduce through one
+  ``groupby``. Per-round shuffle volume is O(E) worst case — the standard
+  cost of synchronous distributed BFS; rounds stream and spill, nothing
+  lands on the driver.
+
+Both paths produce identical tables (min over identical candidate sets).
 """
 
 from __future__ import annotations
@@ -20,6 +46,334 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from ..state.broadcast import get as bget
+from .joins import hash_join_attach
+from .knn import radius_join
+from .semi_join import isin_sorted
+
+# above this vertex count the per-round state stops being driver-held sorted
+# arrays and the bucketed hash rounds run instead (same contract as
+# QueryEngine.BROADCAST_ID_LIMIT: a broadcast probe array of 4M int64 is
+# ~32 MB — cheap to ship once per round; beyond it, shuffle)
+BROADCAST_VERTEX_LIMIT = 4_000_000
+
+
+def symmetric_edges(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """radius_join emits each unordered pair once (id_a < id_b); traversal
+    needs both directions. Map-only doubling, weight = planar length."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        w = np.sqrt(np.asarray(batch["dist2"], dtype=np.float64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    return pairs.map_batches(both, batch_format="pyarrow")
+
+
+def _hops_table(ids: np.ndarray, hops: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"id": pa.array(ids, type=pa.int64()), "hops": pa.array(hops, type=pa.int64())}
+    )
+
+
+def proximity_bfs(
+    ds: ray.data.Dataset,
+    radius: float,
+    source_id: int = 0,
+    max_rounds: int = 10,
+    broadcast_limit: int = BROADCAST_VERTEX_LIMIT,
+) -> ray.data.Dataset:
+    """(id, hops) for every feature reachable from ``source_id`` within
+    ``max_rounds`` hops of the eps-proximity graph. hops(source) = 0."""
+    edges = symmetric_edges(radius_join(ds, radius)).materialize()
+    if ds.count() <= broadcast_limit:
+        return _bfs_broadcast(edges, source_id, max_rounds)
+    return _bfs_hash(edges, source_id, max_rounds)
+
+
+def _bfs_broadcast(
+    edges: ray.data.Dataset, source_id: int, max_rounds: int
+) -> ray.data.Dataset:
+    # visited_sorted is the probe array (searchsorted membership); out_ids /
+    # out_hops accumulate the result in discovery order (round 0 first)
+    visited_sorted = np.array([source_id], dtype=np.int64)
+    out_ids = np.array([source_id], dtype=np.int64)
+    out_hops = np.array([0], dtype=np.int64)
+    frontier = visited_sorted
+    for r in range(1, max_rounds + 1):
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(visited_sorted)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            src = np.asarray(batch["src"], dtype=np.int64)
+            dst = np.asarray(batch["dst"], dtype=np.int64)
+            m = isin_sorted(src, bget(f_ref)) & ~isin_sorted(dst, bget(v_ref))
+            return pa.table({"id": pa.array(np.unique(dst[m]))})
+
+        parts = [
+            np.asarray(b["id"], dtype=np.int64)
+            for b in edges.map_batches(expand, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        new = (
+            np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        )
+        if len(new) == 0:
+            break
+        visited_sorted = np.sort(np.concatenate([visited_sorted, new]))
+        out_ids = np.concatenate([out_ids, new])
+        out_hops = np.concatenate([out_hops, np.full(len(new), r, dtype=np.int64)])
+        frontier = new  # already sorted (np.unique)
+    return ray.data.from_arrow(_hops_table(out_ids, out_hops))
+
+
+def _bfs_hash(
+    edges: ray.data.Dataset, source_id: int, max_rounds: int, num_buckets: int = 64
+) -> ray.data.Dataset:
+    dist = ray.data.from_arrow(
+        _hops_table(np.array([source_id], dtype=np.int64), np.array([0], dtype=np.int64))
+    ).materialize()
+    frontier = dist.select_columns(["id"]).materialize()
+    for r in range(1, max_rounds + 1):
+
+        def flag_one(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "__f": pa.array(np.ones(len(batch), dtype=np.int8)),
+                }
+            )
+
+        def cand_ids(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(batch["__f"], pa.scalar(1, type=pa.int8()))
+            dst = np.asarray(batch.filter(keep)["dst"], dtype=np.int64)
+            return pa.table({"id": pa.array(np.unique(dst))})
+
+        cands = (
+            hash_join_attach(
+                edges,
+                "src",
+                frontier.map_batches(flag_one, batch_format="pyarrow"),
+                "id",
+                {"__f": pa.int8()},
+                num_buckets=num_buckets,
+            )
+            .map_batches(cand_ids, batch_format="pyarrow")
+            .groupby("id")
+            .count()
+            .select_columns(["id"])
+        )
+
+        def seen_flag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "__seen": pa.array(np.ones(len(batch), dtype=np.int8)),
+                }
+            )
+
+        def unseen(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            fresh = batch.filter(pc.is_null(batch["__seen"]))
+            ids = np.asarray(fresh["id"], dtype=np.int64)
+            return _hops_table(ids, np.full(len(ids), r, dtype=np.int64))
+
+        new_rows = hash_join_attach(
+            cands,
+            "id",
+            dist.map_batches(seen_flag, batch_format="pyarrow"),
+            "id",
+            {"__seen": pa.int8()},
+            num_buckets=num_buckets,
+        ).map_batches(unseen, batch_format="pyarrow").materialize()
+        if new_rows.count() == 0:
+            break
+        dist = dist.union(new_rows).materialize()
+        frontier = new_rows.select_columns(["id"]).materialize()
+    return dist
+
+
+def proximity_sssp(
+    ds: ray.data.Dataset,
+    radius: float,
+    source_id: int = 0,
+    max_rounds: int = 10,
+    broadcast_limit: int = BROADCAST_VERTEX_LIMIT,
+) -> ray.data.Dataset:
+    """(id, dist) — min planar path length from ``source_id`` over paths of
+    at most ``max_rounds`` edges (bounded Bellman-Ford). dist(source) = 0."""
+    edges = symmetric_edges(radius_join(ds, radius)).materialize()
+    if ds.count() <= broadcast_limit:
+        return _sssp_broadcast(edges, source_id, max_rounds)
+    return _sssp_hash(edges, source_id, max_rounds)
+
+
+def _dist_table(ids: np.ndarray, d: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"id": pa.array(ids, type=pa.int64()), "dist": pa.array(d, type=pa.float64())}
+    )
+
+
+def _sssp_broadcast(
+    edges: ray.data.Dataset, source_id: int, max_rounds: int
+) -> ray.data.Dataset:
+    ids = np.array([source_id], dtype=np.int64)  # kept sorted
+    dist = np.array([0.0], dtype=np.float64)  # aligned with ids
+    f_ids = ids
+    f_d = dist
+    for _ in range(max_rounds):
+        ref = ray.put((f_ids, f_d))
+
+        def relax(batch: pa.Table) -> pa.Table:
+            fi, fd = bget(ref)
+            src = np.asarray(batch["src"], dtype=np.int64)
+            dst = np.asarray(batch["dst"], dtype=np.int64)
+            w = np.asarray(batch["w"], dtype=np.float64)
+            m = isin_sorted(src, fi)
+            if not m.any():
+                return _dist_table(
+                    np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+                )
+            pos = np.searchsorted(fi, src[m])
+            cand_d = fd[pos] + w[m]
+            cand_id = dst[m]
+            uniq, inv = np.unique(cand_id, return_inverse=True)
+            best = np.full(len(uniq), np.inf)
+            np.minimum.at(best, inv, cand_d)
+            return _dist_table(uniq, best)
+
+        # per-batch min partials pulled to the driver (bounded by the
+        # broadcast gate) and merged with np.minimum.at — min is
+        # associative/commutative, so the result equals a global min
+        p_ids: list[np.ndarray] = []
+        p_d: list[np.ndarray] = []
+        for b in edges.map_batches(relax, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            p_ids.append(np.asarray(b["id"], dtype=np.int64))
+            p_d.append(np.asarray(b["dist"], dtype=np.float64))
+        if not p_ids:
+            break
+        c_id = np.concatenate(p_ids)
+        c_d = np.concatenate(p_d)
+        if len(c_id) == 0:
+            break
+        uniq, inv = np.unique(c_id, return_inverse=True)
+        best = np.full(len(uniq), np.inf)
+        np.minimum.at(best, inv, c_d)
+        # merge with current labels
+        pos = np.searchsorted(ids, uniq)
+        pos_c = np.clip(pos, 0, len(ids) - 1)
+        known = ids[pos_c] == uniq  # ids always holds >= 1 row (the source)
+        improved_known = known & (best < dist[pos_c])
+        new_node = ~known
+        if not (improved_known.any() or new_node.any()):
+            break
+        # apply improvements
+        dist[pos_c[improved_known]] = best[improved_known]
+        add_ids = uniq[new_node]
+        add_d = best[new_node]
+        merged_ids = np.concatenate([ids, add_ids])
+        merged_d = np.concatenate([dist, add_d])
+        order = np.argsort(merged_ids, kind="stable")
+        ids = merged_ids[order]
+        dist = merged_d[order]
+        changed = np.concatenate([uniq[improved_known], add_ids])
+        changed_d = np.concatenate([best[improved_known], add_d])
+        c_order = np.argsort(changed, kind="stable")
+        f_ids = changed[c_order]
+        f_d = changed_d[c_order]
+    return ray.data.from_arrow(_dist_table(ids, dist))
+
+
+def _sssp_hash(
+    edges: ray.data.Dataset, source_id: int, max_rounds: int, num_buckets: int = 64
+) -> ray.data.Dataset:
+    dist = ray.data.from_arrow(
+        _dist_table(np.array([source_id], dtype=np.int64), np.array([0.0]))
+    ).materialize()
+    frontier = dist
+    for _ in range(max_rounds):
+
+        def fprep(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["id"], "__fd": batch["dist"]})
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = batch.filter(pc.is_valid(batch["__fd"]))
+            dst = np.asarray(hit["dst"], dtype=np.int64)
+            d = np.asarray(hit["__fd"], dtype=np.float64) + np.asarray(
+                hit["w"], dtype=np.float64
+            )
+            uniq, inv = np.unique(dst, return_inverse=True)
+            best = np.full(len(uniq), np.inf)
+            np.minimum.at(best, inv, d)
+            # tag side 1 = candidate
+            t = _dist_table(uniq, best)
+            return t.append_column(
+                "__cand", pa.array(np.ones(len(uniq), dtype=np.int8))
+            )
+
+        cands = hash_join_attach(
+            edges,
+            "src",
+            frontier.map_batches(fprep, batch_format="pyarrow"),
+            "id",
+            {"__fd": pa.float64()},
+            num_buckets=num_buckets,
+        ).map_batches(cand_rows, batch_format="pyarrow")
+
+        def tag_dist(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "dist": batch["dist"],
+                    "__cand": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                }
+            )
+
+        def reduce_labels(tbl: pa.Table) -> pa.Table:
+            ids_ = np.asarray(tbl["id"], dtype=np.int64)
+            d = np.asarray(tbl["dist"], dtype=np.float64)
+            cand = np.asarray(tbl["__cand"], dtype=np.int8)
+            uniq, inv = np.unique(ids_, return_inverse=True)
+            best = np.full(len(uniq), np.inf)
+            np.minimum.at(best, inv, d)
+            old = np.full(len(uniq), np.inf)
+            np.minimum.at(old, inv, np.where(cand == 0, d, np.inf))
+            changed = best < old
+            out = _dist_table(uniq, best)
+            return out.append_column("__chg", pa.array(changed.astype(np.int8)))
+
+        merged = (
+            dist.map_batches(tag_dist, batch_format="pyarrow")
+            .union(cands)
+            .groupby("id")
+            .map_groups(reduce_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        changed_rows = merged.filter(expr="__chg == 1")
+        dist = merged.select_columns(["id", "dist"]).materialize()
+        frontier = changed_rows.select_columns(["id", "dist"]).materialize()
+        if frontier.count() == 0:
+            break
+    return dist
+
+
+# --- PageRank-style fixed-point score propagation (pre-existing op) ---
 
 SCALE = 1_000_000
 DAMP_NUM = 85

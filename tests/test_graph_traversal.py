@@ -1,0 +1,156 @@
+"""Graph-traversal checks (stages/graph.py): the distributed bounded-round
+BFS / Bellman-Ford over the eps-proximity graph must equal serial reference
+implementations bit-exactly (same candidate sets, same left-to-right path
+accumulation, min is order-independent), on both the broadcast path and the
+size-gated hash fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from simple_osm_queries_ray.stages.graph import proximity_bfs, proximity_sssp
+
+
+def _point_set() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two clusters + a bridge chain + isolated points, deterministic."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0.0, 0.04, size=(60, 2))
+    b = rng.uniform(0.10, 0.14, size=(40, 2)) + np.array([0.0, 0.02])
+    chain = np.stack(
+        [np.linspace(0.04, 0.10, 8), np.linspace(0.04, 0.12, 8)], axis=1
+    )
+    iso = np.array([[0.9, 0.9], [0.95, 0.95]])
+    pts = np.concatenate([a, b, chain, iso])
+    ids = np.arange(len(pts), dtype=np.int64) * 3 + 5  # non-contiguous ids
+    return ids, pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64)
+
+
+def _dataset(ids, lon, lat) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+    )
+
+
+def _adj(ids, lon, lat, eps):
+    """(i, j, w) arrays over index positions, both directions, same float
+    expressions as stages/knn.py::radius_join + stages/graph.py (dlon*dlon +
+    dlat*dlat, then sqrt)."""
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    m = (d2 <= eps * eps) & ~np.eye(len(ids), dtype=bool)
+    i, j = np.nonzero(m)
+    return i, j, np.sqrt(d2[i, j])
+
+
+def reference_bfs(ids, lon, lat, eps, src_id, rounds):
+    i, j, _ = _adj(ids, lon, lat, eps)
+    n = len(ids)
+    hops = np.full(n, -1, dtype=np.int64)
+    src = int(np.flatnonzero(ids == src_id)[0])
+    hops[src] = 0
+    frontier = {src}
+    for r in range(1, rounds + 1):
+        nxt = set()
+        for a, b in zip(i, j):
+            if int(a) in frontier and hops[b] < 0:
+                hops[b] = r
+                nxt.add(int(b))
+        if not nxt:
+            break
+        frontier = nxt
+    return {int(ids[k]): int(hops[k]) for k in range(n) if hops[k] >= 0}
+
+
+def reference_bellman_ford(ids, lon, lat, eps, src_id, rounds):
+    i, j, w = _adj(ids, lon, lat, eps)
+    n = len(ids)
+    dist = np.full(n, np.inf)
+    src = int(np.flatnonzero(ids == src_id)[0])
+    dist[src] = 0.0
+    for _ in range(rounds):
+        cand = dist[i] + w
+        new = dist.copy()
+        np.minimum.at(new, j, cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return {int(ids[k]): float(dist[k]) for k in range(n) if np.isfinite(dist[k])}
+
+
+def _to_dict(ds, val_col):
+    out = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.update(
+            zip(
+                np.asarray(b["id"], dtype=np.int64).tolist(),
+                np.asarray(b[val_col]).tolist(),
+            )
+        )
+    return out
+
+
+EPS = 0.012
+SRC_OFF = 5  # id of index 0
+
+
+def test_bfs_matches_reference():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    got = _to_dict(proximity_bfs(ds, EPS, source_id=SRC_OFF, max_rounds=30), "hops")
+    want = reference_bfs(ids, lon, lat, EPS, SRC_OFF, 30)
+    assert got == want
+    # the bridge chain forces multi-hop discovery; cluster b must be reached
+    assert max(got.values()) >= 4
+    # isolated points are absent
+    assert int(ids[-1]) not in got
+
+
+def test_bfs_round_bound_truncates():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    full = _to_dict(proximity_bfs(ds, EPS, source_id=SRC_OFF, max_rounds=30), "hops")
+    cut = _to_dict(proximity_bfs(ds, EPS, source_id=SRC_OFF, max_rounds=3), "hops")
+    assert cut == {k: v for k, v in full.items() if v <= 3}
+    assert len(cut) < len(full)
+
+
+def test_bfs_hash_path_identical():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    bc = _to_dict(proximity_bfs(ds, EPS, source_id=SRC_OFF, max_rounds=6), "hops")
+    hashed = _to_dict(
+        proximity_bfs(ds, EPS, source_id=SRC_OFF, max_rounds=6, broadcast_limit=0),
+        "hops",
+    )
+    assert bc == hashed
+
+
+def test_sssp_matches_bellman_ford_bitexact():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    got = _to_dict(proximity_sssp(ds, EPS, source_id=SRC_OFF, max_rounds=30), "dist")
+    want = reference_bellman_ford(ids, lon, lat, EPS, SRC_OFF, 30)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bit-exact, no tolerance
+
+
+def test_sssp_hash_path_identical():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    bc = _to_dict(proximity_sssp(ds, EPS, source_id=SRC_OFF, max_rounds=8), "dist")
+    hashed = _to_dict(
+        proximity_sssp(ds, EPS, source_id=SRC_OFF, max_rounds=8, broadcast_limit=0),
+        "dist",
+    )
+    assert bc == hashed
+
+
+def test_sssp_bounded_rounds_subset():
+    ids, lon, lat = _point_set()
+    ds = _dataset(ids, lon, lat)
+    cut = _to_dict(proximity_sssp(ds, EPS, source_id=SRC_OFF, max_rounds=2), "dist")
+    want = reference_bellman_ford(ids, lon, lat, EPS, SRC_OFF, 2)
+    assert cut == want
