@@ -306,6 +306,50 @@ def _q_way_lengths(sf_dir: str):
     )
 
 
+def _q_way_chainage(sf_dir: str):
+    """Linear referencing: per member node, the cumulative distance from its
+    way's start ("chainage"). Determinism discipline: each segment length is
+    rounded to integer NANODEGREES (floor(d*1e9 + 0.5) — identical IEEE
+    expression tree on both sides), and integer prefix sums are exactly
+    associative, so the distributed result matches the oracle's window SUM
+    bit-for-bit regardless of aggregation-tree shape (float window sums are
+    NOT reproducible across engines — measured). Map-only over assembled
+    ways: one vectorized diff + segmented cumsum per batch, no shuffle."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def chain(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        nids, _ = list_parts(batch["node_ids"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        n = len(lons)
+        d = np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2)
+        d_nm = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            d_nm[1:] = np.floor(d * 1e9 + 0.5).astype(np.int64)
+        d_nm[off[:-1]] = 0  # each way's first node: zero (also kills seams)
+        cs = np.cumsum(d_nm)
+        base = np.repeat(cs[off[:-1]] - d_nm[off[:-1]], np.diff(off))
+        return pa.table(
+            {
+                "id": pa.array(np.asarray(nids, dtype=np.int64)),
+                "way_id": pa.array(
+                    np.repeat(np.asarray(batch["id"], dtype=np.int64), np.diff(off))
+                ),
+                "chain_nm": pa.array(cs - base),
+            }
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_ids", "node_lons", "node_lats"])
+        .map_batches(chain, batch_format="pyarrow")
+    )
+
+
 def _q_way_areas(sf_dir: str):
     """Shoelace area per way, nodes in order with an implicit last->first
     closing segment: one vectorized cross-product + reduceat per batch over
@@ -1386,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,
         "way_simplify": _q_way_simplify,
         "way_lengths": _q_way_lengths,
+        "way_chainage": _q_way_chainage,
         "way_areas": _q_way_areas,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
@@ -2408,6 +2453,25 @@ seg AS (
   FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg
 )
 SELECT 100000000 + wg AS id, ROUND(SUM(d), 9) AS length FROM seg GROUP BY wg
+""",
+        # per-node cumulative distance from the way start, in integer
+        # nanodegrees: floor(d*1e9 + 0.5) per segment (identical IEEE tree on
+        # both sides), then an integer window SUM — exact under any
+        # aggregation-tree shape, unlike float window sums
+        "way_chainage": f"""
+{W},
+d AS (
+  SELECT n.id, n.wg,
+         COALESCE(CAST(FLOOR(
+           SQRT((n.lon - p.lon) * (n.lon - p.lon)
+                + (n.lat - p.lat) * (n.lat - p.lat))
+           * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT), 0) AS d_nm
+  FROM nodes_c n LEFT JOIN nodes_c p ON p.id = n.id - 1 AND p.wg = n.wg
+)
+SELECT id, 100000000 + wg AS way_id,
+       SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
+FROM d
 """,
         "way_areas": f"""
 {W},
