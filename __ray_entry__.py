@@ -1169,6 +1169,28 @@ def _q_image_resize(sf_dir: str):
     return resize_images(image_table(sf_dir)).select_columns(["image_id", "w", "h"])
 
 
+def _q_tile_best_image(sf_dir: str):
+    """Raster-tile <-> image-feature assignment with a grouped top-1: per
+    zoom-12 tile, the representative image (longest caption, tie -> smallest
+    id). Payload bytes are pruned before the shuffle; the exchange carries
+    one candidate row per (batch, tile)."""
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.stages.image import tile_best_image
+
+    return tile_best_image(image_table(sf_dir), zoom=TILE_ZOOM)
+
+
+def _q_phash_dedup_groups(sf_dir: str):
+    """Near-duplicate image GROUPS (connected components over the phash
+    Hamming pair graph, min-id canonical label). Rows-only for the driver —
+    phash decodes RNG payloads SQL cannot regenerate; pinned in
+    tests/test_image.py (every lossy re-encode groups with its original)."""
+    from simple_osm_queries_ray.sources.images import dup_image_table
+    from simple_osm_queries_ray.stages.image import phash_dedup_groups
+
+    return phash_dedup_groups(dup_image_table(sf_dir), max_hamming=6)
+
+
 def _q_image_phash_near_dup(sf_dir: str):
     from simple_osm_queries_ray.sources.images import dup_image_table
     from simple_osm_queries_ray.stages.image import phash_near_dup
@@ -1524,6 +1546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": _q_image_tiles,
         "image_resize": _q_image_resize,
         "image_phash_near_dup": _q_image_phash_near_dup,
+        "phash_dedup_groups": _q_phash_dedup_groups,
+        "tile_best_image": _q_tile_best_image,
         "tile_mosaic": _q_tile_mosaic,
         "caption_doc_retrieval": _q_caption_doc_retrieval,
         "video_frames": _q_video_frames,
@@ -2380,6 +2404,25 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
     return {
         "nodes_cells": f"{W} SELECT id, lon, lat, cell FROM nodes_c",
         "cell_density": f"{W} SELECT cell, count(*) AS n_nodes FROM nodes_c GROUP BY cell",
+        # grouped top-1 per raster tile over image metadata: image_id string
+        # and caption length re-derived in SQL (caption = documents.text;
+        # LENGTH counts codepoints, same as Arrow utf8_length)
+        "tile_best_image": f"""
+{W},
+sc AS (
+  SELECT {tile_expr(TILE_ZOOM)} AS tile,
+         'img' || LPAD(CAST(id AS VARCHAR), 8, '0') AS image_id,
+         CAST(LENGTH(text) AS BIGINT) AS caption_chars,
+         id
+  FROM nodes_c
+),
+r AS (
+  SELECT tile, image_id, caption_chars,
+         ROW_NUMBER() OVER (PARTITION BY tile ORDER BY caption_chars DESC, id) AS rn
+  FROM sc
+)
+SELECT tile, image_id, caption_chars FROM r WHERE rn = 1
+""",
         "soq_tag_filter": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_SMALL)} AND lang = 'en' AND n_chars >= 200"

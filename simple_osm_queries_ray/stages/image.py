@@ -380,3 +380,90 @@ def tile_mosaic(ds: ray.data.Dataset, zoom: int = 6, *, concurrency: int = 4):
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def tile_best_image(images: ray.data.Dataset, zoom: int = 12) -> ray.data.Dataset:
+    """Per map tile: the representative image — longest caption, tie ->
+    smallest image_id. The north rule's raster-tile <-> image-feature
+    assignment as a grouped top-1: each image geolocates by its id (the same
+    derivation that places documents as nodes), assigns a zoom tile, and a
+    per-batch vectorized argmax partial keeps one candidate row per
+    (batch, tile) BEFORE the shuffle — the exchange carries at most
+    (occupied tiles x batches) metadata rows and the binary payload column
+    never enters it. Final per-tile winner by (caption_chars DESC, id ASC)
+    in one tiny groupby. Output: (tile, image_id, caption_chars)."""
+    import pyarrow.compute as pc
+
+    from ..sources.synthetic import geolocate
+    from .geo import tile_id
+
+    def _pick(tile, iid, clen, sel_src):
+        order = np.lexsort((iid, -clen, tile))
+        t_sorted = tile[order]
+        first = np.ones(len(t_sorted), dtype=bool)
+        first[1:] = t_sorted[1:] != t_sorted[:-1]
+        return order[first] if sel_src is None else sel_src[order[first]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sid = batch["image_id"].combine_chunks() if isinstance(
+            batch["image_id"], pa.ChunkedArray
+        ) else batch["image_id"]
+        ids = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(sid, 3, 11), pa.int64()), dtype=np.int64
+        )
+        lon, lat = geolocate(ids)
+        tile = tile_id(lon, lat, zoom)
+        clen = np.asarray(pc.utf8_length(batch["caption"]), dtype=np.int64)
+        sel = _pick(tile, ids, clen, None)
+        return pa.table(
+            {
+                "tile": pa.array(tile[sel]),
+                "image_id": sid.take(pa.array(sel)),
+                "caption_chars": pa.array(clen[sel]),
+                "__iid": pa.array(ids[sel]),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        tile = np.asarray(tbl["tile"], dtype=np.int64)
+        iid = np.asarray(tbl["__iid"], dtype=np.int64)
+        clen = np.asarray(tbl["caption_chars"], dtype=np.int64)
+        sel = _pick(tile, iid, clen, None)
+        return tbl.select(["tile", "image_id", "caption_chars"]).take(pa.array(sel))
+
+    return (
+        images.select_columns(["image_id", "caption"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tile")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def phash_dedup_groups(
+    images: ray.data.Dataset, *, max_hamming: int = 6
+) -> ray.data.Dataset:
+    """Near-duplicate image GROUPS: connected components over the phash
+    Hamming pair graph, each image labeled with the minimum reachable numeric
+    id (the canonical keep-this-one resolution — the image analogue of
+    dedup_groups on text). Pairs come from the chunk-bucket LSH machinery;
+    components from the hash-min label propagation in stages/dedup.py.
+    Output: (image_id, group_id) for every image, singletons included."""
+    import pyarrow.compute as pc
+
+    from .dedup import connected_components
+
+    pairs = phash_near_dup(images, max_hamming=max_hamming)
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        nums = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64())
+        return pa.table({"id": nums, "image_id": batch["image_id"]})
+
+    withnum = images.select_columns(["image_id"]).map_batches(
+        ids_only, batch_format="pyarrow"
+    ).materialize()
+    labeled = connected_components(withnum.select_columns(["id"]), pairs)
+    from .joins import hash_join_attach
+
+    return hash_join_attach(
+        withnum, "id", labeled, "id", {"group_id": pa.int64()}
+    ).select_columns(["image_id", "group_id"])

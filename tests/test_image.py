@@ -166,3 +166,24 @@ def test_tile_mosaic_matches_direct_computation():
         assert row.mean_r_milli == s[0] * 1000 // n
         assert row.mean_g_milli == s[1] * 1000 // n
         assert row.mean_b_milli == s[2] * 1000 // n
+
+
+def test_phash_dedup_groups_pairs_dup_with_original(ray_session):
+    """Every lossy re-encode (id + DUP_IMAGE_OFFSET) must land in the same
+    group as its original, and the group label is the min reachable id (so
+    the original's group <= its own id); images with no near-dup partner are
+    singletons labeled by their own id."""
+    from simple_osm_queries_ray.sources.images import DUP_IMAGE_OFFSET, dup_image_table
+    from simple_osm_queries_ray.stages.image import phash_dedup_groups
+
+    df = phash_dedup_groups(dup_image_table(SF), max_hamming=6).to_pandas()
+    g = dict(zip(df["image_id"], df["group_id"]))
+    nums = {int(s[3:]) for s in df["image_id"]}
+    dups = [i for i in nums if i >= DUP_IMAGE_OFFSET]
+    assert dups, "fixture must contain duplicate images"
+    for d in dups:
+        orig = d - DUP_IMAGE_OFFSET
+        assert g[f"img{d:08d}"] == g[f"img{orig:08d}"]
+        assert g[f"img{orig:08d}"] <= orig
+    # every image labeled exactly once
+    assert len(df) == len(nums)
