@@ -915,6 +915,9 @@ def _q_semi_join_quad_index(sf_dir: str):
 NEAR_DUP_TAU = 0.9
 ANN_QUERY_IDS = [0, 1, 2]
 ANN_K = 10
+HYBRID_N = 50
+HYBRID_K = 10
+HYBRID_QV = 0
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -967,6 +970,16 @@ def _q_embed_near_dup_lsh(sf_dir: str):
     from simple_osm_queries_ray.stages.embed import embedding_near_dup_lsh
 
     return embedding_near_dup_lsh(dup_embeddings(sf_dir), NEAR_DUP_TAU)
+
+
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 keyword top-50 candidates, embedding-cosine
+    rerank of only those candidates against the vec_id-0 query vector."""
+    from simple_osm_queries_ray.stages.embed import hybrid_search
+
+    return hybrid_search(
+        sf_dir, n_candidates=HYBRID_N, k=HYBRID_K, query_vec_id=HYBRID_QV
+    )
 
 
 def _q_ann_topk(sf_dir: str):
@@ -1504,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_lsh": _q_embed_near_dup_lsh,
         "ann_topk": _q_ann_topk,
+        "hybrid_search": _q_hybrid_search,
         "ann_ivf": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
@@ -2964,6 +2978,23 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
         # test; 8x4 banding makes recall ~1 (stages/embed.py band comment),
         # so the exact all-pairs SQL is its oracle too
         "embed_near_dup_lsh": embed_near_dup_sql,
+        # hybrid retrieval: the full BM25 twin as a CTE feeds an exact
+        # candidate set; rerank = list_cosine_similarity against the
+        # vec_id-0 query vector, ids-only output like ann_topk
+        "hybrid_search": f"""
+WITH bm AS ({_bm25_sql(HYBRID_N)}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM base WHERE vec_id = {HYBRID_QV}),
+scored AS (
+  SELECT bm.doc_id, list_cosine_similarity(q.qv, e.v) AS cos
+  FROM bm JOIN base e ON e.vec_id = bm.doc_id, q
+),
+rr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS "rank"
+  FROM scored
+)
+SELECT "rank", doc_id FROM rr WHERE "rank" <= {HYBRID_K}
+""",
         "ann_topk": f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),

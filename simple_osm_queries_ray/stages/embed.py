@@ -592,3 +592,71 @@ def kmeans_fit_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hybrid_search(
+    sf_dir: str,
+    *,
+    n_candidates: int = 50,
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> "ray.data.Dataset":
+    """Two-stage hybrid retrieval — the standard RAG / training-data shape:
+    BM25 keyword top-``n_candidates`` generation (stages/text.py::bm25_rank,
+    two streaming integer passes, corpus never shuffled), then an
+    embedding-cosine rerank of ONLY those candidates against one query
+    vector. The candidate id set is driver-small by contract
+    (``n_candidates`` rows); it broadcasts with the normalized query vector
+    and each embedding batch masks BEFORE the matmul, so stage 2's compute
+    and network are O(candidates x dim), not corpus-sized. Output:
+    (rank, doc_id) — ids only, like ann_search, so the oracle comparison
+    never hashes floats."""
+    from ..sources.read import read_parquet_sized
+    from .semi_join import isin_sorted
+    from .text import bm25_rank
+
+    cands = bm25_rank(sf_dir, k=n_candidates)
+    cand_ids = np.sort(np.asarray(cands["doc_id"], dtype=np.int64))
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _qids, q_vecs = _query_matrix(ds, [query_vec_id], "vec_id", "embedding")
+    ref = ray.put((cand_ids, _normalize(q_vecs)[0]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cids, qv = bget(ref)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        m = isin_sorted(ids, cids)
+        if not m.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        vecs = _normalize(
+            np.array(
+                batch.filter(pa.array(m))["embedding"].to_pylist(), dtype=np.float64
+            )
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids[m]), "cos": pa.array(vecs @ qv)}
+        )
+
+    d_ids, d_cos = [], []
+    for b in ds.map_batches(score, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        d_ids.append(np.asarray(b["doc_id"], dtype=np.int64))
+        d_cos.append(np.asarray(b["cos"], dtype=np.float64))
+    ids = np.concatenate(d_ids) if d_ids else np.array([], dtype=np.int64)
+    cos = np.concatenate(d_cos) if d_cos else np.array([], dtype=np.float64)
+    order = np.lexsort((ids, -cos))[: min(k, len(ids))]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(ids[order]),
+            }
+        )
+    )
