@@ -1433,6 +1433,14 @@ def _q_events_retention(sf_dir: str):
     return events_retention(sf_dir)
 
 
+def _q_user_trip_length(sf_dir: str):
+    """Per-user trajectory length over ts-ordered geolocated events, integer
+    nanodegrees (exactly-associative sums; see stages/text.py)."""
+    from simple_osm_queries_ray.stages.text import user_trip_length
+
+    return user_trip_length(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -1544,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_span_docs": _q_dup_span_docs,
         "events_retention": _q_events_retention,
+        "user_trip_length": _q_user_trip_length,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -1944,6 +1953,35 @@ reach AS (
   WHERE reach.d < {rounds}
 )
 SELECT id, MIN(d) AS hops FROM reach GROUP BY id
+"""
+
+
+def _user_trip_sql() -> str:
+    """user_trip_length oracle: geolocate(event_id) inline, LAG window over
+    (ts, event_id) per user, floor(d*1e9 + 0.5) integer segment lengths."""
+    from simple_osm_queries_ray.sql_oracle import geolocate_sql
+
+    lon, lat = geolocate_sql("event_id")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+o AS (
+  SELECT user_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id,
+         COALESCE(CAST(FLOOR(
+           SQRT((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat))
+           * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT), 0) AS d_nm
+  FROM o
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d_nm) AS BIGINT) AS trip_nm
+FROM d GROUP BY user_id
 """
 
 
@@ -3251,6 +3289,10 @@ SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
 FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + 1
 GROUP BY a.day
 """,
+        # per-user trajectory length: geolocate(event_id), LAG over
+        # (ts, event_id) within user, integer-nanodegree segment lengths —
+        # integer SUM is exact under any aggregation order
+        "user_trip_length": _user_trip_sql(),
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads
         # are RNG-derived (those are pinned by tests/test_image.py PSNR)

@@ -53,6 +53,23 @@ ways AS (
 )"""
 
 
+def geolocate_sql(id_col: str) -> tuple[str, str]:
+    """(lon_expr, lat_expr) mirroring ``sources/synthetic.py::geolocate``
+    for an arbitrary BIGINT id column — the same formula NODES_CTE inlines
+    for doc_id."""
+    lon = (
+        f"CASE WHEN {id_col} % 10 < 3 "
+        f"THEN CAST(9.9 AS DOUBLE) + CAST((({id_col} * {H1_MUL}) % {H_MOD}) % 1000 AS DOUBLE) * CAST(0.0001 AS DOUBLE) "
+        f"ELSE CAST(9.0 AS DOUBLE) + CAST((({id_col} * {H1_MUL}) % {H_MOD}) % 2000 AS DOUBLE) * CAST(0.001 AS DOUBLE) END"
+    )
+    lat = (
+        f"CASE WHEN {id_col} % 10 < 3 "
+        f"THEN CAST(53.5 AS DOUBLE) + CAST((({id_col} * {H2_MUL} + {H2_ADD}) % {H_MOD}) % 1000 AS DOUBLE) * CAST(0.0001 AS DOUBLE) "
+        f"ELSE CAST(53.0 AS DOUBLE) + CAST((({id_col} * {H2_MUL} + {H2_ADD}) % {H_MOD}) % 2000 AS DOUBLE) * CAST(0.001 AS DOUBLE) END"
+    )
+    return lon, lat
+
+
 def bbox_where(b: tuple[float, float, float, float], lon="lon", lat="lat") -> str:
     return (
         f"{lon} >= CAST({b[0]!r} AS DOUBLE) AND {lon} <= CAST({b[2]!r} AS DOUBLE) "

@@ -1487,3 +1487,66 @@ def cell_top_lang(nodes: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("cell")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def user_trip_length(sf_dir: str) -> "pd.DataFrame":
+    """Per-user trajectory length ("odometer"): every event geolocates by
+    event_id (the same hash derivation that places documents as nodes),
+    events order by (ts, event_id) within a user, and consecutive-event
+    planar distances round to integer NANODEGREES before summing — integer
+    sums are exactly associative, so the result replays bit-for-bit in the
+    oracle's LAG + SUM regardless of aggregation order (float sums would
+    not; same discipline as way_chainage). ONE shuffle keyed on hash(user)
+    bucket (a user's whole history lands in one task — the events family's
+    standing partitioning assumption); per-bucket vectorized lexsort +
+    diff. Output: (user_id, n_events, trip_nm)."""
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        lon, lat = geolocate(eid)
+        d = np.sqrt(np.diff(lon) ** 2 + np.diff(lat) ** 2)
+        d_nm = np.zeros(len(u), dtype=np.int64)
+        if len(u) > 1:
+            d_nm[1:] = np.floor(d * 1e9 + 0.5).astype(np.int64)
+            d_nm[1:][u[1:] != u[:-1]] = 0  # no distance across users
+        uniq, inv = np.unique(u, return_inverse=True)
+        trip = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(trip, inv, d_nm)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq),
+                "n_events": pa.array(n),
+                "trip_nm": pa.array(trip),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
