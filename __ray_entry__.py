@@ -1204,6 +1204,16 @@ def _q_phash_dedup_groups(sf_dir: str):
     return phash_dedup_groups(dup_image_table(sf_dir), max_hamming=6)
 
 
+def _q_tile_pyramid_best_image(sf_dir: str):
+    """Representative image per tile at every zoom 0..12 — hierarchical
+    argmax in one streaming pass (top-1 is a mergeable aggregate; parents by
+    integer shifts, all levels in one packed-key groupby)."""
+    from simple_osm_queries_ray.sources.images import image_table
+    from simple_osm_queries_ray.stages.image import tile_pyramid_best_image
+
+    return tile_pyramid_best_image(image_table(sf_dir), zoom=TILE_ZOOM, min_zoom=0)
+
+
 def _q_image_phash_near_dup(sf_dir: str):
     from simple_osm_queries_ray.sources.images import dup_image_table
     from simple_osm_queries_ray.stages.image import phash_near_dup
@@ -1571,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dup": _q_image_phash_near_dup,
         "phash_dedup_groups": _q_phash_dedup_groups,
         "tile_best_image": _q_tile_best_image,
+        "tile_pyramid_best_image": _q_tile_pyramid_best_image,
         "tile_mosaic": _q_tile_mosaic,
         "caption_doc_retrieval": _q_caption_doc_retrieval,
         "video_frames": _q_video_frames,
@@ -2456,6 +2467,35 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
     return {
         "nodes_cells": f"{W} SELECT id, lon, lat, cell FROM nodes_c",
         "cell_density": f"{W} SELECT cell, count(*) AS n_nodes FROM nodes_c GROUP BY cell",
+        # pyramid of per-tile winners: tile at max zoom via the proven
+        # tile_expr, parents derived with INTEGER shifts (identical to the
+        # engine — deriving coarse tiles from lon/lat floats directly could
+        # round across a boundary the shifted path does not)
+        "tile_pyramid_best_image": f"""
+{W},
+base AS (
+  SELECT {tile_expr(TILE_ZOOM)} AS t, id,
+         'img' || LPAD(CAST(id AS VARCHAR), 8, '0') AS image_id,
+         CAST(LENGTH(text) AS BIGINT) AS caption_chars
+  FROM nodes_c
+),
+lv AS (SELECT unnest(range(0, {TILE_ZOOM} + 1)) AS z),
+sc AS (
+  SELECT z,
+         ((t // {1 << TILE_ZOOM}) >> ({TILE_ZOOM} - z)) * (1 << z)
+         + ((t % {1 << TILE_ZOOM}) >> ({TILE_ZOOM} - z)) AS tile,
+         image_id, caption_chars, id
+  FROM base, lv
+),
+r AS (
+  SELECT z, tile, image_id, caption_chars,
+         ROW_NUMBER() OVER (PARTITION BY z, tile
+                            ORDER BY caption_chars DESC, id) AS rn
+  FROM sc
+)
+SELECT CAST(z AS BIGINT) AS zoom, tile, image_id, caption_chars
+FROM r WHERE rn = 1
+""",
         # grouped top-1 per raster tile over image metadata: image_id string
         # and caption length re-derived in SQL (caption = documents.text;
         # LENGTH counts codepoints, same as Arrow utf8_length)

@@ -467,3 +467,91 @@ def phash_dedup_groups(
     return hash_join_attach(
         withnum, "id", labeled, "id", {"group_id": pa.int64()}
     ).select_columns(["image_id", "group_id"])
+
+
+def tile_pyramid_best_image(
+    images: ray.data.Dataset, zoom: int = 12, min_zoom: int = 0
+) -> ray.data.Dataset:
+    """Representative image per tile at EVERY zoom in [min_zoom, zoom] — the
+    overview a tile server pre-renders, as a hierarchical argmax. Top-1 by
+    (caption_chars DESC, id ASC) is a mergeable aggregate, so one streaming
+    pass computes each batch's winner per (level, tile) locally (parent
+    tiles by integer shifts, all levels packed into one int64 key like
+    raster.tile_pyramid) and a single tiny groupby finishes ALL levels at
+    once: partial volume is occupied-tiles x levels per block, never
+    images x levels, and payload bytes never enter the exchange.
+    Output: (zoom, tile, image_id, caption_chars)."""
+    import pyarrow.compute as pc
+
+    from ..sources.synthetic import geolocate
+    from .geo import tile_id
+
+    if not 0 <= min_zoom <= zoom <= 24:
+        raise ValueError(
+            f"tile_pyramid_best_image needs 0 <= min_zoom <= zoom <= 24 "
+            f"(got {min_zoom}..{zoom}): tile ids reach 4^zoom and would "
+            "collide across the zoom*2^50 key packing beyond zoom 24"
+        )
+    n = np.int64(1 << zoom)
+    levels = zoom - min_zoom + 1
+    PACK = np.int64(1) << np.int64(50)
+
+    def _first_per_key(keys, iid, clen):
+        order = np.lexsort((iid, -clen, keys))
+        k_sorted = keys[order]
+        first = np.ones(len(k_sorted), dtype=bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        return order[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sid = batch["image_id"].combine_chunks() if isinstance(
+            batch["image_id"], pa.ChunkedArray
+        ) else batch["image_id"]
+        ids = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(sid, 3, 11), pa.int64()), dtype=np.int64
+        )
+        lon, lat = geolocate(ids)
+        t = tile_id(lon, lat, zoom)
+        clen = np.asarray(pc.utf8_length(batch["caption"]), dtype=np.int64)
+        tx, ty = t % n, t // n
+        keys = []
+        for d in range(levels):
+            nz = n >> d
+            pt = (ty >> d) * nz + (tx >> d)
+            keys.append(np.int64(zoom - d) * PACK + pt)
+        k = np.concatenate(keys)
+        m = len(ids)
+        iid_r = np.tile(ids, levels)
+        clen_r = np.tile(clen, levels)
+        sel = _first_per_key(k, iid_r, clen_r)
+        return pa.table(
+            {
+                "zt": pa.array(k[sel]),
+                "image_id": sid.take(pa.array(sel % m)),
+                "caption_chars": pa.array(clen_r[sel]),
+                "__iid": pa.array(iid_r[sel]),
+            }
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        k = np.asarray(tbl["zt"], dtype=np.int64)
+        iid = np.asarray(tbl["__iid"], dtype=np.int64)
+        clen = np.asarray(tbl["caption_chars"], dtype=np.int64)
+        sel = _first_per_key(k, iid, clen)
+        ks = k[sel]
+        out = tbl.select(["image_id", "caption_chars"]).take(pa.array(sel))
+        return pa.table(
+            {
+                "zoom": pa.array(ks // PACK),
+                "tile": pa.array(ks % PACK),
+                "image_id": out["image_id"],
+                "caption_chars": out["caption_chars"],
+            }
+        )
+
+    return (
+        images.select_columns(["image_id", "caption"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("zt")
+        .map_groups(final, batch_format="pyarrow")
+    )
