@@ -1489,7 +1489,7 @@ def cell_top_lang(nodes: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def user_trip_length(sf_dir: str) -> "pd.DataFrame":
+def user_trip_length(sf_dir: str) -> "ray.data.Dataset":
     """Per-user trajectory length ("odometer"): every event geolocates by
     event_id (the same hash derivation that places documents as nodes),
     events order by (ts, event_id) within a user, and consecutive-event
@@ -1544,9 +1544,10 @@ def user_trip_length(sf_dir: str) -> "pd.DataFrame":
             }
         )
 
-    out = (
+    # stays a Dataset: the output is one row per USER — corpus-scaled, not
+    # driver-bounded like the per-day retention table
+    return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
-    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
