@@ -154,3 +154,46 @@ def test_sssp_bounded_rounds_subset():
     cut = _to_dict(proximity_sssp(ds, EPS, source_id=SRC_OFF, max_rounds=2), "dist")
     want = reference_bellman_ford(ids, lon, lat, EPS, SRC_OFF, 2)
     assert cut == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def random_points(draw):
+    n = draw(st.integers(min_value=2, max_value=40))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    # coordinates in a couple of cells; duplicates allowed (distance 0 edges)
+    lon = rng.uniform(0.0, 0.15, n)
+    lat = rng.uniform(0.0, 0.15, n)
+    dup = draw(st.booleans())
+    if dup and n >= 4:
+        lon[1] = lon[0]
+        lat[1] = lat[0]
+    ids = rng.choice(np.arange(1, 10 * n), size=n, replace=False).astype(np.int64)
+    eps = draw(st.sampled_from([0.005, 0.02, 0.06]))
+    rounds = draw(st.integers(min_value=1, max_value=8))
+    return ids, lon, lat, eps, rounds
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(random_points())
+def test_bfs_property_random_graphs(pts):
+    ids, lon, lat, eps, rounds = pts
+    src = int(ids[0])
+    ds = _dataset(ids, lon, lat)
+    got = _to_dict(proximity_bfs(ds, eps, source_id=src, max_rounds=rounds), "hops")
+    assert got == reference_bfs(ids, lon, lat, eps, src, rounds)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(random_points())
+def test_sssp_property_random_graphs(pts):
+    ids, lon, lat, eps, rounds = pts
+    src = int(ids[0])
+    ds = _dataset(ids, lon, lat)
+    got = _to_dict(proximity_sssp(ds, eps, source_id=src, max_rounds=rounds), "dist")
+    want = reference_bellman_ford(ids, lon, lat, eps, src, rounds)
+    assert got == want  # bit-exact floats
