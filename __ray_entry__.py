@@ -918,6 +918,7 @@ ANN_K = 10
 HYBRID_N = 50
 HYBRID_K = 10
 HYBRID_QV = 0
+TRIP_EPS = 0.5
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1451,6 +1452,14 @@ def _q_user_trip_length(sf_dir: str):
     return user_trip_length(sf_dir)
 
 
+def _q_trip_segments(sf_dir: str):
+    """Spatial trajectory segmentation: new segment where the jump between
+    a user's consecutive events exceeds TRIP_EPS planar degrees."""
+    from simple_osm_queries_ray.stages.text import trip_segments
+
+    return trip_segments(sf_dir, eps=TRIP_EPS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -1563,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_docs": _q_dup_span_docs,
         "events_retention": _q_events_retention,
         "user_trip_length": _q_user_trip_length,
+        "trip_segments": _q_trip_segments,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -1993,6 +2003,43 @@ d AS (
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(d_nm) AS BIGINT) AS trip_nm
 FROM d GROUP BY user_id
+"""
+
+
+def _trip_segments_sql(eps: float) -> str:
+    """trip_segments oracle: LAG window per user, break where the squared
+    jump exceeds eps^2 (same float comparison as the engine), integer
+    windowed SUM of break flags as the segment id."""
+    from simple_osm_queries_ray.sql_oracle import geolocate_sql
+
+    lon, lat = geolocate_sql("event_id")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+o AS (
+  SELECT user_id, event_id, ts, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN plon IS NULL
+                OR (lon - plon) * (lon - plon) + (lat - plat) * (lat - plat)
+                   > CAST({eps!r} AS DOUBLE) * CAST({eps!r} AS DOUBLE)
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, event_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seg
+  FROM b
+)
+SELECT user_id, CAST(seg AS BIGINT) AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM s GROUP BY user_id, seg
 """
 
 
@@ -3333,6 +3380,9 @@ GROUP BY a.day
         # (ts, event_id) within user, integer-nanodegree segment lengths —
         # integer SUM is exact under any aggregation order
         "user_trip_length": _user_trip_sql(),
+        # trajectory segmentation: the break test is a float COMPARISON
+        # (bit-stable), segment ids are integer cumsums of break flags
+        "trip_segments": _trip_segments_sql(TRIP_EPS),
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads
         # are RNG-derived (those are pinned by tests/test_image.py PSNR)

@@ -1551,3 +1551,77 @@ def user_trip_length(sf_dir: str) -> "ray.data.Dataset":
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def trip_segments(sf_dir: str, eps: float = 0.5) -> "ray.data.Dataset":
+    """Spatial trajectory segmentation: within a user's (ts, event_id)-ordered
+    event stream, a NEW segment starts wherever the planar jump from the
+    previous event exceeds ``eps`` (the spatial analogue of time-gap
+    sessionization). The break test is a float comparison — bit-stable across
+    engines, unlike float sums — and segment ids are integer cumsums of break
+    flags, so the oracle's windowed SUM replays exactly. Same ONE
+    hash(user)-bucket shuffle as user_trip_length; per-bucket vectorized
+    lexsort + diff + reduceat. Output: (user_id, seg, n_events, min_event,
+    max_event)."""
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    num_buckets = 32
+    eps2 = float(eps) * float(eps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        lon, lat = geolocate(eid)
+        n = len(u)
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            d2 = np.diff(lon) ** 2 + np.diff(lat) ** 2
+            brk[1:] = (d2 > eps2).astype(np.int64)
+            brk[1:][u[1:] != u[:-1]] = 1  # a user's first event always breaks
+        # per-user segment index: cumsum of breaks minus the cumsum at the
+        # user's first event (its break flag is 1, so seg starts at 0)
+        cs = np.cumsum(brk)
+        user_start = np.ones(n, dtype=bool)
+        user_start[1:] = u[1:] != u[:-1]
+        start_idx = np.flatnonzero(user_start)
+        runs = np.diff(np.append(start_idx, n))
+        base = np.repeat(cs[start_idx] - 1, runs)
+        seg = cs - 1 - base
+        # contiguous (user, seg) runs -> reduceat aggregates
+        seg_start = brk.astype(bool)
+        s_idx = np.flatnonzero(seg_start)
+        cnt = np.diff(np.append(s_idx, n))
+        return pa.table(
+            {
+                "user_id": pa.array(u[s_idx]),
+                "seg": pa.array(seg[s_idx]),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "min_event": pa.array(np.minimum.reduceat(eid, s_idx)),
+                "max_event": pa.array(np.maximum.reduceat(eid, s_idx)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
