@@ -347,33 +347,38 @@ def knn_quad_ring(
 def radius_join(ds: ray.data.Dataset, radius: float) -> ray.data.Dataset:
     """Distance-threshold self-join: every unordered pair of features within
     planar degree distance ``radius`` (id_a < id_b, plus the squared
-    distance). The all-pairs problem is cut down to per-cell work by the
-    standard grid-bucket replication: each point lands in its home cell plus
-    the 8 neighbors, pairs are enumerated inside one cell's bucket only
+    distance). The all-pairs problem is cut down to per-bucket work by the
+    standard grid-bucket replication: each point lands in its home bucket
+    plus the 8 neighbors, pairs are enumerated inside one bucket only
     (home point x any point), and the id ordering picks exactly one of the
-    two buckets that see a cross-cell pair — no global dedup pass. Requires
-    ``radius <= min(CELL_W, CELL_H)`` (0.1 deg); coarser radii would bucket
-    at ceil(radius/cell) granularity instead. Shuffle payload is
-    (bucket, id, lon, lat, home) x9 — never tags or payload columns; dense
-    cells are bounded by the same skew caveat as every cell groupby (salt
-    via PartitionPlan if a single cell outgrows a worker).
-    """
-    from ..model import CELL_H, CELL_W, cell_xy, pack_cell
+    two buckets that see a cross-bucket pair — no global dedup pass.
 
-    if radius > min(CELL_W, CELL_H):
-        raise ValueError("radius must be <= one cell; bucket coarser first")
+    Buckets are RADIUS-sized (edge = ``radius``), not the index's fixed 0.1
+    deg cells: with fixed cells a dense cell costs O(cell_population^2)
+    compares no matter how small the radius — bucketing at the radius makes
+    per-bucket work O(points within ~radius of each other), i.e. proportional
+    to the OUTPUT pair count, which is optimal for this plan. Any radius is
+    accepted (the old fixed-cell form required radius <= 0.1). Shuffle
+    payload is (bucket, id, lon, lat, home) x9 — never tags or payload
+    columns; a region dense at the radius scale still concentrates in one
+    bucket, the same skew caveat as every cell groupby.
+    """
     r2 = float(radius) * float(radius)
+    inv = 1.0 / float(radius)
 
     def replicate(batch: pa.Table) -> pa.Table:
         ids_ = np.asarray(batch["id"], dtype=np.int64)
         lon = np.asarray(batch["lon"], dtype=np.float64)
         lat = np.asarray(batch["lat"], dtype=np.float64)
-        cx, cy = cell_xy(lon, lat)
+        # radius-sized grid; coordinates are bounded (|lon|<=180, |lat|<=90)
+        # so bx/by fit comfortably in 31 bits for any radius >= 1e-6 deg
+        bx = np.floor(lon * inv).astype(np.int64)
+        by = np.floor(lat * inv).astype(np.int64)
         out_bucket, out_home = [], []
         n = len(ids_)
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                out_bucket.append(pack_cell(cx + dx, cy + dy))
+                out_bucket.append(((bx + dx) << np.int64(32)) + (by + dy + (1 << 30)))
                 out_home.append(
                     np.full(n, dx == 0 and dy == 0, dtype=np.bool_)
                 )
