@@ -794,29 +794,35 @@ def node_node_buffer_join(
     sub-statement; unlike :func:`~.knn.radius_join` (a self-join) the two
     sides are different filtered datasets.
 
-    Plan: inner points replicate to their (2r+1)^2 cell neighborhood
-    (r = ceil(eps / cell)), outer points go to their single home cell, so
-    every candidate pair meets in exactly one bucket (the outer's home
-    cell) — no dedup pass. Within a bucket one (outer x inner) squared-
-    distance matrix decides; both sides of a bucket are cell-sized, so the
-    matrix is bounded by local density, not corpus size."""
-    from ..model import CELL_H, CELL_W, pack_cell
+    Plan: buckets are EPS-sized (edge = eps, the radius_join discipline —
+    fixed 0.1-degree cells cost O(cell_population^2) compares per bucket no
+    matter how small eps is): inner points replicate to their 3x3 bucket
+    neighborhood, outer points go to their single home bucket, so every
+    candidate pair meets in exactly one bucket (the outer's home) — no
+    dedup pass. Within a bucket one (outer x inner) squared-distance matrix
+    decides; per-bucket work is proportional to points within ~eps of each
+    other, i.e. the output pair count."""
+    inv = 1.0 / float(eps)
 
-    rx = int(np.ceil(eps / CELL_W))
-    ry = int(np.ceil(eps / CELL_H))
+    def _bxy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            np.floor(lon * inv).astype(np.int64),
+            np.floor(lat * inv).astype(np.int64),
+        )
 
     def rep_inner(batch: pa.Table) -> pa.Table:
         ids_ = np.asarray(batch["id"], dtype=np.int64)
         lon = np.asarray(batch["lon"], dtype=np.float64)
         lat = np.asarray(batch["lat"], dtype=np.float64)
-        cx = np.floor(lon / CELL_W).astype(np.int64)
-        cy = np.floor(lat / CELL_H).astype(np.int64)
-        dx, dy = np.meshgrid(np.arange(-rx, rx + 1), np.arange(-ry, ry + 1), indexing="ij")
+        bx, by = _bxy(lon, lat)
+        dx, dy = np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), indexing="ij")
         dx = dx.ravel()
         dy = dy.ravel()
         k = len(dx)
         row = np.repeat(np.arange(len(ids_), dtype=np.int64), k)
-        cell = pack_cell(cx[row] + np.tile(dx, len(ids_)), cy[row] + np.tile(dy, len(ids_)))
+        cell = ((bx[row] + np.tile(dx, len(ids_))) << np.int64(32)) + (
+            by[row] + np.tile(dy, len(ids_)) + (1 << 30)
+        )
         return pa.table(
             {
                 "bucket": pa.array(cell),
@@ -831,9 +837,8 @@ def node_node_buffer_join(
         ids_ = np.asarray(batch["id"], dtype=np.int64)
         lon = np.asarray(batch["lon"], dtype=np.float64)
         lat = np.asarray(batch["lat"], dtype=np.float64)
-        cell = pack_cell(
-            np.floor(lon / CELL_W).astype(np.int64), np.floor(lat / CELL_H).astype(np.int64)
-        )
+        bx, by = _bxy(lon, lat)
+        cell = (bx << np.int64(32)) + (by + (1 << 30))
         return pa.table(
             {
                 "bucket": pa.array(cell),
