@@ -1452,6 +1452,14 @@ def _q_user_trip_length(sf_dir: str):
     return user_trip_length(sf_dir)
 
 
+def _q_events_rolling_max(sf_dir: str):
+    """Per-row rolling MAX of value over each user's last 4 events — exact
+    under floats because MAX is order-independent."""
+    from simple_osm_queries_ray.stages.text import events_rolling_max
+
+    return events_rolling_max(sf_dir, k=4)
+
+
 def _q_trip_segments(sf_dir: str):
     """Spatial trajectory segmentation: new segment where the jump between
     a user's consecutive events exceeds TRIP_EPS planar degrees."""
@@ -1573,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "user_trip_length": _q_user_trip_length,
         "trip_segments": _q_trip_segments,
+        "events_rolling_max": _q_events_rolling_max,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -3383,6 +3392,14 @@ GROUP BY a.day
         # trajectory segmentation: the break test is a float COMPARISON
         # (bit-stable), segment ids are integer cumsums of break flags
         "trip_segments": _trip_segments_sql(TRIP_EPS),
+        # rolling ROWS window: MAX over floats is order-independent, so the
+        # engine's shifted-column maximum equals the window function exactly
+        "events_rolling_max": """
+SELECT event_id, user_id,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max
+FROM events
+""",
         # image_resize projects (image_id, w, h): ids derive from doc_id and
         # the fixed 16x16 target — SQL-checkable even though pixel payloads
         # are RNG-derived (those are pinned by tests/test_image.py PSNR)

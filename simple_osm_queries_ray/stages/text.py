@@ -1625,3 +1625,54 @@ def trip_segments(sf_dir: str, eps: float = 0.5) -> "ray.data.Dataset":
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def events_rolling_max(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Per-row rolling window aggregate: for every event, the MAX of
+    ``value`` over the user's last ``k`` events (current + k-1 preceding,
+    (ts, event_id) order) — the ROWS-window complement of the family's
+    tumbling/hopping aggregates. MAX over floats is order-independent, so
+    the result is exact against the oracle's window function (rolling SUMs
+    of floats would not replay — engines tree-aggregate them). Same ONE
+    hash(user)-bucket shuffle; per-bucket vectorized shifted-column maximum
+    (k columns, no per-row loop). Output: (event_id, user_id, roll_max)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return batch.append_column("__bucket", pa.array(b))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        val = np.asarray(tbl["value"], dtype=np.float64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, val = u[order], eid[order], val[order]
+        n = len(u)
+        # row i's window start = max(first index of its user, i - k + 1):
+        # shifted-column max with a same-user guard per shift
+        out = val.copy()
+        for s in range(1, k):
+            ok = np.zeros(n, dtype=bool)
+            ok[s:] = u[s:] == u[:-s]
+            np.maximum(out[s:], np.where(ok[s:], val[:-s], -np.inf), out=out[s:])
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "roll_max": pa.array(out),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
