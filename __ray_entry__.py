@@ -32,6 +32,7 @@ GRAPH_EPS = 0.02
 GRAPH_ROUNDS = 10
 GRAPH_EPS_SPARSE = 0.01
 GRAPH_ROUNDS_SPARSE = 12
+GRAPH_MULTI_SRCS = [0, 1, 12]
 GEOHASH_P = 7
 HEX_SIZE = 0.05
 HEX_SIZE_COARSE = 0.25
@@ -815,6 +816,16 @@ def _q_graph_hops_bounded(sf_dir: str):
     )
 
 
+def _q_graph_multi_bfs(sf_dir: str):
+    """Multi-source BFS ("nearest facility"): hop distance + closest source
+    id per reachable node, round tie -> smallest source."""
+    from simple_osm_queries_ray.stages.graph import proximity_bfs_multi
+
+    return proximity_bfs_multi(
+        _repo(sf_dir).nodes, GRAPH_EPS, GRAPH_MULTI_SRCS, max_rounds=GRAPH_ROUNDS
+    )
+
+
 def _q_graph_sssp(sf_dir: str):
     """Bounded-round Bellman-Ford (min planar path length) over the same
     eps-graph. No SQL twin — a recursive CTE would enumerate every bounded
@@ -1533,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": _q_dbscan,
         "graph_hops": _q_graph_hops,
         "graph_hops_bounded": _q_graph_hops_bounded,
+        "graph_multi_bfs": _q_graph_multi_bfs,
         "graph_sssp": _q_graph_sssp,
         "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
@@ -2049,6 +2061,40 @@ SELECT user_id, CAST(seg AS BIGINT) AS seg,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(event_id) AS min_event, MAX(event_id) AS max_event
 FROM s GROUP BY user_id, seg
+"""
+
+
+def _graph_multi_bfs_sql(eps: float, rounds: int, srcs: list[int]) -> str:
+    """graph_multi_bfs oracle: the recursive CTE seeds every source with
+    (d=0, src=itself) and propagates (node, d+1, src); ROW_NUMBER over
+    (d, src) per node picks the lexicographic minimum."""
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    seeds = ", ".join(str(int(s)) for s in srcs)
+    return f"""
+WITH RECURSIVE {NODES_CTE},
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM nodes_c a JOIN nodes_c b ON a.id < b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat)
+        <= CAST({eps!r} AS DOUBLE) * CAST({eps!r} AS DOUBLE)
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT id, CAST(0 AS BIGINT) AS d, id AS s
+  FROM nodes_c WHERE id IN ({seeds})
+  UNION
+  SELECT e.dst AS id, reach.d + 1 AS d, reach.s
+  FROM reach JOIN e ON e.src = reach.id
+  WHERE reach.d < {rounds}
+),
+best AS (
+  SELECT id, d, s, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, s) AS rn
+  FROM reach
+)
+SELECT id, d AS hops, s AS src FROM best WHERE rn = 1
 """
 
 
@@ -2895,6 +2941,10 @@ WHERE (a.lon - b.lon) * (a.lon - b.lon)
         # discovery depths to the hop distance
         "graph_hops": _graph_hops_sql(GRAPH_EPS, GRAPH_ROUNDS),
         "graph_hops_bounded": _graph_hops_sql(GRAPH_EPS_SPARSE, GRAPH_ROUNDS_SPARSE),
+        # multi-source BFS: reach enumerates (node, depth, source) triples;
+        # the lexicographic (d, src) minimum per node equals the engine's
+        # per-round min-label propagation (see stages/graph.py docstring)
+        "graph_multi_bfs": _graph_multi_bfs_sql(GRAPH_EPS, GRAPH_ROUNDS, GRAPH_MULTI_SRCS),
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->
         # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan

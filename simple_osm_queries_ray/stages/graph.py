@@ -499,3 +499,162 @@ def pagerank_suppliers(sf_dir: str, iters: int = 2, k: int = 20) -> pd.DataFrame
     out = scores.map_batches(suppliers, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["score", "s_suppkey"], ascending=[False, True], kind="mergesort")
     return out.head(k).reset_index(drop=True)
+
+
+def _multi_table(ids: np.ndarray, hops: np.ndarray, src: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "hops": pa.array(hops, type=pa.int64()),
+            "src": pa.array(src, type=pa.int64()),
+        }
+    )
+
+
+def proximity_bfs_multi(
+    ds: ray.data.Dataset,
+    radius: float,
+    source_ids: list[int],
+    max_rounds: int = 10,
+    broadcast_limit: int = BROADCAST_VERTEX_LIMIT,
+) -> ray.data.Dataset:
+    """Multi-source BFS ("nearest facility"): every feature reachable within
+    ``max_rounds`` hops of ANY source gets (hops, src) — the hop distance to
+    its closest source and that source's id (round tie -> smallest source).
+    Label propagation is min-merge per round: a node first reached at round
+    r takes the min label among its round-(r-1) neighbors, which equals the
+    global lexicographic (hops, src) minimum (every source at distance r has
+    a shortest-path predecessor at distance r-1 carrying it as a candidate).
+    Same size-gated broadcast/hash discipline as :func:`proximity_bfs`."""
+    edges = symmetric_edges(radius_join(ds, radius)).materialize()
+    srcs = np.array(sorted(set(int(s) for s in source_ids)), dtype=np.int64)
+    if ds.count() <= broadcast_limit:
+        return _bfs_multi_broadcast(edges, srcs, max_rounds)
+    return _bfs_multi_hash(edges, srcs, max_rounds)
+
+
+def _bfs_multi_broadcast(
+    edges: ray.data.Dataset, srcs: np.ndarray, max_rounds: int
+) -> ray.data.Dataset:
+    visited_sorted = srcs.copy()
+    out_ids = srcs.copy()
+    out_hops = np.zeros(len(srcs), dtype=np.int64)
+    out_src = srcs.copy()
+    f_ids, f_src = srcs.copy(), srcs.copy()
+    for r in range(1, max_rounds + 1):
+        ref = ray.put((f_ids, f_src))
+        v_ref = ray.put(visited_sorted)
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fi, fs = bget(ref)
+            s = np.asarray(batch["src"], dtype=np.int64)
+            d = np.asarray(batch["dst"], dtype=np.int64)
+            m = isin_sorted(s, fi) & ~isin_sorted(d, bget(v_ref))
+            if not m.any():
+                return pa.table(
+                    {
+                        "id": pa.array([], type=pa.int64()),
+                        "lbl": pa.array([], type=pa.int64()),
+                    }
+                )
+            pos = np.searchsorted(fi, s[m])
+            cand_id = d[m]
+            cand_lbl = fs[pos]
+            uniq, inv = np.unique(cand_id, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max)
+            np.minimum.at(best, inv, cand_lbl)
+            return pa.table({"id": pa.array(uniq), "lbl": pa.array(best)})
+
+        p_id, p_lbl = [], []
+        for b in edges.map_batches(expand, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            p_id.append(np.asarray(b["id"], dtype=np.int64))
+            p_lbl.append(np.asarray(b["lbl"], dtype=np.int64))
+        if not p_id:
+            break
+        c_id = np.concatenate(p_id)
+        c_lbl = np.concatenate(p_lbl)
+        if len(c_id) == 0:
+            break
+        uniq, inv = np.unique(c_id, return_inverse=True)
+        best = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(best, inv, c_lbl)
+        visited_sorted = np.sort(np.concatenate([visited_sorted, uniq]))
+        out_ids = np.concatenate([out_ids, uniq])
+        out_hops = np.concatenate([out_hops, np.full(len(uniq), r, dtype=np.int64)])
+        out_src = np.concatenate([out_src, best])
+        f_ids, f_src = uniq, best  # uniq is sorted
+    return ray.data.from_arrow(_multi_table(out_ids, out_hops, out_src))
+
+
+def _bfs_multi_hash(
+    edges: ray.data.Dataset, srcs: np.ndarray, max_rounds: int, num_buckets: int = 64
+) -> ray.data.Dataset:
+    dist = ray.data.from_arrow(
+        _multi_table(srcs, np.zeros(len(srcs), dtype=np.int64), srcs)
+    ).materialize()
+    frontier = dist.select_columns(["id", "src"]).materialize()
+    for r in range(1, max_rounds + 1):
+
+        def fprep(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["id"], "__fs": batch["src"]})
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = batch.filter(pc.is_valid(batch["__fs"]))
+            d = np.asarray(hit["dst"], dtype=np.int64)
+            lbl = np.asarray(hit["__fs"], dtype=np.int64)
+            uniq, inv = np.unique(d, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max)
+            np.minimum.at(best, inv, lbl)
+            return pa.table({"id": pa.array(uniq), "lbl": pa.array(best)})
+
+        cands = (
+            hash_join_attach(
+                edges,
+                "src",
+                frontier.map_batches(fprep, batch_format="pyarrow"),
+                "id",
+                {"__fs": pa.int64()},
+                num_buckets=num_buckets,
+            )
+            .map_batches(cand_rows, batch_format="pyarrow")
+            .groupby("id")
+            .min("lbl")
+            .map_batches(
+                lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+        def seen_flag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "__seen": pa.array(np.ones(len(batch), dtype=np.int8)),
+                }
+            )
+
+        def unseen(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            fresh = batch.filter(pc.is_null(batch["__seen"]))
+            ids = np.asarray(fresh["id"], dtype=np.int64)
+            lbl = np.asarray(fresh["lbl"], dtype=np.int64)
+            return _multi_table(ids, np.full(len(ids), r, dtype=np.int64), lbl)
+
+        new_rows = hash_join_attach(
+            cands,
+            "id",
+            dist.map_batches(seen_flag, batch_format="pyarrow"),
+            "id",
+            {"__seen": pa.int8()},
+            num_buckets=num_buckets,
+        ).map_batches(unseen, batch_format="pyarrow").materialize()
+        if new_rows.count() == 0:
+            break
+        dist = dist.union(new_rows).materialize()
+        frontier = new_rows.select_columns(["id", "src"]).materialize()
+    return dist

@@ -197,3 +197,60 @@ def test_sssp_property_random_graphs(pts):
     got = _to_dict(proximity_sssp(ds, eps, source_id=src, max_rounds=rounds), "dist")
     want = reference_bellman_ford(ids, lon, lat, eps, src, rounds)
     assert got == want  # bit-exact floats
+
+
+from simple_osm_queries_ray.stages.graph import proximity_bfs_multi
+
+
+def reference_multi_bfs(ids, lon, lat, eps, srcs, rounds):
+    """Lexicographic (hops, src) minimum over per-source BFS distances."""
+    best = {}
+    for s in srcs:
+        for nid, h in reference_bfs(ids, lon, lat, eps, s, rounds).items():
+            cur = best.get(nid)
+            if cur is None or (h, s) < cur:
+                best[nid] = (h, int(s))
+    return best
+
+
+def _multi_to_dict(ds):
+    out = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for i, h, s in zip(
+            np.asarray(b["id"], dtype=np.int64).tolist(),
+            np.asarray(b["hops"], dtype=np.int64).tolist(),
+            np.asarray(b["src"], dtype=np.int64).tolist(),
+        ):
+            out[i] = (h, s)
+    return out
+
+
+def test_multi_bfs_matches_reference():
+    ids, lon, lat = _point_set()
+    srcs = [int(ids[0]), int(ids[70]), int(ids[90])]
+    ds = _dataset(ids, lon, lat)
+    got = _multi_to_dict(proximity_bfs_multi(ds, EPS, srcs, max_rounds=30))
+    assert got == reference_multi_bfs(ids, lon, lat, EPS, srcs, 30)
+    # both clusters must carry labels from their own sources
+    assert len({s for _, s in got.values()}) >= 2
+
+
+def test_multi_bfs_hash_path_identical():
+    ids, lon, lat = _point_set()
+    srcs = [int(ids[0]), int(ids[70])]
+    ds = _dataset(ids, lon, lat)
+    bc = _multi_to_dict(proximity_bfs_multi(ds, EPS, srcs, max_rounds=6))
+    hashed = _multi_to_dict(
+        proximity_bfs_multi(ds, EPS, srcs, max_rounds=6, broadcast_limit=0)
+    )
+    assert bc == hashed
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(random_points())
+def test_multi_bfs_property_random_graphs(pts):
+    ids, lon, lat, eps, rounds = pts
+    srcs = sorted(set(int(s) for s in ids[: min(3, len(ids))]))
+    ds = _dataset(ids, lon, lat)
+    got = _multi_to_dict(proximity_bfs_multi(ds, eps, srcs, max_rounds=rounds))
+    assert got == reference_multi_bfs(ids, lon, lat, eps, srcs, rounds)
