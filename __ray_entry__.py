@@ -1463,6 +1463,14 @@ def _q_user_trip_length(sf_dir: str):
     return user_trip_length(sf_dir)
 
 
+def _q_covisit_pairs(sf_dir: str):
+    """Spatio-temporal co-occurrence: user pairs sharing a (0.1-degree cell,
+    UTC hour), with distinct-meeting counts — the contact-graph primitive."""
+    from simple_osm_queries_ray.stages.text import covisit_pairs
+
+    return covisit_pairs(sf_dir)
+
+
 def _q_events_rolling_max(sf_dir: str):
     """Per-row rolling MAX of value over each user's last 4 events — exact
     under floats because MAX is order-independent."""
@@ -1594,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_trip_length": _q_user_trip_length,
         "trip_segments": _q_trip_segments,
         "events_rolling_max": _q_events_rolling_max,
+        "covisit_pairs": _q_covisit_pairs,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -2024,6 +2033,32 @@ d AS (
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(d_nm) AS BIGINT) AS trip_nm
 FROM d GROUP BY user_id
+"""
+
+
+def _covisit_sql() -> str:
+    """covisit_pairs oracle: distinct (user, cell, hour) triples, pair
+    self-join on the meeting key, COUNT per ordered pair."""
+    from simple_osm_queries_ray.sql_oracle import geolocate_sql
+
+    lon, lat = geolocate_sql("event_id")
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+c AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(lon / CAST(0.1 AS DOUBLE)) AS BIGINT) * 100000
+           + CAST(FLOOR(lat / CAST(0.1 AS DOUBLE)) AS BIGINT) AS cell,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM e
+),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM c a JOIN c b ON a.cell = b.cell AND a.hr = b.hr AND a.user_id < b.user_id
+)
+SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_meetings
+FROM p GROUP BY ua, ub
 """
 
 
@@ -3442,6 +3477,9 @@ GROUP BY a.day
         # trajectory segmentation: the break test is a float COMPARISON
         # (bit-stable), segment ids are integer cumsums of break flags
         "trip_segments": _trip_segments_sql(TRIP_EPS),
+        # co-visitation: distinct (user, cell, hour) triples self-joined on
+        # the meeting key; same cell formula as NODES_CTE, hour = epoch_us//3.6e9
+        "covisit_pairs": _covisit_sql(),
         # rolling ROWS window: MAX over floats is order-independent, so the
         # engine's shifted-column maximum equals the window function exactly
         "events_rolling_max": """

@@ -1676,3 +1676,90 @@ def events_rolling_max(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def covisit_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Spatio-temporal co-occurrence ("co-visitation"): pairs of users with
+    events in the same grid cell within the same UTC hour, with the number
+    of distinct (cell, hour) meetings. The contact-graph primitive.
+
+    Plan: per-batch distinct (user, cell, hour) triples, ONE shuffle keyed on
+    the packed (cell, hour) — all of a meeting's participants land in one
+    group, where cross-batch duplicates dedup and the user pairs enumerate
+    vectorized (each pair once per meeting by construction) — then a pair-
+    keyed groupby sums meetings. Pack bounds: |cell| < 2^28 (0.1-degree
+    grid), hour-since-epoch < 2^22 through year ~2400, so cell*2^22 + hour
+    fits int64; user pairs pack as ua*2^31 + ub while user ids stay below
+    2^31 (asserted). A cell-hour dense at corpus scale is the usual skew
+    caveat: salt hot meetings before pairing if one group outgrows a worker.
+    Output: (user_a, user_b, n_meetings)."""
+    from ..model import cell_xy, pack_cell
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        ts = np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+        lon, lat = geolocate(eid)
+        cell = pack_cell(*cell_xy(lon, lat))
+        hr = ts // 3_600_000_000
+        key = cell * (np.int64(1) << np.int64(22)) + hr
+        rows = np.unique(np.stack([key, u], axis=1), axis=0)
+        b = np.abs((rows[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32)) % 64
+        return pa.table(
+            {
+                "key": pa.array(rows[:, 0]),
+                "user_id": pa.array(rows[:, 1]),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_meeting(tbl: pa.Table) -> pa.Table:
+        k = np.asarray(tbl["key"], dtype=np.int64)
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        rows = np.unique(np.stack([k, u], axis=1), axis=0)  # cross-batch dedup
+        k, u = rows[:, 0], rows[:, 1]
+        assert (u >= 0).all() and (u < (1 << 31)).all(), "user ids must fit 31 bits"
+        out_a, out_b = [], []
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            us = u[s:e]  # sorted ascending within the meeting (unique rows)
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(us[ia])
+            out_b.append(us[ib])
+        if not out_a:
+            return pa.table({"pair": pa.array([], type=pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"pair": pa.array(a * (np.int64(1) << np.int64(31)) + b)})
+
+    pairs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")  # many meetings per group: one task handles a
+        # bucket of (cell, hour) keys instead of one Python call per meeting
+        .map_groups(per_meeting, batch_format="pyarrow")
+        .groupby("pair")
+        .count()
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pair"], dtype=np.int64)
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        return pa.table(
+            {
+                "user_a": pa.array(p >> np.int64(31)),
+                "user_b": pa.array(p & np.int64((1 << 31) - 1)),
+                "n_meetings": pa.array(n),
+            }
+        )
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")
