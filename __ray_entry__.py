@@ -1463,6 +1463,15 @@ def _q_user_trip_length(sf_dir: str):
     return user_trip_length(sf_dir)
 
 
+def _q_value_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of the float value column — distributed k-th
+    order-statistic selection (histogram routing, never transforming the
+    values, so the answers are exact column elements)."""
+    from simple_osm_queries_ray.stages.text import value_percentiles
+
+    return value_percentiles(sf_dir, qs=(0.5, 0.9, 0.99))
+
+
 def _q_covisit_pairs(sf_dir: str):
     """Spatio-temporal co-occurrence: user pairs sharing a (0.1-degree cell,
     UTC hour), with distinct-meeting counts — the contact-graph primitive."""
@@ -1603,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trip_segments": _q_trip_segments,
         "events_rolling_max": _q_events_rolling_max,
         "covisit_pairs": _q_covisit_pairs,
+        "value_percentiles": _q_value_percentiles,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -3480,6 +3490,20 @@ GROUP BY a.day
         # co-visitation: distinct (user, cell, hour) triples self-joined on
         # the meeting key; same cell formula as NODES_CTE, hour = epoch_us//3.6e9
         "covisit_pairs": _covisit_sql(),
+        # exact float order statistics: both sides pick the k-th smallest
+        # element (k = floor((n-1)*q)) — selection, no float arithmetic
+        "value_percentiles": """
+WITH o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM events),
+n AS (SELECT COUNT(*) AS n FROM events)
+SELECT CAST(0.5 AS DOUBLE) AS q, value FROM o, n
+WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE) AS q, value FROM o, n
+WHERE rn = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE) AS q, value FROM o, n
+WHERE rn = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) + 1
+""",
         # rolling ROWS window: MAX over floats is order-independent, so the
         # engine's shifted-column maximum equals the window function exactly
         "events_rolling_max": """

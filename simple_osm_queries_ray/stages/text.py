@@ -1763,3 +1763,102 @@ def covisit_pairs(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return pairs.map_batches(unpack, batch_format="pyarrow")
+
+
+def value_percentiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), *, bin_cap: int = 1_000_000
+) -> "ray.data.Dataset":
+    """EXACT percentiles of a float column (events.value) — distributed
+    k-th order-statistic selection. The data values are only ROUTED (binned
+    and compared), never transformed, so each answer is an exact element of
+    the column and hash-identical to the oracle's ROW_NUMBER pick.
+
+    Plan (classic two-pass selection, the integer-histogram discipline of
+    doc_length_quantiles generalized to float domains): (1) min/max/count
+    aggregate; (2) a 1024-bin histogram partial per batch, driver-reduced
+    (1024 ints); locate the target rank's bin; (3) pull ONLY that bin's
+    values (expected n/1024) and np.partition for the exact k-th smallest.
+    While a bin exceeds ``bin_cap`` the selection recurses INSIDE it — bin
+    membership is re-derived with the identical routing expression at every
+    level (a range filter would disagree at bin boundaries), and a
+    single-distinct-value bin short-circuits, so heavy ties terminate.
+    Rank convention: k = floor((n-1) * q), 0-based ascending."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["value"]).materialize()
+    agg = ds.aggregate(Min("value"), Max("value"), Count())
+    lo, hi, n = float(agg["min(value)"]), float(agg["max(value)"]), int(agg["count()"])
+    nbins = 1024
+
+    def make_route(blo: float, width: float, bin_i: int, last: bool):
+        """Membership test replaying the histogram's routing expression."""
+
+        def route(v: np.ndarray) -> np.ndarray:
+            b = np.clip(((v - blo) / width).astype(np.int64), 0, nbins - 1)
+            return b == bin_i
+
+        return route
+
+    def hist_counts(routes, blo: float, bhi: float):
+        width = (bhi - blo) / nbins or 1.0
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch["value"], dtype=np.float64)
+            v = v[(v >= lo) & (v <= hi)]
+            for r in routes:
+                v = v[r(v)]
+            b = np.clip(((v - blo) / width).astype(np.int64), 0, nbins - 1)
+            c = np.bincount(b, minlength=nbins).astype(np.int64)
+            return pa.table(
+                {"bin": pa.array(np.arange(nbins, dtype=np.int64)), "c": pa.array(c)}
+            )
+
+        out = np.zeros(nbins, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            out[np.asarray(b["bin"], dtype=np.int64)] += np.asarray(b["c"], dtype=np.int64)
+        return out, width
+
+    def pull_values(routes):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch["value"], dtype=np.float64)
+            v = v[(v >= lo) & (v <= hi)]
+            for r in routes:
+                v = v[r(v)]
+            return pa.table({"value": pa.array(v)})
+
+        parts = [
+            np.asarray(b["value"], dtype=np.float64)
+            for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        return np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+
+    rows_q, rows_v = [], []
+    for q in qs:
+        k = int(np.floor((n - 1) * q))  # 0-based global rank
+        routes: list = []
+        blo, bhi, rank = lo, hi, k
+        while True:
+            counts, width = hist_counts(routes, blo, bhi)
+            cum = np.cumsum(counts)
+            bin_i = int(np.searchsorted(cum, rank + 1))
+            rank_in = rank - (int(cum[bin_i - 1]) if bin_i else 0)
+            route = make_route(blo, width, bin_i, bin_i == nbins - 1)
+            b_lo = blo + bin_i * width
+            b_hi = blo + (bin_i + 1) * width
+            if counts[bin_i] > bin_cap and bhi > blo and b_hi > np.nextafter(b_lo, np.inf):
+                routes.append(route)
+                blo, bhi, rank = b_lo, min(b_hi, bhi), rank_in
+                continue
+            vals = pull_values(routes + [route])
+            rows_q.append(float(q))
+            rows_v.append(float(np.partition(vals, rank_in)[rank_in]))
+            break
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(rows_q, type=pa.float64()), "value": pa.array(rows_v)})
+    )

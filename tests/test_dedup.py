@@ -348,3 +348,34 @@ def test_bm25_rank_small_corpus(tmp_path):
     assert np.allclose(got["score"].to_numpy(), score[want_ids])
     # doc 2 has no query terms at all -> excluded
     assert 2 not in got["doc_id"].tolist()
+
+
+def test_value_percentiles_recursion_and_ties(tmp_path, ray_session):
+    """The selection must stay exact when bins recurse (tiny bin_cap) and
+    when the column is dominated by one repeated value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simple_osm_queries_ray.stages.text import value_percentiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(0, 1, 5000), np.full(5000, 0.25)])
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+            "ts": pa.array(
+                np.full(len(vals), np.datetime64("2024-01-01", "us"))
+            ),
+            "user_id": pa.array(np.zeros(len(vals), dtype=np.int64)),
+            "value": pa.array(vals),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+    got = value_percentiles(sf, qs=(0.1, 0.5, 0.9), bin_cap=16).to_pandas()
+    got = dict(zip(got["q"], got["value"]))
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        k = int(np.floor((len(vals) - 1) * q))
+        assert got[q] == srt[k], (q, got[q], srt[k])
