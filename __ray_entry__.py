@@ -930,6 +930,7 @@ HYBRID_N = 50
 HYBRID_K = 10
 HYBRID_QV = 0
 TRIP_EPS = 0.5
+HH_K = 64
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1463,6 +1464,15 @@ def _q_user_trip_length(sf_dir: str):
     return user_trip_length(sf_dir)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters in two streaming passes: per-batch local-threshold
+    candidates (a guaranteed superset — the Misra-Gries bound), then an exact
+    broadcast recount; never shuffles the full key set."""
+    from simple_osm_queries_ray.stages.sketch import heavy_hitter_users
+
+    return heavy_hitter_users(sf_dir, k=HH_K)
+
+
 def _q_value_percentiles(sf_dir: str):
     """Exact p50/p90/p99 of the float value column — distributed k-th
     order-statistic selection (histogram routing, never transforming the
@@ -1613,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max": _q_events_rolling_max,
         "covisit_pairs": _q_covisit_pairs,
         "value_percentiles": _q_value_percentiles,
+        "heavy_hitter_users": _q_heavy_hitters,
         "events_funnel": _q_events_funnel,
         "events_sessions": _q_events_sessions,
         "events_sessions_incremental": _q_events_sessions_incremental,
@@ -3490,6 +3501,13 @@ GROUP BY a.day
         # co-visitation: distinct (user, cell, hour) triples self-joined on
         # the meeting key; same cell formula as NODES_CTE, hour = epoch_us//3.6e9
         "covisit_pairs": _covisit_sql(),
+        # exact heavy hitters: the HAVING form the two-pass plan equals
+        "heavy_hitter_users": f"""
+WITH n AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, n GROUP BY user_id, n.n
+HAVING COUNT(*) > n.n / {HH_K}.0
+""",
         # exact float order statistics: both sides pick the k-th smallest
         # element (k = floor((n-1)*q)) — selection, no float arithmetic
         "value_percentiles": """

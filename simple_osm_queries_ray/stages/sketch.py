@@ -124,3 +124,74 @@ def cms_user_counts(
     exact = np.zeros(len(p), dtype=np.int64)
     exact[ex["i"].to_numpy(np.int64)] = ex["sum(n)"].to_numpy(np.int64)
     return pa.table({"user_id": p, "est": est.astype(np.int64), "exact": exact})
+
+
+def heavy_hitter_users(sf_dir: str, k: int = 64) -> "ray.data.Dataset":
+    """EXACT heavy hitters in two streaming passes — the scalable form of
+    "GROUP BY user HAVING count > n/k" that never shuffles the full key set:
+
+    1. candidate pass: within each batch, keep users with local count >
+       batch_rows/k. If a user's GLOBAL count exceeds n/k, some batch must
+       hold it above its local threshold (otherwise the global sum would be
+       <= sum(batch_rows)/k = n/k), so the union of per-batch survivors is a
+       guaranteed SUPERSET of the true heavy hitters — the Misra-Gries
+       guarantee without sketch-merge bookkeeping. Candidate volume per
+       batch is <= k rows.
+    2. exact pass: broadcast the (<= k x batches, deduped) candidate set,
+       count ONLY candidates per batch (partial sums), driver-reduce, and
+       filter by the exact global threshold.
+
+    Output: (user_id, n_events) for every user with n_events > n/k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.read import read_parquet_sized
+    from ..state.broadcast import get as bget
+    from .semi_join import isin_sorted
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"]).materialize()
+    n = ds.count()
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        uniq, cnt = np.unique(u, return_counts=True)
+        keep = cnt > len(u) / k
+        return pa.table({"user_id": pa.array(uniq[keep])})
+
+    cand_parts = [
+        np.asarray(b["user_id"], dtype=np.int64)
+        for b in ds.map_batches(local_candidates, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    cands = (
+        np.unique(np.concatenate(cand_parts))
+        if cand_parts
+        else np.array([], dtype=np.int64)
+    )
+    c_ref = ray.put(cands)
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cs = bget(c_ref)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        u = u[isin_sorted(u, cs)]
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    totals: dict[int, int] = {}
+    for b in ds.map_batches(count_candidates, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for uid, c in zip(
+            np.asarray(b["user_id"], dtype=np.int64),
+            np.asarray(b["c"], dtype=np.int64),
+        ):
+            totals[int(uid)] = totals.get(int(uid), 0) + int(c)
+    out_u = np.array(sorted(u for u, c in totals.items() if c > n / k), dtype=np.int64)
+    out_c = np.array([totals[int(u)] for u in out_u], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table({"user_id": pa.array(out_u), "n_events": pa.array(out_c)})
+    )
