@@ -1506,6 +1506,30 @@ def _q_trip_segments(sf_dir: str):
     return trip_segments(sf_dir, eps=TRIP_EPS)
 
 
+def _q_stay_points(sf_dir: str):
+    """Stay-point detection: runs of >= 3 consecutive events in one grid
+    cell per user (gaps-and-islands over one hash(user) bucket shuffle)."""
+    from simple_osm_queries_ray.stages.text import stay_points
+
+    return stay_points(sf_dir, min_run=3)
+
+
+def _q_od_matrix(sf_dir: str):
+    """Origin-destination matrix: first/last event cell per user, counted
+    per (origin, dest) pair with per-bucket partial aggregation."""
+    from simple_osm_queries_ray.stages.text import od_matrix
+
+    return od_matrix(sf_dir)
+
+
+def _q_user_cell_jaccard(sf_dir: str):
+    """User similarity by visited-cell Jaccard >= 0.05 — all-integer
+    (inter, union) comparison, cell-bucketed pair enumeration."""
+    from simple_osm_queries_ray.stages.text import user_cell_jaccard
+
+    return user_cell_jaccard(sf_dir, tau_pct=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "nodes_cells": _q_nodes_cells,
@@ -1620,6 +1644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "user_trip_length": _q_user_trip_length,
         "trip_segments": _q_trip_segments,
+        "stay_points": _q_stay_points,
+        "od_matrix": _q_od_matrix,
+        "user_cell_jaccard": _q_user_cell_jaccard,
         "events_rolling_max": _q_events_rolling_max,
         "covisit_pairs": _q_covisit_pairs,
         "value_percentiles": _q_value_percentiles,
@@ -2080,6 +2107,82 @@ p AS (
 )
 SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_meetings
 FROM p GROUP BY ua, ub
+"""
+
+
+def _cells_cte() -> str:
+    """Shared CTE: events geolocated and quantized to the 0.1-degree packed
+    grid cell (the NODES_CTE cell formula over event ids)."""
+    from simple_osm_queries_ray.sql_oracle import geolocate_sql
+
+    lon, lat = geolocate_sql("event_id")
+    return f"""
+e AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+c AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(lon / CAST(0.1 AS DOUBLE)) AS BIGINT) * 100000
+           + CAST(FLOOR(lat / CAST(0.1 AS DOUBLE)) AS BIGINT) AS cell
+  FROM e
+)"""
+
+
+def _stay_points_sql(min_run: int) -> str:
+    """stay_points oracle: classic gaps-and-islands — the difference of the
+    per-user and per-(user, cell) ROW_NUMBERs is constant exactly on a
+    maximal same-cell run."""
+    return f"""
+WITH {_cells_cte()},
+r AS (
+  SELECT user_id, event_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, cell ORDER BY ts, event_id) AS rnc
+  FROM c
+)
+SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(event_id, rn) AS start_event_id
+FROM r GROUP BY user_id, cell, rn - rnc
+HAVING COUNT(*) >= {min_run}
+"""
+
+
+def _od_matrix_sql() -> str:
+    """od_matrix oracle: first/last row per user via ascending/descending
+    ROW_NUMBER, joined back on user and counted per (origin, dest)."""
+    return f"""
+WITH {_cells_cte()},
+r AS (
+  SELECT user_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM c
+)
+SELECT o.cell AS origin_cell, d.cell AS dest_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, cell FROM r WHERE rn = 1) o
+JOIN (SELECT user_id, cell FROM r WHERE rnd = 1) d USING (user_id)
+GROUP BY o.cell, d.cell
+"""
+
+
+def _user_cell_jaccard_sql(tau_pct: int) -> str:
+    """user_cell_jaccard oracle: distinct (user, cell) sets, pair self-join
+    on shared cell for the intersection, per-user distinct counts for the
+    union; the threshold is the same integer cross-multiplication."""
+    return f"""
+WITH {_cells_cte()},
+d AS (SELECT DISTINCT user_id, cell FROM c),
+n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nc FROM d GROUP BY user_id),
+i AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM d a JOIN d b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT i.ua AS user_a, i.ub AS user_b, i.inter,
+       na.nc + nb.nc - i.inter AS union_n
+FROM i JOIN n na ON na.user_id = i.ua JOIN n nb ON nb.user_id = i.ub
+WHERE 100 * i.inter >= {tau_pct} * (na.nc + nb.nc - i.inter)
 """
 
 
@@ -3501,6 +3604,13 @@ GROUP BY a.day
         # co-visitation: distinct (user, cell, hour) triples self-joined on
         # the meeting key; same cell formula as NODES_CTE, hour = epoch_us//3.6e9
         "covisit_pairs": _covisit_sql(),
+        # gaps-and-islands: ROW_NUMBER difference = maximal same-cell run
+        "stay_points": _stay_points_sql(3),
+        # first/last cell per user via asc/desc ROW_NUMBER, pair-counted
+        "od_matrix": _od_matrix_sql(),
+        # visited-cell Jaccard: integer (inter, union) with cross-multiplied
+        # threshold — no float ratio on either side
+        "user_cell_jaccard": _user_cell_jaccard_sql(5),
         # exact heavy hitters: the HAVING form the two-pass plan equals
         "heavy_hitter_users": f"""
 WITH n AS (SELECT COUNT(*) AS n FROM events)

@@ -1862,3 +1862,278 @@ def value_percentiles(
     return ray.data.from_arrow(
         pa.table({"q": pa.array(rows_q, type=pa.float64()), "value": pa.array(rows_v)})
     )
+
+
+def stay_points(sf_dir: str, min_run: int = 3) -> "ray.data.Dataset":
+    """Stay-point detection (trajectory mining): maximal runs of >=
+    ``min_run`` CONSECUTIVE events (ordered by (ts, event_id) within a
+    user) whose geolocated position stays inside one 0.1-degree grid cell
+    — the grid-quantized version of the classic stay-point primitive
+    (dwell episodes, the unit of visit/POI mining). Gaps-and-islands over
+    the same per-user bucket shuffle as :func:`user_trip_length`: ONE
+    hash(user)-keyed exchange, then a vectorized per-bucket lexsort and
+    run-boundary scan (no Python per-run loop for the boundary math; runs
+    extract via start-index arithmetic). All-integer output replays
+    exactly in the oracle's ROW_NUMBER-difference island id.
+
+    Output: (user_id, cell, n_events, start_event_id) — one row per
+    qualifying run; start_event_id identifies the run's first event."""
+    from ..model import cell_of
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        lon, lat = geolocate(eid)
+        cell = cell_of(lon, lat)
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (cell[1:] != cell[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(u)])
+        keep = lens >= min_run
+        s = starts[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u[s]),
+                "cell": pa.array(cell[s]),
+                "n_events": pa.array(lens[keep].astype(np.int64)),
+                "start_event_id": pa.array(eid[s]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def od_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Origin-destination matrix (mobility analytics): each user's FIRST
+    and LAST geolocated event cell (by (ts, event_id) order) define one
+    O-D trip; output counts users per (origin_cell, dest_cell). Same
+    single hash(user)-bucket shuffle as the other trajectory ops; the
+    per-bucket kernel pre-aggregates (origin, dest) partials (np.unique
+    over the packed pair) so the final pair-keyed groupby ships one row
+    per DISTINCT pair per bucket, not one per user — the combiner
+    discipline that keeps the exchange O(cells^2)-bounded at corpus
+    scale. Cells are positive (engine data lives at lon 9-11 / lat
+    53-55), so origin packs into the high bits losslessly (asserted).
+
+    Output: (origin_cell, dest_cell, n_users)."""
+    from ..model import cell_of
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    num_buckets = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid = u[order], eid[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)] - 1
+        lon_o, lat_o = geolocate(eid[starts])
+        lon_d, lat_d = geolocate(eid[ends])
+        o = cell_of(lon_o, lat_o)
+        d = cell_of(lon_d, lat_d)
+        assert (o >= 0).all() and (d >= 0).all() and (d < (1 << 31)).all()
+        pair, n = np.unique(o * (np.int64(1) << np.int64(31)) + d, return_counts=True)
+        return pa.table({"pair": pa.array(pair), "n": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pair"], dtype=np.int64)
+        return pa.table(
+            {
+                "origin_cell": pa.array(p >> np.int64(31)),
+                "dest_cell": pa.array(p & np.int64((1 << 31) - 1)),
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")
+
+
+def user_cell_jaccard(
+    sf_dir: str, tau_pct: int = 5
+) -> "ray.data.Dataset":
+    """User-similarity by visited-cell overlap: pairs of users whose
+    DISTINCT visited-cell sets have Jaccard >= tau_pct/100, reported with
+    the integer (intersection, union) sizes so the comparison is exact —
+    the threshold test is the cross-multiplied ``100*inter >= tau_pct *
+    union`` (no float ratio anywhere; same all-integer discipline as the
+    dedup family). The collaborative-filtering / contact-similarity
+    primitive over trajectories.
+
+    Plan: per-batch distinct (cell, user) pairs -> ONE shuffle keyed on
+    hash(cell) buckets; within a bucket, cross-batch dedup then per-cell
+    pair enumeration with PAIR PRE-AGGREGATION inside the bucket (one row
+    per distinct pair per bucket ships to the pair groupby, not one per
+    meeting). Per-user distinct-cell counts come from a parallel
+    cell-deduped partial sum and broadcast as SORTED ARRAYS (searchsorted
+    lookup per batch, not a Python dict — the distinctive_terms
+    discipline). Dense cells are the usual quadratic-pair skew caveat:
+    at corpus scale, cap or salt cells whose population outgrows a
+    worker (documented, same as covisit_pairs).
+
+    Output: (user_a, user_b, inter, union_n) with user_a < user_b."""
+    from ..model import cell_of
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).materialize()
+    num_buckets = 64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        lon, lat = geolocate(eid)
+        cell = cell_of(lon, lat)
+        rows = np.unique(np.stack([cell, u], axis=1), axis=0)
+        b = np.abs((rows[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "cell": pa.array(rows[:, 0]),
+                "user_id": pa.array(rows[:, 1]),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_cell_bucket(tbl: pa.Table) -> pa.Table:
+        c = np.asarray(tbl["cell"], dtype=np.int64)
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        rows = np.unique(np.stack([c, u], axis=1), axis=0)  # cross-batch dedup
+        c, u = rows[:, 0], rows[:, 1]
+        assert (u >= 0).all() and (u < (1 << 31)).all()
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        out = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            us = u[s:e]
+            ia, ib = np.triu_indices(m, k=1)
+            out.append(us[ia] * (np.int64(1) << np.int64(31)) + us[ib])
+        if not out:
+            return pa.table(
+                {"pair": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        pair, n = np.unique(np.concatenate(out), return_counts=True)
+        return pa.table({"pair": pa.array(pair), "n": pa.array(n.astype(np.int64))})
+
+    distinct = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda t: pa.table(dict(zip(
+            ["cell", "user_id"],
+            [pa.array(a) for a in np.unique(np.stack(
+                [np.asarray(t["cell"], dtype=np.int64),
+                 np.asarray(t["user_id"], dtype=np.int64)], axis=1), axis=0).T],
+        ))), batch_format="pyarrow")
+        .materialize()
+    )
+
+    # per-user distinct-cell counts: tiny (one row per user) — broadcast as
+    # sorted arrays for a searchsorted gather inside the pair filter
+    from ray.data.aggregate import Count
+
+    counts_tbl = (
+        distinct.groupby("user_id").aggregate(Count(alias_name="nc")).materialize()
+    )
+    import pyarrow as _pa
+
+    cparts = [b for b in counts_tbl.to_arrow_refs()]
+    ctab = _pa.concat_tables([ray.get(r) for r in cparts])
+    cu = np.asarray(ctab["user_id"], dtype=np.int64)
+    cn = np.asarray(ctab["nc"], dtype=np.int64)
+    o = np.argsort(cu)
+    counts_ref = ray.put((cu[o], cn[o]))
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        distinct.map_batches(
+            lambda t: pa.table(
+                {"cell": t["cell"], "user_id": t["user_id"],
+                 "__bucket": pa.array(np.abs((np.asarray(t["cell"], dtype=np.int64)
+                     * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets)}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__bucket")
+        .map_groups(per_cell_bucket, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="inter"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pair"], dtype=np.int64)
+        inter = np.asarray(batch["inter"], dtype=np.int64)
+        ua = p >> np.int64(31)
+        ub = p & np.int64((1 << 31) - 1)
+        users_sorted, n_sorted = ray.get(counts_ref)
+        na = n_sorted[np.searchsorted(users_sorted, ua)]
+        nb = n_sorted[np.searchsorted(users_sorted, ub)]
+        union = na + nb - inter
+        keep = 100 * inter >= tau_pct * union
+        return pa.table(
+            {
+                "user_a": pa.array(ua[keep]),
+                "user_b": pa.array(ub[keep]),
+                "inter": pa.array(inter[keep]),
+                "union_n": pa.array(union[keep]),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
