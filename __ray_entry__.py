@@ -777,6 +777,61 @@ def _q_radius_join(sf_dir: str):
     return radius_join(_repo(sf_dir).nodes, RADIUS_JOIN_R)
 
 
+def _q_pip_anti_join(sf_dir: str):
+    """Spatial ANTI-join: nodes contained in NONE of the 4 geofence polygons
+    (stages/geo.py::anti_polygon_filter) — the exclusion-zone complement of
+    polygon_join; map-only with a short-circuit already-inside mask."""
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import anti_polygon_filter
+
+    return anti_polygon_filter(
+        _repo(sf_dir).nodes.select_columns(["id", "lon", "lat"]),
+        synthetic_polygons(4),
+    )
+
+
+def _q_segment_octants(sf_dir: str):
+    """Dominant-direction analysis: way segments classified into 8 compass
+    octants (22.5-deg sector boundaries via |dlat| <= |dlon|*tan(pi/8) —
+    multiply+compare only, bit-exact in SQL), per-octant count + total
+    integer-nanodegree length. Per-batch <=8-row partials, one tiny groupby."""
+    from simple_osm_queries_ray.stages.geo import segment_octant_stats
+
+    return segment_octant_stats(_repo(sf_dir).ways)
+
+
+def _q_idw_cells(sf_dir: str):
+    """Inverse-distance-weighted interpolation of n_chars at every populated
+    grid-cell center (stages/geo.py::idw_cell_interpolation): 3x3 map-side
+    replication with INTEGER weights floor(1e6/(1+d2*1e6)) so distributed
+    sums are exactly associative; one cell-keyed groupby. Column-pruned read
+    (doc_id + n_chars only)."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.sources.synthetic import geolocate
+    from simple_osm_queries_ray.stages.geo import idw_cell_interpolation
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def geo(batch: "pa.Table") -> "pa.Table":
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lon, lat = geolocate(ids)
+        return pa.table(
+            {
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "val": pa.array(np.asarray(batch["n_chars"], dtype=np.int64)),
+            }
+        )
+
+    return idw_cell_interpolation(
+        docs.map_batches(geo, batch_format="pyarrow"), value_col="val", radius=0.1
+    )
+
+
 def _q_bm25_rank(sf_dir: str):
     from simple_osm_queries_ray.stages.text import bm25_rank
 
@@ -836,6 +891,16 @@ def _q_graph_sssp(sf_dir: str):
     return proximity_sssp(
         _repo(sf_dir).nodes, GRAPH_EPS, source_id=GRAPH_SRC, max_rounds=GRAPH_ROUNDS
     )
+
+
+def _q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts over the eps-proximity graph: degree-ordered
+    node-iterator (stages/graph.py::triangle_counts) — forward-wedge
+    enumeration bounded by orientation, closing edges via bucketed int64
+    membership lookups, no corpus-wide join."""
+    from simple_osm_queries_ray.stages.graph import triangle_counts
+
+    return triangle_counts(_repo(sf_dir).nodes, GRAPH_EPS)
 
 
 def _q_knn_ring(sf_dir: str):
@@ -1195,6 +1260,27 @@ def _q_image_resize(sf_dir: str):
     return resize_images(image_table(sf_dir)).select_columns(["image_id", "w", "h"])
 
 
+def _q_image_quality_filter(sf_dir: str):
+    """LAION-style metadata quality gate: min resolution, bounded aspect
+    (integer cross-multiply), lossless format, min caption length — over the
+    metadata-only image table (pixel payload never materialized: the
+    projection-pushdown discipline made explicit)."""
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import quality_filter
+
+    return quality_filter(image_meta_table(sf_dir))
+
+
+def _q_image_dedup_keep_largest(sf_dir: str):
+    """Exact-caption image dedup keeping the largest-resolution copy (the
+    thumbnail-vs-original case): caption hashed to 128 bits per batch, one
+    groupby with an order-encoded Max — captions and pixels never shuffle."""
+    from simple_osm_queries_ray.sources.images import thumb_image_meta_table
+    from simple_osm_queries_ray.stages.image import dedup_keep_largest
+
+    return dedup_keep_largest(thumb_image_meta_table(sf_dir))
+
+
 def _q_tile_best_image(sf_dir: str):
     """Raster-tile <-> image-feature assignment with a grouped top-1: per
     zoom-12 tile, the representative image (longest caption, tie -> smallest
@@ -1394,6 +1480,22 @@ def _q_tpch_q14(sf_dir: str):
     return q14_promo_revenue(sf_dir)
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape: pruned scan + vectorized predicate + integer global
+    sum; the discount predicate runs on the rounded integer pct both sides."""
+    from simple_osm_queries_ray.pipelines.relational import q6_forecast_revenue
+
+    return q6_forecast_revenue(sf_dir)
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape: groupby-HAVING on lineitem (per-batch combiners),
+    surviving ~2% of orders hash-join order metadata; dates as integer days."""
+    from simple_osm_queries_ray.pipelines.relational import q18_large_orders
+
+    return q18_large_orders(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -1454,6 +1556,14 @@ def _q_events_retention(sf_dir: str):
     from simple_osm_queries_ray.stages.text import events_retention
 
     return events_retention(sf_dir)
+
+
+def _q_user_first_seen(sf_dir: str):
+    """New users per day (first-active-day cohort histogram): per-batch
+    user->min-day combiners, one user groupby-Min, tiny day histogram."""
+    from simple_osm_queries_ray.stages.text import user_first_seen
+
+    return user_first_seen(sf_dir)
 
 
 def _q_user_trip_length(sf_dir: str):
@@ -1592,11 +1702,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_join": _q_polygon_join,
         "knn": _q_knn,
         "radius_join": _q_radius_join,
+        "pip_anti_join": _q_pip_anti_join,
+        "segment_octants": _q_segment_octants,
+        "idw_cells": _q_idw_cells,
         "dbscan_clusters": _q_dbscan,
         "graph_hops": _q_graph_hops,
         "graph_hops_bounded": _q_graph_hops_bounded,
         "graph_multi_bfs": _q_graph_multi_bfs,
         "graph_sssp": _q_graph_sssp,
+        "triangle_counts": _q_triangle_counts,
         "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
@@ -1642,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_span_docs": _q_dup_span_docs,
         "events_retention": _q_events_retention,
+        "user_first_seen": _q_user_first_seen,
         "user_trip_length": _q_user_trip_length,
         "trip_segments": _q_trip_segments,
         "stay_points": _q_stay_points,
@@ -1660,12 +1775,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5": _q_tpch_q5,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q18": _q_tpch_q18,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
         "image_features": _q_image_features,
         "image_tiles": _q_image_tiles,
         "image_resize": _q_image_resize,
+        "image_quality_filter": _q_image_quality_filter,
+        "image_dedup_keep_largest": _q_image_dedup_keep_largest,
         "image_phash_near_dup": _q_image_phash_near_dup,
         "phash_dedup_groups": _q_phash_dedup_groups,
         "tile_best_image": _q_tile_best_image,
@@ -1988,6 +2107,17 @@ WHERE EXISTS (
 """
 
 
+def _pip_anti_sql() -> str:
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+    from simple_osm_queries_ray.stages.geo import pip_sql_condition
+
+    conds = " AND ".join(
+        f"NOT ({pip_sql_condition(poly)})" for poly in synthetic_polygons(4)
+    )
+    return f"WITH {NODES_CTE} SELECT id, lon, lat FROM nodes_c WHERE {conds}"
+
+
 def _polygon_join_sql() -> str:
     from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
     from simple_osm_queries_ray.sql_oracle import NODES_CTE
@@ -2023,6 +2153,34 @@ FROM nodes_c n JOIN ways w
 WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
+"""
+
+
+def _triangle_sql(eps: float) -> str:
+    """triangle_counts oracle: the same eps-pair predicate as radius_join,
+    triangles enumerated once as x < y < z via three edge self-joins, then
+    every corner contributes one count."""
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    return f"""
+WITH {NODES_CTE},
+e AS (
+  SELECT a.id AS a, b.id AS b
+  FROM nodes_c a JOIN nodes_c b ON a.id < b.id
+  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat)
+        <= CAST({eps!r} AS DOUBLE) * CAST({eps!r} AS DOUBLE)
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM corners GROUP BY id
 """
 
 
@@ -3090,6 +3248,75 @@ WHERE (a.lon - b.lon) * (a.lon - b.lon)
       + (a.lat - b.lat) * (a.lat - b.lat)
       <= CAST({RADIUS_JOIN_R!r} AS DOUBLE) * CAST({RADIUS_JOIN_R!r} AS DOUBLE)
 """,
+        # spatial anti-join: the complement of polygon_join's hit set (the
+        # identical per-edge crossing expression, negated per polygon)
+        "pip_anti_join": _pip_anti_sql(),
+        # 8-way compass octant per way segment: sector boundaries are
+        # |dlat| <= |dlon| * tan(pi/8) with tan(pi/8) a shared literal —
+        # multiply + compare only, so the classification is bit-exact; length
+        # in integer nanodegrees (exactly associative distributed sum)
+        "segment_octants": f"""
+{W},
+seg AS (
+  SELECT b.lon - a.lon AS dlon, b.lat - a.lat AS dlat
+  FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg
+),
+cls AS (
+  SELECT
+    CASE
+      WHEN ABS(dlat) <= ABS(dlon) * CAST(0.41421356237309503 AS DOUBLE)
+        THEN (CASE WHEN dlon > 0 THEN 0 ELSE 4 END)
+      WHEN ABS(dlon) <= ABS(dlat) * CAST(0.41421356237309503 AS DOUBLE)
+        THEN (CASE WHEN dlat > 0 THEN 2 ELSE 6 END)
+      WHEN dlon > 0 THEN (CASE WHEN dlat > 0 THEN 1 ELSE 7 END)
+      ELSE (CASE WHEN dlat > 0 THEN 3 ELSE 5 END)
+    END AS octant,
+    CAST(FLOOR(SQRT(dlon * dlon + dlat * dlat)
+               * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS len_nm
+  FROM seg WHERE dlon <> 0 OR dlat <> 0
+)
+SELECT CAST(octant AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(len_nm) AS BIGINT) AS len_nm
+FROM cls GROUP BY octant
+""",
+        # IDW interpolation at populated cell centers: INTEGER weights
+        # floor(1e6/(1+d2*1e6)) from the identical IEEE expression tree, so
+        # SUMs are exactly associative; 3x3 neighbor join mirrors the
+        # engine's replication; est_milli is floored integer division
+        "idw_cells": f"""
+{W},
+tgt AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_home,
+         cell // 100000 AS tcx, cell % 100000 AS tcy
+  FROM nodes_c GROUP BY cell
+),
+contrib AS (
+  SELECT t.cell,
+    CAST(FLOOR(CAST(1000000.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      + ((n.lon - (CAST(t.tcx AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+         * (n.lon - (CAST(t.tcx AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+       + (n.lat - (CAST(t.tcy AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+         * (n.lat - (CAST(t.tcy AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE))))
+      * CAST(1000000.0 AS DOUBLE))) AS BIGINT) AS w,
+    CAST(n.n_chars AS BIGINT) AS val
+  FROM nodes_c n
+  JOIN tgt t
+    ON t.tcx BETWEEN (n.cell // 100000) - 1 AND (n.cell // 100000) + 1
+   AND t.tcy BETWEEN (n.cell % 100000) - 1 AND (n.cell % 100000) + 1
+  WHERE ((n.lon - (CAST(t.tcx AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+         * (n.lon - (CAST(t.tcx AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+       + (n.lat - (CAST(t.tcy AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE)))
+         * (n.lat - (CAST(t.tcy AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE))))
+        <= CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)
+),
+agg AS (
+  SELECT cell, CAST(SUM(w) AS BIGINT) AS den, CAST(SUM(w * val) AS BIGINT) AS num
+  FROM contrib GROUP BY cell
+)
+SELECT t.cell, t.n_home, a.den, a.num, (a.num * 1000) // a.den AS est_milli
+FROM agg a JOIN tgt t ON t.cell = a.cell
+""",
         # BM25 (no-log idf ratio variant): the whole scoring expression tree
         # mirrors stages/text.py::bm25_rank op-for-op in IEEE doubles
         "bm25_rank": _bm25_sql(),
@@ -3104,6 +3331,7 @@ WHERE (a.lon - b.lon) * (a.lon - b.lon)
         # the lexicographic (d, src) minimum per node equals the engine's
         # per-round min-label propagation (see stages/graph.py docstring)
         "graph_multi_bfs": _graph_multi_bfs_sql(GRAPH_EPS, GRAPH_ROUNDS, GRAPH_MULTI_SRCS),
+        "triangle_counts": _triangle_sql(GRAPH_EPS),
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->
         # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan
@@ -3594,6 +3822,15 @@ SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
 FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + 1
 GROUP BY a.day
 """,
+        # first-active-day cohort histogram: min day per user, counted per day
+        "user_first_seen": """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS day
+  FROM events GROUP BY user_id
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+""",
         # per-user trajectory length: geolocate(event_id), LAG over
         # (ts, event_id) within user, integer-nanodegree segment lengths —
         # integer SUM is exact under any aggregation order
@@ -3652,6 +3889,49 @@ FROM nodes_c
 SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
        CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h
 FROM documents
+""",
+        # metadata quality gate: every predicate over the deterministic
+        # (w, h, fmt, caption) derivation — the pixel payload is irrelevant
+        # by construction on both sides
+        "image_quality_filter": """
+WITH meta AS (
+  SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 7) * 4 AS BIGINT) AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+         text AS caption
+  FROM documents
+)
+SELECT image_id, w, h, w * h AS n_pixels,
+       CAST(LENGTH(caption) AS BIGINT) AS caption_len
+FROM meta
+WHERE w * h >= 256 AND 3 * h >= w AND 3 * w >= h
+  AND fmt = 'png' AND LENGTH(caption) >= 20
+""",
+        # keep-largest caption dedup over originals + planted half-res
+        # thumbnails: one survivor per caption, max w*h then smallest id
+        # (zero-padded image_id makes string order = numeric id order)
+        "image_dedup_keep_largest": """
+WITH meta AS (
+  SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 7) * 4 AS BIGINT) AS h,
+         text AS caption
+  FROM documents
+  UNION ALL
+  SELECT 'img' || lpad(CAST(doc_id + 3000000 AS VARCHAR), 8, '0'),
+         CAST((8 + (doc_id % 5) * 8) // 2 AS BIGINT),
+         CAST((8 + (doc_id % 7) * 4) // 2 AS BIGINT),
+         text
+  FROM documents WHERE doc_id % 10 = 0
+),
+ranked AS (
+  SELECT image_id, w, h,
+         ROW_NUMBER() OVER (PARTITION BY caption ORDER BY w * h DESC, image_id) AS rn,
+         COUNT(*) OVER (PARTITION BY caption) AS n_dups
+  FROM meta
+)
+SELECT image_id, w, h, CAST(n_dups AS BIGINT) AS n_dups FROM ranked WHERE rn = 1
 """,
         # frame sampling projects (video_id, frame_idx): both derive from
         # doc_id and the fixed 12-frame/every-5 sampling — SQL-checkable even
@@ -3815,6 +4095,32 @@ SELECT n.n_name, count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        # Q6: the discount predicate runs on the ROUNDED integer percentage
+        # (float equality on 0.05-step doubles is not engine-reproducible);
+        # revenue in integer cents x pct — exactly associative
+        "tpch_q6": """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cpct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+        # Q18: HAVING on the big side first, then the small survivor set
+        # joins order metadata; o_orderdate as integer days since epoch
+        # (TIMESTAMP dtypes do not hash identically across engines)
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+)
+SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """

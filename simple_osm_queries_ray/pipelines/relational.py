@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -401,3 +402,118 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([fine, sub, total], ignore_index=True)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out[["n_name", "o_orderpriority", "n_orders"]]
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_pct_lo: int = 5,
+    disc_pct_hi: int = 7,
+    max_qty: int = 24,
+) -> pd.DataFrame:
+    """TPC-H Q6 shape: pure filter + global sum, the cheapest possible scan —
+    column-pruned read, vectorized predicate, one integer partial per batch,
+    driver sees two numbers. The discount predicate runs on the ROUNDED
+    integer percentage on both sides (float equality on 0.05-step doubles is
+    not reproducible; the integer is). Revenue unit: cents x pct (an exactly
+    associative int64 sum)."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["l_shipdate"], dtype="datetime64[D]")
+        dp = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        qty = np.asarray(batch["l_quantity"], dtype=np.int64)
+        keep = (
+            (ship >= lo)
+            & (ship < hi)
+            & (dp >= disc_pct_lo)
+            & (dp <= disc_pct_hi)
+            & (qty < max_qty)
+        )
+        rev = int((_cents(batch["l_extendedprice"])[keep] * dp[keep]).sum())
+        return pa.table(
+            {
+                "revenue_cpct": pa.array([rev], type=pa.int64()),
+                "n_rows": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_cpct", alias_name="revenue_cpct"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return pd.DataFrame(
+        [{"revenue_cpct": agg["revenue_cpct"], "n_rows": agg["n_rows"]}]
+    )
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = 150) -> ray.data.Dataset:
+    """TPC-H Q18 shape (large-volume customers): groupby-HAVING on the big
+    table, then the small surviving set joins order metadata. lineitem never
+    leaves its scan — per-batch (orderkey, qty) partials feed one groupby;
+    the HAVING filter shrinks the set ~50x BEFORE the partitioned hash join
+    against orders (classic filter-then-join ordering). Dates travel as
+    integer days since epoch (o_days) — integer columns hash identically on
+    both sides, TIMESTAMP/date dtypes do not."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        qty = np.asarray(batch["l_quantity"], dtype=np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, qty)
+        return pa.table({"o_orderkey": pa.array(u), "sum_qty": pa.array(s)})
+
+    big = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty"], min_qty)),
+            batch_format="pyarrow",
+        )
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_meta(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["o_orderdate"], dtype="datetime64[D]").astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": pa.array(
+                    np.asarray(batch["o_custkey"], dtype=np.int64)
+                ),
+                "o_days": pa.array(days),
+            }
+        )
+
+    return hash_join_attach(
+        big,
+        "o_orderkey",
+        orders.map_batches(order_meta, batch_format="pyarrow"),
+        "o_orderkey",
+        {"o_custkey": pa.int64(), "o_days": pa.int64()},
+    )

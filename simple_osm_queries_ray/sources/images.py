@@ -167,3 +167,75 @@ def image_table(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
+def image_meta_table(sf_dir: str) -> ray.data.Dataset:
+    """(image_id, w, h, fmt, caption) WITHOUT the pixel payload.
+
+    The synthetic analogue of a Lance/parquet ``columns=`` projection
+    pushdown: metadata-only operators (quality gates, resolution dedup)
+    must never materialize the ``bytes`` column — at 10^12-image scale the
+    payload dwarfs every other column by orders of magnitude. Mirrors
+    :func:`image_table` minus the pixels, same derivation formulas.
+    """
+    from .read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        w, h = _dims(ids)
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img{int(i):08d}" for i in ids], type=pa.string()
+                ),
+                "w": pa.array(w, type=pa.int32()),
+                "h": pa.array(h, type=pa.int32()),
+                "fmt": pa.array(_fmt(ids)),
+                "caption": batch["text"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+THUMB_OFFSET = 3_000_000
+
+
+def thumb_image_meta_table(sf_dir: str) -> ray.data.Dataset:
+    """:func:`image_meta_table` plus a half-resolution "thumbnail" copy of
+    every 10th image (id + THUMB_OFFSET, w//2 x h//2, same caption, jpeg).
+
+    Thumbnails re-crawled alongside originals are the classic resolution
+    near-dup in web image corpora; this plants them deterministically (the
+    metadata sibling of :func:`dup_image_table`, formulas reproducible in
+    SQL) so keep-largest dedup has real work to do.
+    """
+    base = image_meta_table(sf_dir)
+
+    def add_thumbs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        pick = ids % 10 == 0
+        if not pick.any():
+            return batch
+        sel = pa.array(np.nonzero(pick)[0])
+        w = np.asarray(batch["w"], dtype=np.int64)[pick] // 2
+        h = np.asarray(batch["h"], dtype=np.int64)[pick] // 2
+        thumb = pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img{int(i) + THUMB_OFFSET:08d}" for i in ids[pick]],
+                    type=pa.string(),
+                ),
+                "w": pa.array(w.astype(np.int32), type=pa.int32()),
+                "h": pa.array(h.astype(np.int32), type=pa.int32()),
+                "fmt": pa.array(["jpeg"] * int(pick.sum()), type=pa.string()),
+                "caption": batch["caption"].take(sel),
+            }
+        )
+        return pa.concat_tables([batch, thumb])
+
+    return base.map_batches(add_thumbs, batch_format="pyarrow")

@@ -1374,3 +1374,252 @@ def assign_geohash(
         return batch.append_column(out_col, pa.array(g, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_polygon_filter(
+    ds: ray.data.Dataset, polygons: list[list[tuple[float, float]]]
+) -> ray.data.Dataset:
+    """Spatial ANTI-join: keep only features contained in NONE of the
+    polygons (the complement of :func:`polygon_join`'s hit set, restricted
+    to distinct features).
+
+    Same two-phase shape as the reference's area query (bbox prefilter, exact
+    ray-cast refine, ``src/index/grid_reader.go:168-184``) but with inverted
+    output semantics — the training-data use is "drop rows inside any
+    geofenced exclusion zone". Map-only: the polygon set broadcasts with the
+    closure, a row already proven inside one polygon is skipped for the
+    remaining polygons (short-circuit mask), and the batch filter keeps the
+    input schema untouched.
+    """
+    polys = [list(map(tuple, p)) for p in polygons]
+    bb = np.array(
+        [
+            [
+                min(x for x, _ in p),
+                min(y for _, y in p),
+                max(x for x, _ in p),
+                max(y for _, y in p),
+            ]
+            for p in polys
+        ],
+        dtype=np.float64,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        inside = np.zeros(len(lon), dtype=np.bool_)
+        for pi, poly in enumerate(polys):
+            cand = (
+                ~inside
+                & (lon >= bb[pi, 0])
+                & (lon <= bb[pi, 2])
+                & (lat >= bb[pi, 1])
+                & (lat <= bb[pi, 3])
+            )
+            idx = np.nonzero(cand)[0]
+            if not len(idx):
+                continue
+            m = point_in_polygon_mask(lon[idx], lat[idx], poly)
+            inside[idx[m]] = True
+        return batch.filter(pa.array(~inside))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# tan(pi/8): octant sector boundary. A LITERAL shared verbatim with the SQL
+# twin — classification uses only |dlat| <=> |dlon| * TAN22_5 (IEEE multiply +
+# compare, bit-reproducible across engines; no transcendental evaluated at
+# query time on either side).
+TAN22_5 = 0.41421356237309503
+
+
+def segment_octant_stats(ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Dominant-direction analysis: every way segment classified into one of
+    8 compass octants (0=E, 1=NE, 2=N, 3=NW, 4=W, 5=SW, 6=S, 7=SE), with the
+    per-octant segment count and total length in integer nanodegrees.
+
+    Sector boundaries at 22.5 deg via ``|dlat| <= |dlon| * tan(pi/8)``
+    (multiply + compare only — exact in both numpy and DuckDB); boundary
+    ties go to the cardinal sector (<=), matching the SQL CASE order.
+    Zero-length segments are excluded on both sides. Lengths follow the
+    engine's integer-nanodegree discipline (``floor(d * 1e9 + 0.5)``), so
+    the distributed sum is exactly associative. Per-batch partials (at most
+    8 rows each) -> one tiny groupby: shuffle payload is O(8 x blocks).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.segments import list_parts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        dlon = np.diff(lons)
+        dlat = np.diff(lats)
+        keep = np.ones(len(dlon), dtype=np.bool_)
+        if len(off) > 2:
+            keep[off[1:-1] - 1] = False  # inter-way seams are not segments
+        keep &= (dlon != 0.0) | (dlat != 0.0)
+        dlon, dlat = dlon[keep], dlat[keep]
+        adx, ady = np.abs(dlon), np.abs(dlat)
+        # CASE order mirrored in SQL: cardinal E/W, cardinal N/S, diagonals
+        octant = np.where(
+            ady <= adx * TAN22_5,
+            np.where(dlon > 0, 0, 4),
+            np.where(
+                adx <= ady * TAN22_5,
+                np.where(dlat > 0, 2, 6),
+                np.where(
+                    dlon > 0,
+                    np.where(dlat > 0, 1, 7),
+                    np.where(dlat > 0, 3, 5),
+                ),
+            ),
+        ).astype(np.int64)
+        len_nm = np.floor(
+            np.sqrt(dlon * dlon + dlat * dlat) * 1e9 + 0.5
+        ).astype(np.int64)
+        cnt = np.bincount(octant, minlength=8).astype(np.int64)
+        tot = np.zeros(8, dtype=np.int64)
+        np.add.at(tot, octant, len_nm)  # int64 accumulation (bincount would go float64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "octant": pa.array(nz.astype(np.int64)),
+                "n_segments": pa.array(cnt[nz]),
+                "len_nm": pa.array(tot[nz]),
+            }
+        )
+
+    return (
+        ways.select_columns(["node_lons", "node_lats"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)  # partials are <= 8 rows per block
+        .groupby("octant")
+        .aggregate(
+            Sum("n_segments", alias_name="n_segments"),
+            Sum("len_nm", alias_name="len_nm"),
+        )
+    )
+
+
+# IDW weight/scale constants, shared verbatim with the SQL twin. Weights are
+# INTEGER (floor of the same IEEE expression on both sides), so the
+# distributed sums are exactly associative — no float-summation-order drift.
+IDW_W_SCALE = 1_000_000.0
+IDW_D_SCALE = 1_000_000.0
+
+
+def idw_cell_interpolation(
+    points: ray.data.Dataset,
+    *,
+    value_col: str = "val",
+    radius: float = 0.1,
+) -> ray.data.Dataset:
+    """Inverse-distance-weighted interpolation of an integer point attribute
+    at the centers of every POPULATED 0.1-degree grid cell.
+
+    Spatial-statistics staple (kriging's cheap cousin). Each point
+    contributes weight ``w = floor(1e6 / (1 + d2 * 1e6))`` to every
+    neighboring cell center within ``radius`` — with radius = one cell edge,
+    the 3x3 neighborhood provably covers all contributions (a point within
+    0.1 deg of a center at (cx+.05, cy+.05) lies in cells cx-1..cx+1), so
+    the plan is the radius_join replication discipline: 9x map-side
+    replication of (cell, w, w*val) INTEGER partials, batch-local
+    pre-aggregation by target cell, one cell-keyed groupby-sum. Cells with
+    no home point are dropped (they are not interpolation targets). Output:
+    cell, n_home, den = sum(w), num = sum(w*val), est_milli = num*1000 // den
+    (floored integer division, exact on both sides).
+
+    int64 bound: w <= 1e6, so num <= 1e6 * max(val) * points_per_3x3 — at
+    val ~ 5e3 that allows ~1.8e9 contributing points per cell before
+    num * 1000 overflows; beyond that, drop IDW_W_SCALE a decade.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..model import CELL_PACK
+
+    r2 = float(radius) * float(radius)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        val = np.asarray(batch[value_col], dtype=np.int64)
+        cx = np.floor(lon / 0.1).astype(np.int64)
+        cy = np.floor(lat / 0.1).astype(np.int64)
+        cells_l, home_l, w_l, wv_l = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = cx + dx, cy + dy
+                ccx = tx.astype(np.float64) * 0.1 + 0.05
+                ccy = ty.astype(np.float64) * 0.1 + 0.05
+                d2 = (lon - ccx) ** 2 + (lat - ccy) ** 2
+                m = d2 <= r2
+                if not m.any():
+                    continue
+                w = np.floor(
+                    IDW_W_SCALE / (1.0 + d2[m] * IDW_D_SCALE)
+                ).astype(np.int64)
+                cells_l.append(tx[m] * CELL_PACK + ty[m])
+                home_l.append(
+                    np.full(int(m.sum()), dx == 0 and dy == 0, dtype=np.int64)
+                )
+                w_l.append(w)
+                wv_l.append(w * val[m])
+        if not cells_l:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "n_home": pa.array([], type=pa.int64()),
+                    "den": pa.array([], type=pa.int64()),
+                    "num": pa.array([], type=pa.int64()),
+                }
+            )
+        cells = np.concatenate(cells_l)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        n = len(uniq)
+        # int64 np.add.at accumulation: bincount(weights=) sums in float64,
+        # exact only below 2^53 — the integer discipline must be unconditional
+        home = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        num = np.zeros(n, dtype=np.int64)
+        np.add.at(home, inv, np.concatenate(home_l))
+        np.add.at(den, inv, np.concatenate(w_l))
+        np.add.at(num, inv, np.concatenate(wv_l))
+        return pa.table(
+            {
+                "cell": pa.array(uniq),
+                "n_home": pa.array(home),
+                "den": pa.array(den),
+                "num": pa.array(num),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_home = np.asarray(batch["n_home"], dtype=np.int64)
+        den = np.asarray(batch["den"], dtype=np.int64)
+        num = np.asarray(batch["num"], dtype=np.int64)
+        keep = n_home > 0
+        return pa.table(
+            {
+                "cell": pa.array(np.asarray(batch["cell"], dtype=np.int64)[keep]),
+                "n_home": pa.array(n_home[keep]),
+                "den": pa.array(den[keep]),
+                "num": pa.array(num[keep]),
+                "est_milli": pa.array((num[keep] * 1000) // den[keep]),
+            }
+        )
+
+    return (
+        points.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # partials are cell-count-sized, not corpus-sized
+        .groupby("cell")
+        .aggregate(
+            Sum("n_home", alias_name="n_home"),
+            Sum("den", alias_name="den"),
+            Sum("num", alias_name="num"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -658,3 +658,149 @@ def _bfs_multi_hash(
         dist = dist.union(new_rows).materialize()
         frontier = new_rows.select_columns(["id", "src"]).materialize()
     return dist
+
+
+# triangle_counts packing: forward-edge key = (src << 31) | dst. Engine ids
+# (doc/way/rel spaces + dup offsets) stay far below 2^31; guarded at runtime.
+_TRI_SHIFT = 31
+_TRI_MASK = (1 << _TRI_SHIFT) - 1
+
+
+def triangle_counts(
+    ds: ray.data.Dataset, radius: float, *, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-node triangle participation counts over the eps-proximity graph.
+
+    The MapReduce-classic node-iterator with DEGREE ORDERING: each edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, wedges
+    are enumerated only among a node's FORWARD neighbors (per-node forward
+    degree is O(sqrt(m)) by the standard orientation argument — the hot-cell
+    hub never enumerates its full neighborhood), and a wedge (u; v, w) closes
+    into a triangle iff (v, w) is itself a forward edge — checked by the
+    bucketed int64 membership lookup (``_attach_int64``), never a corpus-wide
+    ``Dataset.join``. Every triangle is counted exactly once at its unique
+    lowest-rank vertex, then exploded to all three corners for the per-node
+    counts. Shuffles: one edge-endpoint degree groupby, two bounded-bucket
+    degree attaches, one wedge-bucket groupby, one membership attach, one
+    final count groupby — all over id-sized rows (no payload, no geometry).
+    """
+    from ray.data.aggregate import Sum
+
+    from .knn import _attach_int64, radius_join
+
+    edges = radius_join(ds, radius).select_columns(["id_a", "id_b"]).materialize()
+
+    def end_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                np.asarray(batch["id_a"], dtype=np.int64),
+                np.asarray(batch["id_b"], dtype=np.int64),
+            ]
+        )
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"k": pa.array(u), "v": pa.array(c.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(end_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+        .materialize()
+    )
+
+    with_deg = _attach_int64(
+        _attach_int64(edges, deg, "id_a", "deg_a", n_buckets),
+        deg,
+        "id_b",
+        "deg_b",
+        n_buckets,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        da = np.asarray(batch["deg_a"], dtype=np.int64)
+        db = np.asarray(batch["deg_b"], dtype=np.int64)
+        if len(a) and max(a.max(), b.max()) >= (1 << _TRI_SHIFT):
+            raise ValueError("triangle_counts: ids must fit in 31 bits")
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        ddst = np.where(a_first, db, da)
+        bkt = ((src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(np.int64) % n_buckets
+        return pa.table(
+            {
+                "bkt": pa.array(bkt),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "ddst": pa.array(ddst),
+            }
+        )
+
+    fwd = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges_in_bucket(tbl: pa.Table) -> pa.Table:
+        src = np.asarray(tbl["src"], dtype=np.int64)
+        dst = np.asarray(tbl["dst"], dtype=np.int64)
+        ddst = np.asarray(tbl["ddst"], dtype=np.int64)
+        # sort by (src, rank of dst): within each src segment dsts come out
+        # rank-ascending, so pair (i < j) is already (lower-rank, higher-rank)
+        # — exactly the orientation a closing forward edge would have
+        order = np.lexsort((dst, ddst, src))
+        src, dst, ddst = src[order], dst[order], ddst[order]
+        n = len(src)
+        seg_start = np.zeros(n, dtype=np.int64)
+        new_seg = np.flatnonzero(np.diff(src) != 0) + 1
+        starts = np.concatenate(([0], new_seg))
+        marker = np.zeros(n, dtype=np.int64)
+        marker[new_seg] = 1
+        seg_of = np.cumsum(marker)
+        pos = np.arange(n) - starts[seg_of]
+        cnt = pos  # row j pairs with every earlier row of its segment
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()), "u": pa.array([], type=pa.int64())}
+            )
+        second = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        block_off = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        k = np.arange(total, dtype=np.int64) - np.repeat(block_off, cnt)
+        first = np.repeat(starts[seg_of], cnt) + k
+        key = (dst[first] << _TRI_SHIFT) | dst[second]
+        return pa.table({"key": pa.array(key), "u": pa.array(src[second])})
+
+    wedges = (
+        fwd.groupby("bkt")
+        .map_groups(
+            lambda t: wedges_in_bucket(t.drop_columns(["bkt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fwd_keys(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array((src << _TRI_SHIFT) | dst),
+                "v": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+
+    closed = _attach_int64(
+        wedges, fwd.map_batches(fwd_keys, batch_format="pyarrow"), "key", "_hit", n_buckets
+    )
+
+    def corner_partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["key"], dtype=np.int64)
+        u = np.asarray(batch["u"], dtype=np.int64)
+        allids = np.concatenate([u, key >> _TRI_SHIFT, key & _TRI_MASK])
+        ids_u, c = np.unique(allids, return_counts=True)
+        return pa.table({"id": pa.array(ids_u), "n": pa.array(c.astype(np.int64))})
+
+    return (
+        closed.map_batches(corner_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("id")
+        .aggregate(Sum("n", alias_name="n_triangles"))
+    )

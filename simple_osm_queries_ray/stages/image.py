@@ -555,3 +555,123 @@ def tile_pyramid_best_image(
         .groupby("zt")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def quality_filter(
+    meta: ray.data.Dataset,
+    *,
+    min_pixels: int = 256,
+    max_aspect: int = 3,
+    min_caption_chars: int = 20,
+    lossless_only: bool = True,
+) -> ray.data.Dataset:
+    """Training-data image quality gate over METADATA columns only.
+
+    The standard web-corpus pre-filter (LAION-style): minimum resolution,
+    bounded aspect ratio, lossless format, minimum caption length. Aspect is
+    an integer cross-multiply (``max_aspect*h >= w AND max_aspect*w >= h``) —
+    no float division to drift. Runs on :func:`..sources.images.image_meta_table`
+    so the pixel payload is never materialized (projection-pushdown
+    discipline); map-only, zero shuffle. Output: image_id, w, h (BIGINT),
+    n_pixels, caption_len.
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        npix = w * h
+        clen = np.asarray(pc.utf8_length(batch["caption"]), dtype=np.int64)
+        mask = (
+            (npix >= min_pixels)
+            & (max_aspect * h >= w)
+            & (max_aspect * w >= h)
+            & (clen >= min_caption_chars)
+        )
+        if lossless_only:
+            mask &= np.asarray(pc.equal(batch["fmt"], "png"), dtype=np.bool_)
+        keep = np.nonzero(mask)[0]
+        sel = pa.array(keep)
+        return pa.table(
+            {
+                "image_id": batch["image_id"].take(sel),
+                "w": pa.array(w[keep]),
+                "h": pa.array(h[keep]),
+                "n_pixels": pa.array(npix[keep]),
+                "caption_len": pa.array(clen[keep]),
+            }
+        )
+
+    return meta.map_batches(fn, batch_format="pyarrow")
+
+
+# dedup_keep_largest encode layout (bits, high to low):
+#   n_pixels (11) | inv_id = 2^34-1 - id (34) | w (6) | h (6)  = 57 bits.
+# Max(encode) picks highest n_pixels, then LOWEST id (inv_id), and the w/h
+# bits ride below the unique id so they never influence the ordering.
+_KL_ID_BITS = 34
+_KL_INV = (1 << _KL_ID_BITS) - 1
+
+
+def dedup_keep_largest(meta: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-caption image dedup keeping the LARGEST-resolution copy.
+
+    The resolution-aware sibling of exact text dedup: images crawled at
+    multiple sizes (originals + thumbnails) share a caption; keep one row
+    per caption — max ``w*h``, ties to the smallest id. Scale shape: the
+    caption never shuffles — each batch hashes it to 128 bits (two
+    independent 64-bit keys, the dedup_exact discipline) and ships only
+    (h1, h2, encode); one groupby with a Max + Count aggregate; winners are
+    decoded back to (image_id, w, h) from the packed integer. Metadata-only
+    input (:func:`..sources.images.image_meta_table` shape) — pixels never
+    read.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max
+
+    def hash_encode(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["caption"].to_pylist(), dtype=object)
+        h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456")
+        h2 = pd.util.hash_pandas_object(s, index=False, hash_key="6543210987654321")
+        ids = np.asarray(
+            [int(x[3:]) for x in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        npix = w * h
+        encode = (((npix << _KL_ID_BITS) | (_KL_INV - ids)) << 12) | (w << 6) | h
+        return pa.table(
+            {
+                "h1": pa.array(h1.to_numpy().astype(np.int64)),
+                "h2": pa.array(h2.to_numpy().astype(np.int64)),
+                "encode": pa.array(encode),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        enc = np.asarray(batch["encode"], dtype=np.int64)
+        h = enc & 63
+        w = (enc >> 6) & 63
+        ids = _KL_INV - ((enc >> 12) & _KL_INV)
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img{int(i):08d}" for i in ids], type=pa.string()
+                ),
+                "w": pa.array(w),
+                "h": pa.array(h),
+                "n_dups": batch["n_dups"],
+            }
+        )
+
+    return (
+        meta.select_columns(["image_id", "w", "h", "caption"])
+        .map_batches(hash_encode, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(
+            Max("encode", alias_name="encode"),
+            Count(alias_name="n_dups"),
+        )
+        .map_batches(decode, batch_format="pyarrow")
+    )

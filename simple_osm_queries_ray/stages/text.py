@@ -2137,3 +2137,48 @@ def user_cell_jaccard(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def user_first_seen(sf_dir: str) -> ray.data.Dataset:
+    """New-users-per-day histogram: each user's FIRST active day, counted per
+    day — the growth-accounting primitive (DAU's cohort sibling).
+
+    Shape: per-batch (user -> min day) combiners shrink the stream before the
+    one user-keyed groupby-Min; the surviving one-row-per-user table reduces
+    to day-count partials and a day-keyed groupby bounded by the date range.
+    Nothing corpus-sized shuffles twice. Output: (day [int days since epoch],
+    new_users)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        day = (
+            np.asarray(batch["ts"], dtype="datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        uu, inv = np.unique(u, return_inverse=True)
+        md = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(md, inv, day)
+        return pa.table({"user_id": pa.array(uu), "day": pa.array(md)})
+
+    firsts = (
+        ds.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d, c = np.unique(np.asarray(batch["day"], dtype=np.int64), return_counts=True)
+        return pa.table({"day": pa.array(d), "new_users": pa.array(c.astype(np.int64))})
+
+    return (
+        firsts.map_batches(day_partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    )

@@ -254,3 +254,48 @@ def test_multi_bfs_property_random_graphs(pts):
     ds = _dataset(ids, lon, lat)
     got = _multi_to_dict(proximity_bfs_multi(ds, eps, srcs, max_rounds=rounds))
     assert got == reference_multi_bfs(ids, lon, lat, eps, srcs, rounds)
+
+
+# -- triangle_counts ---------------------------------------------------------
+
+
+def reference_triangles(ids, lon, lat, eps):
+    """Serial per-node triangle counts via the dense adjacency matrix:
+    diag(A^3) / 2 per node."""
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    A = ((d2 <= eps * eps) & ~np.eye(len(ids), dtype=bool)).astype(np.int64)
+    tri_per_node = np.diag(A @ A @ A) // 2
+    keep = tri_per_node > 0
+    return dict(zip(ids[keep].tolist(), tri_per_node[keep].tolist()))
+
+
+def _tri_result_dict(ds) -> dict:
+    df = ds.to_pandas()
+    return dict(zip(df["id"].tolist(), df["n_triangles"].tolist()))
+
+
+def test_triangle_counts_matches_dense_reference():
+    from simple_osm_queries_ray.stages.graph import triangle_counts
+
+    ids, lon, lat = _point_set()
+    got = _tri_result_dict(triangle_counts(_dataset(ids, lon, lat), 0.02))
+    assert got == reference_triangles(ids, lon, lat, 0.02)
+
+
+def test_triangle_counts_random_points_and_hub():
+    """Random cloud plus a deliberate high-degree hub (many points within eps
+    of one center) — exercises the degree-ordering path where the hub must
+    NOT enumerate its whole neighborhood; and duplicate coordinates."""
+    from simple_osm_queries_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0.0, 0.2, size=(150, 2))
+    hub = np.full((25, 2), 0.05) + rng.uniform(-0.004, 0.004, size=(25, 2))
+    dup = pts[:3]  # exact duplicate coordinates
+    all_pts = np.concatenate([pts, hub, dup])
+    ids = np.arange(len(all_pts), dtype=np.int64) + 11
+    lon = all_pts[:, 0].astype(np.float64)
+    lat = all_pts[:, 1].astype(np.float64)
+    eps = 0.015
+    got = _tri_result_dict(triangle_counts(_dataset(ids, lon, lat), eps))
+    assert got == reference_triangles(ids, lon, lat, eps)
