@@ -893,6 +893,40 @@ def _q_graph_sssp(sf_dir: str):
     )
 
 
+def _q_knn_regress(sf_dir: str):
+    """kNN regression of n_chars at the fixed query points: knn_bruteforce
+    neighbor ids + bucketed value lookup + floored-integer mean."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.knn import knn_regress
+
+    values = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["doc_id"].cast(pa.int64()),
+                "v": t["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return knn_regress(
+        _repo(sf_dir).nodes, values, np.array(KNN_QUERIES), KNN_K
+    )
+
+
+def _q_moran_cells(sf_dir: str):
+    """Moran's I spatial autocorrelation of cell densities (rook adjacency),
+    integer-exact: deviations scaled by n (d_i = n*x_i - S) so every sum is
+    associative; adjacency via key arithmetic + bucketed lookups
+    (stages/raster.py::moran_cells)."""
+    from simple_osm_queries_ray.stages.raster import moran_cells
+
+    return moran_cells(_repo(sf_dir).nodes)
+
+
 def _q_triangle_counts(sf_dir: str):
     """Per-node triangle counts over the eps-proximity graph: degree-ordered
     node-iterator (stages/graph.py::triangle_counts) — forward-wedge
@@ -1558,6 +1592,14 @@ def _q_events_retention(sf_dir: str):
     return events_retention(sf_dir)
 
 
+def _q_doc_length_rank(sf_dir: str):
+    """Global RANK() by document length without a global sort: broadcast
+    value-histogram + searchsorted stamp (stages/text.py::doc_length_rank)."""
+    from simple_osm_queries_ray.stages.text import doc_length_rank
+
+    return doc_length_rank(sf_dir)
+
+
 def _q_user_first_seen(sf_dir: str):
     """New users per day (first-active-day cohort histogram): per-batch
     user->min-day combiners, one user groupby-Min, tiny day histogram."""
@@ -1711,6 +1753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_multi_bfs": _q_graph_multi_bfs,
         "graph_sssp": _q_graph_sssp,
         "triangle_counts": _q_triangle_counts,
+        "moran_cells": _q_moran_cells,
+        "knn_regress": _q_knn_regress,
         "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
@@ -1757,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_docs": _q_dup_span_docs,
         "events_retention": _q_events_retention,
         "user_first_seen": _q_user_first_seen,
+        "doc_length_rank": _q_doc_length_rank,
         "user_trip_length": _q_user_trip_length,
         "trip_segments": _q_trip_segments,
         "stay_points": _q_stay_points,
@@ -3200,6 +3245,30 @@ ranked AS (
 )
 SELECT qid, id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
 """,
+        # kNN regression: floored-integer mean of the k nearest values —
+        # the ranked CTE is the knn oracle, values join back by id
+        "knn_regress": f"""
+{W},
+q(qid, qlon, qlat) AS (VALUES {knn_points}),
+scored AS (
+  SELECT q.qid, n.id,
+         (q.qlon - n.lon) * (q.qlon - n.lon) + (q.qlat - n.lat) * (q.qlat - n.lat) AS dist2
+  FROM q CROSS JOIN nodes_c n
+),
+ranked AS (
+  SELECT qid, id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, id) AS rank
+  FROM scored
+),
+j AS (
+  SELECT r.qid, CAST(n.n_chars AS BIGINT) AS v
+  FROM ranked r JOIN nodes_c n ON n.id = r.id
+  WHERE r.rank <= {KNN_K}
+)
+SELECT qid, CAST(SUM(v) // COUNT(*) AS BIGINT) AS est,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM j GROUP BY qid
+""",
         # nearest-neighbour self-join (tie -> smallest id), exact
         "nn_join": f"""
 {W},
@@ -3332,6 +3401,25 @@ FROM agg a JOIN tgt t ON t.cell = a.cell
         # per-round min-label propagation (see stages/graph.py docstring)
         "graph_multi_bfs": _graph_multi_bfs_sql(GRAPH_EPS, GRAPH_ROUNDS, GRAPH_MULTI_SRCS),
         "triangle_counts": _triangle_sql(GRAPH_EPS),
+        # Moran's I components: deviations scaled by n (d = n*x - S) keep
+        # everything integer; E/N-direction joins count each rook-adjacent
+        # pair exactly once
+        "moran_cells": f"""
+{W},
+hist AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x FROM nodes_c GROUP BY cell),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM hist),
+d AS (SELECT cell, s.n * x - s.tot AS dv FROM hist, s),
+prs AS (
+  SELECT a.dv * b.dv AS p FROM d a JOIN d b ON b.cell = a.cell + 100000
+  UNION ALL
+  SELECT a.dv * b.dv FROM d a JOIN d b ON b.cell = a.cell + 1
+)
+SELECT (SELECT n FROM s) AS n_cells,
+       (SELECT tot FROM s) AS s_total,
+       CAST((SELECT COALESCE(SUM(p), 0) FROM prs) AS BIGINT) AS num,
+       CAST((SELECT SUM(dv * dv) FROM d) AS BIGINT) AS den,
+       CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_pairs
+""",
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->
         # border = min core-neighbor cluster; mirrors stages/knn.py::dbscan
@@ -3821,6 +3909,14 @@ WITH ud AS (SELECT DISTINCT user_id,
 SELECT a.day, CAST(COUNT(*) AS BIGINT) AS retained
 FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + 1
 GROUP BY a.day
+""",
+        # global RANK() by length: 1 + strictly-smaller count — the window
+        # rewrites to an order statistic, no sort on either side needed for
+        # equality (RANK is insensitive to within-tie order)
+        "doc_length_rank": """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS length_rank
+FROM documents
 """,
         # first-active-day cohort histogram: min day per user, counted per day
         "user_first_seen": """

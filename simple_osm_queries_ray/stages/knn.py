@@ -1253,3 +1253,56 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
         return resolved
     fixed = resolve_knn_residue(ds, residue, k, exclude_self=True)
     return resolved.union(fixed)
+
+
+def knn_regress(
+    ds: ray.data.Dataset,
+    values: ray.data.Dataset,
+    query_points: np.ndarray,
+    k: int,
+) -> ray.data.Dataset:
+    """kNN regression: predict an integer attribute at each query point as
+    the FLOORED MEAN of its k nearest neighbors' values — the lazy-learner
+    baseline every spatial-ML pipeline starts from.
+
+    Composition of existing scale-safe pieces: :func:`knn_bruteforce`
+    (broadcast queries, per-batch top-k partials) finds the neighbor ids;
+    the neighbor values attach through the bucketed int64 lookup
+    (``values`` = (k, v) rows, the whole corpus never joins — only Q*k
+    lookup rows shuffle); one qid groupby sums. Floored integer division
+    keeps the estimate bit-exact distributed. Output: (qid, est,
+    n_neighbors).
+    """
+    from ray.data.aggregate import Sum
+
+    nn = knn_bruteforce(ds, query_points, k).select_columns(["qid", "id"])
+    att = _attach_int64(nn, values, "id", "val", 16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qid = np.asarray(batch["qid"], dtype=np.int64)
+        val = np.asarray(batch["val"], dtype=np.int64)
+        u, inv = np.unique(qid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        c = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, val)
+        np.add.at(c, inv, 1)
+        return pa.table({"qid": pa.array(u), "vs": pa.array(s), "vc": pa.array(c)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vs = np.asarray(batch["vs"], dtype=np.int64)
+        vc = np.asarray(batch["vc"], dtype=np.int64)
+        return pa.table(
+            {
+                "qid": batch["qid"],
+                "est": pa.array(vs // vc),
+                "n_neighbors": pa.array(vc),
+            }
+        )
+
+    return (
+        att.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .groupby("qid")
+        .aggregate(Sum("vs", alias_name="vs"), Sum("vc", alias_name="vc"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

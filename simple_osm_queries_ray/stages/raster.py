@@ -747,3 +747,113 @@ def cell_blob_stats(
             Max("cy", alias_name="max_cy"),
         )
     )
+
+
+def moran_cells(nodes: ray.data.Dataset) -> "pd.DataFrame":
+    """Moran's I spatial autocorrelation of per-cell feature counts under
+    4-adjacency (rook contiguity), INTEGER-EXACT.
+
+    The classic "is density clustered?" statistic: I = (n/W) * num/den with
+    num = sum over adjacent cell pairs of (x_i - mean)(x_j - mean) and
+    den = sum of squared deviations. Mean-centering in floats would drift;
+    instead every deviation is scaled by n: d_i = n*x_i - S (an INTEGER),
+    which multiplies num and den by n^2 — the ratio I is unchanged and every
+    distributed sum is exactly associative. Output is the one-row integer
+    tuple (n_cells, s_total, num, den, n_pairs); I itself is
+    (n_cells / n_pairs) * (num / den) for the caller.
+
+    Scale shape: one histogram groupby bounded by OCCUPIED cells (never input
+    rows), two scalar broadcasts (n, S), adjacency by pure key arithmetic
+    (east = cell + CELL_PACK, north = cell + 1) through the bucketed int64
+    lookup — each undirected pair counted once via the E/N directions.
+    int64 bound: |d_i| = |n*x_i - S| must stay below ~3e9 for d_i*d_j to fit
+    (occupied-cell count x max cell population < 3e9); beyond that, shard
+    the statistic by region or drop to the per-region mean variant.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..model import CELL_PACK
+    from .knn import _attach_int64
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        c, n = np.unique(np.asarray(batch["cell"], dtype=np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(c), "x": pa.array(n.astype(np.int64))})
+
+    hist = (
+        nodes.select_columns(["cell"])
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"))
+        .materialize()
+    )
+    sc = hist.aggregate(Sum("x", alias_name="tot"), Count(alias_name="n"))
+    n, tot = int(sc["n"]), int(sc["tot"])
+
+    def dev(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        return pa.table({"cell": pa.array(cell), "dv": pa.array(n * x - tot)})
+
+    d = hist.map_batches(dev, batch_format="pyarrow").materialize()
+    keyed = d.map_batches(
+        lambda t: pa.table({"k": t["cell"], "v": t["dv"]}), batch_format="pyarrow"
+    )
+
+    def with_key(shift: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch["cell"], dtype=np.int64)
+            return pa.table(
+                {"nk": pa.array(c + shift), "dv": batch["dv"]}
+            )
+
+        return fn
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        dv = np.asarray(batch["dv"], dtype=np.int64)
+        nb = np.asarray(batch["nb_dv"], dtype=np.int64)
+        return pa.table(
+            {
+                "num": pa.array([int((dv * nb).sum())], type=pa.int64()),
+                "n_pairs": pa.array([len(dv)], type=pa.int64()),
+            }
+        )
+
+    num, n_pairs = 0, 0
+    for shift in (CELL_PACK, 1):  # east, north: each undirected pair once
+        joined = _attach_int64(
+            d.map_batches(with_key(shift), batch_format="pyarrow"),
+            keyed,
+            "nk",
+            "nb_dv",
+            32,
+        )
+        agg = joined.map_batches(pair_partial, batch_format="pyarrow").aggregate(
+            Sum("num", alias_name="num"), Sum("n_pairs", alias_name="n_pairs")
+        )
+        if agg["num"] is not None:
+            num += int(agg["num"])
+            n_pairs += int(agg["n_pairs"])
+
+    def den_partial(batch: pa.Table) -> pa.Table:
+        dv = np.asarray(batch["dv"], dtype=np.int64)
+        return pa.table({"den": pa.array([int((dv * dv).sum())], type=pa.int64())})
+
+    den = int(
+        d.map_batches(den_partial, batch_format="pyarrow").aggregate(
+            Sum("den", alias_name="den")
+        )["den"]
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_cells": n,
+                "s_total": tot,
+                "num": num,
+                "den": den,
+                "n_pairs": n_pairs,
+            }
+        ]
+    )

@@ -2182,3 +2182,58 @@ def user_first_seen(sf_dir: str) -> ray.data.Dataset:
         .groupby("day")
         .aggregate(Sum("new_users", alias_name="new_users"))
     )
+
+
+def doc_length_rank(sf_dir: str) -> ray.data.Dataset:
+    """Global RANK() of every document by length, WITHOUT a global sort: the
+    window-function-to-broadcast-histogram rewrite.
+
+    ``RANK() OVER (ORDER BY n_chars)`` = 1 + count of strictly smaller
+    values — a pure order statistic. Pass 1 builds the value histogram
+    (partial counts per batch, one groupby bounded by the DISTINCT-value
+    domain, not row count); the sorted (value, prefix-count) arrays broadcast
+    via ray.put; pass 2 stamps every row map-only with a searchsorted gather.
+    At 100 TB the histogram stays small while a window sort would be the
+    worst shuffle in the plan. Output: (doc_id, n_chars, length_rank).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+    from ..state.broadcast import get as bget
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(np.asarray(batch["n_chars"], dtype=np.int64), return_counts=True)
+        return pa.table({"v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy(np.int64)
+    # prefix[i] = rows with value strictly below vals[i]
+    prefix = np.concatenate(([0], np.cumsum(hist["c"].to_numpy(np.int64))))[:-1]
+    ref = ray.put((vals, prefix))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        v, p = bget(ref)
+        x = np.asarray(batch["n_chars"], dtype=np.int64)
+        pos = np.searchsorted(v, x)  # exact: every x occurs in the histogram
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(x),
+                "length_rank": pa.array(p[pos] + 1),
+            }
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -187,3 +187,81 @@ def test_phash_dedup_groups_pairs_dup_with_original(ray_session):
         assert g[f"img{orig:08d}"] <= orig
     # every image labeled exactly once
     assert len(df) == len(nums)
+
+
+# -- metadata-only tables + quality gate + keep-largest dedup ----------------
+
+
+def test_image_meta_table_matches_image_table_metadata(imgs):
+    from simple_osm_queries_ray.sources.images import image_meta_table
+
+    meta = image_meta_table(SF).to_pandas().sort_values("image_id").reset_index(drop=True)
+    full = (
+        imgs.to_pandas()[["image_id", "w", "h", "fmt", "caption"]]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert meta.equals(full)
+    assert "bytes" not in meta.columns
+
+
+def test_thumb_table_plants_half_res_copies():
+    from simple_osm_queries_ray.sources.images import (
+        THUMB_OFFSET,
+        thumb_image_meta_table,
+    )
+
+    df = thumb_image_meta_table(SF).to_pandas()
+    ids = df["image_id"].str[3:].astype(int)
+    base = df[ids < THUMB_OFFSET].set_index(ids[ids < THUMB_OFFSET])
+    thumbs = df[ids >= THUMB_OFFSET].set_index(ids[ids >= THUMB_OFFSET] - THUMB_OFFSET)
+    assert len(thumbs) == (base.index % 10 == 0).sum()
+    joined = thumbs.join(base, lsuffix="_t", rsuffix="_b")
+    assert (joined["w_t"] == joined["w_b"] // 2).all()
+    assert (joined["h_t"] == joined["h_b"] // 2).all()
+    assert (joined["caption_t"] == joined["caption_b"]).all()
+
+
+def test_quality_filter_every_predicate_fires():
+    """Each gate individually excludes at least one row at sf0.001 (the
+    filter is not vacuous), and every surviving row satisfies all gates."""
+    import pandas as pd
+
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import quality_filter
+
+    meta = image_meta_table(SF)
+    all_df = meta.to_pandas()
+    all_df["n_pixels"] = all_df["w"].astype(int) * all_df["h"].astype(int)
+    all_df["caption_len"] = all_df["caption"].str.len()
+    kept = quality_filter(meta).to_pandas()
+    assert len(kept) > 0
+    assert (kept["n_pixels"] >= 256).all()
+    assert (3 * kept["h"] >= kept["w"]).all()
+    assert (3 * kept["w"] >= kept["h"]).all()
+    assert (kept["caption_len"] >= 20).all()
+    # each predicate excludes something on its own
+    assert (all_df["n_pixels"] < 256).any()
+    assert ((3 * all_df["h"] < all_df["w"]) | (3 * all_df["w"] < all_df["h"])).any()
+    assert (all_df["fmt"] == "jpeg").any()
+
+
+def test_dedup_keep_largest_prefers_original_over_thumb():
+    from simple_osm_queries_ray.sources.images import (
+        THUMB_OFFSET,
+        thumb_image_meta_table,
+    )
+    from simple_osm_queries_ray.stages.image import dedup_keep_largest
+
+    tbl = thumb_image_meta_table(SF)
+    out = dedup_keep_largest(tbl).to_pandas()
+    ids = out["image_id"].str[3:].astype(int)
+    # every winner is an original (thumbnails always lose on n_pixels)
+    assert (ids < THUMB_OFFSET).all()
+    # group sizes: 2 for planted-duplicate captions, 1 otherwise
+    n_base = tbl.to_pandas()
+    base_ids = n_base["image_id"].str[3:].astype(int)
+    n_orig = (base_ids < THUMB_OFFSET).sum()
+    n_thumb = (base_ids >= THUMB_OFFSET).sum()
+    assert len(out) == n_orig  # one survivor per distinct caption
+    assert (out["n_dups"] == 2).sum() == n_thumb
