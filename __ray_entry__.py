@@ -37,6 +37,7 @@ GEOHASH_P = 7
 HEX_SIZE = 0.05
 HEX_SIZE_COARSE = 0.25
 TILE_ZOOM = 12
+QUAD_COMPACT_LEVEL = 16
 
 
 def _repo(sf_dir: str):
@@ -917,6 +918,15 @@ def _q_knn_regress(sf_dir: str):
     )
 
 
+def _q_quad_compact(sf_dir: str):
+    """H3-compactCells analogue: minimal multi-level covering of the occupied
+    level-16 quad cells (stages/geo.py::quad_compact) — level-synchronous
+    promotion with a bucketed distributed anti-join, no driver pull."""
+    from simple_osm_queries_ray.stages.geo import quad_compact
+
+    return quad_compact(_repo(sf_dir).nodes, QUAD_COMPACT_LEVEL)
+
+
 def _q_moran_cells(sf_dir: str):
     """Moran's I spatial autocorrelation of cell densities (rook adjacency),
     integer-exact: deviations scaled by n (d_i = n*x_i - S) so every sum is
@@ -1755,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "moran_cells": _q_moran_cells,
         "knn_regress": _q_knn_regress,
+        "quad_compact": _q_quad_compact,
         "bm25_rank": _q_bm25_rank,
         "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
@@ -2199,6 +2210,44 @@ WHERE EXISTS (
   SELECT 1 FROM seg s WHERE s.wg = w.id - 100000000
     AND {ddx} * {ddx} + {ddy} * {ddy} <= {eps} * {eps})
 """
+
+
+def _quad_compact_sql(level: int) -> str:
+    """quad_compact oracle: chained CTEs replay the level-synchronous
+    promotion exactly — p{L-1} = parents with all 4 children present,
+    r{L} = cells whose parent did not fully promote."""
+    from simple_osm_queries_ray.functions.hiercell import quad_cell_sql
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    parts = [
+        f"s{level} AS (SELECT DISTINCT {quad_cell_sql(level)} AS cell FROM nodes_c)"
+    ]
+    for L in range(level, 0, -1):
+        parts.append(
+            f"p{L-1} AS (SELECT cell // 4 AS cell FROM s{L} "
+            f"GROUP BY cell // 4 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"r{L} AS (SELECT cell FROM s{L} "
+            f"WHERE cell // 4 NOT IN (SELECT cell FROM p{L-1}))"
+        )
+        parts.append(f"s{L-1} AS (SELECT cell FROM p{L-1})")
+    union = " UNION ALL ".join(
+        [f"SELECT cell FROM r{L}" for L in range(level, 0, -1)]
+        + ["SELECT cell FROM s0"]
+    )
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN cell >= {4**L} AND cell < {4**(L+1)} THEN {L}"
+            for L in range(level, -1, -1)
+        )
+        + " END"
+    )
+    return (
+        f"WITH {NODES_CTE}, {', '.join(parts)} "
+        f"SELECT cell, CAST({case} AS BIGINT) AS level FROM ({union})"
+    )
 
 
 def _triangle_sql(eps: float) -> str:
@@ -3401,6 +3450,7 @@ FROM agg a JOIN tgt t ON t.cell = a.cell
         # per-round min-label propagation (see stages/graph.py docstring)
         "graph_multi_bfs": _graph_multi_bfs_sql(GRAPH_EPS, GRAPH_ROUNDS, GRAPH_MULTI_SRCS),
         "triangle_counts": _triangle_sql(GRAPH_EPS),
+        "quad_compact": _quad_compact_sql(QUAD_COMPACT_LEVEL),
         # Moran's I components: deviations scaled by n (d = n*x - S) keep
         # everything integer; E/N-direction joins count each rook-adjacent
         # pair exactly once

@@ -272,9 +272,17 @@ def generated_points(
             )
         return pa.concat_tables(tables)
 
+    # Generation is UNTIMED fixture setup for the scaling bench (only the
+    # downstream job is measured, over the pre-materialized blocks).
+    # Fractional num_cpus lets the small-slot config (6 CPUs) overlap
+    # generation tasks so fixture wall-time doesn't scale inversely with the
+    # measured slot count — the measured job itself runs strictly within the
+    # session's CPU budget.
     return ray.data.range(
         replicate, override_num_blocks=max(1, replicate // per_task)
-    ).map_batches(gen, batch_format="pyarrow", batch_size=per_task)
+    ).map_batches(
+        gen, batch_format="pyarrow", batch_size=per_task, num_cpus=0.25
+    )
 
 
 def raw_nodes(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) -> ray.data.Dataset:

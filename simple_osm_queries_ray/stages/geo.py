@@ -1623,3 +1623,127 @@ def idw_cell_interpolation(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def quad_compact(
+    ds: ray.data.Dataset, level: int = 16
+) -> ray.data.Dataset:
+    """H3-`compactCells` analogue on the quad hierarchy: the minimal
+    multi-level covering of the OCCUPIED level-``level`` cells — any four
+    complete siblings merge into their parent, recursively.
+
+    The canonical index-size reducer for dense regions (a filled city block
+    stores one coarse cell instead of thousands of leaves). Level-synchronous
+    plan: per level one parent-count groupby over the current cell set
+    (bounded by occupied-cell count, never input rows — and shrinking >= 4x
+    per promoted level); children anti-join their fully-promoted parents
+    through a bucketed distributed set-difference (no driver pull, no
+    unbounded broadcast — the parent set is worldwide-leaf-count / 4 at the
+    extreme). Output: (cell, level) rows whose level-``level`` expansion is
+    exactly the input occupancy set.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hiercell import quad_cell, quad_level
+    from .semi_join import isin_sorted
+
+    n_buckets = 32
+    MUL = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bkt(p: np.ndarray) -> np.ndarray:
+        return ((p.astype(np.uint64) * MUL) >> np.uint64(40)).astype(np.int64) % n_buckets
+
+    def leaf_partial(batch: pa.Table) -> pa.Table:
+        c = np.unique(
+            quad_cell(
+                np.asarray(batch["lon"], dtype=np.float64),
+                np.asarray(batch["lat"], dtype=np.float64),
+                level,
+            )
+        )
+        return pa.table({"cell": pa.array(c), "n": pa.array(np.ones(len(c), np.int64))})
+
+    cur = (
+        ds.select_columns(["lon", "lat"])
+        .map_batches(leaf_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .select_columns(["cell"])
+        .materialize()
+    )
+
+    def par_partial(batch: pa.Table) -> pa.Table:
+        p, c = np.unique(
+            np.asarray(batch["cell"], dtype=np.int64) // 4, return_counts=True
+        )
+        return pa.table({"p": pa.array(p), "n": pa.array(c.astype(np.int64))})
+
+    def tag_children(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["cell"], dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(c // 4)),
+                "cell": pa.array(c),
+                "flag": pa.array(np.zeros(len(c), dtype=np.int8)),
+            }
+        )
+
+    def tag_parents(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["cell"], dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(p)),
+                "cell": pa.array(p),
+                "flag": pa.array(np.ones(len(p), dtype=np.int8)),
+            }
+        )
+
+    def anti_local(tbl: pa.Table) -> pa.Table:
+        c = np.asarray(tbl["cell"], dtype=np.int64)
+        f = np.asarray(tbl["flag"], dtype=np.int8)
+        parents = np.sort(c[f == 1])
+        kids = c[f == 0]
+        keep = ~isin_sorted(kids // 4, parents)
+        return pa.table({"cell": pa.array(kids[keep])})
+
+    outs: list[ray.data.Dataset] = []
+    for _ in range(level, 0, -1):
+        full = (
+            cur.map_batches(par_partial, batch_format="pyarrow")
+            .repartition(4)
+            .groupby("p")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                lambda t: pa.table({"cell": t.filter(pc.equal(t["n"], 4))["p"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        survivors = (
+            cur.map_batches(tag_children, batch_format="pyarrow")
+            .union(full.map_batches(tag_parents, batch_format="pyarrow"))
+            .groupby("bkt")
+            .map_groups(anti_local, batch_format="pyarrow")
+        )
+        outs.append(survivors)
+        if full.count() == 0:
+            cur = None
+            break
+        cur = full
+    if cur is not None:
+        outs.append(cur)
+
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.union(o)
+
+    def add_level(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["cell"], dtype=np.int64)
+        return pa.table(
+            {"cell": pa.array(c), "level": pa.array(quad_level(c).astype(np.int64))}
+        )
+
+    return merged.map_batches(add_level, batch_format="pyarrow")

@@ -104,3 +104,50 @@ def test_quad_indexed_query_end_to_end(ray_session, tmp_path):
     pids = disk.plan.pids_for_cells(cells)
     total = len([d for d in os.listdir(os.path.join(idx, "node")) if d.startswith("pid=")])
     assert 0 < len(pids) < total
+
+
+def test_quad_compact_exact_and_minimal():
+    """quad_compact: expanding the covering back to the leaf level must
+    reproduce the occupied leaf set exactly, and no four complete siblings
+    may survive (minimality). A fully occupied subtree promotes to its root."""
+    import pyarrow as pa
+    import ray
+
+    from simple_osm_queries_ray.functions.hiercell import quad_cell_bounds
+    from simple_osm_queries_ray.stages.geo import quad_compact
+
+    level = 6
+    # fully occupy one level-3 cell: centers of all its level-6 descendants
+    root = int(quad_cell(np.array([9.5]), np.array([53.5]), 3)[0])
+    pts_lon, pts_lat = [], []
+    base = np.int64(root) << np.int64(6)
+    for c in (base + np.arange(64, dtype=np.int64)):
+        mn, mt, mx, mxt = quad_cell_bounds(int(c))
+        pts_lon.append((mn + mx) / 2)
+        pts_lat.append((mt + mxt) / 2)
+    # plus scattered points elsewhere (partial occupancy)
+    r = np.random.RandomState(7)
+    pts_lon += list(-120.0 + r.rand(40) * 3)
+    pts_lat += list(-33.0 + r.rand(40) * 3)
+    ds = ray.data.from_arrow(
+        pa.table({"lon": pa.array(pts_lon, pa.float64()), "lat": pa.array(pts_lat, pa.float64())})
+    )
+
+    out = quad_compact(ds, level).to_pandas()
+    cells = out["cell"].to_numpy()
+    np.testing.assert_array_equal(quad_level(cells), out["level"].to_numpy())
+
+    # the saturated subtree collapsed to its level-3 root
+    assert root in set(cells.tolist())
+
+    # exactness: expansion == occupied leaf set
+    leaves = set(
+        np.unique(quad_cell(np.array(pts_lon), np.array(pts_lat), level)).tolist()
+    )
+    assert set(covering_to_max_level(cells, level).tolist()) == leaves
+
+    # minimality: no parent has all four children present in the output
+    _, counts = np.unique(cells // 4, return_counts=True)
+    assert counts.max() < 4
+    # and no duplicates / no ancestor-descendant overlap (expansion size check)
+    assert len(set(cells.tolist())) == len(cells)
