@@ -937,6 +937,111 @@ def _q_moran_cells(sf_dir: str):
     return moran_cells(_repo(sf_dir).nodes)
 
 
+def _q_getis_ord_gi(sf_dir: str):
+    """Getis-Ord Gi* hot-spot components per occupied cell (3x3 queen window
+    sum + region-clipped window cardinality), integer-exact: a 9-offset
+    scatter + one groupby bounded by occupied cells, bucketed int64 attach
+    (stages/raster.py::getis_ord_gi)."""
+    from simple_osm_queries_ray.stages.raster import getis_ord_gi
+
+    return getis_ord_gi(_repo(sf_dir).nodes)
+
+
+def _q_tile_boundary(sf_dir: str):
+    """Raster edge map: occupied zoom-12 tiles with < 4 occupied rook
+    neighbors — neighbor occupancy by pure key arithmetic through a
+    self+4-neighbor scatter, every stage bounded by occupied tiles
+    (stages/raster.py::tile_boundary)."""
+    from simple_osm_queries_ray.stages.raster import tile_boundary
+
+    return tile_boundary(_repo(sf_dir).nodes, TILE_ZOOM)
+
+
+def _q_way_diameter(sf_dir: str):
+    """Max pairwise node distance (squared) per way — the geometry
+    "diameter". All O(L^2) pairs per way via L-1 vectorized lag passes over
+    the flattened list columns (L = max way length in the batch); MAX over
+    floats is order-independent and dx*dx+dy*dy is the same two-mult one-add
+    IEEE tree as the oracle's self-join, so the replay is bit-exact. Ways
+    with < 2 nodes emit no row (the oracle's a.id < b.id join has no pair).
+    Map-only over assembled ways: no shuffle."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def diam(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        x = np.asarray(lons, dtype=np.float64)
+        y = np.asarray(lats, dtype=np.float64)
+        lens = np.diff(off)
+        nways = len(lens)
+        widx = np.repeat(np.arange(nways, dtype=np.int64), lens)
+        best = np.full(nways, -np.inf)
+        maxlen = int(lens.max()) if nways else 0
+        for s in range(1, maxlen):
+            valid = widx[s:] == widx[:-s]
+            dx = x[s:] - x[:-s]
+            dy = y[s:] - y[:-s]
+            d2 = dx * dx + dy * dy
+            np.maximum.at(best, widx[:-s][valid], d2[valid])
+        keep = lens >= 2
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        return pa.table(
+            {"id": pa.array(ids[keep]), "diam2": pa.array(best[keep])}
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(diam, batch_format="pyarrow")
+    )
+
+
+def _q_user_skyline(sf_dir: str):
+    """Distributed 2-D Pareto frontier over per-user event aggregates
+    (n_events, integer cents) — users not strictly dominated on both dims.
+    Per-event cents are floored BEFORE summing so the per-user total is an
+    exactly-associative integer; per-block local-skyline partials are a
+    lossless filter, then one tiny final pass (stages/sketch.py::skyline2)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from simple_osm_queries_ray.sources.read import read_parquet_sized
+    from simple_osm_queries_ray.stages.sketch import skyline2
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        cents = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        uu, inv, cnt = np.unique(u, return_inverse=True, return_counts=True)
+        s = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "v_cents": pa.array(s),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("v_cents", alias_name="v_cents"),
+        )
+    )
+    return skyline2(agg, "n_events", "v_cents")
+
+
 def _q_triangle_counts(sf_dir: str):
     """Per-node triangle counts over the eps-proximity graph: degree-ordered
     node-iterator (stages/graph.py::triangle_counts) — forward-wedge
@@ -1764,6 +1869,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": _q_graph_sssp,
         "triangle_counts": _q_triangle_counts,
         "moran_cells": _q_moran_cells,
+        "getis_ord_gi": _q_getis_ord_gi,
+        "tile_boundary": _q_tile_boundary,
+        "way_diameter": _q_way_diameter,
+        "user_skyline": _q_user_skyline,
         "knn_regress": _q_knn_regress,
         "quad_compact": _q_quad_compact,
         "bm25_rank": _q_bm25_rank,
@@ -3469,6 +3578,67 @@ SELECT (SELECT n FROM s) AS n_cells,
        CAST((SELECT COALESCE(SUM(p), 0) FROM prs) AS BIGINT) AS num,
        CAST((SELECT SUM(dv * dv) FROM d) AS BIGINT) AS den,
        CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_pairs
+""",
+        # Gi* components: 3x3 window sums stay integer; wn clips the window
+        # to the occupied-cell bounding rectangle (cell = cx*100000 + cy)
+        "getis_ord_gi": f"""
+{W},
+hist AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x FROM nodes_c GROUP BY cell),
+hx AS (SELECT cell, x, cell // 100000 AS cx, cell % 100000 AS cy FROM hist),
+bb AS (SELECT MIN(cx) AS minx, MAX(cx) AS maxx,
+              MIN(cy) AS miny, MAX(cy) AS maxy FROM hx)
+SELECT a.cell, a.x,
+  (SELECT CAST(SUM(b.x) AS BIGINT) FROM hx b
+     WHERE b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1) AS wsum,
+  CAST((LEAST(a.cx + 1, bb.maxx) - GREATEST(a.cx - 1, bb.minx) + 1)
+     * (LEAST(a.cy + 1, bb.maxy) - GREATEST(a.cy - 1, bb.miny) + 1)
+     AS BIGINT) AS wn
+FROM hx a, bb
+""",
+        # raster edge map: rook neighbors by key arithmetic; the x seam is
+        # guarded, the y seams fall out of the keyspace and never match
+        "tile_boundary": f"""
+{W},
+h AS (SELECT {tile_expr(TILE_ZOOM)} AS tile, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nodes_c GROUP BY 1),
+wn AS (
+  SELECT a.tile, a.n,
+    CAST((SELECT COUNT(*) FROM h b WHERE
+          b.tile = a.tile - {1 << TILE_ZOOM}
+       OR b.tile = a.tile + {1 << TILE_ZOOM}
+       OR (b.tile = a.tile - 1 AND a.tile % {1 << TILE_ZOOM} <> 0)
+       OR (b.tile = a.tile + 1
+           AND a.tile % {1 << TILE_ZOOM} <> {(1 << TILE_ZOOM) - 1})
+    ) AS BIGINT) AS nb
+  FROM h a)
+SELECT tile, n, nb FROM wn WHERE nb < 4
+""",
+        # way diameter: MAX over all node pairs of the same two-mult one-add
+        # IEEE distance tree the engine evaluates — order-independent
+        "way_diameter": f"""
+{W},
+prs AS (
+  SELECT a.wg,
+    (b.lon - a.lon) * (b.lon - a.lon)
+      + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+  FROM nodes_c a JOIN nodes_c b ON a.wg = b.wg AND a.id < b.id
+)
+SELECT {WAY_ID_BASE} + wg AS id, MAX(d2) AS diam2 FROM prs GROUP BY wg
+""",
+        # Pareto frontier: strict dominance over integer per-user aggregates
+        # (cents floored per event, so the SUM is exactly associative)
+        "user_skyline": """
+WITH agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(FLOOR(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY user_id)
+SELECT a.user_id, a.n_events, a.v_cents FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.n_events >= a.n_events AND b.v_cents >= a.v_cents
+    AND (b.n_events > a.n_events OR b.v_cents > a.v_cents))
 """,
         # exact deterministic DBSCAN: eps-graph degrees -> core points ->
         # components over core-core edges (transitive min-label closure) ->

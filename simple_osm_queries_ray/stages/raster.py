@@ -857,3 +857,148 @@ def moran_cells(nodes: ray.data.Dataset) -> "pd.DataFrame":
             }
         ]
     )
+
+
+def getis_ord_gi(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """Getis-Ord Gi* hot-spot components per occupied grid cell, INTEGER-EXACT.
+
+    The per-cell companion to :func:`moran_cells` (which is one global
+    statistic): for every occupied cell, the 3x3 queen-contiguity window sum
+    of feature counts (self included; empty cells contribute 0) and the
+    window cardinality clipped to the occupied-cell bounding rectangle.
+    Output ``(cell, x, wsum, wn)`` — the caller forms
+    Gi* = (wsum - wn*xbar) / (s*sqrt((n*wn - wn^2)/(n-1))) from these plus
+    the global scalars; everything emitted here is an exactly-associative
+    integer, so the distributed result replays a SQL window self-join
+    bit-for-bit.
+
+    Scale shape: the histogram groupby is bounded by OCCUPIED cells, never
+    input rows; window sums come from a 9-offset scatter (self included) +
+    one groupby over <= 9x occupied keys; the attach is the bucketed int64
+    lookup (no ``Dataset.join``); the region bbox is 4 scalar aggregates.
+    Same int64 caution as Moran: cell keys near the packing boundary would
+    alias under +-1 arithmetic only if ``cy`` hit 0 or CELL_PACK-1 — the
+    equirectangular domain keeps cy strictly interior.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..model import CELL_PACK, unpack_cell
+    from .knn import _attach_int64
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        c, n = np.unique(np.asarray(batch["cell"], dtype=np.int64), return_counts=True)
+        return pa.table({"cell": pa.array(c), "x": pa.array(n.astype(np.int64))})
+
+    hist = (
+        nodes.select_columns(["cell"])
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"))
+        .materialize()
+    )
+
+    def cxy(batch: pa.Table) -> pa.Table:
+        cx, cy = unpack_cell(np.asarray(batch["cell"], dtype=np.int64))
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
+
+    bb = hist.map_batches(cxy, batch_format="pyarrow").aggregate(
+        Min("cx", alias_name="minx"),
+        Max("cx", alias_name="maxx"),
+        Min("cy", alias_name="miny"),
+        Max("cy", alias_name="maxy"),
+    )
+    minx, maxx, miny, maxy = (int(bb[k]) for k in ("minx", "maxx", "miny", "maxy"))
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        ks, vs = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                ks.append(cell + dx * CELL_PACK + dy)
+                vs.append(x)
+        return pa.table(
+            {"k": pa.array(np.concatenate(ks)), "v": pa.array(np.concatenate(vs))}
+        )
+
+    keyed = (
+        hist.map_batches(scatter, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    joined = _attach_int64(hist, keyed, "cell", "wsum", 32)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], dtype=np.int64)
+        cx, cy = unpack_cell(cell)
+        wnx = np.minimum(cx + 1, maxx) - np.maximum(cx - 1, minx) + 1
+        wny = np.minimum(cy + 1, maxy) - np.maximum(cy - 1, miny) + 1
+        return batch.append_column("wn", pa.array(wnx * wny))
+
+    return joined.map_batches(widen, batch_format="pyarrow")
+
+
+def tile_boundary(nodes: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
+    """Boundary tiles of the occupied raster set: occupied zoom-``zoom``
+    tiles with FEWER than 4 occupied rook neighbors — the raster edge map
+    (coastline/perimeter extraction) of the density surface.
+
+    Output ``(tile, n, nb)``: feature count and occupied-4-neighbor count,
+    rows where ``nb < 4`` only.  Neighbor occupancy by pure key arithmetic
+    (tile = ty*2^z + tx; west/east guard the x seam, north/south fall off
+    the keyspace and simply never match).  Every stage is bounded by
+    occupied tiles: a 5-entry scatter per occupied tile (self carries 0, so
+    isolated tiles still get an nb row), one groupby over the scattered
+    keys, and the bucketed int64 lookup for the attach.
+    """
+    from ray.data.aggregate import Sum
+
+    from .geo import tile_id
+    from .knn import _attach_int64
+
+    n_side = np.int64(1 << zoom)
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        t = tile_id(np.asarray(batch["lon"]), np.asarray(batch["lat"]), zoom)
+        tt, cnt = np.unique(t, return_counts=True)
+        return pa.table({"tile": pa.array(tt), "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        nodes.select_columns(["lon", "lat"])
+        .map_batches(tile_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["tile"], dtype=np.int64)
+        tx = t % n_side
+        ks = [t]  # self: counts 0 so isolated tiles still appear
+        vs = [np.zeros(len(t), dtype=np.int64)]
+        one = np.ones(len(t), dtype=np.int64)
+        ks.append(t - n_side)  # north: negative keys never match
+        vs.append(one)
+        ks.append(t + n_side)  # south: > max key never matches
+        vs.append(one)
+        west_ok = tx > 0
+        ks.append((t - 1)[west_ok])
+        vs.append(one[west_ok])
+        east_ok = tx < n_side - 1
+        ks.append((t + 1)[east_ok])
+        vs.append(one[east_ok])
+        return pa.table(
+            {"k": pa.array(np.concatenate(ks)), "v": pa.array(np.concatenate(vs))}
+        )
+
+    keyed = (
+        hist.map_batches(scatter, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    joined = _attach_int64(hist, keyed, "tile", "nb", 32)
+    return joined.map_batches(
+        lambda t: t.filter(pa.compute.less(t["nb"], 4)), batch_format="pyarrow"
+    )

@@ -195,3 +195,52 @@ def heavy_hitter_users(sf_dir: str, k: int = 64) -> "ray.data.Dataset":
     return ray.data.from_arrow(
         pa.table({"user_id": pa.array(out_u), "n_events": pa.array(out_c)})
     )
+
+
+def _sky2_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Survivor mask of the 2-D Pareto frontier (maximize both, STRICT
+    dominance: a row falls iff some row is >= on both dims and > on one;
+    exact (x, y) duplicates all survive together).
+
+    Vectorized sweep: sort desc by (x, y); within each equal-x group only
+    rows at the group's max y can survive, and the group survives iff that
+    max strictly exceeds the best y seen among strictly-larger x.
+    """
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+    gmax = ys[starts]  # ys is desc within each equal-x group
+    best_prev = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+    gid = np.cumsum(np.r_[False, xs[1:] != xs[:-1]])
+    keep_sorted = (ys == gmax[gid]) & (gmax[gid] > best_prev[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def skyline2(
+    ds: ray.data.Dataset, xcol: str, ycol: str
+) -> ray.data.Dataset:
+    """Distributed 2-D Pareto frontier over int64 columns (maximize both).
+
+    Per-block LOCAL skyline partial — any row dominated inside a block is
+    dominated globally, so the filter is lossless — then one final pass over
+    the concatenated partials (``repartition(1)``).  Typical frontiers are
+    tiny (the final block holds one row per distinct x on the frontier);
+    the adversarial worst case (perfectly anti-correlated dims) degenerates
+    to O(N) survivors per block, in which case shard by x-range and merge
+    hierarchically instead.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = _sky2_mask(
+            np.asarray(batch[xcol], dtype=np.int64),
+            np.asarray(batch[ycol], dtype=np.int64),
+        )
+        return batch.filter(pa.array(m))
+
+    partial = ds.map_batches(local, batch_format="pyarrow")
+    return partial.repartition(1).map_batches(local, batch_format="pyarrow")

@@ -210,3 +210,64 @@ def test_tile_pyramid_zoom_guard():
         tile_pyramid(ds, zoom=25, min_zoom=10)
     with _pytest.raises(ValueError, match="zoom"):
         tile_pyramid(ds, zoom=12, min_zoom=13)
+
+
+def test_tile_boundary_isolated_and_interior():
+    """An isolated occupied tile (nb=0) must appear — the self-scatter
+    carries it through the groupby — and a fully surrounded tile (nb=4)
+    must NOT. 3x3 occupied block: center is interior, the 8 ring tiles are
+    boundary."""
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.stages.geo import tile_xy
+    from simple_osm_queries_ray.stages.raster import tile_boundary
+
+    zoom = 12
+    n = 1 << zoom
+    # pick a tile well inside the grid near the testdata extent, then
+    # synthesize one point per wanted tile at its center
+    base_lon, base_lat = 9.5, 53.5
+    tx0, ty0 = (int(v[0]) for v in tile_xy(np.array([base_lon]), np.array([base_lat]), zoom))
+    tiles = [(tx0 + dx, ty0 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    tiles.append((tx0 + 10, ty0 + 10))  # isolated
+    lons = [(tx + 0.5) / n * 360.0 - 180.0 for tx, _ in tiles]
+    lats = [90.0 - (ty + 0.5) / n * 180.0 for _, ty in tiles]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"lon": lons, "lat": lats})
+    ).repartition(3)
+    out = tile_boundary(ds, zoom).to_pandas().sort_values("tile")
+    keys = {ty * n + tx for tx, ty in tiles}
+    center = ty0 * n + tx0
+    isolated = (ty0 + 10) * n + (tx0 + 10)
+    assert set(out["tile"]) == keys - {center}
+    assert int(out.loc[out["tile"] == isolated, "nb"].iloc[0]) == 0
+    ring = out[out["tile"] != isolated]
+    assert (ring["nb"] < 4).all() and (ring["nb"] >= 2).all()
+
+
+def test_getis_window_clips_at_region_corner():
+    """wn at the occupied-region corner is 4 (2x2), edges 6, interior 9;
+    wsum over a uniform 3x3 block is the occupied window count."""
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.model import pack_cell
+    from simple_osm_queries_ray.stages.raster import getis_ord_gi
+
+    # one point per cell of a 3x3 occupied block (cell size 0.1 deg)
+    lons = [9.05 + 0.1 * i for i in range(3) for _ in range(3)]
+    lats = [53.05 + 0.1 * j for _ in range(3) for j in range(3)]
+    cells = pack_cell(
+        np.floor(np.array(lons) / 0.1).astype(np.int64),
+        np.floor(np.array(lats) / 0.1).astype(np.int64),
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"cell": cells})
+    ).repartition(2)
+    out = getis_ord_gi(ds).to_pandas().sort_values("cell").reset_index(drop=True)
+    assert len(out) == 9
+    assert sorted(out["wn"]) == [4, 4, 4, 4, 6, 6, 6, 6, 9]
+    # uniform x=1 per cell: wsum == occupied cells in the window == wn here
+    np.testing.assert_array_equal(out["wsum"].to_numpy(), out["wn"].to_numpy())
+    np.testing.assert_array_equal(out["x"].to_numpy(), np.ones(9, dtype=np.int64))

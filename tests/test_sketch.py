@@ -77,3 +77,57 @@ def test_cms_total_mass_per_row():
     df = _events(rng, 5000, 100)
     sk = cms_sketch(ray.data.from_pandas(df), "user_id")
     np.testing.assert_array_equal(sk.sum(axis=1), [len(df)] * sk.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# skyline2 (Pareto frontier)
+
+
+def test_sky2_mask_matches_brute_force():
+    """Strict-dominance survivors, incl. ties and exact duplicates."""
+    from simple_osm_queries_ray.stages.sketch import _sky2_mask
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        n = int(rng.integers(1, 50))
+        x = rng.integers(0, 8, n)
+        y = rng.integers(0, 8, n)
+        m = _sky2_mask(x, y)
+        for i in range(n):
+            dominated = np.any(
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            )
+            assert m[i] == (not dominated)
+
+
+def test_sky2_duplicates_survive_together():
+    from simple_osm_queries_ray.stages.sketch import _sky2_mask
+
+    x = np.array([5, 5, 3, 5], dtype=np.int64)
+    y = np.array([2, 2, 9, 1], dtype=np.int64)
+    np.testing.assert_array_equal(_sky2_mask(x, y), [True, True, True, False])
+
+
+def test_skyline2_local_filter_is_lossless():
+    """The distributed plan (block partials -> final pass) equals the
+    single-block skyline regardless of how rows are split into blocks."""
+    from simple_osm_queries_ray.stages.sketch import _sky2_mask, skyline2
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": np.arange(n, dtype=np.int64),
+            "n_events": rng.integers(0, 500, n),
+            "v_cents": rng.integers(0, 500, n),
+        }
+    )
+    got = (
+        skyline2(ray.data.from_pandas(df).repartition(17), "n_events", "v_cents")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    m = _sky2_mask(df["n_events"].to_numpy(), df["v_cents"].to_numpy())
+    exp = df[m].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
