@@ -137,6 +137,27 @@ def _q_way_buffer_ways(sf_dir: str):
     )
 
 
+def _q_rel_buffer_nodes(sf_dir: str):
+    """RELATION outer + buffered node inner (round 3): route relations with
+    a zh node within 0.003 deg of any DIRECT member geometry (member-node
+    points + member-way polylines — the same member-union semantics as the
+    reference's relation bbox, grid_writer.go:94-106)."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".relations{rtype=route AND this.buffer(0.003).nodes{lang=zh}}"
+    )
+
+
+def _q_rel_buffer_ways(sf_dir: str):
+    """RELATION outer + buffered way inner: member geometry within 0.003 deg
+    of a residential way's polyline (point-to-segment for member nodes,
+    segment-to-segment for member ways)."""
+    return _engine(sf_dir).execute_string(
+        f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
+        ".relations{rtype=route AND this.buffer(0.003).ways{wtype=residential}}"
+    )
+
+
 def _q_not_buffer(sf_dir: str):
     """The reference's second documented buffer pattern: ``!this.buffer``
     ('no matching way within the radius')."""
@@ -1808,6 +1829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_buffer": _q_buffer,
         "soq_way_buffer_nodes": _q_way_buffer_nodes,
         "soq_way_buffer_ways": _q_way_buffer_ways,
+        "soq_rel_buffer_nodes": _q_rel_buffer_nodes,
+        "soq_rel_buffer_ways": _q_rel_buffer_ways,
         "soq_not_buffer": _q_not_buffer,
         "soq_buffer_nodes_m": _q_buffer_nodes_m,
         "soq_or_semi_join": _q_or_semi_join,
@@ -2767,6 +2790,70 @@ WHERE w.wg % 3 = 1 AND EXISTS (
 """
 
 
+def _soq_rel_buffer_nodes_sql(WWR: str, eps: str, n_per_rel: int, w_per_rel: int) -> str:
+    """Oracle for ``relations{.. this.buffer(eps).nodes{..}}``: a route
+    relation matches when a zh node lies within eps of the union of DIRECT
+    member geometries — member-node points (plain squared distance) or
+    member-way polylines (the clamped point-to-segment tree of
+    ``_pt_seg_d2_sql``), mirroring pipelines/query.py's member-union
+    semantics (itself the reference's relation-bbox member union,
+    grid_writer.go:94-106)."""
+    E = f"CAST({eps} AS DOUBLE)"
+    d2 = _pt_seg_d2_sql("n.lon", "n.lat", "s")
+    return f"""
+{WWR},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % 3 = 0 AND (
+  EXISTS (
+    SELECT 1 FROM nodes_c m, nodes_c n
+    WHERE m.rg = rel.rg AND m.id % {n_per_rel} < 3 AND n.lang = 'zh'
+      AND (n.lon-m.lon)*(n.lon-m.lon)+(n.lat-m.lat)*(n.lat-m.lat) <= {E} * {E})
+  OR EXISTS (
+    SELECT 1 FROM nodes_c n, seg s
+    WHERE s.wg // {w_per_rel} = rel.rg AND n.lang = 'zh'
+      AND {d2} <= {E} * {E}))
+"""
+
+
+def _soq_rel_buffer_ways_sql(WWR: str, eps: str, n_per_rel: int, w_per_rel: int) -> str:
+    """Oracle for ``relations{.. this.buffer(eps).ways{..}}``: member-node
+    point-to-segment distance against the inner way's polyline, plus
+    member-way segment-to-segment distance (zero on proper crossing, else
+    min of the four clamped endpoint distances — the exact expressions of
+    the green ``soq_way_buffer_ways`` oracle)."""
+    E = f"CAST({eps} AS DOUBLE)"
+    d2m = _pt_seg_d2_sql("m.lon", "m.lat", "t")
+    cross = (
+        "sign((s.x2-s.x1)*(t.y1-s.y1)-(s.y2-s.y1)*(t.x1-s.x1))"
+        " * sign((s.x2-s.x1)*(t.y2-s.y1)-(s.y2-s.y1)*(t.x2-s.x1)) < 0"
+        " AND sign((t.x2-t.x1)*(s.y1-t.y1)-(t.y2-t.y1)*(s.x1-t.x1))"
+        " * sign((t.x2-t.x1)*(s.y2-t.y1)-(t.y2-t.y1)*(s.x2-t.x1)) < 0"
+    )
+    m4 = (
+        f"LEAST({_pt_seg_d2_sql('t.x1', 't.y1', 's')}, "
+        f"{_pt_seg_d2_sql('t.x2', 't.y2', 's')}, "
+        f"{_pt_seg_d2_sql('s.x1', 's.y1', 't')}, "
+        f"{_pt_seg_d2_sql('s.x2', 's.y2', 't')})"
+    )
+    return f"""
+{WWR},
+seg AS (SELECT a.wg, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg)
+SELECT id, minlon, minlat, maxlon, maxlat FROM rel
+WHERE rg % 3 = 0 AND (
+  EXISTS (
+    SELECT 1 FROM nodes_c m, seg t
+    WHERE m.rg = rel.rg AND m.id % {n_per_rel} < 3 AND t.wg % 3 = 0
+      AND {d2m} <= {E} * {E})
+  OR EXISTS (
+    SELECT 1 FROM seg s, seg t
+    WHERE s.wg // {w_per_rel} = rel.rg AND t.wg % 3 = 0
+      AND (({cross}) OR {m4} <= {E} * {E})))
+"""
+
+
 def _soq_buffer_ways_sql(
     W: str, bbox: str, node_pred: str, way_pred: str, *, negate: bool, eps: str = "0.01"
 ) -> str:
@@ -3170,6 +3257,14 @@ SELECT tile, image_id, caption_chars FROM r WHERE rn = 1
         # WAY outers (round 3): buffered node / way inners
         "soq_way_buffer_nodes": _soq_way_buffer_nodes_sql(W, WAYS_CTE, "0.003"),
         "soq_way_buffer_ways": _soq_way_buffer_ways_sql(W, WAYS_CTE, "0.01"),
+        # RELATION outers (round 3): buffered node / way inners over the
+        # union of direct member geometries
+        "soq_rel_buffer_nodes": _soq_rel_buffer_nodes_sql(
+            WWR, "0.003", NODES_PER_REL, 10
+        ),
+        "soq_rel_buffer_ways": _soq_rel_buffer_ways_sql(
+            WWR, "0.003", NODES_PER_REL, 10
+        ),
         # buffered NODE sub-statement with the metre unit: 2000m parses to
         # 2000/111320 degrees; the SQL computes the identical float64 value
         "soq_buffer_nodes_m": f"""

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -187,10 +188,16 @@ class QueryEngine:
         for _path, sub in find_substatements(stmt.filter):
             inner = sub.statement
             if getattr(inner.location, "buffer_deg", None) is not None:
-                if obj_type != OSM_NODE:
+                if obj_type == OSM_WAY:
                     # way-outer buffer probes feed the polyline to the
                     # segment-distance kernels
                     for c in ("node_lons", "node_lats"):
+                        if c not in cols:
+                            cols.append(c)
+                elif obj_type == OSM_RELATION:
+                    # relation-outer buffer probes rebuild member geometry
+                    # from the membership lists (see _buffer_matched_outer_ids)
+                    for c in ("node_ids", "way_ids"):
                         if c not in cols:
                             cols.append(c)
                 continue
@@ -464,11 +471,99 @@ class QueryEngine:
                 f"{inner_stmt.query_type}"
             )
 
+        if obj_type == OSM_RELATION:
+            # RELATION outer (round 3): relations carry no geometry of their
+            # own, so — exactly like the reference's relation bbox, which is
+            # the union over member bounds (grid_writer.go:94-106) — the
+            # buffered distance is taken to the union of DIRECT member
+            # geometries: member-node points and member-way polylines.
+            # Implementation: explode the membership lists to (member, rel)
+            # edges, attach member geometry via partitioned hash joins, and
+            # run the same bucketed pair kernels as the node/way outers with
+            # the member's id REPLACED by the owning relation id, so pairs
+            # carry relation ids directly (id spaces are disjoint, so the
+            # node-node kernel's equal-id self-pair exclusion never fires).
+            # Member reads prune on the outer candidates' cell set — sound
+            # because a relation's cell list is the union over member cells.
+            from ..stages.joins import explode_list, hash_join_attach
+
+            candidates = candidates.materialize()  # feeds 2 member plans
+            gbox = self._global_bbox(candidates)
+            expanded = (
+                (gbox[0] - eps, gbox[1] - eps, gbox[2] + eps, gbox[3] + eps)
+                if gbox is not None
+                else None
+            )
+            cells = ray.get(cells_needed_ref)
+            f8 = pa.float64()
+            lf = pa.list_(f8)
+
+            def _as_geom(keep_cols):
+                def fn(batch: pa.Table) -> pa.Table:
+                    batch = batch.filter(pc.is_valid(batch[keep_cols[-1]]))
+                    arrays = [batch["__rel"]] + [batch[c] for c in keep_cols]
+                    return pa.Table.from_arrays(arrays, names=["id"] + keep_cols)
+
+                return fn
+
+            member_pts = hash_join_attach(
+                explode_list(
+                    candidates.select_columns(["id", "node_ids"]),
+                    "node_ids", "id", out_val="__rel", out_key="__member",
+                ),
+                "__member",
+                self._table(OSM_NODE, cells=cells, columns=["id", "lon", "lat"]),
+                "id",
+                {"lon": f8, "lat": f8},
+            ).map_batches(_as_geom(["lon", "lat"]), batch_format="pyarrow")
+
+            way_geo_cols = [
+                "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat",
+            ]
+            member_ways = hash_join_attach(
+                explode_list(
+                    candidates.select_columns(["id", "way_ids"]),
+                    "way_ids", "id", out_val="__rel", out_key="__member",
+                ),
+                "__member",
+                self._table(OSM_WAY, cells=cells, columns=["id"] + way_geo_cols),
+                "id",
+                {c: (lf if c.startswith("node_") else f8) for c in way_geo_cols},
+            ).map_batches(_as_geom(way_geo_cols), batch_format="pyarrow")
+
+            if inner_stmt.query_type == QUERY_NODES:
+                matched = self._matched_features(
+                    inner_stmt, None, bbox_intersect=expanded
+                )
+                p_nodes = node_node_buffer_join(member_pts, matched, eps=eps)
+                p_ways = node_way_buffer_join(matched, member_ways, eps=eps)
+                hits = p_nodes.select_columns(["node_id"]).union(
+                    p_ways.select_columns(["way_id"]).rename_columns(
+                        {"way_id": "node_id"}
+                    )
+                )
+                return sorted_unique_id_array(hits, "node_id")
+            if inner_stmt.query_type == QUERY_WAYS:
+                matched = self._matched_features(
+                    inner_stmt, None, bbox_intersect=expanded,
+                    extra_columns=("node_lons", "node_lats"),
+                )
+                p_nodes = node_way_buffer_join(member_pts, matched, eps=eps)
+                p_ways = way_way_buffer_join(member_ways, matched, eps=eps)
+                hits = p_nodes.select_columns(["node_id"]).union(
+                    p_ways.select_columns(["a_id"]).rename_columns(
+                        {"a_id": "node_id"}
+                    )
+                )
+                return sorted_unique_id_array(hits, "node_id")
+            raise ValueError(
+                f"this.buffer(...) supports .nodes/.ways sub-statements, got "
+                f"{inner_stmt.query_type}"
+            )
+
         raise ValueError(
-            "this.buffer(...) sub-statements are supported for node and way "
-            f"outer statements (got {obj_type}); relations carry no polyline "
-            "geometry of their own — the reference never specified a relation "
-            "distance either"
+            "this.buffer(...) sub-statements are supported for node, way and "
+            f"relation outer statements (got {obj_type})"
         )
 
     def _global_bbox(self, ds: ray.data.Dataset):
