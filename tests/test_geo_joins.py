@@ -294,3 +294,56 @@ def test_way_way_buffer_join_kernel():
     ).to_pandas()
     pairs = set(zip(got["a_id"].astype(int), got["b_id"].astype(int)))
     assert pairs == {(0, 0), (0, 1), (2, 3)}
+
+
+def test_pip_mask_bit_identical_to_reference_formula():
+    """The out=-buffer rewrite of point_in_polygon_mask must replay the
+    original expression ((x2-x1)*(lat-y1))/(y2-y1)+x1 in the exact same
+    operation order — bit-identical to the naive allocation-per-op form the
+    SQL oracle repeats verbatim (pip_sql_condition)."""
+    from simple_osm_queries_ray.stages.geo import point_in_polygon_mask
+
+    def naive(lon, lat, polygon):
+        inside = np.zeros(len(lon), dtype=bool)
+        m = len(polygon)
+        for i in range(m):
+            x1, y1 = polygon[i]
+            x2, y2 = polygon[(i + 1) % m]
+            inside ^= ((y1 > lat) != (y2 > lat)) & (
+                lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            )
+        return inside
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(9, 11, 50000)
+    lat = rng.uniform(53, 55, 50000)
+    for npts in (3, 5, 16):
+        pts = np.column_stack(
+            [rng.uniform(9, 11, npts), rng.uniform(53, 55, npts)]
+        )
+        poly = [(float(x), float(y)) for x, y in pts]
+        a = naive(lon, lat, poly)
+        b = point_in_polygon_mask(lon, lat, poly)
+        assert (a == b).all()
+
+
+def test_polygon_join_prefilter_false_identical():
+    """prefilter=False (the scaling job's compute-dense mode) must produce
+    exactly the prefiltered plan's (id, poly_id) pairs."""
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.geo import polygon_join
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(20000, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(9, 11, 20000)),
+            "lat": pa.array(rng.uniform(53, 55, 20000)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    polys = synthetic_polygons(8)
+    a = polygon_join(ds, polys).to_pandas()
+    b = polygon_join(ds, polys, prefilter=False).to_pandas()
+    key = lambda df: sorted(zip(df["id"].astype(int), df["poly_id"].astype(int)))
+    assert key(a) == key(b) and len(a) > 0
