@@ -1514,6 +1514,42 @@ def _q_video_frames(sf_dir: str):
     )
 
 
+def _q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing over the metadata-only image table
+    (stages/image.py::aspect_ratio_buckets): integer cross-multiplied
+    thresholds, per-(bucket, fmt) histogram."""
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import aspect_ratio_buckets
+
+    return aspect_ratio_buckets(image_meta_table(sf_dir))
+
+
+def _q_image_shards(sf_dir: str):
+    """WebDataset-style sequential byte-budget shard packing
+    (stages/image.py::image_shard_packing): two-tier global prefix sum,
+    payload bytes never shuffle."""
+    from simple_osm_queries_ray.stages.image import image_shard_packing
+
+    return image_shard_packing(sf_dir)
+
+
+def _q_lm_quality_scores(sf_dir: str):
+    """Unigram-LM quality scoring, integer-exact (stages/text.py::
+    lm_quality_scores): one-pass TF model -> broadcast -> vectorized doc
+    scoring; corpus never shuffles."""
+    from simple_osm_queries_ray.stages.text import lm_quality_scores
+
+    return lm_quality_scores(sf_dir)
+
+
+def _q_events_props_stats(sf_dir: str):
+    """Vectorized JSON field extraction over events.props + per-type stats
+    (stages/text.py::events_props_stats)."""
+    from simple_osm_queries_ray.stages.text import events_props_stats
+
+    return events_props_stats(sf_dir)
+
+
 def _q_audio_features(sf_dir: str):
     from simple_osm_queries_ray.stages.audio import audio_features, synthetic_audio_table
 
@@ -1981,6 +2017,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_doc_retrieval": _q_caption_doc_retrieval,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
+        "aspect_buckets": _q_aspect_buckets,
+        "image_shards": _q_image_shards,
+        "events_props_stats": _q_events_props_stats,
+        "lm_quality_scores": _q_lm_quality_scores,
     }
 
 
@@ -4352,6 +4392,72 @@ SELECT 'vid' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS video_id,
        CAST(g.g AS INTEGER) AS frame_idx
 FROM documents, UNNEST(generate_series(0, 11)) AS g(g)
 WHERE g.g % 5 = 0
+""",
+        # aspect bucketing: the engine compares w*q < p*h in int64 — the same
+        # exact integer cross-multiplication here, no float thresholds
+        "aspect_buckets": """
+WITH meta AS (
+  SELECT CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 7) * 4 AS BIGINT) AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt
+  FROM documents
+),
+assigned AS (
+  SELECT CASE
+           WHEN w * 8 < 5 * h THEN '1:2'
+           WHEN w * 8 < 7 * h THEN '3:4'
+           WHEN w * 6 < 7 * h THEN '1:1'
+           WHEN w * 3 < 5 * h THEN '4:3'
+           ELSE '2:1'
+         END AS bucket,
+         fmt,
+         CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS ratio
+  FROM meta
+)
+SELECT bucket, fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+FROM assigned GROUP BY bucket, fmt
+""",
+        # sequential byte-budget packing: shard = exclusive prefix of the
+        # SOQR payload size (5-byte magic + two <u2 dims + w*h*3 body) in
+        # image_id order, integer-divided by the budget
+        "image_shards": """
+WITH s AS (
+  SELECT doc_id,
+         CAST(9 + 3 * (8 + (doc_id % 5) * 8) * (8 + (doc_id % 7) * 4) AS BIGINT)
+           AS size_bytes
+  FROM documents
+)
+SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+       size_bytes,
+       CAST((SUM(size_bytes) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
+         // 65536 AS BIGINT) AS shard
+FROM s
+""",
+        # integer-exact unigram-LM scoring: global token frequencies joined
+        # back onto each doc's tokens (lowercased whitespace tokens, empties
+        # dropped — the engine's _doc_tokens contract)
+        "lm_quality_scores": """
+WITH tok AS (
+  SELECT doc_id, u.t AS token
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> x <> '')) AS u(t)
+),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.c) AS BIGINT) AS sum_tf,
+       CAST(MIN(tf.c) AS BIGINT) AS min_tf
+FROM tok t JOIN tf USING (token)
+GROUP BY t.doc_id
+""",
+        "events_props_stats": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """,
         # 62-bit fingerprint: the engine's per-byte Horner recurrence
         # h = (h*B + byte) % (2^31 - 1) per stream, replayed exactly in a

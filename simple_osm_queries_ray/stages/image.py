@@ -675,3 +675,134 @@ def dedup_keep_largest(meta: ray.data.Dataset) -> ray.data.Dataset:
         )
         .map_batches(decode, batch_format="pyarrow")
     )
+
+
+# -- training-batch layout operators -----------------------------------------
+
+# Aspect-ratio buckets as (w, h) integer ratios. Assignment is by threshold
+# (first bucket whose upper edge exceeds w/h), with every comparison done in
+# integer cross-multiplication (w * q < p * h) so the Ray side and the SQL
+# oracle agree EXACTLY — no float nearest-neighbor tie-breaking. Edges are
+# the midpoints between adjacent bucket ratios: 5/8, 7/8, 7/6, 5/3.
+ASPECT_BUCKET_LABELS = ("1:2", "3:4", "1:1", "4:3", "2:1")
+ASPECT_BUCKET_EDGES = ((5, 8), (7, 8), (7, 6), (5, 3))  # (p, q): r < p/q
+
+
+def aspect_ratio_buckets(meta: ray.data.Dataset) -> ray.data.Dataset:
+    """SDXL-style aspect-ratio bucketing for resolution-grouped training
+    batches: every image is routed to one of five fixed aspect buckets and
+    the per-(bucket, fmt) histogram is returned with the ratio range seen.
+
+    Scale shape: metadata-only input (never the pixel payload — use
+    ``image_meta_table``), one vectorized comparison pass per batch, then a
+    groupby over <= len(buckets) x len(fmts) keys of pre-aggregated partials.
+    Returns (bucket, fmt, n_images, min_ratio, max_ratio).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    labels = np.asarray(ASPECT_BUCKET_LABELS, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        idx = np.full(len(w), len(ASPECT_BUCKET_EDGES), dtype=np.int64)
+        # first threshold r < p/q wins; iterate from the top so lower edges
+        # overwrite — 4 vectorized comparisons over the batch
+        for i in range(len(ASPECT_BUCKET_EDGES) - 1, -1, -1):
+            p, q = ASPECT_BUCKET_EDGES[i]
+            idx[w * q < p * h] = i
+        return pa.table(
+            {
+                "bucket": pa.array(labels[idx], type=pa.string()),
+                "fmt": batch["fmt"],
+                "ratio": pa.array(w.astype(np.float64) / h.astype(np.float64)),
+            }
+        )
+
+    return (
+        meta.map_batches(assign, batch_format="pyarrow")
+        .groupby(["bucket", "fmt"])
+        .aggregate(
+            Count(alias_name="n_images"),
+            Min("ratio", alias_name="min_ratio"),
+            Max("ratio", alias_name="max_ratio"),
+        )
+    )
+
+
+IMG_SHARD_BUDGET = 65536  # bytes per output shard at test scale
+
+
+def image_shard_packing(
+    sf_dir: str,
+    budget: int = IMG_SHARD_BUDGET,
+    bucket_size: int = 256,
+) -> ray.data.Dataset:
+    """WebDataset-style sequential shard packing: images are laid out in
+    image_id order and cut into shards of ``budget`` bytes — shard =
+    (total payload bytes BEFORE this image) // budget. The layout is the
+    tar-shard manifest a multimodal training job consumes.
+
+    Scale shape: the global prefix sum is two-tier. Pass 1 reduces the
+    corpus to per-bucket byte sums (bucket = doc_id // bucket_size; a
+    ~N/bucket_size-row table) whose exclusive prefix is computed driver-side
+    and broadcast; pass 2 co-locates each bucket with one groupby of THREE
+    int64 columns (the payload is dropped in the very first map) and a
+    vectorized cumsum finishes each group. At 10^12 images raise
+    bucket_size so the pass-1 table stays driver-sized, or tier pass 1 once
+    more; payload bytes never move through either shuffle.
+
+    Returns (image_id, size_bytes, shard).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.images import image_table
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 11), pa.int64()),
+            dtype=np.int64,
+        )
+        size = np.asarray(pc.binary_length(batch["bytes"]), dtype=np.int64)
+        return pa.table(
+            {"doc_id": ids, "size_bytes": size, "bucket": ids // bucket_size}
+        )
+
+    sized = image_table(sf_dir).map_batches(sizes, batch_format="pyarrow").materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bucket"], dtype=np.int64)
+        s = np.asarray(batch["size_bytes"], dtype=np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, s)
+        return pa.table({"bucket": pa.array(uniq), "b": pa.array(sums)})
+
+    parts = sized.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bucket", sort=True)["b"].sum()
+    buckets = agg.index.to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(agg.to_numpy(dtype=np.int64))[:-1]))
+    off_ref = ray.put((buckets, offsets))
+
+    def pack(group: pa.Table) -> pa.Table:
+        bkts, offs = ray.get(off_ref)
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        size = np.asarray(group["size_bytes"], dtype=np.int64)[order]
+        bucket = int(group["bucket"][0].as_py())
+        base = offs[np.searchsorted(bkts, bucket)]
+        prefix = base + np.cumsum(size) - size
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    [f"img{int(i):08d}" for i in ids], type=pa.string()
+                ),
+                "size_bytes": pa.array(size),
+                "shard": pa.array(prefix // budget),
+            }
+        )
+
+    return sized.groupby("bucket").map_groups(pack, batch_format="pyarrow")

@@ -2237,3 +2237,141 @@ def doc_length_rank(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured field extraction: parse the integer ``k`` field out of
+    the JSON ``props`` column with ONE vectorized RE2 pass
+    (:func:`pyarrow.compute.extract_regex` — no per-row json.loads), then
+    reduce to per-event-type stats.
+
+    Shape: the regex runs inside map_batches over the Arrow string column
+    (zero-copy from the object store); per-batch partials pre-aggregate to
+    <= |event_type| rows each, so the groupby shuffles a few dozen rows per
+    block regardless of corpus size. Rows whose props lack the field are
+    counted but contribute no k (null-skipping on both engines). Output:
+    (event_type, n_events, sum_k, max_k).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        kv = np.asarray(pc.fill_null(k, 0), dtype=np.int64)
+        has = ~np.asarray(pc.is_null(k), dtype=bool)
+        et = np.asarray(batch["event_type"], dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, np.where(has, kv, 0))
+        m = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(m, inv[has], kv[has])
+        m_arr = pa.array(
+            [int(x) if x != np.iinfo(np.int64).min else None for x in m],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, type=pa.string()),
+                "n": pa.array(n),
+                "s": pa.array(s),
+                "m": m_arr,
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("s", alias_name="sum_k"),
+            Max("m", alias_name="max_k"),
+        )
+    )
+
+
+def lm_quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style language-model quality signal in an integer-exact form:
+    train a unigram term-frequency model over the corpus in one pass, then
+    score every document by its tokens' global frequencies — ``sum_tf`` (the
+    doc's total frequency mass) and ``min_tf`` (its rarest token). Low
+    ``min_tf``/``sum_tf`` per token flags out-of-distribution text, the same
+    decision a float perplexity makes; keeping the statistic integral makes
+    the result bit-exact against the SQL oracle (no libm log differences).
+
+    Shape: pass 1 is the vocabulary-sized (token, count) reduce of
+    :func:`top_terms_df` — per-batch partials, tiny groupby; the model is
+    broadcast once via ray.put as two sorted arrays (token vocab +
+    counts — the r02-reviewed searchsorted layout, not a Python dict).
+    Pass 2 re-streams the corpus, np.searchsorted's every batch's tokens
+    against the broadcast vocab and segment-sums per doc. The corpus is
+    read twice and never shuffled. Output: (doc_id, n_tokens, sum_tf,
+    min_tf); empty docs are dropped (they have no tokens on either engine).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq, type=pa.string()),
+             "c": pa.array(counts.astype(np.int64))}
+        )
+
+    tf = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("token", kind="mergesort")
+    )
+    vocab = tf["token"].to_numpy(dtype=object)
+    counts = tf["c"].to_numpy(dtype=np.int64)
+    model_ref = ray.put((vocab, counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, cnt = ray.get(model_ref)
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_tokens": pa.array([], type=pa.int64()),
+                 "sum_tf": pa.array([], type=pa.int64()),
+                 "min_tf": pa.array([], type=pa.int64())}
+            )
+        tfv = cnt[np.searchsorted(voc, flat)]
+        n = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        s = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(s, doc_of, tfv)
+        mn = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, doc_of, tfv)
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_tokens": pa.array(n[keep]),
+                "sum_tf": pa.array(s[keep]),
+                "min_tf": pa.array(mn[keep]),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")

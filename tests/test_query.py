@@ -345,14 +345,15 @@ def test_buffer_quad_scheme_same_result(graph):
 
 
 def test_buffer_invalid_combos(engine):
-    # way outers are SUPPORTED since round 3 (test_way_buffer_nodes);
-    # relation outers and .relations inners still reject
-    with pytest.raises(ValueError):
-        q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).ways{{wtype=primary}}}}")
+    # node, way AND relation outers are all supported (round 3);
+    # only .relations INNERS still reject (relations carry no geometry to
+    # measure a distance TO — the reference never specified one either)
     with pytest.raises(ValueError):
         q(engine, f"{bbox_str(BBOX)}.nodes{{this.buffer(0.01).relations{{rtype=route}}}}")
     with pytest.raises(ValueError):
         q(engine, f"{bbox_str(BBOX)}.ways{{this.buffer(0.01).relations{{rtype=route}}}}")
+    with pytest.raises(ValueError):
+        q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).relations{{rtype=route}}}}")
 
 
 def test_buffer_small_bbox_long_segments(engine, graph):
@@ -516,6 +517,8 @@ def test_way_buffer_ways(engine, graph):
     assert got == exp and got
 
 
-def test_relation_buffer_still_raises(engine):
-    with pytest.raises(ValueError):
-        q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).nodes{{lang=de}}}}")
+def test_relation_buffer_runs(engine):
+    # relation-outer buffer is supported since round 3: distance to the
+    # union of DIRECT member geometry (member nodes + member way polylines)
+    got = q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).nodes{{lang=de}}}}")
+    assert isinstance(got, set)
