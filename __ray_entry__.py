@@ -1533,6 +1533,15 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_tile_image_node_stats(sf_dir: str):
+    """Cross-modal raster rollup: per tile, image count + caption mass and
+    de-tagged node count, via unioned tile-keyed partials (stages/image.py::
+    tile_image_node_stats) — no corpus shuffle, no join operator."""
+    from simple_osm_queries_ray.stages.image import tile_image_node_stats
+
+    return tile_image_node_stats(sf_dir, zoom=TILE_ZOOM, lang="de")
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """Unigram-LM quality scoring, integer-exact (stages/text.py::
     lm_quality_scores): one-pass TF model -> broadcast -> vectorized doc
@@ -2021,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_shards": _q_image_shards,
         "events_props_stats": _q_events_props_stats,
         "lm_quality_scores": _q_lm_quality_scores,
+        "tile_image_node_stats": _q_tile_image_node_stats,
     }
 
 
@@ -4434,6 +4444,24 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        # cross-modal tile rollup: both sides share the node geolocation
+        # formula; the node side filters lang='de'
+        "tile_image_node_stats": f"""
+{W},
+img AS (
+  SELECT {tile_expr(TILE_ZOOM)} AS tile,
+         CAST(COUNT(*) AS BIGINT) AS n_images,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_caption_len
+  FROM nodes_c GROUP BY 1
+),
+nd AS (
+  SELECT {tile_expr(TILE_ZOOM)} AS tile, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM nodes_c WHERE lang = 'de' GROUP BY 1
+)
+SELECT img.tile, img.n_images, img.sum_caption_len,
+       COALESCE(nd.n_nodes, 0) AS n_nodes
+FROM img LEFT JOIN nd ON nd.tile = img.tile
 """,
         # integer-exact unigram-LM scoring: global token frequencies joined
         # back onto each doc's tokens (lowercased whitespace tokens, empties

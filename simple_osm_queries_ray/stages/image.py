@@ -806,3 +806,75 @@ def image_shard_packing(
         )
 
     return sized.groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
+def tile_image_node_stats(sf_dir: str, zoom: int = 12, lang: str = "de") -> ray.data.Dataset:
+    """Cross-modal raster rollup — the graft's three families in one plan:
+    per raster tile, the geolocated IMAGE count + total caption length
+    (image family) and the count of ``lang``-tagged OSM nodes (vector
+    family), joined on the tile key (raster family).
+
+    Scale shape: both sides pre-aggregate to tile-keyed partials inside
+    map_batches (payload/caption never leave the map stage; the node side
+    projects two columns at the read), the partials union, and ONE tiny
+    tile-keyed groupby sums them — no corpus-sized shuffle, no join
+    operator. Output: (tile, n_images, sum_caption_len, n_nodes).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import image_meta_table
+    from ..sources.read import read_parquet_sized
+    from ..sources.synthetic import geolocate
+    from .geo import tile_id
+
+    def img_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 11), pa.int64()),
+            dtype=np.int64,
+        )
+        lon, lat = geolocate(ids)
+        tiles = tile_id(lon, lat, zoom)
+        clen = np.asarray(pc.utf8_length(batch["caption"]), dtype=np.int64)
+        uniq, inv = np.unique(tiles, return_inverse=True)
+        ni = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sc, inv, clen)
+        return pa.table(
+            {
+                "tile": pa.array(uniq),
+                "n_images": pa.array(ni),
+                "sum_caption_len": pa.array(sc),
+                "n_nodes": pa.array(np.zeros(len(uniq), dtype=np.int64)),
+            }
+        )
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["lang"], lang)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[np.asarray(keep, dtype=bool)]
+        lon, lat = geolocate(ids)
+        tiles = tile_id(lon, lat, zoom)
+        uniq, counts = np.unique(tiles, return_counts=True)
+        z = np.zeros(len(uniq), dtype=np.int64)
+        return pa.table(
+            {
+                "tile": pa.array(uniq),
+                "n_images": pa.array(z),
+                "sum_caption_len": pa.array(z),
+                "n_nodes": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    imgs = image_meta_table(sf_dir).map_batches(img_partial, batch_format="pyarrow")
+    nodes = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(node_partial, batch_format="pyarrow")
+    return (
+        imgs.union(nodes)
+        .groupby("tile")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("sum_caption_len", alias_name="sum_caption_len"),
+            Sum("n_nodes", alias_name="n_nodes"),
+        )
+    )
