@@ -139,34 +139,35 @@ def dup_image_table(sf_dir: str) -> ray.data.Dataset:
     return base.map_batches(add_dups, batch_format="pyarrow")
 
 
+def image_batch_from_docs(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> full image batch (the deterministic synth)."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    w, h = _dims(ids)
+    fmts = _fmt(ids)
+    blobs, phashes = [], []
+    for i in range(len(ids)):
+        px = reference_pixels(int(ids[i]), int(w[i]), int(h[i]))
+        blobs.append(encode_image(px, fmts[i]))
+        phashes.append(average_hash(decode_image(blobs[-1])))
+    return pa.table(
+        {
+            "image_id": pa.array([f"img{int(i):08d}" for i in ids], type=pa.string()),
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": batch["text"],
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    )
+
+
 def image_table(sf_dir: str) -> ray.data.Dataset:
     """documents -> (image_id, bytes, w, h, fmt, caption, phash) Dataset."""
     from .read import read_parquet_sized
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        w, h = _dims(ids)
-        fmts = _fmt(ids)
-        blobs, phashes = [], []
-        for i in range(len(ids)):
-            px = reference_pixels(int(ids[i]), int(w[i]), int(h[i]))
-            blobs.append(encode_image(px, fmts[i]))
-            phashes.append(average_hash(decode_image(blobs[-1])))
-        return pa.table(
-            {
-                "image_id": pa.array([f"img{int(i):08d}" for i in ids], type=pa.string()),
-                "bytes": pa.array(blobs, type=pa.binary()),
-                "w": pa.array(w, type=pa.int32()),
-                "h": pa.array(h, type=pa.int32()),
-                "fmt": pa.array(fmts, type=pa.string()),
-                "caption": batch["text"],
-                "phash": pa.array(phashes, type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(image_batch_from_docs, batch_format="pyarrow", batch_size=512)
 
 
 def image_meta_table(sf_dir: str) -> ray.data.Dataset:
