@@ -373,6 +373,48 @@ def _q_way_chainage(sf_dir: str):
     )
 
 
+def _q_way_turn_counts(sf_dir: str):
+    """Per-way inflection count: sign flips between consecutive segment
+    cross products along the ordered polyline — curvature complexity
+    without a single transcendental, so the oracle is bit-exact. One
+    vectorized diff/cross pass per batch over the member-geometry lists
+    (no explode, no join); the per-way reduction is a bincount."""
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def turns(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        m = len(off) - 1
+        dx = np.diff(lons)
+        dy = np.diff(lats)
+        n_turns = np.zeros(m, dtype=np.int64)
+        if len(dx) >= 2:
+            cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
+            s = np.sign(cross)
+            wv = np.repeat(np.arange(m, dtype=np.int64), np.diff(off))
+            if len(s) >= 2:
+                flip = (s[:-1] * s[1:] < 0) & (wv[:-3] == wv[3:])
+                np.add.at(n_turns, wv[:-3][flip], 1)
+        n_segments = np.maximum(np.diff(off) - 1, 0).astype(np.int64)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "n_turns": pa.array(n_turns),
+                "n_segments": pa.array(n_segments),
+            }
+        )
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(turns, batch_format="pyarrow")
+    )
+
+
 def _q_way_areas(sf_dir: str):
     """Shoelace area per way, nodes in order with an implicit last->first
     closing segment: one vectorized cross-product + reduceat per batch over
@@ -1899,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_lengths": _q_way_lengths,
         "way_chainage": _q_way_chainage,
         "way_areas": _q_way_areas,
+        "way_turn_counts": _q_way_turn_counts,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -3374,6 +3417,23 @@ d AS (
 SELECT id, 100000000 + wg AS way_id,
        SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
 FROM d
+""",
+        # inflection counting: identical cross-product expression
+        # dx1*dy2 - dy1*dx2 and SIGN product on both engines — bit-exact
+        "way_turn_counts": f"""
+{WW},
+seg AS (SELECT a.wg, a.id, b.lon - a.lon AS dx, b.lat - a.lat AS dy
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg),
+crs AS (SELECT s1.wg, s1.id, s1.dx * s2.dy - s1.dy * s2.dx AS cr
+        FROM seg s1 JOIN seg s2 ON s2.id = s1.id + 1 AND s2.wg = s1.wg),
+fl AS (SELECT c1.wg,
+              CASE WHEN SIGN(c1.cr) * SIGN(c2.cr) < 0 THEN 1 ELSE 0 END AS f
+       FROM crs c1 JOIN crs c2 ON c2.id = c1.id + 1 AND c2.wg = c1.wg),
+ns AS (SELECT wg, CAST(COUNT(*) AS BIGINT) AS n_segments FROM seg GROUP BY wg),
+nt AS (SELECT wg, CAST(SUM(f) AS BIGINT) AS n_turns FROM fl GROUP BY wg)
+SELECT w.id, CAST(COALESCE(nt.n_turns, 0) AS BIGINT) AS n_turns,
+       CAST(COALESCE(ns.n_segments, 0) AS BIGINT) AS n_segments
+FROM ways w LEFT JOIN ns ON ns.wg = w.wg LEFT JOIN nt ON nt.wg = w.wg
 """,
         "way_areas": f"""
 {W},
