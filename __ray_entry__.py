@@ -1575,6 +1575,15 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_events_k_anomalies(sf_dir: str):
+    """Grouped anomaly detection with an integer-exact z-test
+    (stages/text.py::events_k_anomalies): per-user stats partials, bucketed
+    int64 join back, cleared-denominator comparison."""
+    from simple_osm_queries_ray.stages.text import events_k_anomalies
+
+    return events_k_anomalies(sf_dir)
+
+
 def _q_tile_image_node_stats(sf_dir: str):
     """Cross-modal raster rollup: per tile, image count + caption mass and
     de-tagged node count, via unioned tile-keyed partials (stages/image.py::
@@ -2074,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "lm_quality_scores": _q_lm_quality_scores,
         "tile_image_node_stats": _q_tile_image_node_stats,
+        "events_k_anomalies": _q_events_k_anomalies,
     }
 
 
@@ -4504,6 +4514,26 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        # grouped anomaly z-test in cleared-denominator integer form — the
+        # exact comparison the engine evaluates (no float variance)
+        "events_k_anomalies": """
+WITH ev AS (
+  SELECT event_id, user_id,
+         TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+),
+st AS (
+  SELECT user_id, CAST(COUNT(k) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS s,
+         CAST(SUM(k * k) AS BIGINT) AS q
+  FROM ev WHERE k IS NOT NULL GROUP BY user_id
+)
+SELECT ev.event_id, ev.user_id, ev.k
+FROM ev JOIN st USING (user_id)
+WHERE ev.k IS NOT NULL AND st.n >= 2
+  AND (ev.k * st.n - st.s) * (ev.k * st.n - st.s) * st.n
+      > 4 * st.n * (st.n * st.q - st.s * st.s)
 """,
         # cross-modal tile rollup: both sides share the node geolocation
         # formula; the node side filters lang='de'

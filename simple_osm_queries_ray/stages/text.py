@@ -2375,3 +2375,96 @@ def lm_quality_scores(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def events_k_anomalies(sf_dir: str, k_sigma2: int = 4) -> ray.data.Dataset:
+    """Grouped anomaly detection, integer-exact: flag events whose ``props``
+    integer field deviates from the OWNER's mean by more than
+    sqrt(k_sigma2) population standard deviations. The z-test is evaluated
+    in cleared-denominator integer form —
+
+        (v*n - s)^2 * n  >  k_sigma2 * n * (n*ssq - s^2)
+
+    (v the event's k, n/s/ssq the user's count/sum/sum-of-squares) — so
+    both engines compare exact int64 quantities; no float summation-order
+    hazard can flip a borderline row. With k in [0, 100) the left side is
+    bounded by 1e4 * n^3: safe to n ~ 50k events/user; at corpora beyond
+    that, promote the comparison to float AFTER the exact partial sums
+    (the partials stay int64 and mergeable).
+
+    Shape: pass 1 per-batch (user, n, s, ssq) partials -> one tiny
+    user-keyed groupby; pass 2 re-streams events and attaches the stats by
+    bucketed int64 hash join (stages/joins.py — the per-user table can
+    exceed broadcast size at corpus scale), then filters vectorized.
+    Users with n < 2 never flag (zero variance is not evidence). Output:
+    (event_id, user_id, k).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+    from .joins import hash_join_attach
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        kv = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "k": kv,
+            }
+        )
+
+    events = ds.map_batches(extract, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        v = np.asarray(pc.fill_null(batch["k"], 0), dtype=np.int64)
+        has = ~np.asarray(pc.is_null(batch["k"]), dtype=bool)
+        uu, inv = np.unique(u[has], return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        s = np.zeros(len(uu), dtype=np.int64)
+        q = np.zeros(len(uu), dtype=np.int64)
+        vh = v[has]
+        np.add.at(s, inv, vh)
+        np.add.at(q, inv, vh * vh)
+        return pa.table(
+            {"user_id": pa.array(uu), "n": pa.array(n), "s": pa.array(s), "q": pa.array(q)}
+        )
+
+    stats = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+    )
+
+    i64 = pa.int64()
+    joined = hash_join_attach(
+        events, "user_id", stats, "user_id", {"n": i64, "s": i64, "q": i64}
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.fill_null(batch["k"], 0), dtype=np.int64)
+        has = ~np.asarray(pc.is_null(batch["k"]), dtype=bool)
+        n = np.asarray(pc.fill_null(batch["n"], 0), dtype=np.int64)
+        s = np.asarray(pc.fill_null(batch["s"], 0), dtype=np.int64)
+        q = np.asarray(pc.fill_null(batch["q"], 0), dtype=np.int64)
+        lhs = (v * n - s) ** 2 * n
+        rhs = k_sigma2 * n * (n * q - s * s)
+        keep = has & (n >= 2) & (lhs > rhs)
+        out = batch.select(["event_id", "user_id", "k"]).filter(pa.array(keep))
+        return out
+
+    return joined.map_batches(flag, batch_format="pyarrow")
