@@ -1575,6 +1575,14 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_events_k_delta(sf_dir: str):
+    """Per-user LAG deltas of the props field (stages/text.py::
+    events_k_delta): one user-bucket shuffle, vectorized shifted compare."""
+    from simple_osm_queries_ray.stages.text import events_k_delta
+
+    return events_k_delta(sf_dir)
+
+
 def _q_events_k_anomalies(sf_dir: str):
     """Grouped anomaly detection with an integer-exact z-test
     (stages/text.py::events_k_anomalies): per-user stats partials, bucketed
@@ -2084,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "tile_image_node_stats": _q_tile_image_node_stats,
         "events_k_anomalies": _q_events_k_anomalies,
+        "events_k_delta": _q_events_k_delta,
     }
 
 
@@ -4514,6 +4523,21 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        "events_k_delta": """
+WITH ev AS (
+  SELECT event_id, ts, user_id,
+         TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, k,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e
+  FROM ev
+)
+SELECT event_id, user_id, k, prev_k, k - prev_k AS dk
+FROM w WHERE prev_e IS NOT NULL AND prev_k IS NOT NULL AND k IS NOT NULL
 """,
         # grouped anomaly z-test in cleared-denominator integer form — the
         # exact comparison the engine evaluates (no float variance)

@@ -2468,3 +2468,72 @@ def events_k_anomalies(sf_dir: str, k_sigma2: int = 4) -> ray.data.Dataset:
         return out
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def events_k_delta(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-user LAG: for every event with an immediate predecessor in the
+    user's (ts, event_id) order, the delta of the ``props`` integer field
+    against that predecessor — the change-point / feature-engineering
+    primitive (integer-exact against the oracle's LAG window).
+
+    Shape: the family's ONE hash(user)-bucket shuffle co-locates each
+    user's events; per bucket a single lexsort + shifted compare emits the
+    deltas vectorized. Events whose own or predecessor's field is missing
+    are dropped on both engines (the predecessor is the immediate prior ROW,
+    null field or not — LAG semantics). Output:
+    (event_id, user_id, k, prev_k, dk)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "props"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        kv = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "k": kv,
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        k = np.asarray(pc.fill_null(tbl["k"], 0), dtype=np.int64)
+        has = ~np.asarray(pc.is_null(tbl["k"]), dtype=bool)
+        order = np.lexsort((eid, ts, u))
+        u, eid, k, has = u[order], eid[order], k[order], has[order]
+        n = len(u)
+        keep = np.zeros(n, dtype=bool)
+        prev_k = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same = u[1:] == u[:-1]
+            keep[1:] = same & has[1:] & has[:-1]
+            prev_k[1:] = k[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep]),
+                "user_id": pa.array(u[keep]),
+                "k": pa.array(k[keep]),
+                "prev_k": pa.array(prev_k[keep]),
+                "dk": pa.array(k[keep] - prev_k[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
