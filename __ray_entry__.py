@@ -1618,6 +1618,17 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_image_curation(sf_dir: str):
+    """LAION-style curation composite (stages/image.py::curation_pipeline):
+    metadata gates first, actor-pool two-tower alignment scoring on the
+    survivors only. Rows-only (scores come from RNG-pixel embeddings SQL
+    cannot recompute); determinism + gate-ordering pinned in
+    tests/test_image.py."""
+    from simple_osm_queries_ray.stages.image import curation_pipeline
+
+    return curation_pipeline(sf_dir)
+
+
 def _q_audio_features(sf_dir: str):
     from simple_osm_queries_ray.stages.audio import audio_features, synthetic_audio_table
 
@@ -2093,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_image_node_stats": _q_tile_image_node_stats,
         "events_k_anomalies": _q_events_k_anomalies,
         "events_k_delta": _q_events_k_delta,
+        "image_curation": _q_image_curation,
     }
 
 

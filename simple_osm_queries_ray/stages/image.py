@@ -878,3 +878,105 @@ def tile_image_node_stats(sf_dir: str, zoom: int = 12, lang: str = "de") -> ray.
             Sum("n_nodes", alias_name="n_nodes"),
         )
     )
+
+
+class AlignmentScorer:
+    """Actor-pool stage: CLIP-style image-text alignment scoring.
+
+    ``__init__`` is the once-per-actor model-load point — a real deployment
+    loads CLIP weights / a GPU session here; the stand-in builds two fixed
+    random projections (seeded, identical on every actor) so scores are
+    deterministic and the plumbing (batched two-tower encode, cosine,
+    payload-column handling) is real. Pixels and captions never leave the
+    stage — only (image_id, align_score) rows come out.
+    """
+
+    DIM = 32
+
+    def __init__(self, seed: int = 1234):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        # image tower: 48-bin RGB histogram -> DIM; text tower: 64 hashed
+        # bag-of-words buckets -> DIM
+        self.w_img = rng.standard_normal((48, self.DIM))
+        self.w_txt = rng.standard_normal((64, self.DIM))
+
+    def _embed_image(self, px: np.ndarray) -> np.ndarray:
+        feats = np.concatenate(
+            [
+                np.histogram(px[..., c], bins=16, range=(0, 256))[0]
+                for c in range(3)
+            ]
+        ).astype(np.float64)
+        feats /= max(feats.sum(), 1.0)
+        v = feats @ self.w_img
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    def _embed_text(self, caption: str) -> np.ndarray:
+        buckets = np.zeros(64, dtype=np.float64)
+        for tok in caption.lower().split():
+            h = 2166136261
+            for ch in tok.encode():
+                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+            buckets[h % 64] += 1.0
+        buckets /= max(buckets.sum(), 1.0)
+        v = buckets @ self.w_txt
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = np.empty(len(batch), dtype=np.float64)
+        caps = batch["caption"].to_pylist()
+        for i, blob in enumerate(batch["bytes"]):
+            px = decode_image(blob.as_py())
+            scores[i] = float(self._embed_image(px) @ self._embed_text(caps[i]))
+        return pa.table(
+            {"image_id": batch["image_id"], "align_score": pa.array(scores)}
+        )
+
+
+def alignment_scores(
+    ds: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 256
+) -> ray.data.Dataset:
+    """Batched two-tower alignment scoring over (bytes, caption) rows."""
+    return ds.map_batches(
+        AlignmentScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def curation_pipeline(sf_dir: str, min_score: float = -1.0) -> ray.data.Dataset:
+    """LAION-style curation composite: metadata quality gate (resolution,
+    aspect, caption length — never touches pixels) THEN alignment scoring
+    of only the survivors (the expensive payload stage runs on the reduced
+    set — gate ordering is the point), THEN a score threshold.
+
+    Output: (image_id, align_score) for kept images.
+    """
+    from ..sources.images import image_table
+
+    imgs = image_table(sf_dir)
+    gated = quality_filter(imgs.drop_columns(["bytes"])).select_columns(["image_id"])
+    # semi-join the payload table against the survivors by id — broadcast
+    # (survivor id set is metadata-sized; at corpus scale swap in the
+    # bucketed int64 join of stages/joins.py, same contract)
+    import ray as _ray
+
+    ids_ref = _ray.put(pa.array(sorted(gated.to_pandas()["image_id"])))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["image_id"], value_set=_ray.get(ids_ref))
+        return batch.filter(mask)
+
+    survivors = imgs.map_batches(keep, batch_format="pyarrow")
+    scored = alignment_scores(survivors)
+    if min_score > -1.0:
+        import pyarrow.compute as pc
+
+        scored = scored.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["align_score"], min_score)),
+            batch_format="pyarrow",
+        )
+    return scored

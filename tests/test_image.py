@@ -265,3 +265,23 @@ def test_dedup_keep_largest_prefers_original_over_thumb():
     n_thumb = (base_ids >= THUMB_OFFSET).sum()
     assert len(out) == n_orig  # one survivor per distinct caption
     assert (out["n_dups"] == 2).sum() == n_thumb
+
+
+def test_curation_pipeline_deterministic_and_gated():
+    """Alignment scoring must be deterministic across runs (every actor
+    builds the same seeded towers) and the composite must only score
+    quality-gate survivors (gate ordering is the pipeline's point)."""
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import curation_pipeline, quality_filter
+
+    sf = "/root/testdata/sf0.001"
+    a = curation_pipeline(sf).to_pandas().sort_values("image_id").reset_index(drop=True)
+    b = curation_pipeline(sf).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert (a["image_id"] == b["image_id"]).all()
+    assert np.allclose(a["align_score"], b["align_score"], rtol=0, atol=0)
+    assert (a["align_score"].abs() <= 1.0 + 1e-12).all()
+    gated = set(
+        quality_filter(image_meta_table(sf)).to_pandas()["image_id"]
+    )
+    assert set(a["image_id"]) <= gated and len(a) == len(gated)
