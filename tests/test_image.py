@@ -285,3 +285,39 @@ def test_curation_pipeline_deterministic_and_gated():
         quality_filter(image_meta_table(sf)).to_pandas()["image_id"]
     )
     assert set(a["image_id"]) <= gated and len(a) == len(gated)
+
+
+def test_image_job_wave_resume(tmp_path):
+    """jobs/image_job.py resume: a crash that leaves one wave's directory on
+    disk but unrecorded must be atomically replaced (no duplicated rows),
+    and recorded waves must be skipped."""
+    import glob
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "curated")
+    env = dict(__import__("os").environ)
+    cmd = [sys.executable, "jobs/image_job.py", "--sf-dir", "/root/testdata/sf0.001",
+           "--out-dir", out, "--waves", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r1.returncode == 0, r1.stderr[-800:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    total1 = sum(
+        pads.dataset(d).count_rows() for d in glob.glob(f"{out}/wave=*")
+    )
+    # simulate a crash mid-wave-2: directory present, manifest not recorded
+    man = json.load(open(f"{out}/manifest.json"))
+    del man["waves"]["wave_2"]
+    json.dump(man, open(f"{out}/manifest.json", "w"))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2["waves_skipped"] == 3
+    total2 = sum(
+        pads.dataset(d).count_rows() for d in glob.glob(f"{out}/wave=*")
+    )
+    assert total2 == total1  # no duplication, full coverage

@@ -16,7 +16,9 @@ entry_mod = importlib.util.module_from_spec(spec)
 sys.modules["_ray_entry"] = entry_mod
 spec.loader.exec_module(entry_mod)
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
