@@ -192,9 +192,12 @@ def heavy_hitter_users(sf_dir: str, k: int = 64) -> "ray.data.Dataset":
             totals[int(uid)] = totals.get(int(uid), 0) + int(c)
     out_u = np.array(sorted(u for u, c in totals.items() if c > n / k), dtype=np.int64)
     out_c = np.array([totals[int(u)] for u in out_u], dtype=np.int64)
-    return ray.data.from_arrow(
-        pa.table({"user_id": pa.array(out_u), "n_events": pa.array(out_c)})
-    )
+    # pandas, not from_arrow: a 0-row Ray Dataset silently drops its schema
+    # in to_pandas(), which reads as a schema mismatch when the result is
+    # legitimately empty (no user exceeds n/k at uniform scales)
+    import pandas as pd
+
+    return pd.DataFrame({"user_id": out_u, "n_events": out_c})
 
 
 def _sky2_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
