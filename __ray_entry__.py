@@ -1618,6 +1618,23 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_customer_running_total(sf_dir: str):
+    """Per-customer cumulative order total in exact int64 cents
+    (pipelines/relational.py::customer_running_total): one customer-bucket
+    shuffle + segmented cumsum; float window SUMs would not replay."""
+    from simple_osm_queries_ray.pipelines.relational import customer_running_total
+
+    return customer_running_total(sf_dir)
+
+
+def _q_brand_topk_per_type(sf_dir: str):
+    """Grouped top-k (ROW_NUMBER pattern): 3 most common brands per part
+    type (pipelines/relational.py::brand_topk_per_type)."""
+    from simple_osm_queries_ray.pipelines.relational import brand_topk_per_type
+
+    return brand_topk_per_type(sf_dir)
+
+
 def _q_image_curation(sf_dir: str):
     """LAION-style curation composite (stages/image.py::curation_pipeline):
     metadata gates first, actor-pool two-tower alignment scoring on the
@@ -2105,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anomalies": _q_events_k_anomalies,
         "events_k_delta": _q_events_k_delta,
         "image_curation": _q_image_curation,
+        "customer_running_total": _q_customer_running_total,
+        "brand_topk_per_type": _q_brand_topk_per_type,
     }
 
 
@@ -4535,6 +4554,32 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        "customer_running_total": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM o
+""",
+        "brand_topk_per_type": """
+WITH g AS (
+  SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY p_type, p_brand
+),
+r AS (
+  SELECT p_type, p_brand, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_type
+              ORDER BY n DESC, p_brand) AS BIGINT) AS rk
+  FROM g
+)
+SELECT p_type, p_brand, n, rk FROM r WHERE rk <= 3
 """,
         "events_k_delta": """
 WITH ev AS (

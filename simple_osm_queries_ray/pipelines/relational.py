@@ -517,3 +517,108 @@ def q18_large_orders(sf_dir: str, min_qty: int = 150) -> ray.data.Dataset:
         "o_orderkey",
         {"o_custkey": pa.int64(), "o_days": pa.int64()},
     )
+
+
+def customer_running_total(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-customer running order total in integer cents — the cumulative
+    window SUM whose float form would NOT replay across engines (window
+    sums tree-aggregate; ulp drift flips hashes). Prices convert to exact
+    int64 cents first, so the cumsum is associativity-free.
+
+    Shape: ONE hash(customer)-bucket shuffle of three int columns, then a
+    per-bucket lexsort + segmented cumsum. Output:
+    (o_orderkey, o_custkey, cents, running_cents)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["o_custkey"], dtype=np.int64)
+        b = np.abs((c * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "d": pa.array(
+                    np.asarray(batch["o_orderdate"], dtype="datetime64[us]").astype(
+                        np.int64
+                    )
+                ),
+                "cents": pa.array(_cents(batch["o_totalprice"])),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        c = np.asarray(tbl["o_custkey"], dtype=np.int64)
+        k = np.asarray(tbl["o_orderkey"], dtype=np.int64)
+        d = np.asarray(tbl["d"], dtype=np.int64)
+        cents = np.asarray(tbl["cents"], dtype=np.int64)
+        order = np.lexsort((k, d, c))
+        c, k, cents = c[order], k[order], cents[order]
+        run = np.cumsum(cents)
+        # reset at customer boundaries: subtract each customer's prefix base
+        starts = np.zeros(len(c), dtype=bool)
+        starts[0] = True
+        starts[1:] = c[1:] != c[:-1]
+        base = np.where(starts, run - cents, 0)
+        np.maximum.accumulate(base, out=base)
+        run = run - base
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k),
+                "o_custkey": pa.array(c),
+                "cents": pa.array(cents),
+                "running_cents": pa.array(run),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def brand_topk_per_type(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-k: the k most common brands within every part type
+    (count desc, brand asc on ties) with their counts — the distributed
+    ROW_NUMBER()-window pattern. The (type, brand) aggregate is tiny after
+    per-batch partials, so the rank step is a map over one small group per
+    type. Output: (p_type, p_brand, n, rk)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_type": np.asarray(batch["p_type"], dtype=object),
+                "p_brand": np.asarray(batch["p_brand"], dtype=object),
+            }
+        )
+        g = df.groupby(["p_type", "p_brand"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["n", "p_brand"], ascending=[False, True], kind="mergesort"
+        )
+        df = df.head(k).reset_index(drop=True)
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_type", "p_brand"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("p_type")
+        .map_groups(topk, batch_format="pyarrow")
+    )
