@@ -415,6 +415,15 @@ def _q_way_turn_counts(sf_dir: str):
     )
 
 
+def _q_way_self_intersections(sf_dir: str):
+    """Per-way proper self-crossing count (stages/geo.py::
+    way_self_intersections): shifted same-way segment pairs, the
+    way_cross_pairs sign tests applied within a single polyline."""
+    from simple_osm_queries_ray.stages.geo import way_self_intersections
+
+    return way_self_intersections(_repo(sf_dir).ways)
+
+
 def _q_way_areas(sf_dir: str):
     """Shoelace area per way, nodes in order with an implicit last->first
     closing segment: one vectorized cross-product + reduceat per batch over
@@ -1987,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_chainage": _q_way_chainage,
         "way_areas": _q_way_areas,
         "way_turn_counts": _q_way_turn_counts,
+        "way_self_intersections": _q_way_self_intersections,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -3467,6 +3477,22 @@ d AS (
 SELECT id, 100000000 + wg AS way_id,
        SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
 FROM d
+""",
+        "way_self_intersections": f"""
+{WW},
+seg AS (SELECT a.wg, a.id, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+        FROM nodes_c a JOIN nodes_c b ON b.id = a.id + 1 AND b.wg = a.wg),
+x AS (
+  SELECT s.wg, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seg s JOIN seg t ON t.wg = s.wg AND s.id < t.id
+  WHERE sign((s.x2-s.x1)*(t.y1-s.y1)-(s.y2-s.y1)*(t.x1-s.x1))
+      * sign((s.x2-s.x1)*(t.y2-s.y1)-(s.y2-s.y1)*(t.x2-s.x1)) < 0
+    AND sign((t.x2-t.x1)*(s.y1-t.y1)-(t.y2-t.y1)*(s.x1-t.x1))
+      * sign((t.x2-t.x1)*(s.y2-t.y1)-(t.y2-t.y1)*(s.x2-t.x1)) < 0
+  GROUP BY s.wg
+)
+SELECT w.id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_crossings
+FROM ways w LEFT JOIN x ON x.wg = w.wg
 """,
         # inflection counting: identical cross-product expression
         # dx1*dy2 - dy1*dx2 and SIGN product on both engines — bit-exact

@@ -1775,3 +1775,62 @@ def quad_compact(
         )
 
     return merged.map_batches(add_level, batch_format="pyarrow")
+
+
+def way_self_intersections(ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-way PROPER self-intersection count: unordered pairs of the way's
+    own segments that strictly cross (both straddle tests < 0 — shared
+    endpoints of adjacent segments sign to 0 and never count). The geometry-
+    validity screen (a self-crossing "area" is degenerate).
+
+    Vectorized without a per-way loop: segments stay flat with a way-of-
+    segment index; pair enumeration is max_segments-1 shifted passes
+    ((i, i+s) same-way pairs), each evaluating the 4 sign tests over the
+    whole batch — the sign expressions replay the oracle's text exactly.
+    Output: (id, n_crossings)."""
+    from ..functions.segments import list_parts
+
+    def count(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        m = len(off) - 1
+        out = np.zeros(m, dtype=np.int64)
+        # flat segments: drop the seam diff between consecutive ways
+        wv = np.repeat(np.arange(m, dtype=np.int64), np.diff(off))
+        x1, y1 = lons[:-1], lats[:-1]
+        x2, y2 = lons[1:], lats[1:]
+        seg_ok = wv[:-1] == wv[1:]
+        x1, y1, x2, y2, ws = (
+            x1[seg_ok], y1[seg_ok], x2[seg_ok], y2[seg_ok], wv[:-1][seg_ok],
+        )
+        n = len(ws)
+        if n:
+            max_c = int(np.bincount(ws, minlength=m).max())
+            for s in range(1, max_c):
+                a = np.arange(n - s)
+                b = a + s
+                same = ws[a] == ws[b]
+                a, b = a[same], b[same]
+                if not len(a):
+                    continue
+                d1 = np.sign(
+                    (x2[a] - x1[a]) * (y1[b] - y1[a]) - (y2[a] - y1[a]) * (x1[b] - x1[a])
+                ) * np.sign(
+                    (x2[a] - x1[a]) * (y2[b] - y1[a]) - (y2[a] - y1[a]) * (x2[b] - x1[a])
+                )
+                d2 = np.sign(
+                    (x2[b] - x1[b]) * (y1[a] - y1[b]) - (y2[b] - y1[b]) * (x1[a] - x1[b])
+                ) * np.sign(
+                    (x2[b] - x1[b]) * (y2[a] - y1[b]) - (y2[b] - y1[b]) * (x2[a] - x1[b])
+                )
+                hit = (d1 < 0) & (d2 < 0)
+                np.add.at(out, ws[a][hit], 1)
+        return pa.table(
+            {"id": batch["id"], "n_crossings": pa.array(out)}
+        )
+
+    return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        count, batch_format="pyarrow"
+    )
