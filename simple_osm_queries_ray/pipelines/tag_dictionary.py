@@ -25,6 +25,11 @@ def _distinct_pairs_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"key": flat_keys, "value": flat_vals}).group_by(["key", "value"]).aggregate([])
 
 
+def _distinct_pairs_batch_flat(batch: pa.Table) -> pa.Table:
+    # second-tier combiner: input is already (key, value) pairs
+    return batch.group_by(["key", "value"]).aggregate([])
+
+
 def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
     """Distinct (key, value) pairs across all feature datasets -> TagIndex.
 
@@ -40,14 +45,23 @@ def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.union(p)
-    # The per-batch dedup shrinks pairs to ~dictionary size per block; coalesce
-    # before the groupby so the sort-shuffle width doesn't inherit the input's
-    # (possibly huge) block count.
-    distinct = pairs.repartition(8).groupby(["key", "value"]).count()
+    # The per-batch dedup shrinks pairs to ~dictionary size per block. A
+    # groupby here would pay the shuffle machinery's ~1.8 s FIXED cost for a
+    # vocabulary-sized combine (the scaling-job diagnosis); instead coalesce
+    # to 8 blocks, dedup each block at C level, and merge the 8 vocabulary-
+    # sized survivors driver-side — the same two-level tree combine, no
+    # sort/hash machinery. At a vocabulary too large for the driver, add one
+    # more repartition tier keyed on hash(key) before collecting.
+    distinct = pairs.repartition(8).map_batches(
+        _distinct_pairs_batch_flat, batch_format="pyarrow", batch_size=None
+    )
+    seen: set[tuple[str, str]] = set()
     per_key: dict[str, list[str]] = {}
     for b in distinct.iter_batches(batch_format="pyarrow", batch_size=None):
         for k, v in zip(b["key"].to_pylist(), b["value"].to_pylist()):
-            per_key.setdefault(k, []).append(v)
+            if (k, v) not in seen:
+                seen.add((k, v))
+                per_key.setdefault(k, []).append(v)
     # Deterministic key order: first-appearance order is scan-order-dependent
     # in a parallel engine, so we fix key order lexicographically (key order
     # carries no semantics — only value order does).
