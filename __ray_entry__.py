@@ -1627,6 +1627,14 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_profile_documents(sf_dir: str):
+    """Distributed ANALYZE: per-column counts/nulls/exact-distinct/min/max
+    (stages/text.py::profile_documents)."""
+    from simple_osm_queries_ray.stages.text import profile_documents
+
+    return profile_documents(sf_dir)
+
+
 def _q_customer_running_total(sf_dir: str):
     """Per-customer cumulative order total in exact int64 cents
     (pipelines/relational.py::customer_running_total): one customer-bucket
@@ -2134,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curation": _q_image_curation,
         "customer_running_total": _q_customer_running_total,
         "brand_topk_per_type": _q_brand_topk_per_type,
+        "profile_documents": _q_profile_documents,
     }
 
 
@@ -4580,6 +4589,23 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        "profile_documents": """
+SELECT 'lang' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct,
+       MIN(lang) AS min_v, MAX(lang) AS max_v FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(source) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
 """,
         "customer_running_total": """
 WITH o AS (

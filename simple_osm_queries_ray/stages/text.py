@@ -2537,3 +2537,73 @@ def events_k_delta(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+PROFILE_COLUMNS = ("lang", "source", "n_chars")
+
+
+def profile_documents(sf_dir: str) -> "pd.DataFrame":
+    """Table profiling (the distributed ANALYZE primitive): per column, row
+    count, null count, EXACT distinct count, and min/max (as strings, one
+    uniform output schema). Profiling is the step every ingestion pipeline
+    runs before schema decisions; here it doubles as a schema-generic
+    partials demo.
+
+    Shape: one pass; each batch emits per-column partials carrying the
+    batch's counts and its DISTINCT value set (these columns are
+    bounded-vocabulary by contract — lang/source are categorical, n_chars a
+    bounded int; for unbounded columns swap the exact set for a sketch, the
+    HLL of stages/sketch.py). Driver merges vocabulary-sized partials.
+    Output: (column, n, n_null, n_distinct, min_v, max_v)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=list(PROFILE_COLUMNS)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, ns, nulls, vals = [], [], [], []
+        for c in PROFILE_COLUMNS:
+            arr = batch[c]
+            cols.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            uniq = pc.unique(pc.drop_null(arr))
+            vals.append([str(x) for x in uniq.to_pylist()])
+        return pa.table(
+            {
+                "column": pa.array(cols, type=pa.string()),
+                "n": pa.array(np.asarray(ns, dtype=np.int64)),
+                "n_null": pa.array(np.asarray(nulls, dtype=np.int64)),
+                "vals": pa.array(vals, type=pa.list_(pa.string())),
+            }
+        )
+
+    agg: dict[str, list] = {c: [0, 0, set()] for c in PROFILE_COLUMNS}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for c, n, nn, vs in zip(
+            b["column"].to_pylist(), b["n"].to_pylist(),
+            b["n_null"].to_pylist(), b["vals"].to_pylist(),
+        ):
+            agg[c][0] += int(n)
+            agg[c][1] += int(nn)
+            agg[c][2].update(vs)
+
+    rows = []
+    for c in PROFILE_COLUMNS:
+        n, nn, vs = agg[c]
+        # min/max over the ORIGINAL domain: numeric columns compare
+        # numerically then render as strings (string-min of n_chars would
+        # be lexicographic and wrong)
+        if c == "n_chars":
+            nums = sorted(int(v) for v in vs)
+            mn, mx = (str(nums[0]), str(nums[-1])) if nums else (None, None)
+        else:
+            sv = sorted(vs)
+            mn, mx = (sv[0], sv[-1]) if sv else (None, None)
+        rows.append((c, n, nn, len(vs), mn, mx))
+    return pd.DataFrame(
+        rows, columns=["column", "n", "n_null", "n_distinct", "min_v", "max_v"]
+    )
