@@ -829,6 +829,15 @@ def _q_pip_triangle(sf_dir: str):
     return filter_in_polygon(_repo(sf_dir).nodes, TRIANGLE).select_columns(["id", "lon", "lat"])
 
 
+def _q_way_in_polygon(sf_dir: str):
+    """Universal containment: ways whose EVERY member node is inside the
+    triangle (stages/geo.py::ways_within_polygon) — the geofence-compliance
+    complement of the existential pip join."""
+    from simple_osm_queries_ray.stages.geo import ways_within_polygon
+
+    return ways_within_polygon(_repo(sf_dir).ways, TRIANGLE)
+
+
 def _q_polygon_join(sf_dir: str):
     from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
     from simple_osm_queries_ray.stages.geo import polygon_join
@@ -2005,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_areas": _q_way_areas,
         "way_turn_counts": _q_way_turn_counts,
         "way_self_intersections": _q_way_self_intersections,
+        "way_in_polygon": _q_way_in_polygon,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -3486,6 +3496,14 @@ d AS (
 SELECT id, 100000000 + wg AS way_id,
        SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
 FROM d
+""",
+        "way_in_polygon": f"""
+{WW}
+SELECT w.id FROM ways w
+WHERE NOT EXISTS (
+  SELECT 1 FROM nodes_c n
+  WHERE n.wg = w.wg
+    AND NOT ({pip_sql_condition(TRIANGLE, "n.lon", "n.lat")}))
 """,
         "way_self_intersections": f"""
 {WW},

@@ -1834,3 +1834,54 @@ def way_self_intersections(ways: ray.data.Dataset) -> ray.data.Dataset:
     return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
         count, batch_format="pyarrow"
     )
+
+
+def ways_within_polygon(
+    ways: ray.data.Dataset, polygon: list[tuple[float, float]]
+) -> ray.data.Dataset:
+    """Universal-quantifier containment: ways whose EVERY member node lies
+    inside the polygon (the existential form is filter_in_polygon /
+    polygon_join). The geofence-compliance primitive — "routes entirely
+    inside the permitted area".
+
+    Map-only: member geometry flattens per batch, one crossing test over the
+    flat points, a segmented ALL-reduce per way (min over the bool mask via
+    np.minimum.at). Bbox prescreen first: a way whose bound escapes the
+    polygon's bound can't be inside. Output: (id,).
+    """
+    from ..functions.segments import list_parts
+
+    bx0 = min(x for x, _ in polygon)
+    by0 = min(y for _, y in polygon)
+    bx1 = max(x for x, _ in polygon)
+    by1 = max(y for _, y in polygon)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        pre = (
+            (np.asarray(batch["minlon"], dtype=np.float64) >= bx0)
+            & (np.asarray(batch["maxlon"], dtype=np.float64) <= bx1)
+            & (np.asarray(batch["minlat"], dtype=np.float64) >= by0)
+            & (np.asarray(batch["maxlat"], dtype=np.float64) <= by1)
+        )
+        keep_idx = np.nonzero(pre)[0]
+        if not len(keep_idx):
+            return pa.table({"id": pa.array([], type=pa.int64())})
+        sub = batch.take(pa.array(keep_idx))
+        lons, off = list_parts(sub["node_lons"])
+        lats, _ = list_parts(sub["node_lats"])
+        inside = point_in_polygon_mask(
+            np.asarray(lons, dtype=np.float64),
+            np.asarray(lats, dtype=np.float64),
+            polygon,
+        )
+        m = len(off) - 1
+        wv = np.repeat(np.arange(m, dtype=np.int64), np.diff(off))
+        allin = np.ones(m, dtype=bool)
+        np.minimum.at(allin, wv, inside)
+        # zero-node ways are vacuously excluded (no geometry, no containment)
+        allin &= np.diff(off) > 0
+        return pa.table({"id": pa.array(ids[keep_idx][allin])})
+
+    cols = ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
+    return ways.select_columns(cols).map_batches(fn, batch_format="pyarrow")
