@@ -1636,6 +1636,15 @@ def _q_events_props_stats(sf_dir: str):
     return events_props_stats(sf_dir)
 
 
+def _q_source_caption_overlap(sf_dir: str):
+    """Cross-source contamination matrix (stages/dedup.py::
+    source_caption_overlap): distinct-text overlap per source pair via the
+    hash-bucketed pair machinery; text bytes never shuffle."""
+    from simple_osm_queries_ray.stages.dedup import source_caption_overlap
+
+    return source_caption_overlap(sf_dir)
+
+
 def _q_profile_documents(sf_dir: str):
     """Distributed ANALYZE: per-column counts/nulls/exact-distinct/min/max
     (stages/text.py::profile_documents)."""
@@ -2153,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_total": _q_customer_running_total,
         "brand_topk_per_type": _q_brand_topk_per_type,
         "profile_documents": _q_profile_documents,
+        "source_caption_overlap": _q_source_caption_overlap,
     }
 
 
@@ -4607,6 +4617,20 @@ SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_bytes)
          // 65536 AS BIGINT) AS shard
 FROM s
+""",
+        "source_caption_overlap": f"""
+WITH {DUP_DOCS_SQL},
+ds AS (
+  SELECT DISTINCT text,
+    CASE WHEN id >= 2000000 THEN 'near_copy'
+         WHEN id >= 1000000 THEN 'exact_copy'
+         ELSE 'orig' END AS source
+  FROM dup_docs
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ds a JOIN ds b ON a.text = b.text AND a.source < b.source
+GROUP BY 1, 2
 """,
         "profile_documents": """
 SELECT 'lang' AS "column", CAST(COUNT(*) AS BIGINT) AS n,

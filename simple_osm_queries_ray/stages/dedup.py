@@ -948,3 +948,65 @@ def dup_span_docs(
         .aggregate(Count(alias_name="_n"))
         .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
     )
+
+
+def source_caption_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many DISTINCT texts appear in both — the dataset-curation question
+    "how much of corpus A is already in corpus B". Runs over the planted-
+    duplicate corpus (sources/dup_docs.py) with the copy tier as the
+    source label, so 'orig' x 'exact_copy' measures exactly the planted
+    contamination.
+
+    Shape: per-batch distinct (128-bit text hash, source id) rows; the
+    shared candidate-pair machinery (hash-bucketed, global (key, id) dedup
+    within bucket, within-bucket pair pre-aggregation) emits per-bucket
+    (source_a, source_b, c) partials; one tiny pair-keyed groupby sums.
+    Text bytes never shuffle — only hashes and small int ids.
+    Output: (source_a, source_b, n_shared).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.dup_docs import EXACT_OFFSET, NEAR_OFFSET, dup_documents
+
+    ds = dup_documents(sf_dir)
+    names = np.asarray(["exact_copy", "near_copy", "orig"], dtype=object)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype=object)
+        h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456")
+        h2 = pd.util.hash_pandas_object(s, index=False, hash_key="6543210987654321")
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        sid = np.where(ids >= NEAR_OFFSET, 1, np.where(ids >= EXACT_OFFSET, 0, 2))
+        t = pa.table(
+            {
+                "h1": pa.array(h1.to_numpy().astype(np.int64)),
+                "h2": pa.array(h2.to_numpy().astype(np.int64)),
+                "sid": pa.array(sid.astype(np.int64)),
+            }
+        )
+        return t.group_by(["h1", "h2", "sid"]).aggregate([])
+
+    pairs = candidate_pairs_from_buckets(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["h1", "h2"],
+        id_col="sid",
+        count_pairs=True,
+    )
+    agg = (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Sum("c", alias_name="n_shared"))
+    )
+
+    def to_names(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        return pa.table(
+            {
+                "source_a": pa.array(names[a], type=pa.string()),
+                "source_b": pa.array(names[b], type=pa.string()),
+                "n_shared": batch["n_shared"],
+            }
+        )
+
+    return agg.map_batches(to_names, batch_format="pyarrow")
