@@ -1593,6 +1593,14 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_events_session_assignment(sf_dir: str):
+    """Per-event session ordinal under the 30-min-gap rule (stages/text.py::
+    events_session_assignment) — sessionization's assignment form."""
+    from simple_osm_queries_ray.stages.text import events_session_assignment
+
+    return events_session_assignment(sf_dir)
+
+
 def _q_events_k_delta(sf_dir: str):
     """Per-user LAG deltas of the props field (stages/text.py::
     events_k_delta): one user-bucket shuffle, vectorized shifted compare."""
@@ -2163,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_topk_per_type": _q_brand_topk_per_type,
         "profile_documents": _q_profile_documents,
         "source_caption_overlap": _q_source_caption_overlap,
+        "events_session_assignment": _q_events_session_assignment,
     }
 
 
@@ -4674,6 +4683,20 @@ r AS (
   FROM g
 )
 SELECT p_type, p_brand, n, rk FROM r WHERE rk <= 3
+""",
+        "events_session_assignment": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_idx
+FROM e
 """,
         "events_k_delta": """
 WITH ev AS (

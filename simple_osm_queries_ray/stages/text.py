@@ -2607,3 +2607,60 @@ def profile_documents(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame(
         rows, columns=["column", "n", "n_null", "n_distinct", "min_v", "max_v"]
     )
+
+
+def events_session_assignment(
+    sf_dir: str, gap_us: int = 1_800_000_000, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-EVENT session labeling (the assignment form of sessionization —
+    events_sessions returns the per-session summary): each event gets its
+    user's 1-based session ordinal under the 30-minute-gap rule. The label
+    every downstream interval join keys on.
+
+    Shape: one hash(user)-bucket shuffle; per bucket a lexsort, a gap
+    compare, and a segmented cumsum — all vectorized. Output:
+    (event_id, user_id, session_idx)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return batch.append_column("__bucket", pa.array(b))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, ts = u[order], eid[order], ts[order]
+        n = len(u)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same = u[1:] == u[:-1]
+            new_sess[1:] = np.where(same & (ts[1:] - ts[:-1] <= gap_us), 0, 1)
+        run = np.cumsum(new_sess)
+        # per-user reset: subtract the running total just before each user's
+        # first row (nondecreasing, so a forward max carries the base)
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        if n > 1:
+            starts[1:] = u[1:] != u[:-1]
+        base = np.where(starts, run - new_sess, 0)
+        np.maximum.accumulate(base, out=base)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "session_idx": pa.array(run - base),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
