@@ -106,6 +106,29 @@ def make_handler(engine: QueryEngine):
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.end_headers()
                 self.wfile.write(_APP_HTML)
+            elif self.path.rstrip("/") == "/healthz":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"status":"ok"}')
+            elif self.path.rstrip("/") == "/stats":
+                # feature counts are cached after the first call — counting a
+                # Dataset is cheap (metadata) but not free under load
+                if not hasattr(engine, "_stats_cache"):
+                    ti = engine.repo.tag_index
+                    engine._stats_cache = json.dumps(
+                        {
+                            "nodes": engine.repo.nodes.count(),
+                            "ways": engine.repo.ways.count(),
+                            "relations": engine.repo.relations.count(),
+                            "tag_keys": len(ti.keys),
+                            "tag_values": int(sum(len(v) for v in ti.values)),
+                        }
+                    ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(engine._stats_cache)
             else:
                 self.send_response(404)
                 self.end_headers()

@@ -85,3 +85,17 @@ def test_explain_endpoint(server_url):
     assert plan[0]["object_type"] == "node"
     assert plan[0]["required_keys"] == ["lang"]
     assert plan[0]["n_candidate_cells"] > 0
+
+
+def test_stats_and_healthz(server_url):
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(f"{server_url}/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(f"{server_url}/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["nodes"] > 0 and stats["tag_keys"] > 0
+    # cached second call returns identical payload
+    with urllib.request.urlopen(f"{server_url}/stats") as r:
+        assert json.loads(r.read()) == stats
