@@ -1670,6 +1670,14 @@ def _q_customer_running_total(sf_dir: str):
     return customer_running_total(sf_dir)
 
 
+def _q_orders_price_histogram(sf_dir: str):
+    """Exact log2-bucket value histogram (pipelines/relational.py::
+    orders_price_histogram): frexp exponents, never libm log2."""
+    from simple_osm_queries_ray.pipelines.relational import orders_price_histogram
+
+    return orders_price_histogram(sf_dir)
+
+
 def _q_brand_topk_per_type(sf_dir: str):
     """Grouped top-k (ROW_NUMBER pattern): 3 most common brands per part
     type (pipelines/relational.py::brand_topk_per_type)."""
@@ -2172,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "source_caption_overlap": _q_source_caption_overlap,
         "events_session_assignment": _q_events_session_assignment,
+        "orders_price_histogram": _q_orders_price_histogram,
     }
 
 
@@ -4670,6 +4679,22 @@ SELECT o_orderkey, o_custkey, cents,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS running_cents
 FROM o
+""",
+        # bucket = b iff 2^b <= cents < 2^(b+1): integer comparisons via a
+        # powers join, replaying frexp exactly (libm log2 would risk
+        # boundary ulps at exact powers of two)
+        "orders_price_histogram": """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE ROUND(o_totalprice * 100) > 0
+),
+p AS (SELECT g.g AS b, CAST(POWER(2, g.g) AS BIGINT) AS lo,
+             CAST(POWER(2, g.g + 1) AS BIGINT) AS hi
+      FROM UNNEST(generate_series(0, 40)) AS g(g))
+SELECT CAST(p.b AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c.cents) AS BIGINT) AS sum_cents
+FROM c JOIN p ON c.cents >= p.lo AND c.cents < p.hi
+GROUP BY p.b
 """,
         "brand_topk_per_type": """
 WITH g AS (

@@ -622,3 +622,40 @@ def brand_topk_per_type(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("p_type")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def orders_price_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Log2-bucketed order-value histogram — the long-tail distribution
+    profile (binning is the other half of ANALYZE). Buckets are EXACT:
+    prices convert to int64 cents and the bucket is the float64 exponent
+    (np.frexp — exact for integers < 2^53), never a libm log2 whose
+    boundary ulps could flip a power-of-two value between engines; the
+    oracle replays the bucket as two integer comparisons against 2^b.
+
+    Shape: per-batch (bucket, n, sum_cents) partials -> one <= 64-key
+    groupby. Output: (bucket, n_orders, sum_cents)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        cents = cents[cents > 0]
+        _, exp = np.frexp(cents.astype(np.float64))
+        bucket = (exp - 1).astype(np.int64)  # floor(log2(cents)), exact
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {"bucket": pa.array(uniq), "n": pa.array(n), "s": pa.array(s)}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="sum_cents"))
+    )
+    return out
