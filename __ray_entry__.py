@@ -1593,6 +1593,14 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_events_dau_wau(sf_dir: str):
+    """DAU / trailing-7d WAU (stages/text.py::events_dau_wau): exact
+    windowed distinct via pair explosion bounded by 7x distinct pairs."""
+    from simple_osm_queries_ray.stages.text import events_dau_wau
+
+    return events_dau_wau(sf_dir)
+
+
 def _q_events_session_assignment(sf_dir: str):
     """Per-event session ordinal under the 30-min-gap rule (stages/text.py::
     events_session_assignment) — sessionization's assignment form."""
@@ -2181,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caption_overlap": _q_source_caption_overlap,
         "events_session_assignment": _q_events_session_assignment,
         "orders_price_histogram": _q_orders_price_histogram,
+        "events_dau_wau": _q_events_dau_wau,
     }
 
 
@@ -4708,6 +4717,18 @@ r AS (
   FROM g
 )
 SELECT p_type, p_brand, n, rk FROM r WHERE rk <= 3
+""",
+        "events_dau_wau": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)
 """,
         "events_session_assignment": """
 WITH e AS (

@@ -2664,3 +2664,65 @@ def events_session_assignment(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def events_dau_wau(sf_dir: str) -> "pd.DataFrame":
+    """DAU / trailing-7-day WAU per active day — the windowed DISTINCT
+    count, which does NOT decompose like a sum: a user active twice in a
+    window must count once. Exact plan: global-distinct (user, day) pairs
+    (one groupby of two int64 columns), DAU as a day-keyed count, WAU by
+    exploding each pair to its 7 covered window-days and distinct-counting
+    again — volume is bounded by 7x the distinct pairs, never 7x the
+    events. Day tables are calendar-bounded, so the final join is
+    driver-side. Output: (day [int days since epoch], dau, wau)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        day = (
+            np.asarray(batch["ts"], dtype="datetime64[us]")
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .select_columns(["user_id", "day"])
+        .materialize()  # feeds both the DAU and WAU plans
+    )
+
+    dau = (
+        pairs.groupby("day").count().to_pandas().rename(columns={"count()": "dau"})
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        d = np.asarray(batch["day"], dtype=np.int64)
+        n = len(u)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, 7)),
+                "wday": pa.array(
+                    (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+                ),
+            }
+        )
+
+    wau = (
+        pairs.map_batches(widen, batch_format="pyarrow")
+        .groupby(["user_id", "wday"])
+        .count()
+        .select_columns(["wday"])
+        .groupby("wday")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "wau", "wday": "day"})
+    )
+    out = dau.merge(wau, on="day", how="left").sort_values("day").reset_index(drop=True)
+    return out.astype({"day": np.int64, "dau": np.int64, "wau": np.int64})
