@@ -205,25 +205,33 @@ def attach_edges_broadcast(
     """
     import ray as _ray
 
-    # unsorted pull + driver lexsort: the edge array must fit driver memory
-    # by this path's contract regardless (it is ray.put below), so a
-    # range-partitioned distributed sort only added a corpus-wide exchange
-    # before the same-sized pull — measured 5.3 s vs 2.9 s total at 10 M
-    # edges on 32 CPUs. np.lexsort on <= 10^8 int64 pairs is seconds.
-    parts_k, parts_v = [], []
-    for b in edges.select_columns([edge_key, edge_val]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        parts_k.append(np.asarray(b[edge_key], dtype=np.int64))
-        parts_v.append(np.asarray(b[edge_val], dtype=np.int64))
-    if parts_k:
-        k = np.concatenate(parts_k)
-        v = np.concatenate(parts_v)
-        order = np.lexsort((v, k))
-        k, v = k[order], v[order]
-    else:
-        k = v = np.array([], dtype=np.int64)
-    edges_ref = _ray.put((k, v))
+    # single-task worker-side concat + lexsort, NOT a driver pull: the edge
+    # array must fit ONE worker's memory by this path's contract (a range-
+    # partitioned distributed sort only added a corpus-wide exchange before
+    # the same-sized gather — measured 5.3 s vs 2.9 s at 10 M edges), but
+    # routing the gather through the driver exposed the sort to the driver
+    # process's allocator state — on the virtualized bench host, driver-side
+    # page-fault storms intermittently tripled this stage. The blocks travel
+    # object-store -> worker zero-copy and the sorted pair returns as a
+    # plain object ref the probe tasks read directly; the driver only
+    # brokers refs. np.lexsort on <= 10^8 int64 pairs is seconds.
+    @_ray.remote(num_returns=1)
+    def _gather_sort(*blocks):
+        ks, vs = [], []
+        for b in blocks:
+            if edge_key not in b.schema.names:  # Ray emits schema-less empty blocks
+                continue
+            ks.append(np.asarray(b[edge_key], dtype=np.int64))
+            vs.append(np.asarray(b[edge_val], dtype=np.int64))
+        if ks:
+            k = np.concatenate(ks)
+            v = np.concatenate(vs)
+            order = np.lexsort((v, k))
+            return k[order], v[order]
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+
+    block_refs = edges.select_columns([edge_key, edge_val]).to_arrow_refs()
+    edges_ref = _gather_sort.remote(*block_refs)
 
     def attach(batch: pa.Table) -> pa.Table:
         from ..state.broadcast import get as bget
