@@ -28,27 +28,35 @@ from ..state.broadcast import get as bget
 from .group_collect import collect_list_column
 
 
+def _gather_ids_task(id_col: str, unique: bool, *blocks):
+    parts = []
+    for b in blocks:
+        if id_col not in b.schema.names:  # Ray emits schema-less empty blocks
+            continue
+        a = np.asarray(b[id_col], dtype=np.int64)
+        parts.append(np.unique(a) if unique else a)
+    if not parts:
+        return np.array([], dtype=np.int64)
+    ids = np.concatenate(parts)
+    return np.unique(ids) if unique else np.sort(ids)
+
+
 def sorted_id_array(ds: ray.data.Dataset, id_col: str = "id") -> "ray.ObjectRef":
-    """Collect a dataset's id column into a sorted numpy array and broadcast it."""
-    parts = [
-        np.asarray(b[id_col], dtype=np.int64)
-        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
-    return ray.put(ids)
+    """Collect a dataset's id column into a sorted numpy array, broadcast as
+    an object ref. The gather + sort runs in ONE Ray task (blocks move
+    object-store -> worker zero-copy; the driver only brokers refs) — same
+    rationale as attach_edges_broadcast: keep the driver process's
+    allocator out of the hot path and let the sort overlap scheduling."""
+    refs = ds.select_columns([id_col]).to_arrow_refs()
+    return ray.remote(_gather_ids_task).remote(id_col, False, *refs)
 
 
 def sorted_unique_id_array(ds: "ray.data.Dataset", id_col: str = "id") -> "ray.ObjectRef":
-    """:func:`sorted_id_array` with driver-side dedup — for id sources that
-    emit one row per JOIN PAIR (e.g. buffer-join output), where the same id
-    recurs once per partner and broadcasting duplicates would bloat the
-    probe array."""
-    parts = [
-        np.unique(np.asarray(b[id_col], dtype=np.int64))
-        for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    ids = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
-    return ray.put(ids)
+    """:func:`sorted_id_array` with dedup — for id sources that emit one row
+    per JOIN PAIR (e.g. buffer-join output), where the same id recurs once
+    per partner and broadcasting duplicates would bloat the probe array."""
+    refs = ds.select_columns([id_col]).to_arrow_refs()
+    return ray.remote(_gather_ids_task).remote(id_col, True, *refs)
 
 
 def isin_sorted(values: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
