@@ -1593,6 +1593,14 @@ def _q_image_shards(sf_dir: str):
     return image_shard_packing(sf_dir)
 
 
+def _q_events_type_transitions(sf_dir: str):
+    """Markov transition counts over per-user event-type sequences
+    (stages/text.py::events_type_transitions)."""
+    from simple_osm_queries_ray.stages.text import events_type_transitions
+
+    return events_type_transitions(sf_dir)
+
+
 def _q_events_dau_wau(sf_dir: str):
     """DAU / trailing-7d WAU (stages/text.py::events_dau_wau): exact
     windowed distinct via pair explosion bounded by 7x distinct pairs."""
@@ -2190,6 +2198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_assignment": _q_events_session_assignment,
         "orders_price_histogram": _q_orders_price_histogram,
         "events_dau_wau": _q_events_dau_wau,
+        "events_type_transitions": _q_events_type_transitions,
     }
 
 
@@ -4717,6 +4726,17 @@ r AS (
   FROM g
 )
 SELECT p_type, p_brand, n, rk FROM r WHERE rk <= 3
+""",
+        "events_type_transitions": """
+WITH w AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
 """,
         "events_dau_wau": """
 WITH ud AS (

@@ -2726,3 +2726,54 @@ def events_dau_wau(sf_dir: str) -> "pd.DataFrame":
     )
     out = dau.merge(wau, on="day", how="left").sort_values("day").reset_index(drop=True)
     return out.astype({"day": np.int64, "dau": np.int64, "wau": np.int64})
+
+
+def events_type_transitions(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """First-order Markov transition counts over each user's event-type
+    sequence ((ts, event_id) order): how often type A is immediately
+    followed by type B — the sequence-mining / next-action primitive.
+
+    Shape: the family's one hash(user)-bucket shuffle; per bucket a lexsort
+    and ONE shifted compare emit (prev, next) pair partials (dictionary-
+    encoded: |types|^2 keys max per bucket), then a tiny pair-keyed
+    groupby-sum. Output: (prev_type, next_type, n)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return batch.append_column("__bucket", pa.array(b))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        et = np.asarray(tbl["event_type"], dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        if len(u) < 2:
+            return pa.table(
+                {"prev_type": pa.array([], type=pa.string()),
+                 "next_type": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        g = df.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
