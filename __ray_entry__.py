@@ -493,6 +493,30 @@ def _q_nearest_road(sf_dir: str):
     return nearest_way_join(repo.nodes, repo.ways)
 
 
+def _q_relation_member_rollup(sf_dir: str):
+    """Per-relation membership census: member node / way / child-relation
+    counts and the cell-replication factor — one vectorized
+    list_value_length pass, no explode, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        def ln(col):
+            return pc.cast(pc.list_value_length(batch[col]), pa.int64())
+
+        return pa.table(
+            {
+                "id": batch["id"],
+                "n_nodes": ln("node_ids"),
+                "n_ways": ln("way_ids"),
+                "n_children": ln("child_relation_ids"),
+                "n_cells": ln("cells"),
+            }
+        )
+
+    return _repo(sf_dir).relations.map_batches(rollup, batch_format="pyarrow")
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -2056,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_turn_counts": _q_way_turn_counts,
         "way_self_intersections": _q_way_self_intersections,
         "way_in_polygon": _q_way_in_polygon,
+        "relation_member_rollup": _q_relation_member_rollup,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -3542,6 +3567,44 @@ d AS (
 SELECT id, 100000000 + wg AS way_id,
        SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
 FROM d
+""",
+        # membership census: member nodes (id % NPR < 3), member ways
+        # (wg // 10 = rg), existing children (one nesting level), and the
+        # distinct cell union incl. child absorption — mirrors
+        # build_relations + nest_relations
+        "relation_member_rollup": f"""
+{WWR},
+nmem AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM nodes_c WHERE id % {NODES_PER_REL} < 3 GROUP BY rg),
+wmem AS (SELECT wg // 10 AS rg, CAST(COUNT(*) AS BIGINT) AS n_ways
+         FROM ways GROUP BY 1),
+kids AS (SELECT (rg - rg % {REL_NEST}) AS prg, CAST(COUNT(*) AS BIGINT) AS n_children
+         FROM (SELECT DISTINCT rg FROM rel_base) t
+         WHERE rg % {REL_NEST} <> 0
+           AND (rg - rg % {REL_NEST}) IN (SELECT rg FROM rel_base)
+         GROUP BY 1),
+mem_cells AS (
+  SELECT rg, cell FROM nodes_c WHERE id % {NODES_PER_REL} < 3
+  UNION
+  SELECT wg // 10 AS rg, cell FROM nodes_c
+),
+allc AS (
+  SELECT rg, cell FROM mem_cells
+  UNION
+  SELECT (rg - rg % {REL_NEST}) AS rg, cell FROM mem_cells
+  WHERE rg % {REL_NEST} <> 0
+    AND (rg - rg % {REL_NEST}) IN (SELECT rg FROM rel_base)
+),
+cc AS (SELECT rg, CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+       FROM allc GROUP BY rg)
+SELECT r.id, COALESCE(n.n_nodes, 0) AS n_nodes,
+       COALESCE(w.n_ways, 0) AS n_ways,
+       COALESCE(k.n_children, 0) AS n_children, cc.n_cells
+FROM rel r
+LEFT JOIN nmem n ON n.rg = r.rg
+LEFT JOIN wmem w ON w.rg = r.rg
+LEFT JOIN kids k ON k.prg = r.rg
+JOIN cc ON cc.rg = r.rg
 """,
         "way_in_polygon": f"""
 {WW}
