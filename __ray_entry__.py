@@ -517,6 +517,31 @@ def _q_relation_member_rollup(sf_dir: str):
     return _repo(sf_dir).relations.map_batches(rollup, batch_format="pyarrow")
 
 
+def _q_way_replication_hist(sf_dir: str):
+    """Distribution of the way cell-replication factor (how many grid cells
+    each way is duplicated into — the reference's multi-cell replication
+    rule, grid_writer.go:125-129). The skew-planner's input statistic:
+    per-batch (n_cells -> count) partials, tiny bounded groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(pc.list_value_length(batch["cells"]), dtype=np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {"n_cells": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        _repo(sf_dir).ways.select_columns(["cells"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_cells")
+        .aggregate(Sum("n", alias_name="n_ways"))
+    )
+
+
 def _q_relations_bounds(sf_dir: str):
     return _repo(sf_dir).relations.select_columns(
         ["id", "minlon", "minlat", "maxlon", "maxlat"]
@@ -2081,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_self_intersections": _q_way_self_intersections,
         "way_in_polygon": _q_way_in_polygon,
         "relation_member_rollup": _q_relation_member_rollup,
+        "way_replication_hist": _q_way_replication_hist,
         "relations_bounds": _q_relations_bounds,
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
@@ -3567,6 +3593,13 @@ d AS (
 SELECT id, 100000000 + wg AS way_id,
        SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
 FROM d
+""",
+        "way_replication_hist": f"""
+{W},
+wc AS (SELECT wg, CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+       FROM nodes_c GROUP BY wg)
+SELECT n_cells, CAST(COUNT(*) AS BIGINT) AS n_ways
+FROM wc GROUP BY n_cells
 """,
         # membership census: member nodes (id % NPR < 3), member ways
         # (wg // 10 = rg), existing children (one nesting level), and the
