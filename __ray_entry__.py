@@ -1683,6 +1683,15 @@ def _q_events_k_anomalies(sf_dir: str):
     return events_k_anomalies(sf_dir)
 
 
+def _q_events_user_trend(sf_dir: str):
+    """Per-user OLS slope of the props field over time, cleared-denominator
+    integer form (stages/text.py::events_user_trend): one partial-sums pass,
+    users-sized groupby, exact int64 (user_id, n, num, den)."""
+    from simple_osm_queries_ray.stages.text import events_user_trend
+
+    return events_user_trend(sf_dir)
+
+
 def _q_tile_image_node_stats(sf_dir: str):
     """Cross-modal raster rollup: per tile, image count + caption mass and
     de-tagged node count, via unioned tile-keyed partials (stages/image.py::
@@ -2240,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "tile_image_node_stats": _q_tile_image_node_stats,
         "events_k_anomalies": _q_events_k_anomalies,
+        "events_user_trend": _q_events_user_trend,
         "events_k_delta": _q_events_k_delta,
         "image_curation": _q_image_curation,
         "customer_running_total": _q_customer_running_total,
@@ -4894,6 +4904,29 @@ FROM ev JOIN st USING (user_id)
 WHERE ev.k IS NOT NULL AND st.n >= 2
   AND (ev.k * st.n - st.s) * (ev.k * st.n - st.s) * st.n
       > 4 * st.n * (st.n * st.q - st.s * st.s)
+""",
+        # per-user OLS slope over time in cleared-denominator integer form —
+        # num/den emitted as exact int64 (slope-shift invariance lets both
+        # engines recenter x at the same global epoch)
+        "events_user_trend": """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+         TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS y
+  FROM events
+),
+st AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ev WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den
+FROM st WHERE n * sxx - sx * sx > 0
 """,
         # cross-modal tile rollup: both sides share the node geolocation
         # formula; the node side filters lang='de'

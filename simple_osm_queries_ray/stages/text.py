@@ -2539,6 +2539,105 @@ def events_k_delta(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+def events_user_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-user OLS trend of the ``props`` integer field over time, in
+    cleared-denominator integer form: the least-squares slope of k vs
+    x = whole seconds since 2024-01-01 is num/den with
+
+        num = n*sum(x*k) - sum(x)*sum(k)
+        den = n*sum(x*x) - sum(x)^2
+
+    and the operator emits (user_id, n, num, den) as exact int64 — the
+    consumer divides; no float summation-order hazard can perturb the
+    hash. Overflow bound: den ~ n^2 * x^2 needs n * x_span_seconds
+    < 3e9 (e.g. 95 events/user over a year); beyond that, recenter x per
+    user (subtract the user's min — the slope is shift-invariant) or
+    promote to float AFTER the exact int64 partials, which stay mergeable
+    either way. Users whose x values are all equal (den = 0, slope
+    undefined) are dropped on both engines; events without the field are
+    ignored.
+
+    Shape: one streaming pass of per-batch (user, n, sx, sy, sxy, sxx)
+    partials -> one users-sized groupby sum -> vectorized final map. The
+    corpus is never shuffled; only the per-user partial rows move.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "props"]
+    )
+    # whole µs of 2024-01-01T00:00:00Z; ts >= epoch here so integer floor
+    # division matches DuckDB's boundary-crossing date_diff('second', ...)
+    epoch_us = np.int64(1704067200) * np.int64(1_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        x = (
+            np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+            - epoch_us
+        ) // np.int64(1_000_000)
+        kv = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        has = ~np.asarray(pc.is_null(kv), dtype=bool)
+        y = np.asarray(pc.fill_null(kv, 0), dtype=np.int64)
+        u, x, y = u[has], x[has], y[has]
+        uu, inv = np.unique(u, return_inverse=True)
+        m = len(uu)
+        n = np.bincount(inv, minlength=m).astype(np.int64)
+        sums = {}
+        for name, vals in (("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x)):
+            acc = np.zeros(m, dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            sums[name] = acc
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n": pa.array(n),
+                "sx": pa.array(sums["sx"]),
+                "sy": pa.array(sums["sy"]),
+                "sxy": pa.array(sums["sxy"]),
+                "sxx": pa.array(sums["sxx"]),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        sx = np.asarray(batch["sx"], dtype=np.int64)
+        sy = np.asarray(batch["sy"], dtype=np.int64)
+        sxy = np.asarray(batch["sxy"], dtype=np.int64)
+        sxx = np.asarray(batch["sxx"], dtype=np.int64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keep = den > 0
+        return pa.table(
+            {
+                "user_id": batch["user_id"].filter(pa.array(keep)),
+                "n": pa.array(n[keep]),
+                "num": pa.array(num[keep]),
+                "den": pa.array(den[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
