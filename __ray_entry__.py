@@ -1923,6 +1923,22 @@ def _q_tpch_q18(sf_dir: str):
     return q18_large_orders(sf_dir)
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (pipelines/relational.py::q4_late_orders): EXISTS
+    decorrelated to MAX-aggregate-then-join; dates as integer days."""
+    from simple_osm_queries_ray.pipelines.relational import q4_late_orders
+
+    return q4_late_orders(sf_dir)
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (pipelines/relational.py::q12_priority_by_flag):
+    pruned scan + partitioned int64 hash join + conditional-count partials."""
+    from simple_osm_queries_ray.pipelines.relational import q12_priority_by_flag
+
+    return q12_priority_by_flag(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -2227,6 +2243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q6": _q_tpch_q6,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q12": _q_tpch_q12,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
@@ -5149,6 +5167,38 @@ SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
        CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""",
+        # Q4 shape: EXISTS decorrelated to MAX-then-join (no commit/receipt
+        # dates in the sandbox schema -> lateness = shipdate vs orderdate+30)
+        "tpch_q4": """
+WITH lm AS (
+  SELECT l_orderkey,
+         MAX(CAST(datediff('day', TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT))
+           AS max_days
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT) AS o_days
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM o JOIN lm ON lm.l_orderkey = o.o_orderkey
+WHERE lm.max_days > o.o_days + 30
+GROUP BY o.o_orderpriority
+""",
+        # Q12 shape: l_returnflag stands in for shipmode (not in the sandbox
+        # schema); criticality = 1-URGENT / 2-HIGH, counts split per flag
+        "tpch_q12": """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_returnflag
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """

@@ -659,3 +659,174 @@ def orders_price_histogram(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n", alias_name="n_orders"), Sum("s", alias_name="sum_cents"))
     )
     return out
+
+
+def q4_late_orders(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    grace_days: int = 30,
+) -> ray.data.Dataset:
+    """TPC-H Q4 shape (order-priority checking) adapted to the sandbox
+    schema: count orders per o_orderpriority, within an orderdate window,
+    that have AT LEAST ONE lineitem shipped more than ``grace_days`` after
+    the order date (the schema carries no commit/receipt dates, so lateness
+    is shipdate vs orderdate + grace).
+
+    The EXISTS decorrelates to an aggregate: EXISTS(l_shipdate > o + g)
+    <=> MAX(l_shipdate) > o + g, so lineitem collapses to per-order
+    (orderkey, max_ship_days) partials BEFORE any join — the classic
+    aggregate-then-join ordering; the date-windowed orders then attach the
+    max by partitioned int64 hash join and the survivors feed a 5-key
+    count. Dates travel as integer days since epoch (exact on both
+    engines). Output: (o_orderpriority, n_late)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        days = np.asarray(batch["l_shipdate"], dtype="datetime64[D]").astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, days)
+        return pa.table({"o_orderkey": pa.array(u), "max_days": pa.array(mx)})
+
+    from ray.data.aggregate import Max
+
+    per_order = (
+        line.map_batches(max_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Max("max_days", alias_name="max_days"))
+    )
+
+    lo = np.datetime64(date_lo, "D").astype(np.int64)
+    hi = np.datetime64(date_hi, "D").astype(np.int64)
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["o_orderdate"], dtype="datetime64[D]").astype(np.int64)
+        keep = (days >= lo) & (days < hi)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_orderpriority": batch["o_orderpriority"].filter(pa.array(keep)),
+                "o_days": pa.array(days[keep]),
+            }
+        )
+
+    joined = hash_join_attach(
+        orders.map_batches(windowed, batch_format="pyarrow"),
+        "o_orderkey",
+        per_order,
+        "o_orderkey",
+        {"max_days": pa.int64()},
+    )
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        mx = np.asarray(
+            pc.fill_null(batch["max_days"], pa.scalar(np.iinfo(np.int64).min, pa.int64()))
+        )
+        late = mx > np.asarray(batch["o_days"], dtype=np.int64) + grace_days
+        pri = batch["o_orderpriority"].filter(pa.array(late))
+        t = pri.to_pandas().value_counts()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(t.index.astype(str)),
+                "n": pa.array(t.to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_late"))
+    )
+
+
+def q12_priority_by_flag(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1997-01-01"
+) -> ray.data.Dataset:
+    """TPC-H Q12 shape (shipping-mode priority split) adapted: per
+    l_returnflag (the schema's stand-in for shipmode), over lineitems
+    shipped inside the window, how many belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs the rest.
+
+    Shape: the big table prunes at the read (3 columns), filters
+    vectorized, and attaches the order's 0/1 criticality by partitioned
+    int64 hash join (the orders side projects to two ints — at real scale
+    neither side broadcasts); per-batch conditional-count partials feed a
+    3-key groupby. Output: (l_returnflag, high_count, low_count)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    lo = np.datetime64(date_lo, "D").astype(np.int64)
+    hi = np.datetime64(date_hi, "D").astype(np.int64)
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["l_shipdate"], dtype="datetime64[D]").astype(np.int64)
+        keep = (days >= lo) & (days < hi)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(keep)),
+                "l_returnflag": batch["l_returnflag"].filter(pa.array(keep)),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def crit(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"]
+        is_high = pc.or_(
+            pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH")
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "is_high": pc.cast(is_high, pa.int64()),
+            }
+        )
+
+    joined = hash_join_attach(
+        line.map_batches(filt, batch_format="pyarrow"),
+        "l_orderkey",
+        orders.map_batches(crit, batch_format="pyarrow"),
+        "o_orderkey",
+        {"is_high": pa.int64()},
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"]
+        hi_v = np.asarray(pc.fill_null(batch["is_high"], 0), dtype=np.int64)
+        df = pd.DataFrame({"f": flags.to_pandas(), "h": hi_v})
+        g = df.groupby("f", sort=False)["h"].agg(["sum", "count"])
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g.index.astype(str)),
+                "h": pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "l": pa.array((g["count"] - g["sum"]).to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("h", alias_name="high_count"), Sum("l", alias_name="low_count"))
+    )
