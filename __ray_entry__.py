@@ -1692,6 +1692,15 @@ def _q_events_user_trend(sf_dir: str):
     return events_user_trend(sf_dir)
 
 
+def _q_events_value_corr(sf_dir: str):
+    """Grouped Pearson correlation in exact integer components
+    (stages/text.py::events_value_corr): one partials pass, types-sized
+    groupby, consumer divides num/sqrt(denx*deny)."""
+    from simple_osm_queries_ray.stages.text import events_value_corr
+
+    return events_value_corr(sf_dir)
+
+
 def _q_tile_image_node_stats(sf_dir: str):
     """Cross-modal raster rollup: per tile, image count + caption mass and
     de-tagged node count, via unioned tile-keyed partials (stages/image.py::
@@ -2268,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_image_node_stats": _q_tile_image_node_stats,
         "events_k_anomalies": _q_events_k_anomalies,
         "events_user_trend": _q_events_user_trend,
+        "events_value_corr": _q_events_value_corr,
         "events_k_delta": _q_events_k_delta,
         "image_curation": _q_image_curation,
         "customer_running_total": _q_customer_running_total,
@@ -4945,6 +4955,30 @@ SELECT user_id, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS num,
        CAST(n * sxx - sx * sx AS BIGINT) AS den
 FROM st WHERE n * sxx - sx * sx > 0
+""",
+        # grouped Pearson correlation as exact integer components (CORR()
+        # itself is float and summation-order sensitive; consumer divides)
+        "events_value_corr": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS y
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ev WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(n * syy - sy * sy AS BIGINT) AS deny
+FROM st WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """,
         # cross-modal tile rollup: both sides share the node geolocation
         # formula; the node side filters lang='de'

@@ -2638,6 +2638,96 @@ def events_user_trend(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_value_corr(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type Pearson correlation between the monetary ``value``
+    and the ``props`` integer field, emitted as exact integer components:
+
+        num  = n*sum(x*y) - sum(x)*sum(y)      (x = value in cents)
+        denx = n*sum(x*x) - sum(x)^2           (y = props k)
+        deny = n*sum(y*y) - sum(y)^2
+
+    r = num / sqrt(denx*deny) — the division and sqrt are left to the
+    consumer so the distributed result hashes exactly against the SQL
+    twin (CORR() itself is float and summation-order sensitive). value
+    carries exactly 2 decimals, so cents are exact int64; overflow bound
+    n^2 * max_cents^2 < 9e18 means ~50 M rows/group at value <= $600 —
+    beyond that, promote to float AFTER the exact int64 partials (they
+    stay mergeable) or use the standard two-pass centered form.
+
+    Shape: per-batch (type, n, sx, sy, sxy, sxx, syy) partials -> one
+    types-sized groupby sum -> vectorized final map; groups whose either
+    variance is zero are dropped on both engines (r undefined).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.round(np.asarray(batch["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        kv = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        has = ~np.asarray(pc.is_null(kv), dtype=bool)
+        y = np.asarray(pc.fill_null(kv, 0), dtype=np.int64)
+        et = np.asarray(batch["event_type"].to_pandas())[has]
+        x, y = x[has], y[has]
+        uu, inv = np.unique(et, return_inverse=True)
+        m = len(uu)
+        n = np.bincount(inv, minlength=m).astype(np.int64)
+        cols = {"event_type": pa.array(uu.astype(str)), "n": pa.array(n)}
+        for name, vals in (
+            ("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)
+        ):
+            acc = np.zeros(m, dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            cols[name] = pa.array(acc)
+        return pa.table(cols)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        sx = np.asarray(batch["sx"], dtype=np.int64)
+        sy = np.asarray(batch["sy"], dtype=np.int64)
+        sxy = np.asarray(batch["sxy"], dtype=np.int64)
+        sxx = np.asarray(batch["sxx"], dtype=np.int64)
+        syy = np.asarray(batch["syy"], dtype=np.int64)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        keep = (denx > 0) & (deny > 0)
+        return pa.table(
+            {
+                "event_type": batch["event_type"].filter(pa.array(keep)),
+                "n": pa.array(n[keep]),
+                "num": pa.array(num[keep]),
+                "denx": pa.array(denx[keep]),
+                "deny": pa.array(deny[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
