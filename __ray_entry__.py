@@ -571,6 +571,44 @@ def _q_way_tiles(sf_dir: str):
     )
 
 
+def _q_tile_way_bundles(sf_dir: str):
+    """Vector-tile manifest: per raster tile, the sorted id list of ways
+    whose bounds overlap it plus the count — the tile <-> vector-feature
+    assignment bundled for per-tile consumers (MVT-style packaging). The
+    id list travels as a comma-joined string so the artifact (and the
+    driver's value hash) is order-canonical.
+
+    Shape: the (id, tile) explode stays pairs-of-ints; one tile-bucketed
+    collect assembles each tile's bundle vectorized (bucket_collect +
+    Arrow binary_join — no per-group Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from simple_osm_queries_ray.stages.geo import assign_tiles_bounds
+    from simple_osm_queries_ray.stages.group_collect import bucket_collect
+
+    pairs = assign_tiles_bounds(
+        _repo(sf_dir).ways.select_columns(["id", "minlon", "minlat", "maxlon", "maxlat"]),
+        TILE_ZOOM,
+    )
+
+    def assemble(tbl, keys, starts, ends):
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        offsets = np.concatenate([starts, ends[-1:]]).astype(np.int64)
+        id_strs = pc.cast(pa.array(ids), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), id_strs)
+        return pa.table(
+            {
+                "tile": pa.array(keys),
+                "n_ways": pa.array((ends - starts).astype(np.int64)),
+                "way_ids": pc.binary_join(lists, ","),
+            }
+        )
+
+    return bucket_collect(pairs, "tile", assemble, sort_col="id")
+
+
 QUAD_LEVEL = 12
 QUAD_ROLLUP_LEVEL = 8
 
@@ -1701,6 +1739,14 @@ def _q_events_value_corr(sf_dir: str):
     return events_value_corr(sf_dir)
 
 
+def _q_events_gap_hours(sf_dir: str):
+    """Per-user hour-coverage gaps (stages/text.py::events_gap_hours):
+    batch-level pair dedup, one user-bucketed vectorized collect."""
+    from simple_osm_queries_ray.stages.text import events_gap_hours
+
+    return events_gap_hours(sf_dir)
+
+
 def _q_tile_image_node_stats(sf_dir: str):
     """Cross-modal raster rollup: per tile, image count + caption mass and
     de-tagged node count, via unioned tile-keyed partials (stages/image.py::
@@ -2278,6 +2324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anomalies": _q_events_k_anomalies,
         "events_user_trend": _q_events_user_trend,
         "events_value_corr": _q_events_value_corr,
+        "events_gap_hours": _q_events_gap_hours,
+        "tile_way_bundles": _q_tile_way_bundles,
         "events_k_delta": _q_events_k_delta,
         "image_curation": _q_image_curation,
         "customer_running_total": _q_customer_running_total,
@@ -3819,6 +3867,14 @@ WHERE rg % 3 = 0 AND EXISTS (
             "FROM nodes_c GROUP BY 1"
         ),
         "way_tiles": _way_tiles_sql(),
+        # vector-tile manifest: bundle the way_tiles pairs per tile (DuckDB
+        # allows a WITH chain inside a parenthesized subquery)
+        "tile_way_bundles": f"""
+SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_ways,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS way_ids
+FROM ({_way_tiles_sql()}) p
+GROUP BY tile
+""",
         "quad_cells": f"{W} SELECT id, {quad_cell_sql(QUAD_LEVEL)} AS qcell FROM nodes_c",
         "geohash_cells": (
             f"{W} SELECT id, {geohash_sql('lon', 'lat', GEOHASH_P)} AS gh FROM nodes_c"
@@ -4955,6 +5011,17 @@ SELECT user_id, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS num,
        CAST(n * sxx - sx * sx AS BIGINT) AS den
 FROM st WHERE n * sxx - sx * sx > 0
+""",
+        # per-user hour-coverage gaps: all-integer hour buckets
+        "events_gap_hours": """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT hr) AS BIGINT) AS active_hours,
+       CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS span_hours,
+       CAST(MAX(hr) - MIN(hr) + 1 - COUNT(DISTINCT hr) AS BIGINT) AS gap_hours
+FROM h GROUP BY user_id
 """,
         # grouped Pearson correlation as exact integer components (CORR()
         # itself is float and summation-order sensitive; consumer divides)

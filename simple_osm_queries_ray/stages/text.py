@@ -2728,6 +2728,66 @@ def events_value_corr(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_gap_hours(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-user activity-coverage gaps: over the user's [first, last] event
+    hour span, how many whole UTC hours saw no event — the sensor-outage /
+    tracking-gap primitive. All-integer (hour = epoch_us // 3.6e9), so the
+    result hashes exactly.
+
+    Shape: per-batch dedup to unique (user, hour) pairs (the big win — the
+    exchange carries at most users x active-hours rows, not events), then
+    one user-bucketed collect computes distinct/min/max per user in one
+    vectorized pass. Output: (user_id, active_hours, span_hours,
+    gap_hours)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    US_PER_HOUR = np.int64(3_600_000_000)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        hr = (
+            np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+            // US_PER_HOUR
+        )
+        uniq = np.unique(np.stack([u, hr], axis=1), axis=0)
+        b = (
+            np.abs((uniq[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32))
+            % num_buckets
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0]),
+                "hr": pa.array(uniq[:, 1]),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        hr = np.asarray(tbl["hr"], dtype=np.int64)
+        uniq = np.unique(np.stack([u, hr], axis=1), axis=0)  # cross-batch dedup
+        uu, starts = np.unique(uniq[:, 0], return_index=True)
+        ends = np.append(starts[1:], len(uniq))
+        active = (ends - starts).astype(np.int64)
+        # pairs are sorted by (user, hour): segment min/max are the bounds
+        span = uniq[ends - 1, 1] - uniq[starts, 1] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "active_hours": pa.array(active),
+                "span_hours": pa.array(span),
+                "gap_hours": pa.array(span - active),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
