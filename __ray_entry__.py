@@ -89,6 +89,18 @@ def _q_soq_tag_filter(sf_dir: str):
     )
 
 
+def _q_soq_circle_nodes(sf_dir: str):
+    """circle(lon,lat,r) location — the engine's extension through the
+    reference's reserved LocationExpression seam (src/query/location.go:
+    14-19): enclosing-bbox cell prune + exact planar distance refine."""
+    return _engine(sf_dir).execute_string("circle(9.95,53.55,3000m).nodes{lang=de}")
+
+
+def _q_soq_circle_ways(sf_dir: str):
+    """circle outer over WAYS: closest-point-of-bbox distance refine."""
+    return _engine(sf_dir).execute_string("circle(9.95,53.55,0.05).ways{wtype=primary}")
+
+
 def _q_soq_and_or(sf_dir: str):
     return _engine(sf_dir).execute_string(
         f"bbox({BBOX_ALL[0]},{BBOX_ALL[1]},{BBOX_ALL[2]},{BBOX_ALL[3]})"
@@ -2151,6 +2163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nodes_cells": _q_nodes_cells,
         "cell_density": _q_cell_density,
         "soq_tag_filter": _q_soq_tag_filter,
+        "soq_circle_nodes": _q_soq_circle_nodes,
+        "soq_circle_ways": _q_soq_circle_ways,
         "soq_and_or": _q_soq_and_or,
         "soq_neq": _q_soq_neq,
         "soq_semi_join_ways": _q_semi_join_ways,
@@ -2348,6 +2362,31 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
     return " + ".join(
         f"len(regexp_extract_all(text, '{bs}{m}{bs}'))" for m in markers
     )
+
+
+def _soq_circle_ways_sql() -> str:
+    """circle(9.95,53.55,0.05).ways{wtype=primary} twin. Replays BOTH prune
+    layers of the engine's extended-feature plan: (a) the grid-index cell
+    test — a way is indexed under its member nodes' home cells, so it must
+    have a member node whose cell is in the query bbox's cell set
+    (model.py::cells_for_bbox, inlined as literals) — and (b) the
+    bbox-intersect + closest-point circle refine (_circle_refine)."""
+    from simple_osm_queries_ray.model import cells_for_bbox
+    from simple_osm_queries_ray.parser.ast_nodes import CircleLocation
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE, WAYS_CTE, circle_bbox_where
+
+    circ = CircleLocation(9.95, 53.55, 0.05)
+    b = circ.enclosing_bbox()
+    cells = ", ".join(
+        str(int(c)) for c in cells_for_bbox(b.minlon, b.minlat, b.maxlon, b.maxlat)
+    )
+    return f"""
+WITH {NODES_CTE}, {WAYS_CTE}
+SELECT w.id, w.minlon, w.minlat, w.maxlon, w.maxlat FROM ways w
+WHERE {circle_bbox_where(9.95, 53.55, 0.05)} AND w.wg % 3 = 1
+  AND EXISTS (SELECT 1 FROM nodes_c n
+              WHERE n.wg = w.wg AND n.cell IN ({cells}))
+"""
 
 
 def _way_tiles_sql() -> str:
@@ -3401,6 +3440,8 @@ def oracle_sql() -> dict[str, str]:
         WAY_TAGS_SQL,
         WAYS_CTE,
         bbox_where,
+        circle_bbox_where,
+        circle_where,
         tile_expr,
     )
     from simple_osm_queries_ray.functions.geohash import geohash_sql
@@ -3583,6 +3624,13 @@ SELECT tile, image_id, caption_chars FROM r WHERE rn = 1
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_SMALL)} AND lang = 'en' AND n_chars >= 200"
         ),
+        # circle(...) location extension: WHERE replays _circle_refine's
+        # float expressions exactly (bounds round-trip via repr)
+        "soq_circle_nodes": (
+            f"{W} SELECT id, lon, lat FROM nodes_c "
+            f"WHERE {circle_where(9.95, 53.55, 3000 / 111320.0)} AND lang = 'de'"
+        ),
+        "soq_circle_ways": _soq_circle_ways_sql(),
         "soq_and_or": (
             f"{W} SELECT id, lon, lat FROM nodes_c "
             f"WHERE {bbox_where(BBOX_ALL)} AND ((lang = 'de' AND n_chars >= 200) OR lang = 'fr')"

@@ -1,5 +1,6 @@
 from .ast_nodes import (
     BboxLocation,
+    CircleLocation,
     ContextAwareLocation,
     KeyFilter,
     LogicalFilter,
@@ -14,6 +15,7 @@ from .query_parser import ParseError, parse_query
 
 __all__ = [
     "BboxLocation",
+    "CircleLocation",
     "ContextAwareLocation",
     "KeyFilter",
     "LogicalFilter",

@@ -57,7 +57,31 @@ class ContextAwareLocation:
     buffer_deg: float | None = None
 
 
-Location = Union[BboxLocation, ContextAwareLocation]
+@dataclass(frozen=True)
+class CircleLocation:
+    """``circle(lon, lat, r[m])`` — an engine extension through the seam the
+    reference reserved for new location types (``GeometryIndex`` /
+    ``LocationExpression``, ``src/query/location.go:14-19``; its README
+    names bbox as merely the first of the planned location expressions).
+    Radius is planar degrees (``m`` suffix converts at parse time,
+    meters / 111320, the engine-wide flat-earth convention). Nodes match by
+    point-in-circle; ways/relations by closest-point-of-bbox distance —
+    both exact in degree space."""
+
+    lon: float
+    lat: float
+    radius_deg: float
+
+    def enclosing_bbox(self) -> "BboxLocation":
+        return BboxLocation(
+            self.lon - self.radius_deg,
+            self.lat - self.radius_deg,
+            self.lon + self.radius_deg,
+            self.lat + self.radius_deg,
+        )
+
+
+Location = Union[BboxLocation, CircleLocation, ContextAwareLocation]
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,7 @@ from ..model import (
 from .ast_nodes import (
     BboxLocation,
     BinOp,
+    CircleLocation,
     ContextAwareLocation,
     FilterExpr,
     KeyFilter,
@@ -105,11 +106,13 @@ class _Parser:
         is_context_aware = tok.lexeme == "this"
         if tok.lexeme == "bbox":
             location = self._parse_bbox()
+        elif tok.lexeme == "circle":
+            location = self._parse_circle()
         elif is_context_aware:
             location = ContextAwareLocation(buffer_deg=self._maybe_parse_buffer())
         else:
             raise ParseError(
-                f"Expected location expression (bbox or this) at position {tok.start}, found '{tok.lexeme}'"
+                f"Expected location expression (bbox, circle or this) at position {tok.start}, found '{tok.lexeme}'"
             )
 
         self.expect(TokenKind.EXPRESSION_SEPARATOR, "'.'")
@@ -171,6 +174,39 @@ class _Parser:
         if radius <= 0:
             raise ParseError(f"Buffer radius must be positive at position {num.start}")
         return radius
+
+    def _parse_circle(self) -> CircleLocation:
+        """``circle(lon, lat, r[m])`` — extension location type (the seam
+        the reference reserved at ``src/query/location.go:14-19``). The
+        radius accepts the same optional ``m`` unit as ``this.buffer``."""
+        self.expect(TokenKind.OPENING_PARENTHESIS, "'('")
+        nums = []
+        for _ in range(3):
+            tok = self.advance()
+            if tok.kind != TokenKind.NUMBER:
+                raise ParseError(
+                    f"Expected number in circle at position {tok.start}, found '{tok.lexeme}'"
+                )
+            try:
+                nums.append(float(tok.lexeme))
+            except ValueError as e:
+                raise ParseError(
+                    f"Invalid number '{tok.lexeme}' at position {tok.start}"
+                ) from e
+        tok = self.advance()
+        if tok.kind == TokenKind.KEYWORD:
+            if tok.lexeme != "m":
+                raise ParseError(
+                    f"Unknown circle radius unit '{tok.lexeme}' at position {tok.start} "
+                    "(use m or bare degrees)"
+                )
+            nums[2] = nums[2] / 111320.0
+            tok = self.advance()
+        if tok.kind != TokenKind.CLOSING_PARENTHESIS:
+            raise ParseError(f"Expected ')' at position {tok.start}, found '{tok.lexeme}'")
+        if nums[2] <= 0:
+            raise ParseError("Circle radius must be positive")
+        return CircleLocation(nums[0], nums[1], nums[2])
 
     def _parse_bbox(self) -> BboxLocation:
         self.expect(TokenKind.OPENING_PARENTHESIS, "'('")

@@ -42,12 +42,46 @@ from ..model import (
     QUERY_TYPE_TO_OBJECT_TYPE,
     QUERY_WAYS,
 )
-from ..parser import BboxLocation, Query, Statement, parse_query
+from ..parser import BboxLocation, CircleLocation, Query, Statement, parse_query
 from ..parser.ast_nodes import and_level_tag_constraints, required_key_indices
 from ..sources.repo import FeatureRepo
 from ..stages.semi_join import isin_sorted, sorted_id_array, sorted_unique_id_array
 from ..stages.tag_filter import eval_filter_mask, find_substatements
 from ..state.broadcast import get as bget
+
+def _circle_refine(
+    candidates: ray.data.Dataset, circle: "CircleLocation", obj_type: str
+) -> ray.data.Dataset:
+    """Exact distance refine after the enclosing-bbox prune: nodes by
+    point-in-circle, extended features by closest-point-of-bbox distance —
+    both in planar degree space (the engine-wide convention)."""
+    cx, cy, r = circle.lon, circle.lat, circle.radius_deg
+    r2 = r * r
+    node_side = obj_type == OSM_NODE
+
+    def refine(batch: pa.Table) -> pa.Table:
+        if node_side:
+            dx = np.asarray(batch["lon"], dtype=np.float64) - cx
+            dy = np.asarray(batch["lat"], dtype=np.float64) - cy
+        else:
+            dx = np.maximum(
+                np.maximum(
+                    np.asarray(batch["minlon"], dtype=np.float64) - cx,
+                    cx - np.asarray(batch["maxlon"], dtype=np.float64),
+                ),
+                0.0,
+            )
+            dy = np.maximum(
+                np.maximum(
+                    np.asarray(batch["minlat"], dtype=np.float64) - cy,
+                    cy - np.asarray(batch["maxlat"], dtype=np.float64),
+                ),
+                0.0,
+            )
+        return batch.filter(pa.array(dx * dx + dy * dy <= r2))
+
+    return candidates.map_batches(refine, batch_format="pyarrow")
+
 
 def _filter_uses_tags(expr) -> bool:
     """True when the filter (EXCLUDING sub-statement interiors, which read
@@ -211,8 +245,16 @@ class QueryEngine:
 
     # -- statement plan ---------------------------------------------------
     def execute_statement(self, stmt: Statement, project: bool = True) -> ray.data.Dataset:
+        circle = None
+        if isinstance(stmt.location, CircleLocation):
+            # circle plans as its enclosing bbox (cell pruning + every
+            # downstream consumer unchanged) + one exact distance refine
+            import dataclasses
+
+            circle = stmt.location
+            stmt = dataclasses.replace(stmt, location=circle.enclosing_bbox())
         if not isinstance(stmt.location, BboxLocation):
-            raise ValueError("Top-level statements need a bbox location")
+            raise ValueError("Top-level statements need a bbox or circle location")
         obj_type = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
         if stmt.query_type == QUERY_CHILD_RELATIONS:
             raise ValueError("child_relations is only valid inside sub-statements")
@@ -224,6 +266,8 @@ class QueryEngine:
             stmt.location, obj_type, required_key_indices(stmt.filter),
             and_level_tag_constraints(stmt.filter), columns=columns,
         )
+        if circle is not None:
+            candidates = _circle_refine(candidates, circle, obj_type)
         candidates, probes = self._resolve_substatements(stmt, candidates, obj_type)
         filt = stmt.filter
 

@@ -83,3 +83,36 @@ def tile_expr(zoom: int, lon="lon", lat="lat") -> str:
         f"(CAST(FLOOR((90.0 - {lat}) / CAST(180 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT) * {n} "
         f"+ CAST(FLOOR(({lon} + 180.0) / CAST(360 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT))"
     )
+
+
+def circle_where(cx: float, cy: float, r: float, lon="lon", lat="lat") -> str:
+    """Point-in-circle refine exactly as pipelines/query.py::_circle_refine
+    evaluates it: the enclosing-bbox prune (bounds computed in Python float,
+    round-tripped via repr) AND the squared planar distance against r*r —
+    identical IEEE expressions on both engines."""
+    r2 = r * r
+    dx = f"({lon} - CAST({cx!r} AS DOUBLE))"
+    dy = f"({lat} - CAST({cy!r} AS DOUBLE))"
+    bbox = bbox_where((cx - r, cy - r, cx + r, cy + r), lon=lon, lat=lat)
+    return f"{bbox} AND ({dx} * {dx} + {dy} * {dy}) <= CAST({r2!r} AS DOUBLE)"
+
+
+def circle_bbox_where(cx: float, cy: float, r: float) -> str:
+    """Closest-point-of-bbox-in-circle refine for extended features,
+    matching _circle_refine's way/relation branch: the bbox-intersect prune
+    against the enclosing box, then GREATEST-clamped axis distances squared
+    (max is exact in float, so GREATEST == nested np.maximum)."""
+    r2 = r * r
+    dx = (
+        f"GREATEST(minlon - CAST({cx!r} AS DOUBLE), "
+        f"CAST({cx!r} AS DOUBLE) - maxlon, CAST(0 AS DOUBLE))"
+    )
+    dy = (
+        f"GREATEST(minlat - CAST({cy!r} AS DOUBLE), "
+        f"CAST({cy!r} AS DOUBLE) - maxlat, CAST(0 AS DOUBLE))"
+    )
+    intersect = (
+        f"minlon <= CAST({cx + r!r} AS DOUBLE) AND maxlon >= CAST({cx - r!r} AS DOUBLE) "
+        f"AND minlat <= CAST({cy + r!r} AS DOUBLE) AND maxlat >= CAST({cy - r!r} AS DOUBLE)"
+    )
+    return f"{intersect} AND ({dx} * {dx} + {dy} * {dy}) <= CAST({r2!r} AS DOUBLE)"

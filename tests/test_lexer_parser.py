@@ -206,3 +206,26 @@ def test_multi_statement(ti):
 def test_wildcard_requires_equality_op(ti):
     with pytest.raises(ParseError):
         parse_query("bbox(1,2,3,4).nodes{seats>=*}", ti)
+
+
+def test_circle_location(ti):
+    from simple_osm_queries_ray.parser import CircleLocation
+
+    q = parse_query("circle(9.95,53.55,0.05).nodes{amenity=bench}", ti)
+    loc = q.statements[0].location
+    assert isinstance(loc, CircleLocation)
+    assert (loc.lon, loc.lat, loc.radius_deg) == (9.95, 53.55, 0.05)
+    b = loc.enclosing_bbox()
+    assert (b.minlon, b.maxlat) == (9.95 - 0.05, 53.55 + 0.05)
+    # metre unit converts exactly like this.buffer
+    q = parse_query("circle(9.95,53.55,1500m).nodes{amenity=bench}", ti)
+    assert q.statements[0].location.radius_deg == 1500 / 111320.0
+
+
+def test_circle_location_errors(ti):
+    with pytest.raises(ParseError):
+        parse_query("circle(9.95,53.55).nodes{amenity=bench}", ti)  # 2 args
+    with pytest.raises(ParseError):
+        parse_query("circle(9.95,53.55,0).nodes{amenity=bench}", ti)  # r=0
+    with pytest.raises(ParseError):
+        parse_query("circle(9.95,53.55,5km).nodes{amenity=bench}", ti)  # bad unit
