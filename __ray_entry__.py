@@ -1751,6 +1751,23 @@ def _q_events_value_corr(sf_dir: str):
     return events_value_corr(sf_dir)
 
 
+def _q_image_format_stats(sf_dir: str):
+    """Storage-migration rollup per image format (stages/image.py::
+    image_format_stats): metadata-only, per-batch partials, 2-key groupby."""
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import image_format_stats
+
+    return image_format_stats(image_meta_table(sf_dir))
+
+
+def _q_events_peak_hour(sf_dir: str):
+    """Per-type peak UTC hour with deterministic tie-break (stages/text.py::
+    events_peak_hour): 120-key partial groupby, per-type vectorized argmax."""
+    from simple_osm_queries_ray.stages.text import events_peak_hour
+
+    return events_peak_hour(sf_dir)
+
+
 def _q_events_gap_hours(sf_dir: str):
     """Per-user hour-coverage gaps (stages/text.py::events_gap_hours):
     batch-level pair dedup, one user-bucketed vectorized collect."""
@@ -2339,6 +2356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": _q_events_user_trend,
         "events_value_corr": _q_events_value_corr,
         "events_gap_hours": _q_events_gap_hours,
+        "events_peak_hour": _q_events_peak_hour,
+        "image_format_stats": _q_image_format_stats,
         "tile_way_bundles": _q_tile_way_bundles,
         "events_k_delta": _q_events_k_delta,
         "image_curation": _q_image_curation,
@@ -5059,6 +5078,40 @@ SELECT user_id, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS num,
        CAST(n * sxx - sx * sx AS BIGINT) AS den
 FROM st WHERE n * sxx - sx * sx > 0
+""",
+        # storage-migration rollup per image format: raw-codec size formula
+        # (9-byte header + 3 bytes/pixel) shared with image_shards
+        "image_format_stats": """
+WITH meta AS (
+  SELECT CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 7) * 4 AS BIGINT) AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt
+  FROM documents
+)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(9 + 3 * w * h) AS BIGINT) AS total_bytes,
+       CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+       CAST(MAX(w) AS BIGINT) AS max_w,
+       CAST(MAX(h) AS BIGINT) AS max_h
+FROM meta GROUP BY fmt
+""",
+        # per-type peak UTC hour, deterministic tie-break (smallest hour)
+        "events_peak_hour": """
+WITH h AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events
+),
+c AS (
+  SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM h GROUP BY event_type, hour
+),
+r AS (
+  SELECT event_type, hour, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hour) AS rn
+  FROM c
+)
+SELECT event_type, CAST(hour AS BIGINT) AS peak_hour, n AS n_events
+FROM r WHERE rn = 1
 """,
         # per-user hour-coverage gaps: all-integer hour buckets
         "events_gap_hours": """

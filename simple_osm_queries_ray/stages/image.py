@@ -688,6 +688,60 @@ ASPECT_BUCKET_LABELS = ("1:2", "3:4", "1:1", "4:3", "2:1")
 ASPECT_BUCKET_EDGES = ((5, 8), (7, 8), (7, 6), (5, 3))  # (p, q): r < p/q
 
 
+def image_format_stats(meta: ray.data.Dataset) -> ray.data.Dataset:
+    """Storage-migration planning rollup per image format: count, total
+    payload bytes (the raw-codec size accounting the shard packer uses:
+    9-byte header + 3 bytes/pixel), pixel mass and the dimension envelope.
+    The per-format byte totals are what a "convert everything above N
+    megapixels to format X" migration plan is costed from.
+
+    Scale shape: metadata-only input (``image_meta_table`` — pixels never
+    load), one vectorized partial per batch, then a groupby over len(fmts)
+    keys. Returns (fmt, n_images, total_bytes, sum_pixels, max_w, max_h).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        fmt = np.asarray(batch["fmt"].to_pandas())
+        px = w * h
+        size = 9 + 3 * px
+        uu, inv = np.unique(fmt, return_inverse=True)
+        m = len(uu)
+        n = np.bincount(inv, minlength=m).astype(np.int64)
+        tb = np.zeros(m, dtype=np.int64)
+        sp = np.zeros(m, dtype=np.int64)
+        np.add.at(tb, inv, size)
+        np.add.at(sp, inv, px)
+        mw = np.zeros(m, dtype=np.int64)
+        mh = np.zeros(m, dtype=np.int64)
+        np.maximum.at(mw, inv, w)
+        np.maximum.at(mh, inv, h)
+        return pa.table(
+            {
+                "fmt": pa.array(uu.astype(str)),
+                "n": pa.array(n),
+                "tb": pa.array(tb),
+                "sp": pa.array(sp),
+                "mw": pa.array(mw),
+                "mh": pa.array(mh),
+            }
+        )
+
+    return (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n", alias_name="n_images"),
+            Sum("tb", alias_name="total_bytes"),
+            Sum("sp", alias_name="sum_pixels"),
+            Max("mw", alias_name="max_w"),
+            Max("mh", alias_name="max_h"),
+        )
+    )
+
+
 def aspect_ratio_buckets(meta: ray.data.Dataset) -> ray.data.Dataset:
     """SDXL-style aspect-ratio bucketing for resolution-grouped training
     batches: every image is routed to one of five fixed aspect buckets and

@@ -2788,6 +2788,58 @@ def events_gap_hours(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+def events_peak_hour(sf_dir: str) -> ray.data.Dataset:
+    """Per event type, the UTC hour-of-day with the most events — the
+    peak-load / scheduling primitive, with a deterministic tie-break
+    (smallest hour). All-integer.
+
+    Shape: per-batch (type, hour) count partials -> one <= types x 24-key
+    groupby -> per-type vectorized argmax in map_groups. Output:
+    (event_type, peak_hour, n_events)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    US_PER_HOUR = np.int64(3_600_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = (
+            np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+            // US_PER_HOUR
+        ) % np.int64(24)
+        et = np.asarray(batch["event_type"].to_pandas())
+        key = pd.DataFrame({"event_type": et, "hour": hr})
+        g = key.groupby(["event_type", "hour"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].astype(str)),
+                "hour": pa.array(g["hour"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def peak(tbl: pa.Table) -> pa.Table:
+        n = np.asarray(tbl["n"], dtype=np.int64)
+        hr = np.asarray(tbl["hour"], dtype=np.int64)
+        best = np.lexsort((hr, -n))[0]
+        return pa.table(
+            {
+                "event_type": tbl["event_type"].slice(best, 1),
+                "peak_hour": pa.array([hr[best]]),
+                "n_events": pa.array([n[best]]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(peak, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
