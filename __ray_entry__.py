@@ -1768,6 +1768,14 @@ def _q_events_peak_hour(sf_dir: str):
     return events_peak_hour(sf_dir)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Label vs heuristic-prediction confusion matrix (stages/text.py::
+    lang_confusion): actor-pool regex state, pair-count partials."""
+    from simple_osm_queries_ray.stages.text import lang_confusion
+
+    return lang_confusion(sf_dir)
+
+
 def _q_events_gap_hours(sf_dir: str):
     """Per-user hour-coverage gaps (stages/text.py::events_gap_hours):
     batch-level pair dedup, one user-bucketed vectorized collect."""
@@ -2357,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": _q_events_value_corr,
         "events_gap_hours": _q_events_gap_hours,
         "events_peak_hour": _q_events_peak_hour,
+        "lang_confusion": _q_lang_confusion,
         "image_format_stats": _q_image_format_stats,
         "tile_way_bundles": _q_tile_way_bundles,
         "events_k_delta": _q_events_k_delta,
@@ -3540,6 +3549,32 @@ FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= CAST({NEAR_DUP_TAU!r} AS DOUBLE)
 """
 
+    # confusion matrix shares text_stats' marker counts + argmax CASE chain
+    lang_confusion_sql = f"""
+WITH counts AS (
+  SELECT lang,
+    {_marker_count_sql(("the", "and", "of"))} AS c_en,
+    {_marker_count_sql(("der", "und", "das"))} AS c_de,
+    {_marker_count_sql(("el", "los", "una"))} AS c_es,
+    {_marker_count_sql(("le", "les", "une"))} AS c_fr,
+    {_marker_count_sql(("de0", "shi4", "le0"))} AS c_zh
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+      WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+      WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+      WHEN c_fr >= c_zh THEN 'fr'
+      ELSE 'zh'
+    END AS lang_pred
+  FROM counts
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred
+"""
+
     text_stats_sql = f"""
 WITH counts AS (
   SELECT doc_id AS id, text,
@@ -4499,6 +4534,7 @@ ranked AS (
 SELECT qid, vec_id FROM ranked WHERE rn <= {ANN_K}
 """,
         "text_stats": text_stats_sql,
+        "lang_confusion": lang_confusion_sql,
         "top_quality_per_lang": f"""
 WITH stats AS ({text_stats_sql}),
 ranked AS (

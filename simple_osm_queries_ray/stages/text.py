@@ -2840,6 +2840,61 @@ def events_peak_hour(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def lang_confusion(sf_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+    """Confusion matrix of the stored ``lang`` label vs the marker-heuristic
+    language ID — the label-quality audit a corpus-cleaning pipeline runs
+    before trusting either column. Output: (lang, lang_pred, n).
+
+    Shape: the regexes compile once per actor (ST6 pattern, shared with
+    TextStats); per-batch (lang, pred) count partials; final groupby over
+    <= |langs|^2 keys. Text never leaves the scan."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    class Confusion:
+        def __init__(self):
+            import re
+
+            self.marker_res = {
+                lang: [re.compile(rf"\b{m}\b") for m in ms]
+                for lang, ms in MARKERS.items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+            counts = np.zeros((len(texts), len(LANGS)), dtype=np.int64)
+            for li, lang in enumerate(LANGS):
+                for rx in self.marker_res[lang]:
+                    counts[:, li] += texts.str.count(rx).to_numpy(dtype=np.int64)
+            pred = np.array(LANGS, dtype=object)[np.argmax(counts, axis=1)]
+            truth = np.asarray(batch["lang"].to_pandas(), dtype=object)
+            g = (
+                pd.DataFrame({"lang": truth, "lang_pred": pred})
+                .groupby(["lang", "lang_pred"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            return pa.table(
+                {
+                    "lang": pa.array(g["lang"].astype(str)),
+                    "lang_pred": pa.array(g["lang_pred"].astype(str)),
+                    "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                }
+            )
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(2, ncpu // 2)
+    return (
+        ds.map_batches(Confusion, batch_format="pyarrow", concurrency=concurrency)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
