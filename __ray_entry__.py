@@ -2031,6 +2031,15 @@ def _q_tpch_q12(sf_dir: str):
     return q12_priority_by_flag(sf_dir)
 
 
+def _q_orders_price_mad(sf_dir: str):
+    """Exact median absolute deviation via two chained distributed
+    order-statistic selections (pipelines/relational.py::orders_price_mad):
+    integer-cent histogram routing, driver sees 1024-int partials only."""
+    from simple_osm_queries_ray.pipelines.relational import orders_price_mad
+
+    return orders_price_mad(sf_dir)
+
+
 def _q_kmeans_assign(sf_dir: str):
     from simple_osm_queries_ray.sources.read import read_parquet_sized
     from simple_osm_queries_ray.stages.embed import kmeans_assign
@@ -2339,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
+        "orders_price_mad": _q_orders_price_mad,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
@@ -5405,6 +5415,28 @@ SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
        CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""",
+        # exact MAD: lower-median convention (0-based rank (n-1)//2) replayed
+        # as ROW_NUMBER picks; all arithmetic in integer cents
+        "orders_price_mad": """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+n AS (SELECT COUNT(*) AS n FROM c),
+m AS (
+  SELECT v AS med FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c
+  ), n WHERE rn = ((n - 1) // 2) + 1
+),
+d AS (SELECT ABS(c.v - (SELECT med FROM m)) AS dv FROM c),
+md AS (
+  SELECT dv AS mad FROM (
+    SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn FROM d
+  ), n WHERE rn = ((n - 1) // 2) + 1
+)
+SELECT (SELECT med FROM m) AS median_cents,
+       (SELECT mad FROM md) AS mad_cents,
+       (SELECT n FROM n) AS n_orders
 """,
         # Q4 shape: EXISTS decorrelated to MAX-then-join (no commit/receipt
         # dates in the sandbox schema -> lateness = shipdate vs orderdate+30)

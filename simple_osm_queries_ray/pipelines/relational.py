@@ -830,3 +830,104 @@ def q12_priority_by_flag(
         .groupby("l_returnflag")
         .aggregate(Sum("h", alias_name="high_count"), Sum("l", alias_name="low_count"))
     )
+
+
+def orders_price_mad(sf_dir: str, *, bin_cap: int = 1_000_000) -> ray.data.Dataset:
+    """Exact median absolute deviation of order value — two CHAINED
+    distributed k-th order-statistic selections (the robust-statistics
+    primitive: median first, then the median of |x - median| computed in a
+    second selection over the derived column, which never materializes).
+    Prices convert to exact int64 cents, so every comparison is integer and
+    the result hashes exactly; the median convention is the lower median
+    (0-based rank floor((n-1)/2)), replayed by the oracle's ROW_NUMBER pick.
+
+    Scale shape: each selection is the integer-histogram discipline of
+    value_percentiles — per-batch 1024-bin count partials (driver sees
+    1024 ints per batch, never values), locate the target bin, recurse
+    while it exceeds ``bin_cap``, then pull only that bin (~n/1024 rows)
+    for the exact np.partition pick. Output one row:
+    (median_cents, mad_cents, n_orders)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).materialize()
+
+    def batches(transform):
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            yield transform(_cents(b["o_totalprice"]))
+
+    # Ray-parallel histogram pass: the per-batch partial runs in tasks,
+    # the driver reduces 1024-int vectors
+    def hist(transform, blo: int, bhi: int, nbins: int = 1024):
+        width = max((bhi - blo) // nbins + 1, 1)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = transform(_cents(batch["o_totalprice"]))
+            v = v[(v >= blo) & (v <= bhi)]
+            c = np.bincount((v - blo) // width, minlength=nbins).astype(np.int64)
+            return pa.table(
+                {"bin": pa.array(np.arange(nbins, dtype=np.int64)), "c": pa.array(c)}
+            )
+
+        out = np.zeros(nbins, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            out[np.asarray(b["bin"], dtype=np.int64)] += np.asarray(
+                b["c"], dtype=np.int64
+            )
+        return out, width
+
+    def pull(transform, blo: int, bhi: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = transform(_cents(batch["o_totalprice"]))
+            return pa.table({"v": pa.array(v[(v >= blo) & (v <= bhi)])})
+
+        parts = [
+            np.asarray(b["v"], dtype=np.int64)
+            for b in ds.map_batches(fn, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        return np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+
+    def kth_smallest(transform, k: int, lo: int, hi: int) -> int:
+        rank = k
+        blo, bhi = lo, hi
+        while True:
+            counts, width = hist(transform, blo, bhi)
+            cum = np.cumsum(counts)
+            bin_i = int(np.searchsorted(cum, rank + 1))
+            rank -= int(cum[bin_i - 1]) if bin_i else 0
+            b_lo = blo + bin_i * width
+            b_hi = min(b_lo + width - 1, bhi)
+            if counts[bin_i] > bin_cap and b_hi > b_lo:
+                blo, bhi = b_lo, b_hi
+                continue
+            vals = pull(transform, b_lo, b_hi)
+            return int(np.partition(vals, rank)[rank])
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ident = lambda v: v  # noqa: E731
+    # bounds pass (distributed aggregate on the cents expression)
+    stats = ds.map_batches(
+        lambda b: pa.table({"v": pa.array(_cents(b["o_totalprice"]))}),
+        batch_format="pyarrow",
+    ).aggregate(Min("v"), Max("v"), Count())
+    lo, hi, n = int(stats["min(v)"]), int(stats["max(v)"]), int(stats["count()"])
+
+    k = (n - 1) // 2
+    med = kth_smallest(ident, k, lo, hi)
+    dev = lambda v: np.abs(v - med)  # noqa: E731
+    mad = kth_smallest(dev, k, 0, max(hi - med, med - lo))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "median_cents": pa.array([med], type=pa.int64()),
+                "mad_cents": pa.array([mad], type=pa.int64()),
+                "n_orders": pa.array([n], type=pa.int64()),
+            }
+        )
+    )
