@@ -1768,6 +1768,15 @@ def _q_events_peak_hour(sf_dir: str):
     return events_peak_hour(sf_dir)
 
 
+def _q_dataset_split_assign(sf_dir: str):
+    """Deterministic hash-routed train/val/test split census
+    (stages/text.py::dataset_split_assign): coordination-free assignment,
+    one partials pass, 15-key groupby."""
+    from simple_osm_queries_ray.stages.text import dataset_split_assign
+
+    return dataset_split_assign(sf_dir)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Label vs heuristic-prediction confusion matrix (stages/text.py::
     lang_confusion): actor-pool regex state, pair-count partials."""
@@ -2376,6 +2385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_hours": _q_events_gap_hours,
         "events_peak_hour": _q_events_peak_hour,
         "lang_confusion": _q_lang_confusion,
+        "dataset_split_assign": _q_dataset_split_assign,
         "image_format_stats": _q_image_format_stats,
         "tile_way_bundles": _q_tile_way_bundles,
         "events_k_delta": _q_events_k_delta,
@@ -5158,6 +5168,24 @@ r AS (
 )
 SELECT event_type, CAST(hour AS BIGINT) AS peak_hour, n AS n_events
 FROM r WHERE rn = 1
+""",
+        # train/val/test split census: the samplers' multiplicative hash
+        # routes every doc; 800/100/100 permille
+        "dataset_split_assign": """
+WITH s AS (
+  SELECT CASE
+           WHEN (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                % 4294967296 % 1000 < 800 THEN 'train'
+           WHEN (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                % 4294967296 % 1000 < 900 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         lang, n_chars
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
 """,
         # per-user hour-coverage gaps: all-integer hour buckets
         "events_gap_hours": """

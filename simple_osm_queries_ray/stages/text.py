@@ -2895,6 +2895,62 @@ def lang_confusion(sf_dir: str, concurrency: int | None = None) -> ray.data.Data
     )
 
 
+def dataset_split_assign(
+    sf_dir: str, train_permille: int = 800, val_permille: int = 100
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split manifest: every document is routed
+    by the same coordination-free multiplicative hash the samplers use
+    (hash(doc_id) mod 1000 -> train < 800 <= val < 900 <= test), and the
+    operator returns the per-(split, lang) census — the leakage-proof split
+    audit a training pipeline records next to its shards. The assignment is
+    a pure function of doc_id: reruns, different cluster sizes and the SQL
+    oracle all agree row-for-row, and membership never needs a lookup table.
+
+    Shape: one streaming pass of (split, lang) count partials -> a <= 15-key
+    groupby. Output: (split, lang, n_docs, sum_chars)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.uint64)
+        h = ((ids % _SAMPLE_MOD) * _SAMPLE_MUL) % _SAMPLE_MOD % np.uint64(1000)
+        split = np.where(
+            h < train_permille, 0, np.where(h < train_permille + val_permille, 1, 2)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "split": names[split],
+                    "lang": np.asarray(batch["lang"].to_pylist(), dtype=object),
+                    "chars": np.asarray(batch["n_chars"], dtype=np.int64),
+                }
+            )
+            .groupby(["split", "lang"], sort=False)
+            .agg(n=("chars", "size"), sc=("chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "split": pa.array(g["split"].astype(str)),
+                "lang": pa.array(g["lang"].astype(str)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "sc": pa.array(g["sc"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("sc", alias_name="sum_chars"))
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
