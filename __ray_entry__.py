@@ -574,6 +574,15 @@ def _q_tile_histogram(sf_dir: str):
     return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
 
 
+def _q_way_geom_fingerprints(sf_dir: str):
+    """Geometry fingerprints (stages/geo.py::way_geom_fingerprints):
+    closed-form Horner over quantized interleaved vertices, no per-way
+    Python; groupby(geom_fp) downstream = duplicate-geometry groups."""
+    from simple_osm_queries_ray.stages.geo import way_geom_fingerprints
+
+    return way_geom_fingerprints(_repo(sf_dir).ways)
+
+
 def _q_way_tiles(sf_dir: str):
     from simple_osm_queries_ray.stages.geo import assign_tiles_bounds
 
@@ -2248,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": _q_tile_assign,
         "tile_histogram": _q_tile_histogram,
         "way_tiles": _q_way_tiles,
+        "way_geom_fingerprints": _q_way_geom_fingerprints,
         "quad_cells": _q_quad_cells,
         "hilbert_cells": _q_hilbert_cells,
         "hilbert_shards": _q_hilbert_shards,
@@ -2434,6 +2444,41 @@ SELECT w.id, w.minlon, w.minlat, w.maxlon, w.maxlat FROM ways w
 WHERE {circle_bbox_where(9.95, 53.55, 0.05)} AND w.wg % 3 = 1
   AND EXISTS (SELECT 1 FROM nodes_c n
               WHERE n.wg = w.wg AND n.cell IN ({cells}))
+"""
+
+
+def _way_geom_fp_sql() -> str:
+    """Recursive-CTE Horner replay of way_geom_fingerprints: per way, walk
+    the interleaved quantized vertex stream (lon0, lat0, lon1, ...) in
+    member-id order (pos = id - wg*5: way groups are 5 consecutive ids) and
+    fold both 31-bit streams step by step — mathematically identical to the
+    engine's closed-form power-table evaluation mod 2^31-1."""
+    from simple_osm_queries_ray.sql_oracle import NODES_CTE
+
+    return f"""
+WITH RECURSIVE {NODES_CTE},
+q AS (
+  SELECT wg, id - wg * 5 AS pos,
+         CAST(ROUND(lon * 1000000) AS BIGINT) AS qlon,
+         CAST(ROUND(lat * 1000000) AS BIGINT) AS qlat
+  FROM nodes_c
+),
+wm AS (SELECT wg, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY wg),
+fp AS (
+  SELECT wg, CAST(0 AS BIGINT) AS h1, CAST(0 AS BIGINT) AS h2,
+         CAST(0 AS BIGINT) AS i, cnt * 2 AS n
+  FROM wm
+  UNION ALL
+  SELECT fp.wg,
+         (h1 * 131 + CASE WHEN i % 2 = 0 THEN q.qlon ELSE q.qlat END) % 2147483647,
+         (h2 * 137 + CASE WHEN i % 2 = 0 THEN q.qlon ELSE q.qlat END) % 2147483647,
+         i + 1, n
+  FROM fp JOIN q ON q.wg = fp.wg AND q.pos = i // 2
+  WHERE i < n
+)
+SELECT 100000000 + wg AS id,
+       h1 * CAST(2147483648 AS BIGINT) + h2 AS geom_fp
+FROM fp WHERE i = n
 """
 
 
@@ -3989,6 +4034,7 @@ WHERE rg % 3 = 0 AND EXISTS (
             "FROM nodes_c GROUP BY 1"
         ),
         "way_tiles": _way_tiles_sql(),
+        "way_geom_fingerprints": _way_geom_fp_sql(),
         # vector-tile manifest: bundle the way_tiles pairs per tile (DuckDB
         # allows a WITH chain inside a parenthesized subquery)
         "tile_way_bundles": f"""

@@ -1885,3 +1885,71 @@ def ways_within_polygon(
 
     cols = ["id", "node_lons", "node_lats", "minlon", "minlat", "maxlon", "maxlat"]
     return ways.select_columns(cols).map_batches(fn, batch_format="pyarrow")
+
+
+_GEOM_FP_P = 2147483647  # the doc-fingerprint moduli/multipliers, reused so
+_GEOM_FP_M1, _GEOM_FP_M2 = 131, 137  # the SQL Horner replay is shared shape
+
+
+def way_geom_fingerprints(ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Geometry fingerprint per way — the geometry-dedup primitive: two
+    31-bit polynomial rolling hashes (Horner, mod 2^31-1) over the way's
+    member coordinates quantized to integer microdegrees and interleaved
+    (lon0, lat0, lon1, lat1, ...). Two ways share a fingerprint iff their
+    quantized vertex sequences are identical (up to hash collision), so a
+    groupby on the fingerprint yields duplicate-geometry groups without
+    ever comparing coordinate lists pairwise.
+
+    Vectorized: no per-way Python — the Horner recurrence is evaluated in
+    closed form (sum of v_j * M^(L-1-j) mod p) with a cached power table,
+    flat-array position arithmetic and one np.add.reduceat per stream.
+    Output: (id, geom_fp)."""
+    from ..functions.segments import list_parts as _lp
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        flat_lon, offsets = _lp(batch["node_lons"])
+        flat_lat, _ = _lp(batch["node_lats"])
+        total = len(flat_lon)
+        v = np.empty(2 * total, dtype=np.int64)
+        v[0::2] = np.round(np.asarray(flat_lon, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        v[1::2] = np.round(np.asarray(flat_lat, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        off2 = (offsets * 2).astype(np.int64)
+        seg = np.diff(off2)
+        if len(ids) == 0 or total == 0:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()), "geom_fp": pa.array([], type=pa.int64())}
+            )
+        maxlen = int(seg.max())
+        p = np.int64(_GEOM_FP_P)
+        pows1 = np.empty(maxlen, dtype=np.int64)
+        pows2 = np.empty(maxlen, dtype=np.int64)
+        pows1[0] = pows2[0] = 1
+        for k in range(1, maxlen):  # maxlen ~ 2x max way length, tiny
+            pows1[k] = (pows1[k - 1] * _GEOM_FP_M1) % p
+            pows2[k] = (pows2[k - 1] * _GEOM_FP_M2) % p
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), seg)
+        j = np.arange(2 * total, dtype=np.int64)
+        pos_from_end = off2[row + 1] - 1 - j
+        vm = v % p
+        # mod each product down to < 2^31 BEFORE the segment sum (the raw
+        # product is < p^2 ~ 2^62, two of which would overflow int64); the
+        # summed terms then stay below maxlen * 2^31 for any real way length
+        t1 = (vm * pows1[pos_from_end]) % p
+        t2 = (vm * pows2[pos_from_end]) % p
+        h1 = np.add.reduceat(t1, off2[:-1]) % p
+        h2 = np.add.reduceat(t2, off2[:-1]) % p
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "geom_fp": pa.array(h1 * np.int64(1 << 31) + h2),
+            }
+        )
+
+    return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
