@@ -2049,6 +2049,15 @@ def _q_tpch_q12(sf_dir: str):
     return q12_priority_by_flag(sf_dir)
 
 
+def _q_orders_concurrency_peak(sf_dir: str):
+    """Sweep-line interval-overlap maximum (pipelines/relational.py::
+    orders_concurrency_peak): per-order aggregate-then-join, (day, delta)
+    partials, O(distinct days) serial tail only."""
+    from simple_osm_queries_ray.pipelines.relational import orders_concurrency_peak
+
+    return orders_concurrency_peak(sf_dir)
+
+
 def _q_orders_price_mad(sf_dir: str):
     """Exact median absolute deviation via two chained distributed
     order-statistic selections (pipelines/relational.py::orders_price_mad):
@@ -2368,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
         "orders_price_mad": _q_orders_price_mad,
+        "orders_concurrency_peak": _q_orders_concurrency_peak,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
@@ -5489,6 +5499,42 @@ SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
        CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""",
+        # sweep-line concurrency: +1 at order day, -1 the day after the last
+        # ship; prefix-sum max with earliest-day tie-break
+        "orders_concurrency_peak": """
+WITH lm AS (
+  SELECT l_orderkey,
+         MAX(CAST(datediff('day', TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT))
+           AS max_days
+  FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+  SELECT CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS s,
+         GREATEST(COALESCE(lm.max_days, CAST(-9223372036854775807 AS BIGINT) - 1),
+                  CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT)
+         ) + 1 AS e
+  FROM orders o LEFT JOIN lm ON lm.l_orderkey = o.o_orderkey
+),
+ev AS (
+  SELECT s AS day, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT e AS day, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+net AS (SELECT day, SUM(delta) AS delta FROM ev GROUP BY day),
+run AS (
+  SELECT day,
+         SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS active
+  FROM net
+),
+best AS (
+  SELECT day, active,
+         ROW_NUMBER() OVER (ORDER BY active DESC, day) AS rn
+  FROM run
+)
+SELECT day AS peak_day, CAST(active AS BIGINT) AS peak_active,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM net) AS n_days
+FROM best WHERE rn = 1
 """,
         # exact MAD: lower-median convention (0-based rank (n-1)//2) replayed
         # as ROW_NUMBER picks; all arithmetic in integer cents

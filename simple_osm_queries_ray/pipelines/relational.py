@@ -931,3 +931,96 @@ def orders_price_mad(sf_dir: str, *, bin_cap: int = 1_000_000) -> ray.data.Datas
             }
         )
     )
+
+
+def orders_concurrency_peak(sf_dir: str) -> ray.data.Dataset:
+    """Sweep-line temporal concurrency: an order is "active" from its order
+    date through its last lineitem ship date; the operator finds the peak
+    number of simultaneously active orders and the (earliest) day it is
+    reached — the classic interval-overlap maximum, all-integer.
+
+    Distributed shape: (1) per-order last-ship aggregate on lineitem (the
+    q4 aggregate-then-join discipline); (2) each order emits two sweep
+    events (+1 at o_days, -1 at max_ship+1) pre-summed per batch into
+    (day, delta) partials; (3) a days-sized groupby (a few thousand keys)
+    collects net deltas; (4) the prefix-sum argmax runs in ONE task over
+    the tiny day table (repartition(1)) — the only serial step is
+    O(distinct days), never O(orders). Orders with no lineitems count as
+    active for their order day alone. Output one row:
+    (peak_day, peak_active, n_days)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.joins import hash_join_attach
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        days = np.asarray(batch["l_shipdate"], dtype="datetime64[D]").astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, days)
+        return pa.table({"o_orderkey": pa.array(u), "max_days": pa.array(mx)})
+
+    per_order = (
+        line.map_batches(max_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Max("max_days", alias_name="max_days"))
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def order_days(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["o_orderdate"], dtype="datetime64[D]").astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"], "o_days": pa.array(days)})
+
+    joined = hash_join_attach(
+        orders.map_batches(order_days, batch_format="pyarrow"),
+        "o_orderkey",
+        per_order,
+        "o_orderkey",
+        {"max_days": pa.int64()},
+    )
+
+    def sweep_partial(batch: pa.Table) -> pa.Table:
+        start = np.asarray(batch["o_days"], dtype=np.int64)
+        mx = np.asarray(
+            pc.fill_null(batch["max_days"], pa.scalar(np.iinfo(np.int64).min, pa.int64()))
+        )
+        end = np.maximum(mx, start) + 1  # exclusive; no-lineitem orders end next day
+        days = np.concatenate([start, end])
+        deltas = np.concatenate(
+            [np.ones(len(start), dtype=np.int64), -np.ones(len(end), dtype=np.int64)]
+        )
+        u, inv = np.unique(days, return_inverse=True)
+        net = np.zeros(len(u), dtype=np.int64)
+        np.add.at(net, inv, deltas)
+        return pa.table({"day": pa.array(u), "delta": pa.array(net)})
+
+    def prefix_argmax(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch["day"], dtype=np.int64)
+        delta = np.asarray(batch["delta"], dtype=np.int64)
+        order = np.argsort(day, kind="stable")
+        day, delta = day[order], delta[order]
+        active = np.cumsum(delta)
+        best = int(np.argmax(active))  # first maximum -> earliest peak day
+        return pa.table(
+            {
+                "peak_day": pa.array([day[best]]),
+                "peak_active": pa.array([active[best]]),
+                "n_days": pa.array([np.int64(len(day))]),
+            }
+        )
+
+    return (
+        joined.map_batches(sweep_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .repartition(1)
+        .map_batches(prefix_argmax, batch_format="pyarrow", batch_size=None)
+    )
