@@ -1364,6 +1364,15 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(dup_documents(sf_dir), threshold=0.5)
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc novel-trigram counts over the dup corpus (stages/dedup.py::
+    doc_novelty): one gram-keyed shuffle, per-bucket lexsort, all-integer."""
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import doc_novelty
+
+    return doc_novelty(dup_documents(sf_dir))
+
+
 def _q_dedup_groups(sf_dir: str):
     from simple_osm_queries_ray.sources.dup_docs import dup_documents
     from simple_osm_queries_ray.stages.dedup import dedup_groups
@@ -2320,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_novelty": _q_doc_novelty,
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
         "embed_near_dup": _q_embed_near_dup,
@@ -4463,6 +4473,20 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
+        # novelty = grams whose corpus-wide first occurrence is this doc
+        "doc_novelty": f"""
+WITH {DUP_DOCS_SQL},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+firsts AS (SELECT g, MIN(id) AS fid FROM tri GROUP BY g)
+SELECT tri.id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.fid = tri.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM tri JOIN firsts f ON f.g = tri.g
+GROUP BY tri.id
+""",
         # connected components over the J >= 0.5 pair graph: group_id = min
         # reachable id (recursive transitive closure on the same trigram-join
         # edge set the pair oracle uses)

@@ -1010,3 +1010,61 @@ def source_caption_overlap(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(to_names, batch_format="pyarrow")
+
+
+def doc_novelty(ds: ray.data.Dataset, *, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document novelty score over the corpus's doc-id order: of each
+    document's DISTINCT token-3-grams, how many first appear in THIS
+    document (no lower-id document contains them) — the incremental-
+    curation signal "how much new text does this doc add", and 1 - novelty
+    is the n-gram-level contamination by earlier docs. All-integer.
+
+    Scale shape: the ngram_jaccard gram explode (128-bit identities, text
+    bytes never shuffle) -> ONE gram-keyed bucket shuffle; per bucket a
+    single lexsort yields each gram's min doc id AND the per-(gram, doc)
+    novelty flags, pre-summed to (doc, grams, novel) partials -> tiny
+    doc-keyed groupby. Docs with no trigram (under 3 tokens) are absent on
+    both engines. Output: (id, n_grams, n_novel)."""
+    from ray.data.aggregate import Sum
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        row, g1, g2, _sizes = _distinct_grams(texts)
+        b = ((g1 * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "g1": pa.array(g1),
+                "g2": pa.array(g2),
+                "id": pa.array(ids[row]),
+                "__bucket": pa.array(np.abs(b).astype(np.int64)),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        g1 = np.asarray(tbl["g1"], dtype=np.int64)
+        g2 = np.asarray(tbl["g2"], dtype=np.int64)
+        ids = np.asarray(tbl["id"], dtype=np.int64)
+        order = np.lexsort((ids, g2, g1))
+        g1, g2, ids = g1[order], g2[order], ids[order]
+        new = np.ones(len(g1), dtype=bool)
+        new[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+        # sorted by id within each gram group -> the group head IS min id
+        grp = np.cumsum(new) - 1
+        first_id = ids[new][grp]
+        novel = ids == first_id
+        uu, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        nov = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(nov, inv, novel.astype(np.int64))
+        return pa.table(
+            {"id": pa.array(uu), "g": pa.array(tot), "nv": pa.array(nov)}
+        )
+
+    return (
+        ds.map_batches(to_grams, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("g", alias_name="n_grams"), Sum("nv", alias_name="n_novel"))
+    )
