@@ -27,6 +27,45 @@ def _cents(col) -> np.ndarray:
     return np.round(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
 
 
+def _bucketed_key_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    val_cols: list[str],
+    num_buckets: int = 32,
+    having_min: tuple[str, int] | None = None,
+) -> ray.data.Dataset:
+    """Sum ``val_cols`` per int64 ``key`` via hash-bucket + one vectorized
+    np.add.at per bucket — the high-cardinality replacement for
+    ``groupby(key).aggregate(Sum)`` (see _per_order_max_ship_days: the
+    generic aggregate costs ~8 s at 147 k keys where this is ~0.5 s).
+    ``having_min=(col, m)`` filters groups to col > m inside the bucket
+    (valid: a bucket holds every row of its keys)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key], dtype=np.int64)
+        b = np.abs((k * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        k = np.asarray(tbl[key], dtype=np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        out = {key: u}
+        for c in val_cols:
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, np.asarray(tbl[c], dtype=np.int64))
+            out[c] = acc
+        if having_min is not None:
+            keep = out[having_min[0]] > having_min[1]
+            out = {c: v[keep] for c, v in out.items()}
+        return pa.table({c: pa.array(v) for c, v in out.items()})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> ray.data.Dataset:
     """TPC-H Q1 shape: filter on shipdate, groupby (returnflag, linestatus),
     integer-cent sums + counts. Partial aggregation per batch -> tiny shuffle."""
@@ -115,11 +154,8 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> ray.da
 
     from ray.data.aggregate import Sum
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(4)
-        .groupby("o_orderkey")
-        .aggregate(Sum("revenue_hc", alias_name="revenue_hc"))
+    agg = _bucketed_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "o_orderkey", ["revenue_hc"]
     )
 
     def topk(batch: pa.Table) -> pa.Table:
@@ -480,15 +516,9 @@ def q18_large_orders(sf_dir: str, min_qty: int = 150) -> ray.data.Dataset:
         np.add.at(s, inv, qty)
         return pa.table({"o_orderkey": pa.array(u), "sum_qty": pa.array(s)})
 
-    big = (
-        line.map_batches(partial, batch_format="pyarrow")
-        .repartition(8)
-        .groupby("o_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["sum_qty"], min_qty)),
-            batch_format="pyarrow",
-        )
+    big = _bucketed_key_sum(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "o_orderkey", ["sum_qty"], having_min=("sum_qty", min_qty),
     )
 
     orders = read_parquet_sized(
