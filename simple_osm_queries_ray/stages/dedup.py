@@ -270,23 +270,47 @@ def ngram_jaccard_pairs(
         grams, ["g1", "g2"], id_col, carry_cols=["n"], count_pairs=True,
         num_buckets=num_buckets,
     )
-    from ray.data.aggregate import Sum
 
-    agg = (
-        pairs.groupby(["id_a", "id_b", "n_a", "n_b"])
-        .aggregate(Sum("c", alias_name="c"))
-    )
+    # merge the per-bucket partial counts per (id_a, id_b) with a bucketed
+    # vectorized reduce, NOT groupby(pair-cols).aggregate: the candidate set
+    # here is ~millions of distinct pairs and Ray's generic aggregate costs
+    # minutes at that group count (measured 220 s at 1.7 M groups, sf0.1)
+    # where one lexsort + reduceat per bucket is sub-second. The Jaccard
+    # filter folds into the reduce (a bucket holds every partial of its
+    # pairs).
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64).astype(np.uint64)
+        b = np.asarray(batch["id_b"], dtype=np.int64).astype(np.uint64)
+        h = (a * np.uint64(0x100000001B3) + b) % np.uint64(num_buckets)
+        return batch.append_column("__pb", pa.array(h.astype(np.int64)))
 
-    def finish(batch: pa.Table) -> pa.Table:
-        c = np.asarray(batch["c"], dtype=np.float64)
-        na = np.asarray(batch["n_a"], dtype=np.float64)
-        nb = np.asarray(batch["n_b"], dtype=np.float64)
-        keep = pa.array(c / (na + nb - c) >= threshold)
-        return pa.table(
-            {"id_a": batch["id_a"].filter(keep), "id_b": batch["id_b"].filter(keep)}
+    def reduce_pairs(tbl: pa.Table) -> pa.Table:
+        a = np.asarray(tbl["id_a"], dtype=np.int64)
+        b = np.asarray(tbl["id_b"], dtype=np.int64)
+        na = np.asarray(tbl["n_a"], dtype=np.int64)
+        nb = np.asarray(tbl["n_b"], dtype=np.int64)
+        c = np.asarray(tbl["c"], dtype=np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        order = np.lexsort((b, a))
+        a, b, na, nb, c = a[order], b[order], na[order], nb[order], c[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(first)[0]
+        csum = np.add.reduceat(c, starts)
+        a, b, na, nb = a[starts], b[starts], na[starts], nb[starts]
+        keep = csum.astype(np.float64) / (na + nb - csum).astype(np.float64) >= threshold
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda t: reduce_pairs(t.drop_columns(["__pb"])), batch_format="pyarrow"
         )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    )
 
 
 # -- candidate generation ----------------------------------------------------
@@ -620,6 +644,67 @@ def hamming_pairs_int64(
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+# Below this many (directed) edge rows, connected components runs as ONE
+# vectorized Ray task instead of the round-based distributed propagation:
+# each distributed round costs several shuffles of fixed machinery (~2-3 s
+# on this host) TIMES the graph diameter, while a single task solves a
+# 4M-edge graph in well under a second (hash-min + pointer-jumping, so
+# in-task rounds are O(log diameter) vectorized passes). The distributed
+# loop stays the scale path for genuinely large edge sets.
+_LOCAL_CC_EDGE_LIMIT = 4_000_000
+
+
+def _local_cc(labels: ray.data.Dataset, edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Single-task exact CC over a bounded edge set, then a broadcast map
+    attaches group ids to every vertex (isolated vertices label themselves).
+    The driver never touches the edge list — only the per-edge-endpoint
+    group table, bounded by 2 x _LOCAL_CC_EDGE_LIMIT rows."""
+
+    def cc_task(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        uniq = np.unique(src)  # both directions present -> src covers all
+        label = uniq.copy()
+        si = np.searchsorted(uniq, src)
+        di = np.searchsorted(uniq, dst)
+        while True:
+            new = label.copy()
+            np.minimum.at(new, di, label[si])
+            # pointer jump: labels are ids of vertices in uniq, so chase one
+            # level (label of my label) — doubles reach per pass
+            new = np.minimum(new, new[np.searchsorted(uniq, new)])
+            if np.array_equal(new, label):
+                break
+            label = new
+        return pa.table({"id": pa.array(uniq), "group_id": pa.array(label)})
+
+    comp = (
+        edges.repartition(1)
+        .map_batches(cc_task, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    import pandas as _pd
+
+    cdf = comp.to_pandas()  # bounded by the gate; sorted by construction
+    ref = ray.put(
+        (cdf["id"].to_numpy(np.int64), cdf["group_id"].to_numpy(np.int64))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as _bget
+
+        cid, cgrp = _bget(ref)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        if len(cid):
+            pos = np.clip(np.searchsorted(cid, ids), 0, len(cid) - 1)
+            grp = np.where(cid[pos] == ids, cgrp[pos], ids)
+        else:
+            grp = ids
+        return pa.table({"id": pa.array(ids), "group_id": pa.array(grp)})
+
+    return labels.select_columns(["id"]).map_batches(attach, batch_format="pyarrow")
+
+
 def connected_components(
     ids: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -669,8 +754,11 @@ def connected_components(
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return labels.rename_columns({"label": "group_id"})
+    if n_edges <= _LOCAL_CC_EDGE_LIMIT:
+        return _local_cc(labels, edges)
 
     INF = np.iinfo(np.int64).max
 
