@@ -1742,18 +1742,27 @@ def covisit_pairs(sf_dir: str) -> "ray.data.Dataset":
         b = np.concatenate(out_b)
         return pa.table({"pair": pa.array(a * (np.int64(1) << np.int64(31)) + b)})
 
-    pairs = (
+    from .group_collect import bucketed_sum
+
+    meetings = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("__bucket")  # many meetings per group: one task handles a
         # bucket of (cell, hour) keys instead of one Python call per meeting
         .map_groups(per_meeting, batch_format="pyarrow")
-        .groupby("pair")
-        .count()
+        .map_batches(
+            lambda t: t.append_column(
+                "n", pa.array(np.ones(len(t), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
     )
+    # pair-keyed merge via the bucketed reduce: pair cardinality is far past
+    # the generic aggregate's ~10^3-group comfort zone (group_collect.py)
+    pairs = bucketed_sum(meetings, ["pair"], ["n"])
 
     def unpack(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch["pair"], dtype=np.int64)
-        n = np.asarray(batch["count()"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
         return pa.table(
             {
                 "user_a": pa.array(p >> np.int64(31)),
@@ -1978,15 +1987,14 @@ def od_matrix(sf_dir: str) -> "ray.data.Dataset":
         pair, n = np.unique(o * (np.int64(1) << np.int64(31)) + d, return_counts=True)
         return pa.table({"pair": pa.array(pair), "n": pa.array(n.astype(np.int64))})
 
-    from ray.data.aggregate import Sum
+    from .group_collect import bucketed_sum
 
-    pairs = (
+    pairs = bucketed_sum(
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n_users"))
-    )
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["pair"], ["n"],
+    ).rename_columns({"n": "n_users"})
 
     def unpack(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch["pair"], dtype=np.int64)
@@ -2102,7 +2110,9 @@ def user_cell_jaccard(
 
     from ray.data.aggregate import Sum
 
-    pairs = (
+    from .group_collect import bucketed_sum
+
+    pairs = bucketed_sum(
         distinct.map_batches(
             lambda t: pa.table(
                 {"cell": t["cell"], "user_id": t["user_id"],
@@ -2112,10 +2122,9 @@ def user_cell_jaccard(
             batch_format="pyarrow",
         )
         .groupby("__bucket")
-        .map_groups(per_cell_bucket, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="inter"))
-    )
+        .map_groups(per_cell_bucket, batch_format="pyarrow"),
+        ["pair"], ["n"],
+    ).rename_columns({"n": "inter"})
 
     def finish(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch["pair"], dtype=np.int64)
@@ -3101,13 +3110,13 @@ def events_dau_wau(sf_dir: str) -> "pd.DataFrame":
         df = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (
-        ds.map_batches(pairs_partial, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .count()
-        .select_columns(["user_id", "day"])
-        .materialize()  # feeds both the DAU and WAU plans
-    )
+    from .group_collect import bucketed_distinct
+
+    # global distinct via the bucketed reduce: (user, day) cardinality is
+    # ~users x days, far past the generic aggregate's comfort zone
+    pairs = bucketed_distinct(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"), ["user_id", "day"]
+    ).materialize()  # feeds both the DAU and WAU plans
 
     dau = (
         pairs.groupby("day").count().to_pandas().rename(columns={"count()": "dau"})
@@ -3127,9 +3136,9 @@ def events_dau_wau(sf_dir: str) -> "pd.DataFrame":
         )
 
     wau = (
-        pairs.map_batches(widen, batch_format="pyarrow")
-        .groupby(["user_id", "wday"])
-        .count()
+        bucketed_distinct(
+            pairs.map_batches(widen, batch_format="pyarrow"), ["user_id", "wday"]
+        )
         .select_columns(["wday"])
         .groupby("wday")
         .count()
