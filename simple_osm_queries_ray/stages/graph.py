@@ -433,11 +433,14 @@ def pagerank_suppliers(sf_dir: str, iters: int = 2, k: int = 20) -> pd.DataFrame
             {"src": batch["src"], "one": pa.array(np.ones(len(batch), dtype=np.int64))}
         )
 
-    deg = (
-        edges.map_batches(ones, batch_format="pyarrow")
-        .groupby("src")
-        .aggregate(Sum("one", alias_name="deg"))
-    )
+    from .group_collect import bucketed_sum
+
+    # vertex-keyed merges run through the bucketed reduce: the bipartite
+    # vertex set is orders+suppliers sized, far past the generic
+    # aggregate's ~10^3-group comfort zone (group_collect.py)
+    deg = bucketed_sum(
+        edges.map_batches(ones, batch_format="pyarrow"), ["src"], ["one"]
+    ).rename_columns({"one": "deg"})
 
     def init_scores(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -463,12 +466,9 @@ def pagerank_suppliers(sf_dir: str, iters: int = 2, k: int = 20) -> pd.DataFrame
             g = df.groupby("dst", as_index=False)["c"].sum()
             return pa.table({"dst": pa.array(g["dst"].to_numpy()), "c": pa.array(g["c"].to_numpy())})
 
-        acc = (
-            contrib.map_batches(push, batch_format="pyarrow")
-            .repartition(8)
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="acc"))
-        )
+        acc = bucketed_sum(
+            contrib.map_batches(push, batch_format="pyarrow"), ["dst"], ["c"]
+        ).rename_columns({"c": "acc"})
         new_scores = hash_join_attach(
             acc, "dst", scores.select_columns(["v", "deg"]).map_batches(
                 lambda b: pa.table({"v2": b["v"], "deg": b["deg"]}), batch_format="pyarrow"
