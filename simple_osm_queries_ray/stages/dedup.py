@@ -1026,10 +1026,22 @@ def dup_span_docs(
         keep = sizes[grp] > 1
         return pa.table({"doc_id": pa.array(np.unique(ids[keep]))})
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["h1"], dtype=np.int64)
+        b = np.abs((h * np.int64(-7046029254386353131)) >> np.int64(32)) % 64
+        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+
+    # bucket the shingle key (emit_shared segments multiple groups in one
+    # vectorized call) — groupby(h1) at millions of distinct shingles pays
+    # the per-group machinery cost (group_collect.py rationale)
     hits = (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("h1")
-        .map_groups(emit_shared, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: emit_shared(t.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
     )
     return (
         hits.groupby("doc_id")
