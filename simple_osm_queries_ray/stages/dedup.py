@@ -443,12 +443,12 @@ def exact_dedup_keep_ids(ds: ray.data.Dataset, text_col: str = "text", id_col: s
             }
         )
 
-    from ray.data.aggregate import Min
+    from .group_collect import bucketed_min
 
-    out = (
-        ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(Min(id_col, alias_name=id_col))
+    # distinct-text key cardinality ~ corpus size: the bucketed min reduce,
+    # not the generic aggregate (group_collect.py rationale)
+    out = bucketed_min(
+        ds.map_batches(hash_batch, batch_format="pyarrow"), ["h1", "h2"], [id_col]
     )
     return out.select_columns([id_col])
 
@@ -485,11 +485,11 @@ def minhash_lsh_pairs(
         )
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = (
-        candidate_pairs_from_buckets(bands, ["band", "bhash"], id_col)
-        .groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
+    from .group_collect import bucketed_distinct
+
+    cand = bucketed_distinct(
+        candidate_pairs_from_buckets(bands, ["band", "bhash"], id_col),
+        ["id_a", "id_b"],
     )
     verified = _verify_pairs_jaccard(cand, ds, threshold, text_col=text_col, id_col=id_col)
     return verified
@@ -793,13 +793,15 @@ def connected_components(
             .select_columns(["dst", "src_label"])
             .rename_columns({"dst": "id", "src_label": "label"})
         )
-        merged = (
+        from .group_collect import bucketed_reduce as _breduce
+
+        # vertex count is corpus-sized in the above-gate regime: bucketed
+        # min reduce per round, not the generic aggregate
+        merged = _breduce(
             labels.map_batches(tag_old, batch_format="pyarrow")
-            .union(cand.map_batches(tag_inf, batch_format="pyarrow"))
-            .groupby("id")
-            .aggregate(
-                Min("label", alias_name="label"), Min("old", alias_name="old")
-            )
+            .union(cand.map_batches(tag_inf, batch_format="pyarrow")),
+            ["id"],
+            {"label": "min", "old": "min"},
         ).materialize()
         changed = (
             merged.map_batches(count_changed, batch_format="pyarrow").sum("changed")
@@ -866,10 +868,25 @@ def dedup_keep_best(
         lens = np.asarray(pc.utf8_length(batch[text_col]), dtype=np.int64)
         return pa.table({"id": ids, "key": (lens << 32) | (ID_MASK - ids)})
 
+    from .group_collect import bucketed_reduce
+
     keys = ds.map_batches(length_key, batch_format="pyarrow")
     joined = groups.join(keys, "inner", num_partitions, on=("id",))
-    agg = joined.groupby("group_id").aggregate(
-        Max("key", alias_name="best"), Count(alias_name="n_members")
+    # group count ~ corpus size: bucketed mixed-op reduce, not the generic
+    # aggregate (group_collect.py rationale)
+    agg = bucketed_reduce(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "group_id": t["group_id"],
+                    "best": t["key"],
+                    "n_members": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["group_id"],
+        {"best": "max", "n_members": "sum"},
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -1161,10 +1178,15 @@ def doc_novelty(ds: ray.data.Dataset, *, num_buckets: int = 64) -> ray.data.Data
             {"id": pa.array(uu), "g": pa.array(tot), "nv": pa.array(nov)}
         )
 
-    return (
+    from .group_collect import bucketed_sum
+
+    merged_partials = (
         ds.map_batches(to_grams, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("g", alias_name="n_grams"), Sum("nv", alias_name="n_novel"))
     )
+    # doc-keyed merge of the per-bucket partials: doc cardinality is
+    # corpus-sized, so the bucketed reduce (group_collect.py rationale)
+    out = bucketed_sum(merged_partials, ["id"], ["g", "nv"])
+    return out.rename_columns({"g": "n_grams", "nv": "n_novel"})
+

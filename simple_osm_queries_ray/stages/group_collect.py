@@ -102,22 +102,27 @@ def segment_unique_lists(
     return uniq[:, 1], offsets
 
 
-def bucketed_sum(
+_REDUCERS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def bucketed_reduce(
     ds: ray.data.Dataset,
     key_cols: list[str],
-    val_cols: list[str],
+    val_ops: dict[str, str],
     *,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Sum ``val_cols`` per distinct ``key_cols`` tuple (all int64) via ONE
-    hash-bucket shuffle + a vectorized lexsort/reduceat per bucket.
+    """Per-key reduction over int64 columns via ONE hash-bucket shuffle + a
+    vectorized lexsort/reduceat per bucket; ``val_ops`` maps value column ->
+    "sum" | "min" | "max" (mixed ops in one pass).
 
     This is the high-cardinality replacement for
-    ``groupby(keys).aggregate(Sum(...))``: Ray's generic aggregate carries
+    ``groupby(keys).aggregate(...)``: Ray's generic aggregate carries
     per-group machinery that costs ~8 s at ~150 k groups and minutes at
     ~2 M groups (measured, sf0.1 host), while this path is sub-second at
     both — use the generic form below ~10^3 groups, this one above.
-    Output: key_cols + val_cols, summed.
+    Empty ``val_ops`` makes it a global DISTINCT over the keys.
+    Output: key_cols + value columns, reduced.
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -134,7 +139,7 @@ def bucketed_sum(
         keys = [np.asarray(tbl[c], dtype=np.int64) for c in key_cols]
         if len(keys[0]) == 0:
             return pa.table(
-                {c: pa.array([], type=pa.int64()) for c in key_cols + val_cols}
+                {c: pa.array([], type=pa.int64()) for c in [*key_cols, *val_ops]}
             )
         order = np.lexsort(tuple(reversed(keys)))
         keys = [k[order] for k in keys]
@@ -144,9 +149,9 @@ def bucketed_sum(
             first[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(first)
         out = {c: pa.array(k[starts]) for c, k in zip(key_cols, keys)}
-        for c in val_cols:
+        for c, op in val_ops.items():
             v = np.asarray(tbl[c], dtype=np.int64)[order]
-            out[c] = pa.array(np.add.reduceat(v, starts))
+            out[c] = pa.array(_REDUCERS[op].reduceat(v, starts))
         return pa.table(out)
 
     return (
@@ -159,41 +164,34 @@ def bucketed_sum(
     )
 
 
+def bucketed_sum(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    val_cols: list[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SUM per key tuple — see :func:`bucketed_reduce`."""
+    return bucketed_reduce(
+        ds, key_cols, {c: "sum" for c in val_cols}, num_buckets=num_buckets
+    )
+
+
+def bucketed_min(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    val_cols: list[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """MIN per key tuple — see :func:`bucketed_reduce`."""
+    return bucketed_reduce(
+        ds, key_cols, {c: "min" for c in val_cols}, num_buckets=num_buckets
+    )
+
+
 def bucketed_distinct(
     ds: ray.data.Dataset, key_cols: list[str], *, num_buckets: int = 64
 ) -> ray.data.Dataset:
-    """Global DISTINCT over int64 ``key_cols`` — one hash-bucket shuffle +
-    one vectorized dedup per bucket (same rationale as :func:`bucketed_sum`:
-    ``groupby(keys).count()`` as a distinct operator pays the generic
-    aggregate's per-group cost at high cardinality)."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for c in key_cols:
-            h = h * np.uint64(0x100000001B3) + np.asarray(
-                batch[c], dtype=np.int64
-            ).astype(np.uint64)
-        return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
-
-    def per_bucket(tbl: pa.Table) -> pa.Table:
-        keys = [np.asarray(tbl[c], dtype=np.int64) for c in key_cols]
-        if len(keys[0]) == 0:
-            return pa.table({c: pa.array([], type=pa.int64()) for c in key_cols})
-        order = np.lexsort(tuple(reversed(keys)))
-        keys = [k[order] for k in keys]
-        first = np.ones(len(keys[0]), dtype=bool)
-        first[1:] = False
-        for k in keys:
-            first[1:] |= k[1:] != k[:-1]
-        return pa.table({c: pa.array(k[first]) for c, k in zip(key_cols, keys)})
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda t: per_bucket(t.drop_columns(["__bucket"])),
-            batch_format="pyarrow",
-        )
-    )
+    """Global DISTINCT over int64 key tuples — see :func:`bucketed_reduce`."""
+    return bucketed_reduce(ds, key_cols, {}, num_buckets=num_buckets)
