@@ -1060,11 +1060,10 @@ def dup_span_docs(
             batch_format="pyarrow",
         )
     )
-    return (
-        hits.groupby("doc_id")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
-    )
+    from .group_collect import bucketed_distinct
+
+    # doc cardinality ~ corpus: bucketed distinct, not the generic aggregate
+    return bucketed_distinct(hits, ["doc_id"])
 
 
 def source_caption_overlap(sf_dir: str) -> ray.data.Dataset:

@@ -1088,12 +1088,15 @@ def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> "pd.DataFra
         )
         return pa.table({"user_id": pa.array(d), "n_pairs": pa.array(c.astype(np.int64))})
 
-    agg = (
+    from .group_collect import bucketed_sum
+
+    # user cardinality is corpus-scaled: bucketed reduce, not the generic
+    # aggregate (group_collect.py rationale)
+    agg = bucketed_sum(
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["user_id"], ["n_pairs"],
     )
     out = agg.to_pandas().sort_values("user_id").reset_index(drop=True)
     return out[out["n_pairs"] > 0].reset_index(drop=True)
@@ -2175,10 +2178,10 @@ def user_first_seen(sf_dir: str) -> ray.data.Dataset:
         np.minimum.at(md, inv, day)
         return pa.table({"user_id": pa.array(uu), "day": pa.array(md)})
 
-    firsts = (
-        ds.map_batches(min_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("day", alias_name="day"))
+    from .group_collect import bucketed_min
+
+    firsts = bucketed_min(
+        ds.map_batches(min_partial, batch_format="pyarrow"), ["user_id"], ["day"]
     )
 
     def day_partial(batch: pa.Table) -> pa.Table:
@@ -2449,14 +2452,11 @@ def events_k_anomalies(sf_dir: str, k_sigma2: int = 4) -> ray.data.Dataset:
             {"user_id": pa.array(uu), "n": pa.array(n), "s": pa.array(s), "q": pa.array(q)}
         )
 
-    stats = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("s", alias_name="s"),
-            Sum("q", alias_name="q"),
-        )
+    from .group_collect import bucketed_sum
+
+    stats = bucketed_sum(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["n", "s", "q"],
     )
 
     i64 = pa.int64()
@@ -2633,18 +2633,12 @@ def events_user_trend(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
-    )
+    from .group_collect import bucketed_sum
+
+    return bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["n", "sx", "sy", "sxy", "sxx"],
+    ).map_batches(finish, batch_format="pyarrow")
 
 
 def events_value_corr(sf_dir: str) -> ray.data.Dataset:
