@@ -637,8 +637,11 @@ def hamming_pairs_int64(
             }
         )
 
+    from .group_collect import bucketed_distinct
+
     verified = cand.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    # pair cardinality scales with near-dup density: bucketed distinct
+    return bucketed_distinct(verified, ["id_a", "id_b"])
 
 
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
