@@ -1795,6 +1795,15 @@ def _q_dataset_split_assign(sf_dir: str):
     return dataset_split_assign(sf_dir)
 
 
+def _q_events_gap_median(sf_dir: str):
+    """Per-user exact median inter-event gap (stages/text.py::
+    events_gap_median): one user-bucket shuffle, two lexsorts, zero
+    per-group Python — the bot-detection primitive."""
+    from simple_osm_queries_ray.stages.text import events_gap_median
+
+    return events_gap_median(sf_dir)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Label vs heuristic-prediction confusion matrix (stages/text.py::
     lang_confusion): actor-pool regex state, pair-count partials."""
@@ -2413,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": _q_events_user_trend,
         "events_value_corr": _q_events_value_corr,
         "events_gap_hours": _q_events_gap_hours,
+        "events_gap_median": _q_events_gap_median,
         "events_peak_hour": _q_events_peak_hour,
         "lang_confusion": _q_lang_confusion,
         "dataset_split_assign": _q_dataset_split_assign,
@@ -5266,6 +5276,28 @@ WITH s AS (
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split, lang
+""",
+        # per-user exact lower-median inter-event gap: k-th smallest VALUE
+        # (k = (n-1)//2) — tie-robust, all-integer microseconds
+        "events_gap_median": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+),
+g AS (
+  SELECT user_id,
+         t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+  FROM e
+),
+g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT user_id, gap,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM g2
+)
+SELECT user_id, CAST(cnt AS BIGINT) AS n_gaps,
+       CAST(gap AS BIGINT) AS median_gap_us
+FROM r WHERE rn = (cnt - 1) // 2 + 1
 """,
         # per-user hour-coverage gaps: all-integer hour buckets
         "events_gap_hours": """

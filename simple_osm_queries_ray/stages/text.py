@@ -2954,6 +2954,82 @@ def dataset_split_assign(
     )
 
 
+def events_gap_median(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-user EXACT lower-median inter-event gap in whole microseconds —
+    the bot/scripted-traffic signal (humans have ragged gaps; automation is
+    metronomic). All-integer: the median is the k-th smallest gap VALUE
+    (k = (n-1)//2), well-defined under ties, so the result hashes exactly.
+
+    Shape: the family's one hash(user)-bucket shuffle; per bucket ONE
+    lexsort in (user, ts, event_id) order yields the gaps via a shifted
+    diff, a SECOND lexsort in (user, gap) order makes every user's median a
+    direct gather at segment_start + (len-1)//2 — a per-group order
+    statistic with zero per-group Python. Users with < 2 events are absent
+    on both engines. Output: (user_id, n_gaps, median_gap_us)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        t = np.asarray(tbl["ts"], dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, t, u))
+        u, t = u[order], t[order]
+        n = len(u)
+        if n < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "median_gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gap = (t[1:] - t[:-1])[same]
+        if len(gu) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "median_gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        o2 = np.lexsort((gap, gu))
+        gu, gap = gu[o2], gap[o2]
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        lens = np.diff(np.append(starts, len(gu)))
+        med_idx = starts + (lens - 1) // 2
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts]),
+                "n_gaps": pa.array(lens.astype(np.int64)),
+                "median_gap_us": pa.array(gap[med_idx]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
