@@ -310,6 +310,42 @@ def _q_way_centroids(sf_dir: str):
     )
 
 
+def _q_way_kdop_hull(sf_dir: str):
+    """8-DOP hull per way: extreme coordinates along the 4 axis/diagonal
+    directions (min/max of lon, lat, lon+lat, lon-lat) — the standard
+    discrete-orientation-polytope bound used for broad-phase intersection
+    tests, tighter than the bbox on diagonal features. Exact: min/max are
+    selections, and lon+lat / lon-lat are single IEEE ops evaluated in the
+    same order on both engines — no rounding needed anywhere.
+
+    Shape: one vectorized pass per batch (list_parts + 8 reduceats), no
+    explode, no join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.functions.segments import list_parts
+
+    def kdop(batch: pa.Table) -> pa.Table:
+        lons, off = list_parts(batch["node_lons"])
+        lats, _ = list_parts(batch["node_lats"])
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        pd_ = lons + lats
+        md = lons - lats
+        starts = off[:-1]
+        cols = {"id": batch["id"]}
+        for name, arr in (("lon", lons), ("lat", lats), ("pd", pd_), ("md", md)):
+            cols[f"min_{name}"] = pa.array(np.minimum.reduceat(arr, starts))
+            cols[f"max_{name}"] = pa.array(np.maximum.reduceat(arr, starts))
+        return pa.table(cols)
+
+    return (
+        _repo(sf_dir)
+        .ways.select_columns(["id", "node_lons", "node_lats"])
+        .map_batches(kdop, batch_format="pyarrow")
+    )
+
+
 def _q_way_lengths(sf_dir: str):
     """Polyline length per way from the ordered member-node lists: one
     vectorized diff + segment-masked reduceat per batch (no explode, no
@@ -2076,6 +2112,15 @@ def _q_orders_concurrency_peak(sf_dir: str):
     return orders_concurrency_peak(sf_dir)
 
 
+def _q_supplier_hhi(sf_dir: str):
+    """Revenue-concentration (HHI) components per nation in exact integers
+    (pipelines/relational.py::supplier_hhi): bucketed per-supplier revenue,
+    broadcast dimension attach, 25-key rollup."""
+    from simple_osm_queries_ray.pipelines.relational import supplier_hhi
+
+    return supplier_hhi(sf_dir)
+
+
 def _q_orders_price_mad(sf_dir: str):
     """Exact median absolute deviation via two chained distributed
     order-statistic selections (pipelines/relational.py::orders_price_mad):
@@ -2273,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_road": _q_nearest_road,
         "way_simplify": _q_way_simplify,
         "way_lengths": _q_way_lengths,
+        "way_kdop_hull": _q_way_kdop_hull,
         "way_chainage": _q_way_chainage,
         "way_areas": _q_way_areas,
         "way_turn_counts": _q_way_turn_counts,
@@ -2397,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": _q_tpch_q12,
         "orders_price_mad": _q_orders_price_mad,
         "orders_concurrency_peak": _q_orders_concurrency_peak,
+        "supplier_hhi": _q_supplier_hhi,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
@@ -3848,6 +3895,17 @@ WHERE {bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat")} AND n.lang = 'de' AND EXI
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
+        # 8-DOP hull: min/max selections over single-op diagonal coords —
+        # exact on both engines, no rounding
+        "way_kdop_hull": f"""
+{W}
+SELECT 100000000 + wg AS id,
+       MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+       MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+       MIN(lon + lat) AS min_pd, MAX(lon + lat) AS max_pd,
+       MIN(lon - lat) AS min_md, MAX(lon - lat) AS max_md
+FROM nodes_c GROUP BY wg
+""",
         "way_lengths": f"""
 {W},
 seg AS (
@@ -5555,6 +5613,28 @@ SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
        CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""",
+        # HHI components in exact integers: revenue floors to whole dollars
+        # (r_hc // 10^4, identical integer op) before squaring
+        "supplier_hhi": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS r_hc
+  FROM lineitem GROUP BY l_suppkey
+),
+rd AS (SELECT l_suppkey, r_hc // 10000 AS r_d FROM rev),
+j AS (
+  SELECT n.n_name, rd.r_d
+  FROM rd
+  JOIN supplier s ON s.s_suppkey = rd.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(r_d) AS BIGINT) AS sum_rd,
+       CAST(SUM(r_d * r_d) AS BIGINT) AS sum_rd2
+FROM j GROUP BY n_name
 """,
         # sweep-line concurrency: +1 at order day, -1 the day after the last
         # ship; prefix-sum max with earliest-day tie-break

@@ -1060,3 +1060,87 @@ def orders_concurrency_peak(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(prefix_argmax, batch_format="pyarrow", batch_size=None)
     )
+
+
+def supplier_hhi(sf_dir: str) -> ray.data.Dataset:
+    """Revenue-concentration (Herfindahl-Hirschman) components per nation,
+    in exact integer form: per supplier the lineitem revenue accumulates in
+    integer hundredths-of-cents, floors to whole dollars (an exact integer
+    op both engines replay), and the per-nation output carries
+    (n_suppliers, sum_rd, sum_rd2) so the consumer computes
+    HHI = sum_rd2 / sum_rd^2 — no float ratio crosses the engine boundary.
+    Overflow bound: sum_rd2 ~ n_suppliers * max_dollar_revenue^2 needs
+    per-supplier revenue < ~$3B at 1000 suppliers/nation; past that, floor
+    to thousands of dollars (same exact-op argument).
+
+    Shape: per-supplier revenue via the bucketed reduce (supplier
+    cardinality is corpus-scaled), then the supplier -> nation dimension
+    attaches by broadcast sorted-array lookup (dimension tables never
+    shuffle; the orders_per_nation discipline), then a <= 25-key generic
+    groupby. Output: (n_name, n_suppliers, sum_rd, sum_rd2)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.group_collect import bucketed_sum
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        price_c = _cents(batch["l_extendedprice"])
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc)
+        u, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"l_suppkey": pa.array(u), "r_hc": pa.array(acc)})
+
+    per_supp = bucketed_sum(
+        line.map_batches(rev_partial, batch_format="pyarrow"), ["l_suppkey"], ["r_hc"]
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    snk = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    o = np.argsort(sk)
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    on = np.argsort(nk)
+    lookup_ref = ray.put(
+        (sk[o], snk[o], nk[on], nat["n_name"].to_numpy(zero_copy_only=False)[on])
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sk_s, snk_s, nk_s, nname = bget(lookup_ref)
+        k = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        nation = snk_s[np.searchsorted(sk_s, k)]  # FK: every suppkey exists
+        name = nname[np.searchsorted(nk_s, nation)]
+        rd = np.asarray(batch["r_hc"], dtype=np.int64) // np.int64(10_000)
+        df = pd.DataFrame({"n_name": name, "rd": rd, "rd2": rd * rd})
+        g = df.groupby("n_name", sort=False).agg(
+            n=("rd", "size"), sum_rd=("rd", "sum"), sum_rd2=("rd2", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "n_name": pa.array(g["n_name"].astype(str)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "sum_rd": pa.array(g["sum_rd"].to_numpy().astype(np.int64)),
+                "sum_rd2": pa.array(g["sum_rd2"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        per_supp.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n", alias_name="n_suppliers"),
+            Sum("sum_rd", alias_name="sum_rd"),
+            Sum("sum_rd2", alias_name="sum_rd2"),
+        )
+    )
