@@ -310,6 +310,41 @@ def _q_way_centroids(sf_dir: str):
     )
 
 
+def _q_cell_density_gini(sf_dir: str):
+    """Spatial-inequality index over the cell-density histogram: the Gini
+    coefficient of nodes-per-cell, emitted as exact integer components
+    (num = sum((2i - m - 1) * x_(i)) over counts sorted ascending,
+    den = m * sum(x); G = num/den) — the skew statistic the partition
+    planner's hot-cell split thresholds come from. Tie-runs contribute a
+    fixed coefficient sum regardless of intra-tie order, so the integer
+    result is deterministic on both engines.
+
+    Shape: the distributed cell-density groupby, then ONE task over the
+    cells-sized histogram (repartition(1)) computes the components; at a
+    cell universe too big for one task, the sorted prefix ranks come from
+    the two-pass distributed order-statistic machinery instead
+    (stages/spacefill.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    dens = _q_cell_density(sf_dir)
+
+    def gini(batch: pa.Table) -> pa.Table:
+        x = np.sort(np.asarray(batch["n_nodes"], dtype=np.int64))
+        m = np.int64(len(x))
+        i = np.arange(1, m + 1, dtype=np.int64)
+        num = np.sum((2 * i - m - 1) * x)
+        return pa.table(
+            {
+                "n_cells": pa.array([m]),
+                "gini_num": pa.array([num]),
+                "gini_den": pa.array([m * np.sum(x)]),
+            }
+        )
+
+    return dens.repartition(1).map_batches(gini, batch_format="pyarrow", batch_size=None)
+
+
 def _q_way_kdop_hull(sf_dir: str):
     """8-DOP hull per way: extreme coordinates along the 4 axis/diagonal
     directions (min/max of lon, lat, lon+lat, lon-lat) — the standard
@@ -2319,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_simplify": _q_way_simplify,
         "way_lengths": _q_way_lengths,
         "way_kdop_hull": _q_way_kdop_hull,
+        "cell_density_gini": _q_cell_density_gini,
         "way_chainage": _q_way_chainage,
         "way_areas": _q_way_areas,
         "way_turn_counts": _q_way_turn_counts,
@@ -3895,6 +3931,20 @@ WHERE {bbox_where(BBOX_ALL, lon="n.lon", lat="n.lat")} AND n.lang = 'de' AND EXI
             f"WHERE EXISTS (SELECT 1 FROM nodes_c n WHERE n.wg = w.wg AND n.lang = 'zh')"
         ),
         "ways_bounds": f"{WW} SELECT id, minlon, minlat, maxlon, maxlat FROM ways",
+        # Gini of nodes-per-cell in exact integer components; tie-runs have
+        # order-invariant coefficient sums, so ROW_NUMBER order is safe
+        "cell_density_gini": f"""
+{W},
+d AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM nodes_c GROUP BY cell),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i, COUNT(*) OVER () AS m
+  FROM d
+)
+SELECT CAST(MAX(m) AS BIGINT) AS n_cells,
+       CAST(SUM((2 * i - m - 1) * n) AS BIGINT) AS gini_num,
+       CAST(MAX(m) * SUM(n) AS BIGINT) AS gini_den
+FROM r
+""",
         # 8-DOP hull: min/max selections over single-op diagonal coords —
         # exact on both engines, no rounding
         "way_kdop_hull": f"""
