@@ -1866,6 +1866,14 @@ def _q_dataset_split_assign(sf_dir: str):
     return dataset_split_assign(sf_dir)
 
 
+def _q_events_burstiness(sf_dir: str):
+    """Per-user Fano-factor components over hourly counts (stages/text.py::
+    events_burstiness): one user-bucketed collect, all-integer."""
+    from simple_osm_queries_ray.stages.text import events_burstiness
+
+    return events_burstiness(sf_dir)
+
+
 def _q_events_gap_median(sf_dir: str):
     """Per-user exact median inter-event gap (stages/text.py::
     events_gap_median): one user-bucket shuffle, two lexsorts, zero
@@ -2506,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": _q_events_value_corr,
         "events_gap_hours": _q_events_gap_hours,
         "events_gap_median": _q_events_gap_median,
+        "events_burstiness": _q_events_burstiness,
         "events_peak_hour": _q_events_peak_hour,
         "lang_confusion": _q_lang_confusion,
         "dataset_split_assign": _q_dataset_split_assign,
@@ -5384,6 +5393,18 @@ WITH s AS (
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split, lang
+""",
+        # per-user Fano-factor components over active-hour counts
+        "events_burstiness": """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, hr
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+FROM h GROUP BY user_id
 """,
         # per-user exact lower-median inter-event gap: k-th smallest VALUE
         # (k = (n-1)//2) — tie-robust, all-integer microseconds

@@ -3030,6 +3030,77 @@ def events_gap_median(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+def events_burstiness(sf_dir: str) -> ray.data.Dataset:
+    """Per-user burstiness as exact Fano-factor components over hourly
+    activity: for each user, the count of ACTIVE hours plus the sum and
+    sum-of-squares of per-hour event counts — Fano = variance/mean derives
+    as (h*sq - s*s) / (h*s) downstream; a metronomic bot has Fano ~ 0 over
+    its active hours while organic traffic is over-dispersed. Complements
+    events_gap_median (gap-based) with the count-based dispersion signal.
+    All-integer: no float crosses the engine boundary.
+
+    Shape: per-batch (user, hour) count partials -> ONE user-bucketed
+    vectorized collect (all of a user's hour partials share the bucket, so
+    the per-hour merge AND the per-user moments happen in the same task).
+    Output: (user_id, n_hours, sum_c, sum_c2)."""
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    US_PER_HOUR = np.int64(3_600_000_000)
+    num_buckets = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        hr = (
+            np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+            // US_PER_HOUR
+        )
+        pairs = np.stack([u, hr], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        b = (
+            np.abs((uniq[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32))
+            % num_buckets
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0]),
+                "hr": pa.array(uniq[:, 1]),
+                "c": pa.array(counts.astype(np.int64)),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        hr = np.asarray(tbl["hr"], dtype=np.int64)
+        c = np.asarray(tbl["c"], dtype=np.int64)
+        order = np.lexsort((hr, u))
+        u, hr, c = u[order], hr[order], c[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (hr[1:] != hr[:-1])
+        starts = np.flatnonzero(first)
+        ch = np.add.reduceat(c, starts)  # merged per-(user, hour) counts
+        uh = u[starts]
+        ustarts = np.flatnonzero(np.r_[True, uh[1:] != uh[:-1]])
+        n_hours = np.diff(np.append(ustarts, len(uh))).astype(np.int64)
+        sum_c = np.add.reduceat(ch, ustarts)
+        sum_c2 = np.add.reduceat(ch * ch, ustarts)
+        return pa.table(
+            {
+                "user_id": pa.array(uh[ustarts]),
+                "n_hours": pa.array(n_hours),
+                "sum_c": pa.array(sum_c),
+                "sum_c2": pa.array(sum_c2),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
