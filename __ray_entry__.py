@@ -1866,6 +1866,14 @@ def _q_dataset_split_assign(sf_dir: str):
     return dataset_split_assign(sf_dir)
 
 
+def _q_term_cooccurrence(sf_dir: str):
+    """Top-30-term document co-occurrence + PMI marginals (stages/text.py::
+    term_cooccurrence): broadcast vocab, per-batch k x k matmul partials."""
+    from simple_osm_queries_ray.stages.text import term_cooccurrence
+
+    return term_cooccurrence(sf_dir)
+
+
 def _q_events_burstiness(sf_dir: str):
     """Per-user Fano-factor components over hourly counts (stages/text.py::
     events_burstiness): one user-bucketed collect, all-integer."""
@@ -2515,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_hours": _q_events_gap_hours,
         "events_gap_median": _q_events_gap_median,
         "events_burstiness": _q_events_burstiness,
+        "term_cooccurrence": _q_term_cooccurrence,
         "events_peak_hour": _q_events_peak_hour,
         "lang_confusion": _q_lang_confusion,
         "dataset_split_assign": _q_dataset_split_assign,
@@ -5393,6 +5402,34 @@ WITH s AS (
 SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split, lang
+""",
+        # top-30-term doc co-occurrence with PMI marginals; the top-k cut
+        # shares top_terms_df's deterministic (df desc, token) tie-break
+        "term_cooccurrence": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+top AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token ORDER BY df DESC, token LIMIT 30
+),
+dt AS (
+  SELECT DISTINCT doc_id, token FROM tok
+  WHERE token IN (SELECT token FROM top)
+),
+pairs AS (
+  SELECT a.token AS term_a, b.token AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+)
+SELECT p.term_a, p.term_b, p.n_ab, ta.df AS df_a, tb.df AS df_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+FROM pairs p
+JOIN top ta ON ta.token = p.term_a
+JOIN top tb ON tb.token = p.term_b
 """,
         # per-user Fano-factor components over active-hour counts
         "events_burstiness": """

@@ -3101,6 +3101,87 @@ def events_burstiness(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def term_cooccurrence(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """Document co-occurrence counts between the top-k DF terms, with the
+    marginals a PMI / association-score consumer needs: for every ordered
+    pair (term_a < term_b) of the top-k vocabulary, the number of documents
+    containing BOTH, plus each term's global document frequency and the
+    corpus size — PMI = log(n_ab * n_docs / (df_a * df_b)) downstream; the
+    operator ships only exact integers.
+
+    Shape: the top-k vocabulary comes from the existing top_terms_df cut
+    (deterministic df-desc/token-asc tie-break, shared with its oracle) and
+    BROADCASTS (k strings); each batch builds its docs x k membership
+    matrix and contributes ONE k x k co-occurrence partial (a boolean
+    matmul) — the shuffle moves k^2-row partials, never doc-term pairs.
+    A <= k^2-key generic groupby sums (bounded, so the generic aggregate is
+    the right tier here). Output: (term_a, term_b, n_ab, df_a, df_b,
+    n_docs), pairs with n_ab = 0 omitted on both engines."""
+    from ray.data.aggregate import Sum
+
+    top = top_terms_df(sf_dir, k)  # pandas (token, df), deterministic order
+    vocab = top["token"].to_numpy()
+    dfs = top["df"].to_numpy().astype(np.int64)
+    order = np.argsort(vocab)  # lexicographic, matches SQL binary collation
+    vocab_sorted = vocab[order]
+    dfs_sorted = dfs[order]
+    vocab_ref = ray.put(vocab_sorted)
+    n_docs = int(_docs(sf_dir).count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as _bget
+
+        vs = _bget(vocab_ref)
+        kk = len(vs)
+        flat, doc_of = _doc_tokens(batch["text"].to_pandas())
+        if len(flat) == 0:
+            return pa.table(
+                {"ia": pa.array([], type=pa.int64()),
+                 "ib": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        pos = np.searchsorted(vs, flat)
+        pos_c = np.clip(pos, 0, kk - 1)
+        hit = vs[pos_c] == flat
+        n_rows = int(doc_of.max()) + 1 if len(doc_of) else 0
+        m = np.zeros((n_rows, kk), dtype=np.int64)
+        m[doc_of[hit], pos_c[hit]] = 1
+        co = m.T @ m  # k x k integer co-occurrence partial
+        ia, ib = np.triu_indices(kk, k=1)
+        n = co[ia, ib]
+        keep = n > 0
+        return pa.table(
+            {
+                "ia": pa.array(ia[keep].astype(np.int64)),
+                "ib": pa.array(ib[keep].astype(np.int64)),
+                "n": pa.array(n[keep]),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ia", "ib"])
+        .aggregate(Sum("n", alias_name="n_ab"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ia = np.asarray(batch["ia"], dtype=np.int64)
+        ib = np.asarray(batch["ib"], dtype=np.int64)
+        return pa.table(
+            {
+                "term_a": pa.array(vocab_sorted[ia].astype(str)),
+                "term_b": pa.array(vocab_sorted[ib].astype(str)),
+                "n_ab": batch["n_ab"],
+                "df_a": pa.array(dfs_sorted[ia]),
+                "df_b": pa.array(dfs_sorted[ib]),
+                "n_docs": pa.array(np.full(len(ia), n_docs, dtype=np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
 
 
