@@ -1435,6 +1435,15 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(dup_documents(sf_dir), threshold=0.5)
 
 
+def _q_image_dedup_savings(sf_dir: str):
+    """Caption-exact dedup what-if over the dup corpus (stages/dedup.py::
+    image_dedup_savings): metadata-only, bucketed mixed-op reduce."""
+    from simple_osm_queries_ray.sources.dup_docs import dup_documents
+    from simple_osm_queries_ray.stages.dedup import image_dedup_savings
+
+    return image_dedup_savings(dup_documents(sf_dir))
+
+
 def _q_doc_novelty(sf_dir: str):
     """Per-doc novel-trigram counts over the dup corpus (stages/dedup.py::
     doc_novelty): one gram-keyed shuffle, per-bucket lexsort, all-integer."""
@@ -2437,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_novelty": _q_doc_novelty,
+        "image_dedup_savings": _q_image_dedup_savings,
         "dedup_groups": _q_dedup_groups,
         "dedup_keep_best": _q_dedup_keep_best,
         "embed_near_dup": _q_embed_near_dup,
@@ -4609,6 +4619,29 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
+        # caption-exact dedup what-if: keep-largest per caption group, the
+        # raw-codec size formula shared with image_shards
+        "image_dedup_savings": f"""
+WITH {DUP_DOCS_SQL},
+s AS (
+  SELECT text,
+         CAST(9 + 3 * (8 + (id % 5) * 8) * (8 + (id % 7) * 4) AS BIGINT)
+           AS size
+  FROM dup_docs
+),
+g AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(size) AS BIGINT) AS ss, CAST(MAX(size) AS BIGINT) AS ms
+  FROM s GROUP BY text
+)
+SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dup_groups,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN ss - ms ELSE 0 END), 0) AS BIGINT)
+         AS bytes_saved
+FROM g
+""",
         # novelty = grams whose corpus-wide first occurrence is this doc
         "doc_novelty": f"""
 WITH {DUP_DOCS_SQL},

@@ -1131,6 +1131,81 @@ def source_caption_overlap(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(to_names, batch_format="pyarrow")
 
 
+def image_dedup_savings(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Storage-savings report for caption-exact image dedup: treating each
+    row as an image whose payload size follows the corpus's raw-codec
+    accounting (9-byte header + 3 bytes/pixel, dims derived from the id —
+    the image_shards formula), group rows by EXACT caption and report how
+    many duplicate groups exist, how many rows dedup would drop (keeping
+    the largest payload per group) and the exact bytes reclaimed — the
+    what-if a curation pipeline costs before committing to a dedup pass.
+    All-integer. Output one row: (n_dup_groups, n_dropped, bytes_saved).
+
+    Shape: per-batch (128-bit caption hash, n=1, size, size) partials ->
+    one bucketed mixed-op reduce (sum n, sum size, max size) at
+    caption-cardinality keys -> a single tiny final fold. Captions never
+    shuffle; payload bytes are never read at all (metadata-only tier)."""
+    from .group_collect import bucketed_reduce
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype=object)
+        h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456")
+        h2 = pd.util.hash_pandas_object(s, index=False, hash_key="6543210987654321")
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        w = 8 + (ids % 5) * 8
+        h = 8 + (ids % 7) * 4
+        size = 9 + 3 * w * h
+        return pa.table(
+            {
+                "h1": pa.array(h1.to_numpy().astype(np.int64)),
+                "h2": pa.array(h2.to_numpy().astype(np.int64)),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "ss": pa.array(size),
+                "ms": pa.array(size),
+            }
+        )
+
+    groups = bucketed_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"n": "sum", "ss": "sum", "ms": "max"},
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        ss = np.asarray(batch["ss"], dtype=np.int64)
+        ms = np.asarray(batch["ms"], dtype=np.int64)
+        dup = n > 1
+        return pa.table(
+            {
+                "g": pa.array([np.int64(dup.sum())]),
+                "d": pa.array([np.int64((n[dup] - 1).sum())]),
+                "b": pa.array([np.int64((ss[dup] - ms[dup]).sum())]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        groups.map_batches(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_dup_groups": pa.array(
+                        [np.int64(np.asarray(t["g"]).sum())]
+                    ),
+                    "n_dropped": pa.array([np.int64(np.asarray(t["d"]).sum())]),
+                    "bytes_saved": pa.array([np.int64(np.asarray(t["b"]).sum())]),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return out
+
+
 def doc_novelty(ds: ray.data.Dataset, *, num_buckets: int = 64) -> ray.data.Dataset:
     """Per-document novelty score over the corpus's doc-id order: of each
     document's DISTINCT token-3-grams, how many first appear in THIS
