@@ -2172,6 +2172,15 @@ def _q_orders_concurrency_peak(sf_dir: str):
     return orders_concurrency_peak(sf_dir)
 
 
+def _q_nation_trade_matrix(sf_dir: str):
+    """25 x 25 cust-nation x supp-nation revenue matrix (pipelines/
+    relational.py::nation_trade_matrix): broadcast dimension chains,
+    bounded-key rollup — TPC-H Q7's shape generalized."""
+    from simple_osm_queries_ray.pipelines.relational import nation_trade_matrix
+
+    return nation_trade_matrix(sf_dir)
+
+
 def _q_supplier_hhi(sf_dir: str):
     """Revenue-concentration (HHI) components per nation in exact integers
     (pipelines/relational.py::supplier_hhi): bucketed per-supplier revenue,
@@ -2506,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_mad": _q_orders_price_mad,
         "orders_concurrency_peak": _q_orders_concurrency_peak,
         "supplier_hhi": _q_supplier_hhi,
+        "nation_trade_matrix": _q_nation_trade_matrix,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "orders_rollup": _q_orders_rollup,
         "orders_per_nation": _q_orders_per_nation,
@@ -5754,6 +5764,20 @@ SELECT b.l_orderkey AS o_orderkey, b.sum_qty,
        CAST(o.o_custkey AS BIGINT) AS o_custkey,
        CAST(datediff('day', TIMESTAMP '1970-01-01', o.o_orderdate) AS BIGINT) AS o_days
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""",
+        # trade-flow matrix: Q7 shape over all nation pairs, integer hc
+        "nation_trade_matrix": """
+SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_hc
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY nc.n_name, ns.n_name
 """,
         # HHI components in exact integers: revenue floors to whole dollars
         # (r_hc // 10^4, identical integer op) before squaring

@@ -1144,3 +1144,95 @@ def supplier_hhi(sf_dir: str) -> ray.data.Dataset:
             Sum("sum_rd2", alias_name="sum_rd2"),
         )
     )
+
+
+def nation_trade_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Revenue matrix between customer nations and supplier nations — the
+    trade-flow rollup (TPC-H Q7's shape generalized to the full 25 x 25
+    matrix instead of one nation pair). Revenue accumulates in exact
+    integer hundredths-of-cents.
+
+    Shape: lineitem is the only big scan; both dimension chains
+    (orderkey -> custkey -> nation, suppkey -> nation) broadcast as sorted
+    int arrays (orders is ~1/4 the lineitem rows and two int64 columns —
+    ~2 MB at sf0.1; at a scale where orders outgrows broadcast, attach the
+    customer nation by the partitioned int64 hash join instead, same
+    output). Per-batch (cn, sn) partials -> <= 625-key generic groupby
+    (bounded, the right tier). Output: (cust_nation, supp_nation,
+    revenue_hc)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    ok = np.asarray(orders["o_orderkey"], dtype=np.int64)
+    oc = np.asarray(orders["o_custkey"], dtype=np.int64)
+    oo = np.argsort(ok)
+    ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cn = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    co = np.argsort(ck)
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    sn = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    so = np.argsort(sk)
+    # orderkey -> customer nation, resolved once driver-side (all int gathers)
+    cust_nation_of_order = cn[co][np.searchsorted(ck[co], oc[oo])]
+    lookup_ref = ray.put((ok[oo], cust_nation_of_order, sk[so], sn[so]))
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    no = np.argsort(nk)
+    names_ref = ray.put((nk[no], nat["n_name"].to_numpy(zero_copy_only=False)[no]))
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok_s, ocn, sk_s, snk = bget(lookup_ref)
+        lo = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        ls = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        cn_b = ocn[np.searchsorted(ok_s, lo)]  # FKs always resolve
+        sn_b = snk[np.searchsorted(sk_s, ls)]
+        price_c = _cents(batch["l_extendedprice"])
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc)
+        key = cn_b * np.int64(64) + sn_b  # nationkey < 25
+        u, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "cn": pa.array(u // 64),
+                "sn": pa.array(u % 64),
+                "rev": pa.array(acc),
+            }
+        )
+
+    agg = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cn", "sn"])
+        .aggregate(Sum("rev", alias_name="revenue_hc"))
+    )
+
+    def names(batch: pa.Table) -> pa.Table:
+        nk_s, nname = bget(names_ref)
+        cn_b = np.asarray(batch["cn"], dtype=np.int64)
+        sn_b = np.asarray(batch["sn"], dtype=np.int64)
+        return pa.table(
+            {
+                "cust_nation": pa.array(
+                    nname[np.searchsorted(nk_s, cn_b)].astype(str)
+                ),
+                "supp_nation": pa.array(
+                    nname[np.searchsorted(nk_s, sn_b)].astype(str)
+                ),
+                "revenue_hc": batch["revenue_hc"],
+            }
+        )
+
+    return agg.map_batches(names, batch_format="pyarrow")
