@@ -2163,6 +2163,50 @@ def _q_tpch_q12(sf_dir: str):
     return q12_priority_by_flag(sf_dir)
 
 
+def _q_tpch_q10_topk(sf_dir: str):
+    """TPC-H Q10 shape (pipelines/relational.py::q10_returned_item_revenue):
+    two chained bucketed key-sums (order -> customer) over returned-item
+    revenue partials; customer metadata attaches to the top-20 only."""
+    from simple_osm_queries_ray.pipelines.relational import q10_returned_item_revenue
+
+    return q10_returned_item_revenue(sf_dir)
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (pipelines/relational.py::q13_customer_distribution):
+    order counts per customer with the LEFT-join zero-count subtlety, then a
+    tiny count-of-counts histogram."""
+    from simple_osm_queries_ray.pipelines.relational import q13_customer_distribution
+
+    return q13_customer_distribution(sf_dir)
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (pipelines/relational.py::q15_top_supplier): quarterly
+    revenue per supplier, winners = argmax in exact integer cents (ties all
+    surface, ordered by key)."""
+    from simple_osm_queries_ray.pipelines.relational import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (pipelines/relational.py::q17_small_quantity_revenue):
+    correlated AVG decorrelated to per-part (sum, n) + cleared-denominator
+    integer comparison; two streaming passes, zero row shuffles."""
+    from simple_osm_queries_ray.pipelines.relational import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (pipelines/relational.py::q22_global_sales_opportunity):
+    scalar-AVG broadcast as (sum, n) + anti-join against order custkeys."""
+    from simple_osm_queries_ray.pipelines.relational import q22_global_sales_opportunity
+
+    return q22_global_sales_opportunity(sf_dir)
+
+
 def _q_orders_concurrency_peak(sf_dir: str):
     """Sweep-line interval-overlap maximum (pipelines/relational.py::
     orders_concurrency_peak): per-order aggregate-then-join, (day, delta)
@@ -2512,6 +2556,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
+        "tpch_q10_topk": _q_tpch_q10_topk,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
         "orders_price_mad": _q_orders_price_mad,
         "orders_concurrency_peak": _q_orders_concurrency_peak,
         "supplier_hhi": _q_supplier_hhi,
@@ -5890,6 +5939,97 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
 GROUP BY l.l_returnflag
+""",
+        # Q10 shape: returned-item revenue per customer over an order window,
+        # top 20, revenue in exact hundredths-of-a-cent, ties by custkey
+        "tpch_q10_topk": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_hc
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, rev.revenue_hc,
+       CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS acctbal_cents, n.n_name
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.revenue_hc DESC, c.c_custkey
+LIMIT 20
+""",
+        # Q13 shape: count-of-counts including zero-order customers;
+        # priority exclusion stands in for the classic comment NOT LIKE
+        "tpch_q13": """
+WITH pc AS (
+  SELECT c.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+""",
+        # Q15 shape: supplier(s) with max quarterly revenue (exact integer
+        # hundredths-of-a-cent so the argmax is deterministic; ties surface)
+        "tpch_q15": """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_revenue_hc
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_hc
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_hc = (SELECT MAX(total_revenue_hc) FROM r)
+ORDER BY s.s_suppkey
+""",
+        # Q17 shape: cleared-denominator integer comparison
+        # (5*qty*n < sum_qty <=> qty < 0.2*avg), brand subset
+        "tpch_q17": """
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand IN ('Brand#11', 'Brand#12')
+),
+st AS (
+  SELECT l.l_partkey,
+         SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+  GROUP BY l.l_partkey
+)
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)), 0) AS BIGINT)
+         AS total_small_qty_cents
+FROM lineitem l
+JOIN st ON st.l_partkey = l.l_partkey
+WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * st.n < st.s
+""",
+        # Q22 shape: above-positive-average balance (cleared denominator) and
+        # no urgent order (anti-join on the urgent subset), per nation subset
+        "tpch_q22": """
+WITH sub AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)
+),
+st AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN bal_c > 0 THEN bal_c END), 0) AS BIGINT) AS s,
+         CAST(COUNT(CASE WHEN bal_c > 0 THEN 1 END) AS BIGINT) AS n
+  FROM sub
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents
+FROM sub, st
+WHERE bal_c * st.n > st.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = sub.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """

@@ -1236,3 +1236,408 @@ def nation_trade_matrix(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(names, batch_format="pyarrow")
+
+
+def q10_returned_item_revenue(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    k: int = 20,
+) -> "pd.DataFrame":
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    per customer over one order window, top-k customers.
+
+    Plan (generalizes the reference's aggregate-then-join discipline,
+    ``src/query/executor.go`` semantics): lineitem prunes to 4 columns and
+    pre-aggregates returned revenue per ORDER inside each batch (integer
+    cents) — the big table never shuffles rows, only (orderkey, cents)
+    partials through :func:`_bucketed_key_sum`. The windowed orders map
+    orderkey -> custkey via one broadcast int-gather (orders is 1:40 of
+    lineitem; at real scale swap to hash_join_attach — same output), a
+    second bucketed sum rolls up per customer, and customer metadata
+    attaches only to the surviving top-k rows driver-side. Deterministic
+    tie-break (revenue DESC, c_custkey ASC). Output: (c_custkey, c_name,
+    revenue_cents, acctbal_cents, n_name)."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "D").astype(np.int64)
+    hi = np.datetime64(date_hi, "D").astype(np.int64)
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    odays = np.asarray(orders["o_orderdate"], dtype="datetime64[D]").astype(np.int64)
+    win = (odays >= lo) & (odays < hi)
+    ok = np.asarray(orders["o_orderkey"], dtype=np.int64)[win]
+    oc = np.asarray(orders["o_custkey"], dtype=np.int64)[win]
+    so = np.argsort(ok)
+    win_ref = ray.put((ok[so], oc[so]))
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["l_returnflag"], "R")
+        okb = np.asarray(batch["l_orderkey"], dtype=np.int64)[np.asarray(keep)]
+        price_c = _cents(batch["l_extendedprice"])[np.asarray(keep)]
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64)[np.asarray(keep)] * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc)  # cents x 100 (exact hundredths of a cent)
+        u, inv = np.unique(okb, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"k": pa.array(u), "rev": pa.array(acc)})
+
+    per_order = _bucketed_key_sum(
+        line.map_batches(returned_partial, batch_format="pyarrow"), "k", ["rev"]
+    )
+
+    def to_customer(batch: pa.Table) -> pa.Table:
+        ok_s, oc_s = bget(win_ref)
+        kb = np.asarray(batch["k"], dtype=np.int64)
+        pos = np.searchsorted(ok_s, kb)
+        inside = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == kb)
+        cust = oc_s[pos[inside]]
+        rev = np.asarray(batch["rev"], dtype=np.int64)[inside]
+        u, inv = np.unique(cust, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"k": pa.array(u), "rev": pa.array(acc)})
+
+    per_cust = _bucketed_key_sum(
+        per_order.map_batches(to_customer, batch_format="pyarrow"), "k", ["rev"]
+    )
+
+    # top-k: per-batch partial top-k, tiny driver reduce; ties by custkey asc
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        kb = np.asarray(batch["k"], dtype=np.int64)
+        rev = np.asarray(batch["rev"], dtype=np.int64)
+        order = np.lexsort((kb, -rev))[:k]
+        return pa.table({"k": pa.array(kb[order]), "rev": pa.array(rev[order])})
+
+    head = per_cust.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(["rev", "k"], ascending=[False, True]).head(k)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cs = np.argsort(ck)
+    pos = cs[np.searchsorted(ck[cs], head["k"].to_numpy())]
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    ns = np.argsort(nk)
+    cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)[pos]
+    out = pd.DataFrame(
+        {
+            "c_custkey": head["k"].to_numpy(),
+            "c_name": cust["c_name"].to_numpy(zero_copy_only=False)[pos].astype(str),
+            "revenue_hc": head["rev"].to_numpy(),
+            "acctbal_cents": _cents(cust["c_acctbal"])[pos],
+            "n_name": nat["n_name"].to_numpy(zero_copy_only=False)[ns][
+                np.searchsorted(nk[ns], cnat)
+            ].astype(str),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def q13_customer_distribution(
+    sf_dir: str, excl_priority: str = "1-URGENT"
+) -> ray.data.Dataset:
+    """TPC-H Q13 shape (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers (the left-join subtlety that
+    makes Q13 interesting; the sandbox schema has no comment column, so the
+    classic NOT LIKE 'special requests' filter becomes an order-priority
+    exclusion).
+
+    Plan: orders prune to (custkey, priority), filter vectorized, count per
+    custkey through :func:`_bucketed_key_sum`; customers LEFT-attach their
+    count by partitioned int64 hash join (zero-order customers surface as
+    null -> 0); the final histogram is a tiny two-column groupby. Output:
+    (c_count, custdist)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.not_equal(batch["o_orderpriority"], excl_priority))
+        cust = np.asarray(batch["o_custkey"], dtype=np.int64)[keep]
+        u, counts = np.unique(cust, return_counts=True)
+        return pa.table({"k": pa.array(u), "n": pa.array(counts.astype(np.int64))})
+
+    per_cust = _bucketed_key_sum(
+        orders.map_batches(count_partial, batch_format="pyarrow"), "k", ["n"]
+    )
+
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    attached = hash_join_attach(
+        cust,
+        "c_custkey",
+        per_cust.rename_columns({"k": "c_custkey"}),
+        "c_custkey",
+        {"n": pa.int64()},
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(pc.fill_null(batch["n"], 0), dtype=np.int64)
+        u, counts = np.unique(n, return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(u), "d": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        attached.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("d", alias_name="custdist"))
+    )
+
+
+def q15_top_supplier(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+) -> "pd.DataFrame":
+    """TPC-H Q15 shape (top supplier): revenue per supplier over a quarter,
+    return the supplier(s) achieving the global maximum (the classic
+    view + scalar-subquery query, decorrelated to max-then-filter).
+
+    Plan: lineitem prunes to 4 columns, per-batch (suppkey, cents) partials
+    feed one bucketed sum (suppliers are few, but the pattern is the
+    scale-safe one); the global max is a driver reduce over the tiny
+    per-supplier table and the name attach touches only winners. Exact
+    integer cents make 'equals the max' deterministic — ties all surface,
+    ordered by s_suppkey. Output: (s_suppkey, s_name, total_revenue_hc)."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_lo, "D").astype(np.int64)
+    hi = np.datetime64(date_hi, "D").astype(np.int64)
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch["l_shipdate"], dtype="datetime64[D]").astype(np.int64)
+        keep = (days >= lo) & (days < hi)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)[keep]
+        price_c = _cents(batch["l_extendedprice"])[keep]
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64)[keep] * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc)
+        u, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"k": pa.array(u), "rev": pa.array(acc)})
+
+    per_supp = _bucketed_key_sum(
+        line.map_batches(partial, batch_format="pyarrow"), "k", ["rev"]
+    ).to_pandas()
+
+    best = per_supp["rev"].max()
+    winners = per_supp[per_supp["rev"] == best].sort_values("k")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    ss = np.argsort(sk)
+    pos = ss[np.searchsorted(sk[ss], winners["k"].to_numpy())]
+    return pd.DataFrame(
+        {
+            "s_suppkey": winners["k"].to_numpy(),
+            "s_name": supp["s_name"].to_numpy(zero_copy_only=False)[pos].astype(str),
+            "total_revenue_hc": winners["rev"].to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brands: tuple[str, ...] = ("Brand#11", "Brand#12")
+) -> "pd.DataFrame":
+    """TPC-H Q17 shape (small-quantity-order revenue): total price of
+    lineitems whose quantity is below 20% of the part's average quantity,
+    over a brand subset (the sandbox schema has no container column).
+
+    The correlated scalar subquery AVG(l_quantity) decorrelates to one
+    per-part (sum_qty, n) pass; the comparison clears the denominator —
+    5 * qty * n < sum_qty — so both engines compare exact integers (the
+    synthetic quantities are whole numbers; ROUND guards regardless).
+    Plan: brand part-keys broadcast (tiny), lineitem prunes to 3 columns
+    and passes twice (sum/count partials, then the filtered revenue sum) —
+    two streaming passes, no row shuffle at all. Output: one row
+    (avg_yearly_hc = total cents-x-100 of qualifying lineitems)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_mask = np.isin(part["p_brand"].to_numpy(zero_copy_only=False), list(brands))
+    pkeys = np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[brand_mask])
+    pk_ref = ray.put(pkeys)
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def in_brand(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        pk = bget(pk_ref)
+        lp = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.searchsorted(pk, lp)
+        hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == lp)
+        return lp, hit
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        lp, hit = in_brand(batch)
+        qty = np.round(np.asarray(batch["l_quantity"], dtype=np.float64)[hit]).astype(
+            np.int64
+        )
+        u, inv = np.unique(lp[hit], return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        c = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, qty)
+        np.add.at(c, inv, 1)
+        return pa.table({"k": pa.array(u), "s": pa.array(s), "c": pa.array(c)})
+
+    per_part = _bucketed_key_sum(
+        line.map_batches(qty_partial, batch_format="pyarrow"), "k", ["s", "c"]
+    ).to_pandas()
+    ppk = per_part["k"].to_numpy()
+    order = np.argsort(ppk)
+    stats_ref = ray.put(
+        (ppk[order], per_part["s"].to_numpy()[order], per_part["c"].to_numpy()[order])
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pk_s, sum_q, n_q = bget(stats_ref)
+        lp, hit = in_brand(batch)
+        if not hit.any():
+            return pa.table({"rev": pa.array([np.int64(0)])})
+        lp_h = lp[hit]
+        qty = np.round(np.asarray(batch["l_quantity"], dtype=np.float64)[hit]).astype(
+            np.int64
+        )
+        price_c = _cents(batch["l_extendedprice"])[hit]
+        pos = np.searchsorted(pk_s, lp_h)
+        small = 5 * qty * n_q[pos] < sum_q[pos]
+        return pa.table({"rev": pa.array([np.int64(price_c[small].sum())])})
+
+    total = (
+        line.map_batches(rev_partial, batch_format="pyarrow")
+        .sum("rev")
+    )
+    return pd.DataFrame({"total_small_qty_cents": [np.int64(total)]})
+
+
+def q22_global_sales_opportunity(
+    sf_dir: str, nationkeys: tuple[int, ...] = (1, 3, 5, 7, 9, 11, 13)
+) -> ray.data.Dataset:
+    """TPC-H Q22 shape (global sales opportunity): customers from a nation
+    subset (stand-in for the classic phone-prefix filter) whose balance
+    exceeds the average POSITIVE balance of that subset and who have NO
+    orders, rolled up per nation.
+
+    Two decorrelations in one query: the scalar AVG broadcasts as the
+    cleared-denominator pair (sum_cents, n) so the comparison
+    bal_c * n > sum_c is integer-exact, and NOT EXISTS(orders) is an
+    anti-join — custkeys with any order attach a flag via partitioned int64
+    hash join and survivors are the nulls. Customer is the small table but
+    both sides stream; nothing beyond the 2-int scalar broadcasts. Output:
+    (c_nationkey, numcust, totacctbal_cents)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    nk = np.array(sorted(nationkeys), dtype=np.int64)
+
+    def subset(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        keep = np.isin(cn, nk)
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.asarray(batch["c_custkey"], dtype=np.int64)[keep]),
+                "c_nationkey": pa.array(cn[keep]),
+                "bal_c": pa.array(_cents(batch["c_acctbal"])[keep]),
+            }
+        )
+
+    sub = cust.map_batches(subset, batch_format="pyarrow").materialize()
+
+    def avg_partial(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(batch["bal_c"], dtype=np.int64)
+        pos = bal > 0
+        return pa.table(
+            {
+                "s": pa.array([np.int64(bal[pos].sum())]),
+                "n": pa.array([np.int64(pos.sum())]),
+            }
+        )
+
+    stats = sub.map_batches(avg_partial, batch_format="pyarrow").to_pandas().sum()
+    sum_c, n_pos = np.int64(stats["s"]), np.int64(stats["n"])
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def order_flag(batch: pa.Table) -> pa.Table:
+        urgent = np.asarray(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        u = np.unique(np.asarray(batch["o_custkey"], dtype=np.int64)[urgent])
+        return pa.table({"k": pa.array(u), "f": pa.array(np.ones(len(u), np.int64))})
+
+    # per-custkey dedup first (bucketed max==presence), then the anti-attach
+    has_order = _bucketed_key_sum(
+        orders.map_batches(order_flag, batch_format="pyarrow"), "k", ["f"]
+    )
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(batch["bal_c"], dtype=np.int64)
+        return batch.filter(pa.array(bal * n_pos > sum_c))
+
+    attached = hash_join_attach(
+        sub.map_batches(above_avg, batch_format="pyarrow"),
+        "c_custkey",
+        has_order.rename_columns({"k": "c_custkey"}),
+        "c_custkey",
+        {"f": pa.int64()},
+    )
+
+    def roll(batch: pa.Table) -> pa.Table:
+        no_order = np.asarray(pc.is_null(batch["f"]))
+        cn = np.asarray(batch["c_nationkey"], dtype=np.int64)[no_order]
+        bal = np.asarray(batch["bal_c"], dtype=np.int64)[no_order]
+        u, inv = np.unique(cn, return_inverse=True)
+        nsum = np.zeros(len(u), dtype=np.int64)
+        cnt = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nsum, inv, bal)
+        np.add.at(cnt, inv, 1)
+        return pa.table(
+            {"c_nationkey": pa.array(u), "nc": pa.array(cnt), "tb": pa.array(nsum)}
+        )
+
+    out = (
+        attached.map_batches(roll, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("nc", alias_name="numcust"), Sum("tb", alias_name="totacctbal_cents"))
+        .to_pandas()
+    )
+    if out.empty:
+        # a 0-row Ray Dataset drops its schema in to_pandas (same class as
+        # heavy_hitter_users); at tiny scale every subset customer can have
+        # orders, so pin the columns explicitly
+        out = pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype=np.int64),
+                "numcust": pd.Series([], dtype=np.int64),
+                "totacctbal_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out
