@@ -403,19 +403,23 @@ class QueryEngine:
                 {"__outer": np.unique(np.asarray(batch["__outer"], dtype=np.int64))}
             )
 
-        hits = (
-            hit_edges.map_batches(batch_distinct, batch_format="pyarrow")
-            .groupby("__outer")
-            .count()
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "__outer": b["__outer"],
-                        flag_col: pa.array(np.ones(len(b), dtype=np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+        from ..stages.group_collect import bucketed_distinct
+
+        # hit-outer cardinality is corpus-scaled in exactly the regime this
+        # fallback exists for (> broadcast_id_limit matches) — dedup through
+        # the bucketed reduce, not the generic per-group aggregate
+        hits = bucketed_distinct(
+            hit_edges.map_batches(batch_distinct, batch_format="pyarrow"),
+            ["__outer"],
+            num_buckets=num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "__outer": b["__outer"],
+                    flag_col: pa.array(np.ones(len(b), dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
         )
         return hash_join_attach(
             candidates, "id", hits, "__outer", {flag_col: pa.int8()},

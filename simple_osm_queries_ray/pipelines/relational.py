@@ -34,36 +34,25 @@ def _bucketed_key_sum(
     num_buckets: int = 32,
     having_min: tuple[str, int] | None = None,
 ) -> ray.data.Dataset:
-    """Sum ``val_cols`` per int64 ``key`` via hash-bucket + one vectorized
-    np.add.at per bucket — the high-cardinality replacement for
-    ``groupby(key).aggregate(Sum)`` (see _per_order_max_ship_days: the
-    generic aggregate costs ~8 s at 147 k keys where this is ~0.5 s).
-    ``having_min=(col, m)`` filters groups to col > m inside the bucket
-    (valid: a bucket holds every row of its keys)."""
+    """Sum ``val_cols`` per int64 ``key`` — thin wrapper over the shared
+    :func:`..stages.group_collect.bucketed_sum` (ONE implementation of the
+    high-cardinality bucketed-reduce discipline to maintain; the generic
+    ``groupby(key).aggregate(Sum)`` costs ~8 s at 147 k keys where this is
+    ~0.5 s). ``having_min=(col, m)`` post-filters groups to col > m —
+    equivalent to the in-bucket HAVING since every group is fully reduced."""
+    from ..stages.group_collect import bucketed_sum
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch[key], dtype=np.int64)
-        b = np.abs((k * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
-        return batch.append_column("__bucket", pa.array(b.astype(np.int64)))
+    out = bucketed_sum(ds, [key], val_cols, num_buckets=num_buckets)
+    if having_min is not None:
+        col, m = having_min
 
-    def per_bucket(tbl: pa.Table) -> pa.Table:
-        k = np.asarray(tbl[key], dtype=np.int64)
-        u, inv = np.unique(k, return_inverse=True)
-        out = {key: u}
-        for c in val_cols:
-            acc = np.zeros(len(u), dtype=np.int64)
-            np.add.at(acc, inv, np.asarray(tbl[c], dtype=np.int64))
-            out[c] = acc
-        if having_min is not None:
-            keep = out[having_min[0]] > having_min[1]
-            out = {c: v[keep] for c, v in out.items()}
-        return pa.table({c: pa.array(v) for c, v in out.items()})
+        def having(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater(batch[col], pa.scalar(m, batch[col].type))
+            )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+        out = out.map_batches(having, batch_format="pyarrow")
+    return out
 
 
 def q1_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> ray.data.Dataset:
@@ -1297,6 +1286,9 @@ def q10_returned_item_revenue(
 
     def to_customer(batch: pa.Table) -> pa.Table:
         ok_s, oc_s = bget(win_ref)
+        empty = pa.table({"k": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())})
+        if len(ok_s) == 0:  # window matched no orders
+            return empty
         kb = np.asarray(batch["k"], dtype=np.int64)
         pos = np.searchsorted(ok_s, kb)
         inside = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == kb)
@@ -1319,6 +1311,10 @@ def q10_returned_item_revenue(
         return pa.table({"k": pa.array(kb[order]), "rev": pa.array(rev[order])})
 
     head = per_cust.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    if head.empty:  # 0-row Dataset drops schema in to_pandas
+        head = pd.DataFrame(
+            {"k": pd.Series([], dtype=np.int64), "rev": pd.Series([], dtype=np.int64)}
+        )
     head = head.sort_values(["rev", "k"], ascending=[False, True]).head(k)
 
     cust = pq.read_table(
@@ -1488,6 +1484,8 @@ def q17_small_quantity_revenue(
     def in_brand(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         pk = bget(pk_ref)
         lp = np.asarray(batch["l_partkey"], dtype=np.int64)
+        if len(pk) == 0:  # no part carries the brand subset
+            return lp, np.zeros(len(lp), dtype=bool)
         pos = np.searchsorted(pk, lp)
         hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == lp)
         return lp, hit
@@ -1507,11 +1505,15 @@ def q17_small_quantity_revenue(
     per_part = _bucketed_key_sum(
         line.map_batches(qty_partial, batch_format="pyarrow"), "k", ["s", "c"]
     ).to_pandas()
-    ppk = per_part["k"].to_numpy()
-    order = np.argsort(ppk)
-    stats_ref = ray.put(
-        (ppk[order], per_part["s"].to_numpy()[order], per_part["c"].to_numpy()[order])
-    )
+    if per_part.empty:  # 0-row Dataset drops schema in to_pandas
+        z = np.array([], dtype=np.int64)
+        stats_ref = ray.put((z, z, z))
+    else:
+        ppk = per_part["k"].to_numpy()
+        order = np.argsort(ppk)
+        stats_ref = ray.put(
+            (ppk[order], per_part["s"].to_numpy()[order], per_part["c"].to_numpy()[order])
+        )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         pk_s, sum_q, n_q = bget(stats_ref)
@@ -1536,7 +1538,7 @@ def q17_small_quantity_revenue(
 
 def q22_global_sales_opportunity(
     sf_dir: str, nationkeys: tuple[int, ...] = (1, 3, 5, 7, 9, 11, 13)
-) -> ray.data.Dataset:
+) -> "pd.DataFrame":
     """TPC-H Q22 shape (global sales opportunity): customers from a nation
     subset (stand-in for the classic phone-prefix filter) whose balance
     exceeds the average POSITIVE balance of that subset and who have NO

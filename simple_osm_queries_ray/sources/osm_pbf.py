@@ -357,7 +357,16 @@ def decode_primitive_block(data: bytes) -> pa.Table:
         tag_keys, tag_vals = tag_list_arrays(rel_keys, rel_vals, n)
         md, mc = _decode_packed_group(rel_mids)
         mem_flat = _segmented_cumsum(_zigzag_decode(md), mc)
-        tp, _ = _decode_packed_group(rel_types)
+        tp, tc = _decode_packed_group(rel_types)
+        if len(tp) != len(mem_flat) or not np.array_equal(tc, mc):
+            # a memids payload without a matching-length types payload is
+            # malformed input; fail with the offending relation ids rather
+            # than letting a shape-mismatched boolean mask kill the block
+            bad = np.asarray(rel_ids, dtype=np.int64)[tc != mc] if len(tc) == len(mc) else np.asarray(rel_ids, dtype=np.int64)
+            raise ValueError(
+                f"PBF relation member types/memids length mismatch "
+                f"({len(tp)} types vs {len(mem_flat)} memids; relation ids {bad[:5].tolist()}...)"
+            )
         seg_idx = np.repeat(np.arange(n, dtype=np.int64), mc)
         nulls = pa.nulls(n, pa.float64())
         empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))

@@ -160,7 +160,13 @@ def embedding_near_dup_lsh(
         return pa.table({"id_a": pa.array(uniq[ia]), "id_b": pa.array(uniq[ib])})
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(verify_bucket, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    # a pair can verify in up to n_bands buckets; dedup through the bucketed
+    # reduce, not the generic groupby — pair cardinality scales with the
+    # corpus and this IS the designated at-scale path (generic aggregate is
+    # ~8 s at 150 k groups, minutes at millions; see group_collect)
+    from .group_collect import bucketed_distinct
+
+    return bucketed_distinct(pairs, ["id_a", "id_b"])
 
 
 #: corpora up to this many vectors take the exact all-pairs tier (the

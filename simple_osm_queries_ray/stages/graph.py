@@ -528,6 +528,18 @@ def proximity_bfs_multi(
     Same size-gated broadcast/hash discipline as :func:`proximity_bfs`."""
     edges = symmetric_edges(radius_join(ds, radius)).materialize()
     srcs = np.array(sorted(set(int(s) for s in source_ids)), dtype=np.int64)
+    # seed only sources that exist in the dataset — the SQL twin seeds
+    # FROM the node table, so a caller-passed id outside it must produce
+    # no (src, 0, src) phantom row; one streaming pass, srcs stay tiny
+    srcs_ref = ray.put(srcs)
+
+    def present(batch: pa.Table) -> pa.Table:
+        s = bget(srcs_ref)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        return pa.table({"src": pa.array(s[isin_sorted(s, np.sort(ids))])})
+
+    found = ds.select_columns(["id"]).map_batches(present, batch_format="pyarrow").to_pandas()
+    srcs = np.unique(found["src"].to_numpy()) if len(found) else srcs[:0]
     if ds.count() <= broadcast_limit:
         return _bfs_multi_broadcast(edges, srcs, max_rounds)
     return _bfs_multi_hash(edges, srcs, max_rounds)

@@ -126,7 +126,7 @@ def cms_user_counts(
     return pa.table({"user_id": p, "est": est.astype(np.int64), "exact": exact})
 
 
-def heavy_hitter_users(sf_dir: str, k: int = 64) -> "ray.data.Dataset":
+def heavy_hitter_users(sf_dir: str, k: int = 64) -> "pd.DataFrame":
     """EXACT heavy hitters in two streaming passes — the scalable form of
     "GROUP BY user HAVING count > n/k" that never shuffles the full key set:
 

@@ -246,6 +246,23 @@ def test_multi_bfs_hash_path_identical():
     assert bc == hashed
 
 
+def test_multi_bfs_nonexistent_source_produces_no_phantom_row():
+    """A source id absent from the node set must not surface as a
+    (src, 0, src) row — the SQL twin seeds FROM the node table."""
+    ids, lon, lat = _point_set()
+    ghost = int(ids.max()) + 999
+    srcs = [int(ids[0]), ghost]
+    ds = _dataset(ids, lon, lat)
+    got = _multi_to_dict(proximity_bfs_multi(ds, EPS, srcs, max_rounds=6))
+    assert ghost not in got
+    assert got == reference_multi_bfs(ids, lon, lat, EPS, [int(ids[0])], 6)
+    # hash path agrees
+    hashed = _multi_to_dict(
+        proximity_bfs_multi(ds, EPS, srcs, max_rounds=6, broadcast_limit=0)
+    )
+    assert hashed == got
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(random_points())
 def test_multi_bfs_property_random_graphs(pts):
