@@ -2207,6 +2207,16 @@ def _q_tpch_q22(sf_dir: str):
     return q22_global_sales_opportunity(sf_dir)
 
 
+def _q_dataset_version_diff(sf_dir: str):
+    """FULL-OUTER-JOIN-shaped version diff (pipelines/versioning.py): row
+    status census (added/changed/removed/same) between the documents table
+    and its deterministic synthetic next version, via one hash-bucket
+    shuffle + sorted-array compare per bucket."""
+    from simple_osm_queries_ray.pipelines.versioning import documents_version_diff
+
+    return documents_version_diff(sf_dir)
+
+
 def _q_orders_concurrency_peak(sf_dir: str):
     """Sweep-line interval-overlap maximum (pipelines/relational.py::
     orders_concurrency_peak): per-order aggregate-then-join, (day, delta)
@@ -2561,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
+        "dataset_version_diff": _q_dataset_version_diff,
         "orders_price_mad": _q_orders_price_mad,
         "orders_concurrency_peak": _q_orders_concurrency_peak,
         "supplier_hhi": _q_supplier_hhi,
@@ -6030,6 +6041,26 @@ WHERE bal_c * st.n > st.s
                   WHERE o.o_custkey = sub.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+""",
+        # FULL OUTER JOIN version diff: v2 is synthesized deterministically
+        # from documents (drop %17, perturb %13, add %19 at +10M ids)
+        "dataset_version_diff": """
+WITH v1 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END AS BIGINT)
+           AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, CAST(42 AS BIGINT) FROM documents WHERE doc_id % 19 = 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.n_chars <> v2.n_chars THEN 'changed'
+              ELSE 'same' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+) GROUP BY status
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """
