@@ -2217,6 +2217,23 @@ def _q_dataset_version_diff(sf_dir: str):
     return documents_version_diff(sf_dir)
 
 
+def _q_partition_checksums(sf_dir: str):
+    """Anti-entropy per-partition checksums (pipelines/versioning.py):
+    order-independent modular row hashes summed per id-range partition —
+    the verification face of the wave-resumable jobs."""
+    from simple_osm_queries_ray.pipelines.versioning import partition_checksums
+
+    return partition_checksums(sf_dir)
+
+
+def _q_events_debounce(sf_dir: str):
+    """Burst-dedup census (stages/text.py::events_debounce): LAG-gap
+    debounce per (user, type) chain, user-bucketed, vectorized chain scan."""
+    from simple_osm_queries_ray.stages.text import events_debounce
+
+    return events_debounce(sf_dir)
+
+
 def _q_orders_concurrency_peak(sf_dir: str):
     """Sweep-line interval-overlap maximum (pipelines/relational.py::
     orders_concurrency_peak): per-order aggregate-then-join, (day, delta)
@@ -2572,6 +2589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         "dataset_version_diff": _q_dataset_version_diff,
+        "partition_checksums": _q_partition_checksums,
+        "events_debounce": _q_events_debounce,
         "orders_price_mad": _q_orders_price_mad,
         "orders_concurrency_peak": _q_orders_concurrency_peak,
         "supplier_hhi": _q_supplier_hhi,
@@ -6061,6 +6080,28 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
               ELSE 'same' END AS status
   FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 ) GROUP BY status
+""",
+        # order-independent modular row-hash sums per id-range partition
+        "partition_checksums": """
+SELECT doc_id // 1000 AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((doc_id * 2654435761 + n_chars * 40503) % 4294967296) AS BIGINT)
+         AS checksum
+FROM documents GROUP BY part
+""",
+        # LAG-gap debounce per (user, type) chain; ties drop deterministically
+        "events_debounce": """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev > 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM e GROUP BY event_type
 """,
         # gap-based sessions: classic gaps-and-islands (LAG -> flag -> cumsum)
         "events_sessions": """

@@ -136,3 +136,44 @@ def documents_version_diff(sf_dir: str) -> ray.data.Dataset:
     """queries() face: diff the documents table against its synthetic next
     version. Output: (status, n) — 4 rows."""
     return version_diff_counts(_v1(sf_dir), _v2(sf_dir), "doc_id", "n_chars")
+
+
+def partition_checksums(
+    sf_dir: str, *, part_size: int = 1000
+) -> ray.data.Dataset:
+    """Anti-entropy checksums per id-range partition: (part, n_rows,
+    checksum) over the documents table, where part = doc_id // part_size —
+    the same contiguous-range partitioning the wave-resumable jobs use
+    (jobs/image_job.py), so a resumed run can be VERIFIED identical to an
+    uninterrupted one partition-by-partition without comparing rows.
+
+    Checksum = sum of (doc_id * 2654435761 + n_chars * 40503) % 2^32 per
+    partition — order-independent (addition commutes, so distributed batch
+    order cannot change it) and exactly reproducible in SQL (all
+    intermediates fit int64). Streaming partials + one bucketed sum; output
+    is O(#partitions)."""
+    from ..stages.group_collect import bucketed_sum
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n = np.asarray(batch["n_chars"], dtype=np.int64)
+        h = (ids * np.int64(2654435761) + n * np.int64(40503)) % np.int64(2**32)
+        part = ids // part_size
+        u, inv = np.unique(part, return_inverse=True)
+        cnt = np.zeros(len(u), dtype=np.int64)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        np.add.at(acc, inv, h)
+        return pa.table(
+            {"part": pa.array(u), "n_rows": pa.array(cnt), "checksum": pa.array(acc)}
+        )
+
+    return bucketed_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["part"],
+        ["n_rows", "checksum"],
+    )

@@ -3420,3 +3420,73 @@ def events_type_transitions(sf_dir: str, num_buckets: int = 32) -> ray.data.Data
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def events_debounce(
+    sf_dir: str, gap_us: int = 5_000_000, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Burst-dedup (debounce) census: per event type, how many events
+    survive dropping every event that follows its per-(user, type)
+    predecessor by <= ``gap_us`` (double-click suppression / sensor-bounce
+    removal — a standard event-stream cleaning op). Predecessor = LAG over
+    (ts, event_id) order, so exact-tie timestamps drop deterministically
+    and the SQL twin is the classic LAG window.
+
+    Shape: one user-bucketed shuffle (a bucket holds every row of its
+    users, so each (user, type) chain is complete); per bucket the chain
+    scan is a lexsort + one vectorized diff — no Python loops; only
+    (type, counts) partials leave. Output: (event_type, n_total, n_kept)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.read import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        b = np.abs((u * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(np.asarray(batch["event_id"], dtype=np.int64)),
+                "ts_us": pa.array(
+                    np.asarray(batch["ts"], dtype="datetime64[us]").astype(np.int64)
+                ),
+                "event_type": batch["event_type"],
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl["user_id"], dtype=np.int64)
+        ts = np.asarray(tbl["ts_us"], dtype=np.int64)
+        eid = np.asarray(tbl["event_id"], dtype=np.int64)
+        types, code = np.unique(
+            np.asarray(tbl["event_type"]).astype(str), return_inverse=True
+        )
+        order = np.lexsort((eid, ts, code, u))
+        us, cs, tss = u[order], code[order], ts[order]
+        new_chain = np.ones(len(us), dtype=bool)
+        new_chain[1:] = (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])
+        kept = new_chain.copy()
+        kept[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        n_total = np.bincount(cs, minlength=len(types)).astype(np.int64)
+        n_kept = np.zeros(len(types), dtype=np.int64)
+        np.add.at(n_kept, cs[kept], 1)
+        return pa.table(
+            {
+                "event_type": pa.array(types.astype(object), type=pa.string()),
+                "t": pa.array(n_total),
+                "k": pa.array(n_kept),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("t", alias_name="n_total"), Sum("k", alias_name="n_kept"))
+    )
