@@ -409,7 +409,7 @@ def tile_best_image(images: ray.data.Dataset, zoom: int = 12) -> ray.data.Datase
             batch["image_id"], pa.ChunkedArray
         ) else batch["image_id"]
         ids = np.asarray(
-            pc.cast(pc.utf8_slice_codeunits(sid, 3, 11), pa.int64()), dtype=np.int64
+            pc.cast(pc.utf8_slice_codeunits(sid, 3, 99), pa.int64()), dtype=np.int64
         )
         lon, lat = geolocate(ids)
         tile = tile_id(lon, lat, zoom)
@@ -508,7 +508,7 @@ def tile_pyramid_best_image(
             batch["image_id"], pa.ChunkedArray
         ) else batch["image_id"]
         ids = np.asarray(
-            pc.cast(pc.utf8_slice_codeunits(sid, 3, 11), pa.int64()), dtype=np.int64
+            pc.cast(pc.utf8_slice_codeunits(sid, 3, 99), pa.int64()), dtype=np.int64
         )
         lon, lat = geolocate(ids)
         t = tile_id(lon, lat, zoom)
@@ -605,76 +605,100 @@ def quality_filter(
     return meta.map_batches(fn, batch_format="pyarrow")
 
 
-# dedup_keep_largest encode layout (bits, high to low):
-#   n_pixels (11) | inv_id = 2^34-1 - id (34) | w (6) | h (6)  = 57 bits.
-# Max(encode) picks highest n_pixels, then LOWEST id (inv_id), and the w/h
-# bits ride below the unique id so they never influence the ordering.
-_KL_ID_BITS = 34
-_KL_INV = (1 << _KL_ID_BITS) - 1
-
-
-def dedup_keep_largest(meta: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_keep_largest(
+    meta: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
     """Exact-caption image dedup keeping the LARGEST-resolution copy.
 
     The resolution-aware sibling of exact text dedup: images crawled at
     multiple sizes (originals + thumbnails) share a caption; keep one row
     per caption — max ``w*h``, ties to the smallest id. Scale shape: the
     caption never shuffles — each batch hashes it to 128 bits (two
-    independent 64-bit keys, the dedup_exact discipline) and ships only
-    (h1, h2, encode); one groupby with a Max + Count aggregate; winners are
-    decoded back to (image_id, w, h) from the packed integer. Metadata-only
-    input (:func:`..sources.images.image_meta_table` shape) — pixels never
-    read.
+    independent 64-bit keys, the dedup_exact discipline), pre-reduces
+    within the batch, and ships only (h1, h2, id, w, h, n) partials; one
+    hash-bucket shuffle on h1 and a vectorized lexsort-argmax per bucket
+    finish the job. No bit-packing: an earlier encode packed (npix, id,
+    w, h) into one int64 for a Max aggregate, which silently corrupts any
+    image wider than 63 px and caps ids at 2^34 — unacceptable for the
+    web-crawl inputs this targets. Metadata-only input — pixels never read.
     """
     import pandas as pd
 
-    from ray.data.aggregate import Count, Max
-
-    def hash_encode(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch["caption"].to_pylist(), dtype=object)
-        h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456")
-        h2 = pd.util.hash_pandas_object(s, index=False, hash_key="6543210987654321")
+        h1 = pd.util.hash_pandas_object(s, index=False, hash_key="0123456789123456").to_numpy().astype(np.int64)
+        h2 = pd.util.hash_pandas_object(s, index=False, hash_key="6543210987654321").to_numpy().astype(np.int64)
         ids = np.asarray(
             [int(x[3:]) for x in batch["image_id"].to_pylist()], dtype=np.int64
         )
         w = np.asarray(batch["w"], dtype=np.int64)
         h = np.asarray(batch["h"], dtype=np.int64)
-        npix = w * h
-        encode = (((npix << _KL_ID_BITS) | (_KL_INV - ids)) << 12) | (w << 6) | h
-        return pa.table(
-            {
-                "h1": pa.array(h1.to_numpy().astype(np.int64)),
-                "h2": pa.array(h2.to_numpy().astype(np.int64)),
-                "encode": pa.array(encode),
-            }
+        n = np.ones(len(ids), dtype=np.int64)
+        return _kl_reduce(h1, h2, ids, w, h, n, num_buckets)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        return _kl_reduce(
+            np.asarray(tbl["h1"], dtype=np.int64),
+            np.asarray(tbl["h2"], dtype=np.int64),
+            np.asarray(tbl["id"], dtype=np.int64),
+            np.asarray(tbl["w"], dtype=np.int64),
+            np.asarray(tbl["h"], dtype=np.int64),
+            np.asarray(tbl["n"], dtype=np.int64),
+            None,
         )
 
-    def decode(batch: pa.Table) -> pa.Table:
-        enc = np.asarray(batch["encode"], dtype=np.int64)
-        h = enc & 63
-        w = (enc >> 6) & 63
-        ids = _KL_INV - ((enc >> 12) & _KL_INV)
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
         return pa.table(
             {
                 "image_id": pa.array(
                     [f"img{int(i):08d}" for i in ids], type=pa.string()
                 ),
-                "w": pa.array(w),
-                "h": pa.array(h),
-                "n_dups": batch["n_dups"],
+                "w": batch["w"],
+                "h": batch["h"],
+                "n_dups": batch["n"],
             }
         )
 
     return (
         meta.select_columns(["image_id", "w", "h", "caption"])
-        .map_batches(hash_encode, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .aggregate(
-            Max("encode", alias_name="encode"),
-            Count(alias_name="n_dups"),
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
         )
-        .map_batches(decode, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def _kl_reduce(h1, h2, ids, w, h, n, num_buckets):
+    """Keep the (max npix, min id) row per (h1, h2) and sum the dup counts —
+    one lexsort + segment-first pass. With ``num_buckets`` set, re-attach
+    the shuffle bucket column (partial stage); None = final per-bucket."""
+    npix = w * h
+    order = np.lexsort((ids, -npix, h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    first = np.ones(len(h1s), dtype=bool)
+    first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    starts = np.flatnonzero(first)
+    seg = np.cumsum(first) - 1
+    counts = np.zeros(len(starts), dtype=np.int64)
+    np.add.at(counts, seg, n[order])
+    keep = order[starts]
+    out = {
+        "h1": pa.array(h1[keep]),
+        "h2": pa.array(h2[keep]),
+        "id": pa.array(ids[keep]),
+        "w": pa.array(w[keep]),
+        "h": pa.array(h[keep]),
+        "n": pa.array(counts),
+    }
+    if num_buckets is not None:
+        out["__bucket"] = pa.array(
+            (h1[keep].astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        )
+    return pa.table(out)
 
 
 # -- training-batch layout operators -----------------------------------------
@@ -816,7 +840,7 @@ def image_shard_packing(
 
     def sizes(batch: pa.Table) -> pa.Table:
         ids = np.asarray(
-            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 11), pa.int64()),
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()),
             dtype=np.int64,
         )
         size = np.asarray(pc.binary_length(batch["bytes"]), dtype=np.int64)
@@ -884,7 +908,7 @@ def tile_image_node_stats(sf_dir: str, zoom: int = 12, lang: str = "de") -> ray.
 
     def img_partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(
-            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 11), pa.int64()),
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()),
             dtype=np.int64,
         )
         lon, lat = geolocate(ids)

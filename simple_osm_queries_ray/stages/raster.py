@@ -248,6 +248,11 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
     """
     from ..functions.segments import list_parts
 
+    if not 1 <= zoom <= 24:
+        # zoom=0 would never terminate the coarse-to-fine loop (it starts
+        # at level max(1, zoom-4)); > 24 overflows the packed way*nt^2 key
+        raise ValueError(f"way_segment_tiles: zoom must be in [1, 24], got {zoom}")
+
     nt = np.int64(1 << zoom)
     ntf = float(nt)
 
@@ -633,15 +638,17 @@ def cell_blobs(
             {"cell": pa.array(cells), "c": pa.array(counts.astype(np.int64))}
         )
 
-    dense = (
+    agg = (
         nodes.select_columns(["lon", "lat"])
         .map_batches(partial, batch_format="pyarrow")
         .repartition(8)
         .groupby("cell")
         .aggregate(Sum("c", alias_name="n"))
-        .filter(expr=f"n >= {int(min_count)}")
         .materialize()
     )
+    # guard BEFORE the filter: an empty grouped dataset has no schema, so
+    # filter(expr="n >= ...") would fail on the missing column
+    dense = agg.filter(expr=f"n >= {int(min_count)}").materialize() if agg.count() else agg
     n_dense = dense.count()
     if n_dense == 0:
         return ray.data.from_arrow(
@@ -789,6 +796,11 @@ def moran_cells(nodes: ray.data.Dataset) -> "pd.DataFrame":
         .aggregate(Sum("x", alias_name="x"))
         .materialize()
     )
+    if hist.count() == 0:
+        # zero input nodes: aggregate() on an empty dataset yields no keys
+        return pd.DataFrame(
+            [{"n_cells": 0, "s_total": 0, "num": 0, "den": 0, "n_pairs": 0}]
+        )
     sc = hist.aggregate(Sum("x", alias_name="tot"), Count(alias_name="n"))
     n, tot = int(sc["n"]), int(sc["tot"])
 

@@ -125,13 +125,18 @@ def _plan_shards(
         .groupby("hd")
         .sum("n")
         .to_pandas()
-        .sort_values("hd")
     )
-    cells = hist["hd"].to_numpy()
-    counts = hist["sum(n)"].to_numpy()
+    if hist.empty:  # zero input rows: the empty groupby drops its columns
+        cells = np.array([], dtype=np.int64)
+        counts = np.array([], dtype=np.int64)
+    else:
+        hist = hist.sort_values("hd")
+        cells = hist["hd"].to_numpy()
+        counts = hist["sum(n)"].to_numpy()
     n_rows = int(counts.sum())
     starts = _ntile_starts(n_rows, k)  # start rank of shard j, j=1..k-1 cut points
-    cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # stays length-aligned with cells/counts when they are empty
+    cum_before = np.concatenate([[0], np.cumsum(counts)])[: len(counts)]
 
     # cell i spans ranks [cum_before[i], cum_before[i]+counts[i]);
     # its first shard = number of shard starts <= cum_before[i]
@@ -339,4 +344,22 @@ def read_hilbert_shards(out_dir: str, shards: list[int]) -> ray.data.Dataset:
         for s in shards
         if os.path.isdir(d := f"{out_dir}/data/shard={s}")
     ]
+    if not paths:
+        # legitimate no-overlap query (bbox outside the data extent, or the
+        # requested shards were empty and never materialized as dirs):
+        # read_parquet([]) raises, so return an empty dataset instead,
+        # borrowing the schema from any written shard file
+        import glob
+
+        import pyarrow.parquet as pq
+
+        any_file = sorted(glob.glob(f"{out_dir}/data/shard=*/*.parquet"))
+        if any_file:
+            tbl = pq.read_schema(any_file[0]).empty_table()
+            if "shard" not in tbl.column_names:  # hive partition column
+                tbl = tbl.append_column("shard", pa.array([], type=pa.int64()))
+            return ray.data.from_arrow(tbl)
+        return ray.data.from_arrow(
+            pa.table({"shard": pa.array([], type=pa.int64())})
+        )
     return ray.data.read_parquet(paths)

@@ -141,14 +141,18 @@ def fingerprint_batch(texts: list[str]) -> np.ndarray:
     # exponent of byte j (text-local position q, text length n): n - 1 - q
     local = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
     exp = np.repeat(lens, lens) - 1 - local
-    starts = np.minimum(offsets[:-1], len(flat) - 1)
     m = np.uint64(_MOD)
     hs = []
     for base in _BASES:
         pw = _powers(base, int(lens.max()))
-        terms = flat * pw[exp]  # < 2^39, sums < 2^63: uint64-safe
-        h = np.add.reduceat(terms, starts) % m
-        h[lens == 0] = 0
+        terms = flat * pw[exp]  # < 2^39 per term: a text's sum stays < 2^64
+        # segment sums via cumsum-diff, NOT reduceat: reduceat's clamped
+        # start indices corrupt the LAST non-empty text when the batch ends
+        # with empty texts (they steal its final byte). uint64 wrap-around
+        # differences are exact while each text's true sum is < 2^64.
+        csum = np.zeros(len(flat) + 1, dtype=np.uint64)
+        np.cumsum(terms, out=csum[1:])
+        h = (csum[offsets[1:]] - csum[offsets[:-1]]) % m
         hs.append(h)
     return (hs[0].astype(np.int64) << np.int64(31)) + hs[1].astype(np.int64)
 
@@ -360,13 +364,16 @@ def asof_join_events(
         rmask = side == 1
         rkey = np.sort(key[rmask])
         rts = (ts[rmask])[np.argsort(key[rmask])]
+        if len(rkey) == 0:
+            # bucket has left events but no right side: zero matches (the
+            # eager rkey[posc] below would IndexError on an empty array)
+            empty = pa.array([], type=pa.int64())
+            return pa.table(
+                {"event_id": empty, "user_id": empty, "ts_us": empty, "click_ts_us": empty}
+            )
         pos = np.searchsorted(rkey, key[lmask], side="right") - 1
-        posc = np.clip(pos, 0, max(len(rkey) - 1, 0))
-        ok = (
-            (pos >= 0)
-            & (len(rkey) > 0)
-            & ((rkey[posc] >> _TS_BITS) == (key[lmask] >> _TS_BITS))
-        )
+        posc = np.clip(pos, 0, len(rkey) - 1)
+        ok = (pos >= 0) & ((rkey[posc] >> _TS_BITS) == (key[lmask] >> _TS_BITS))
         return pa.table(
             {
                 "event_id": pa.array(eid[lmask][ok]),
@@ -982,9 +989,16 @@ def _hll_registers(ids: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     idx = (x >> np.uint64(64 - p)).astype(np.int64)
     rest = (x << np.uint64(p)) | np.uint64(1)  # sentinel bit caps the rank
-    # leading zeros of a uint64 via float64 exponent is unsafe; use bit_length
-    lz = np.uint64(64) - np.uint64(1) - np.floor(np.log2(rest.astype(np.float64))).astype(np.uint64)
-    rank = (lz + np.uint64(1)).astype(np.uint8)
+    # leading zeros via bit-exact binary-search bit_length: float64 log2
+    # rounds values just below a power of two >= 2^53 UP (rank one too low)
+    # and sends an all-ones rest to rank 0 via uint64 underflow
+    v = rest.copy()
+    bl = np.zeros(len(v), dtype=np.uint64)  # floor(log2(rest)); rest >= 1
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += np.uint64(s)
+        v[big] >>= np.uint64(s)
+    rank = (np.uint64(64) - bl).astype(np.uint8)  # = leading zeros + 1
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -1441,7 +1455,10 @@ def bm25_rank(
         ids = np.asarray(batch["doc_id"], dtype=np.int64)[any_tf]
         score = score[any_tf]
         if len(ids) > k:
-            keep = np.argpartition(-score, k)[:k]
+            # tie-break on doc_id like the final sort (and the oracle's
+            # ORDER BY score DESC, doc_id): argpartition alone keeps an
+            # arbitrary subset of boundary-score ties
+            keep = np.lexsort((ids, -score))[:k]
             ids, score = ids[keep], score[keep]
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(score)})
 
@@ -2890,7 +2907,10 @@ def lang_confusion(sf_dir: str, concurrency: int | None = None) -> ray.data.Data
 
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = max(2, ncpu // 2)
+        # autoscaling pool, min 1: a fixed min > 1 can reserve the CPUs the
+        # read stage needs (or exceed the block count) and stall the
+        # pipeline — the hazard analyze_text/decode_features document
+        concurrency = (1, max(1, ncpu // 2))
     return (
         ds.map_batches(Confusion, batch_format="pyarrow", concurrency=concurrency)
         .groupby(["lang", "lang_pred"])
