@@ -73,3 +73,22 @@ def segment_value_where(
     got = segment_any(mask, offsets)
     s = segment_sum(np.where(mask, values, 0).astype(np.int64), offsets)
     return np.where(got, s, default)
+
+
+def segment_min(values: np.ndarray, offsets: np.ndarray, fill=np.inf) -> np.ndarray:
+    """Per-row min of the row's list elements (``fill`` for empty rows).
+
+    Exact with empty rows ANYWHERE in the batch: reduceat runs only at the
+    nonzero rows' starts — strictly increasing and all < len(values), so
+    consecutive nonzero starts delimit exactly the nonzero segments (empty
+    segments contribute no elements between them). The clamped-starts
+    variant (np.minimum(starts, len-1)) silently steals the final element
+    from the last nonzero row whenever trailing rows are empty — never use
+    it (see fingerprint_batch's same-class fix in stages/text.py).
+    """
+    counts = np.diff(offsets)
+    out = np.full(len(counts), fill, dtype=np.asarray(values).dtype)
+    nz = counts > 0
+    if nz.any():
+        out[nz] = np.minimum.reduceat(values, offsets[:-1][nz])
+    return out

@@ -193,11 +193,13 @@ def minhash_signatures(texts: pd.Series) -> np.ndarray:
     if len(sh) == 0:
         return sig
     hashed = (sh[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) & _MASK  # (S, K)
-    starts = sh_off[:-1]
     nonempty = np.diff(sh_off) > 0
-    # reduceat over the shingle axis; rows with zero shingles keep MAX
-    red = np.minimum.reduceat(hashed, np.minimum(starts, max(len(sh) - 1, 0)), axis=0)
-    sig[nonempty] = red[nonempty]
+    # reduceat ONLY at nonempty rows' starts (strictly increasing, all in
+    # range): the clamped-starts variant stole the last shingle from the
+    # final nonempty row whenever trailing rows were empty, making
+    # signatures batch-boundary-dependent (same class as fingerprint_batch)
+    if nonempty.any():
+        sig[nonempty] = np.minimum.reduceat(hashed, sh_off[:-1][nonempty], axis=0)
     return sig
 
 
@@ -547,9 +549,11 @@ def simhash_signatures(texts: pd.Series) -> np.ndarray:
         np.int64
     )
     contrib = bits * 2 - 1  # ±1
-    starts = np.minimum(offsets[:-1], max(len(tok) - 1, 0))
-    sums = np.add.reduceat(contrib, starts, axis=0)
-    sums[np.diff(offsets) == 0] = 0
+    nonempty = np.diff(offsets) > 0
+    sums = np.zeros((n, 64), dtype=np.int64)
+    # reduceat only at nonempty rows' starts — empty-safe (see minhash)
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(contrib, offsets[:-1][nonempty], axis=0)
     sig_bits = (sums > 0).astype(np.uint64)
     return (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
 
@@ -592,27 +596,37 @@ def hamming_pairs_int64(
     """All (id_a < id_b) pairs whose 64-bit signatures differ by <= d bits.
 
     Works over ANY int64 signature column — SimHash of text, perceptual hash
-    of images, etc. Candidate generation: 4 chunks of 16 bits (a pair within
-    distance <= 3 agrees exactly on at least one chunk — pigeonhole);
+    of images, etc. Candidate generation: the 64 bits split into
+    ``max_hamming + 1`` near-equal chunks, so a pair within distance d
+    touches at most d chunks and MUST agree exactly on at least one
+    (pigeonhole — COMPLETE for any d <= 63; an earlier fixed 4x16-bit split
+    silently missed pairs above d = 3, e.g. one differing bit per chunk);
     verification by true popcount distance. One shuffle keyed on
     (chunk, chunk_value); dense buckets are the skew risk and verification
     is quadratic per bucket — callers with adversarial signature skew should
-    salt or cap bucket sizes.
+    salt or cap bucket sizes. Narrower chunks (bigger d) collide more —
+    the honest completeness/candidate-volume trade.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(np.int64)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         sig = np.asarray(batch[sig_col], dtype=np.int64).astype(np.uint64)
         ids = np.asarray(batch[id_col], dtype=np.int64)
         n = len(sig)
-        chunks = np.empty((n, 4), dtype=np.int64)
-        for c in range(4):
-            chunks[:, c] = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        chunks = np.empty((n, n_chunks), dtype=np.int64)
+        for c in range(n_chunks):
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            mask = np.uint64((1 << (hi - lo)) - 1)
+            chunks[:, c] = ((sig >> np.uint64(lo)) & mask).astype(np.int64)
         return pa.table(
             {
-                "chunk": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "chunk": pa.array(np.tile(np.arange(n_chunks, dtype=np.int64), n)),
                 "cval": pa.array(chunks.ravel()),
-                id_col: pa.array(np.repeat(ids, 4)),
-                "sig": pa.array(np.repeat(sig.astype(np.int64), 4)),
+                id_col: pa.array(np.repeat(ids, n_chunks)),
+                "sig": pa.array(np.repeat(sig.astype(np.int64), n_chunks)),
             }
         )
 

@@ -90,6 +90,15 @@ def _lsh_params(
     if n_rows > target_bucket:
         planes = max(4, int(np.ceil(np.log2(n_rows / target_bucket))))
     planes = min(planes, 30)  # int64 bucket key
+    # the band count needed for the recall target grows as planes grow; if
+    # it would exceed max_bands, REDUCE planes until the target is reachable
+    # within the band budget (buckets get bigger than target_bucket — more
+    # verify work — but the recall contract holds; silently clipping bands
+    # instead would collapse recall by orders of magnitude at large N)
+    p_floor = 1.0 - (1.0 - recall) ** (1.0 / max_bands)  # need s^planes >= p_floor
+    if 0.0 < s < 1.0 and p_floor > 0.0:
+        planes_cap = max(4, int(np.floor(np.log(p_floor) / np.log(s))))
+        planes = min(planes, planes_cap)
     p_band = s**planes
     if p_band >= 1.0:
         bands = 1
@@ -108,11 +117,21 @@ def embedding_near_dup_lsh(
     planes_per_band: int | None = None,
     n_bands: int | None = None,
 ) -> ray.data.Dataset:
-    """LSH-bucketed near-dup: hyperplane sign bands -> groupby -> verify.
+    """LSH-bucketed near-dup: hyperplane sign bands -> candidate pairs ->
+    distributed exact-cosine verify (the minhash_pairs discipline).
 
     Parameters default to :func:`_lsh_params` (corpus-size-scaled bucket
     count, recall-preserving band count); pass both explicitly to pin a
-    configuration."""
+    configuration. Scale shape: only (band, bucket, id) int64 rows ride the
+    bucket shuffle — vectors do NOT replicate per band (an earlier version
+    shipped every vector n_bands times as list columns and verified with one
+    Python map_groups call per LSH bucket; millions of mostly-small buckets
+    made that a per-group Python loop, and the int32 list offsets could
+    overflow on large blocks). Candidates come from the shared hash-bucketed
+    pair machinery (:func:`..stages.dedup.candidate_pairs_from_buckets`),
+    dedup through the bucketed reduce, and each surviving pair attaches its
+    two vectors via two partitioned hash joins for a vectorized row-wise
+    cosine — verify volume is O(candidates x dim), never corpus-sized."""
     if planes_per_band is None or n_bands is None:
         auto_p, auto_b = _lsh_params(ds.count(), tau)
         planes_per_band = auto_p if planes_per_band is None else planes_per_band
@@ -133,40 +152,85 @@ def embedding_near_dup_lsh(
         w = 1 << np.arange(per_band)
         for b in range(nb):
             bands[:, b] = signs[:, b * per_band : (b + 1) * per_band] @ w
-        d = vecs.shape[1] if n else 0
-        rep = np.repeat(vecs, nb, axis=0)
-        offsets = pa.array(np.arange(n * nb + 1, dtype=np.int32) * d)
-        vec_list = pa.ListArray.from_arrays(offsets, pa.array(rep.ravel(), type=pa.float64()))
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(nb, dtype=np.int64), n)),
                 "bucket": pa.array(bands.ravel()),
                 id_col: pa.array(np.repeat(ids, nb)),
-                vec_col: vec_list,
             }
         )
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
-
-    def verify_bucket(tbl: pa.Table) -> pa.Table:
-        ids = np.asarray(tbl[id_col], dtype=np.int64)
-        uniq, first = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
-        vecs = np.array(tbl[vec_col].take(pa.array(first)).to_pylist(), dtype=np.float64)
-        vecs = _normalize(vecs)
-        cos = vecs @ vecs.T
-        ia, ib = np.nonzero(np.triu(cos >= tau, k=1))
-        return pa.table({"id_a": pa.array(uniq[ia]), "id_b": pa.array(uniq[ib])})
-
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(verify_bucket, batch_format="pyarrow")
-    # a pair can verify in up to n_bands buckets; dedup through the bucketed
-    # reduce, not the generic groupby — pair cardinality scales with the
-    # corpus and this IS the designated at-scale path (generic aggregate is
-    # ~8 s at 150 k groups, minutes at millions; see group_collect)
+    from .dedup import candidate_pairs_from_buckets
     from .group_collect import bucketed_distinct
 
-    return bucketed_distinct(pairs, ["id_a", "id_b"])
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    cand = bucketed_distinct(
+        candidate_pairs_from_buckets(buckets, ["band", "bucket"], id_col),
+        ["id_a", "id_b"],
+    )
+    return _verify_pairs_cosine(cand, ds, tau, id_col=id_col, vec_col=vec_col)
+
+
+def _verify_pairs_cosine(
+    pairs: ray.data.Dataset,
+    vecs_ds: ray.data.Dataset,
+    tau: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Attach both vectors to candidate (id_a, id_b) pairs via two
+    partitioned hash joins, keep pairs with exact cosine >= tau (row-wise
+    float64 kernel). Same join sizing rule as dedup._verify_pairs_jaccard:
+    aggregator actors must not exceed the CPU budget."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+
+    def pack(out_id: str, out_vec: str):
+        # Arrow hash joins reject list-typed non-key fields — ship each
+        # vector as one float64-LE blob and frombuffer it after the join
+        def fn(batch: pa.Table) -> pa.Table:
+            vecs = np.ascontiguousarray(
+                np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            )
+            n, d = vecs.shape if vecs.ndim == 2 else (len(vecs), 0)
+            blobs = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(8 * d), n, [None, pa.py_buffer(vecs.tobytes())]
+            )
+            return pa.table(
+                {out_id: batch[id_col], out_vec: blobs}
+            )
+
+        return fn
+
+    side_a = vecs_ds.map_batches(pack("id_a", "__vec_a"), batch_format="pyarrow")
+    side_b = vecs_ds.map_batches(pack("id_b", "__vec_b"), batch_format="pyarrow")
+    joined = pairs.join(side_a, "inner", num_partitions, on=("id_a",)).join(
+        side_b, "inner", num_partitions, on=("id_b",)
+    )
+
+    def unpack(col: pa.ChunkedArray) -> np.ndarray:
+        arrs = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buf = b"".join(arrs.to_pylist())
+        flat = np.frombuffer(buf, dtype=np.float64)
+        n = len(arrs)
+        return flat.reshape(n, -1) if n else np.zeros((0, 1))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        va = _normalize(unpack(batch["__vec_a"]))
+        vb = _normalize(unpack(batch["__vec_b"]))
+        keep = pa.array((va * vb).sum(axis=1) >= tau)
+        return pa.table(
+            {"id_a": batch["id_a"].filter(keep), "id_b": batch["id_b"].filter(keep)}
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 #: corpora up to this many vectors take the exact all-pairs tier (the
@@ -215,14 +279,20 @@ def ann_search(
         qids, qmat = bget(q_ref)
         ids = np.asarray(batch[id_col], dtype=np.int64)
         vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        # pre-sort the batch by id so a STABLE sort on -cos below breaks
+        # score ties by id asc — argpartition alone drops an arbitrary one
+        # of two equal-cosine candidates at the k boundary (planted exact
+        # duplicates make such ties common), diverging from the final
+        # (cos desc, id asc) contract and the oracle
+        bo = np.argsort(ids, kind="stable")
+        ids = ids[bo]
+        vecs = vecs[bo]
         cos = qmat @ vecs.T  # (Q, n)
         out_q, out_id, out_cos = [], [], []
         n = cos.shape[1]
         kk = min(k + 1, n)  # +1 in case the query row itself is in this batch
-        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-        rows = np.arange(cos.shape[0])[:, None]
         for qi in range(len(qids)):
-            sel = part[qi]
+            sel = np.argsort(-cos[qi], kind="stable")[:kk]
             mask = ids[sel] != qids[qi]
             out_q.append(np.full(mask.sum(), qids[qi], dtype=np.int64))
             out_id.append(ids[sel][mask])
@@ -379,12 +449,15 @@ def ivf_probe_search(
         vecs_ = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
         # re-derive each row's list from the centroids (cheap b x L matmul)
         # instead of depending on hive-column parsing of leaf-dir reads
+        bo = np.argsort(ids_, kind="stable")  # id-asc tie-break (see ann_search)
+        ids_ = ids_[bo]
+        vecs_ = vecs_[bo]
         assign = np.argmax(vecs_ @ c.T, axis=1)
         cos = qmat @ vecs_.T  # (Q, b)
         mask = ok_lists[:, assign] & (ids_[None, :] != qids[:, None])
         cos = np.where(mask, cos, -np.inf)
         kk = min(k, cos.shape[1])
-        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        part = np.argsort(-cos, axis=1, kind="stable")[:, :kk]  # (Q, kk)
         rows = np.repeat(np.arange(cos.shape[0]), kk)
         cols = part.ravel()
         sel_cos = cos[rows, cols]

@@ -415,7 +415,7 @@ def segment_cross_join(ways: ray.data.Dataset) -> ray.data.Dataset:
     operation order as the SQL oracle, so float64 signs agree bit-exactly.
     """
     from .joins import hash_join_attach
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
 
     cand = bbox_overlap_join(ways)
     geo = ways.select_columns(["id", "node_lons", "node_lats"])
@@ -469,9 +469,10 @@ def segment_cross_join(ways: ray.data.Dataset) -> ray.data.Dataset:
         d3 = np.sign((tx2 - tx1) * (sy1 - ty1) - (ty2 - ty1) * (sx1 - tx1))
         d4 = np.sign((tx2 - tx1) * (sy2 - ty1) - (ty2 - ty1) * (sx2 - tx1))
         hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
-        starts = np.minimum(offs, total - 1)
-        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
-        any_hit[counts == 0] = False
+        # empty-safe segment ANY (clamped reduceat starts would steal the
+        # last element from the final nonzero pair when trailing pairs are
+        # segment-less; see functions/segments.segment_min)
+        any_hit = segment_any(hit, np.append(offs, total))
         return pa.table({"id_a": pa.array(ida[any_hit]), "id_b": pa.array(idb[any_hit])})
 
     return cand.map_batches(cross_test, batch_format="pyarrow")
@@ -492,7 +493,7 @@ def node_way_buffer_join(
     runs vectorized over all (node, segment) combinations with one reduceat
     per pair. The distance formula mirrors the SQL oracle's operation order
     (clamped t, squared distance vs eps^2 in float64)."""
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
     from ..model import CELL_H, CELL_W, pack_cell
 
     def rep_ways(batch: pa.Table) -> pa.Table:
@@ -599,9 +600,7 @@ def node_way_buffer_join(
         t = np.minimum(np.maximum(t, 0.0), 1.0)
         ddx, ddy = qx - (x1 + t * dx), qy - (y1 + t * dy)
         hit = (ddx * ddx + ddy * ddy) <= e2
-        starts = np.minimum(offs, total - 1)
-        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
-        any_hit[counts == 0] = False
+        any_hit = segment_any(hit, np.append(offs, total))  # empty-safe
         return pa.table({"node_id": pa.array(nid[pi][any_hit]), "way_id": pa.array(wid[wj][any_hit])})
 
     unioned = ways.select_columns(
@@ -725,7 +724,7 @@ def way_way_buffer_join(
     of the four endpoint-to-opposite-segment clamped distances — exact for
     non-degenerate segments, and collinear overlaps reduce to an endpoint
     distance of zero."""
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
     from .joins import hash_join_attach
 
     cand = bbox_buffer_pairs(a_ways, b_ways, eps)
@@ -805,9 +804,7 @@ def way_way_buffer_join(
             ),
         )
         hit |= m <= e2
-        starts = np.minimum(offs, total - 1)
-        any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
-        any_hit[counts == 0] = False
+        any_hit = segment_any(hit, np.append(offs, total))  # empty-safe
         return pa.table({"a_id": pa.array(ida[any_hit]), "b_id": pa.array(idb[any_hit])})
 
     return cand.map_batches(seg_test, batch_format="pyarrow")
@@ -953,7 +950,7 @@ def nearest_way_join(
     asserted) and stream the way table against the broadcast — the former
     phase 2, whose driver pull was Theta(N) on sparse geography (r02
     verdict #4). Worst case remains exact, never a shuffle of the corpus."""
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
     from ..model import CELL_H, CELL_W, pack_cell
 
     g = float(min(CELL_W, CELL_H))
@@ -1101,9 +1098,7 @@ def nearest_way_join(
                     t = np.minimum(np.maximum(t, 0.0), 1.0)
                     ddx, ddy = qx - (x1 + t * dx), qy - (y1 + t * dy)
                     d2 = ddx * ddx + ddy * ddy
-                    starts = np.minimum(offs, total - 1)
-                    pair_min = np.minimum.reduceat(d2, starts)
-                    pair_min[counts == 0] = np.inf
+                    pair_min = segment_min(d2, np.append(offs, total))  # empty-safe
                     # per-node lexicographic (d2, way_id) minimum over pairs
                     order = np.lexsort((wid[wj], pair_min, pi))
                     first = np.ones(len(order), dtype=bool)
@@ -1241,11 +1236,14 @@ def nearest_way_join(
         seg = np.arange(tot, dtype=np.int64) - offs[segway] + woff[:-1][segway]
         x1, y1, x2, y2 = wx[seg], wy[seg], wx[seg + 1], wy[seg + 1]
         out_n, out_w, out_d = [], [], []
-        starts = np.minimum(offs, tot - 1)
+        nzw = nseg > 0  # empty-safe 2D segment-min: reduceat only at the
+        # nonzero ways' starts, scatter back (clamped starts corrupt the
+        # last nonzero way when trailing ways are segment-less)
         for s in range(0, len(ids_), 256):
             d2 = _seg_min_d2(px_[s : s + 256], py_[s : s + 256], x1, y1, x2, y2)
-            wmin = np.minimum.reduceat(d2, starts, axis=1)
-            wmin[:, nseg == 0] = np.inf
+            wmin = np.full((d2.shape[0], len(nseg)), np.inf)
+            if nzw.any():
+                wmin[:, nzw] = np.minimum.reduceat(d2, offs[nzw], axis=1)
             m = wmin.min(axis=1)
             w = np.where(wmin == m[:, None], wid[None, :], BIG_ID).min(axis=1)
             out_n.append(ids_[s : s + 256])
@@ -1305,7 +1303,7 @@ def simplify_ways(ways: ray.data.Dataset, eps: float) -> ray.data.Dataset:
     renderer would run before rasterizing (the reference stores raw
     geometry only; ``src/index/grid_reader.go:513-517`` leaves geometry
     work as its TODO)."""
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
 
     e2 = eps * eps
 
@@ -1477,7 +1475,7 @@ def segment_octant_stats(ways: ray.data.Dataset) -> ray.data.Dataset:
     """
     from ray.data.aggregate import Sum
 
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
 
     def partial(batch: pa.Table) -> pa.Table:
         lons, off = list_parts(batch["node_lons"])
@@ -1788,7 +1786,7 @@ def way_self_intersections(ways: ray.data.Dataset) -> ray.data.Dataset:
     ((i, i+s) same-way pairs), each evaluating the 4 sign tests over the
     whole batch — the sign expressions replay the oracle's text exactly.
     Output: (id, n_crossings)."""
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
 
     def count(batch: pa.Table) -> pa.Table:
         lons, off = list_parts(batch["node_lons"])
@@ -1849,7 +1847,7 @@ def ways_within_polygon(
     np.minimum.at). Bbox prescreen first: a way whose bound escapes the
     polygon's bound can't be inside. Output: (id,).
     """
-    from ..functions.segments import list_parts
+    from ..functions.segments import list_parts, segment_any, segment_min
 
     bx0 = min(x for x, _ in polygon)
     by0 = min(y for _, y in polygon)

@@ -287,7 +287,11 @@ def knn_quad_ring(
 
     qlon, qlat = float(query_point[0]), float(query_point[1])
     tx0, ty0 = tile_xy(np.array([qlon]), np.array([qlat]), level)
-    tx0, ty0 = int(tx0[0]), int(ty0[0])
+    # clamp into the tile grid: lon=180 / lat=-90 floor to n_tiles, the
+    # r=0 ring would clip away entirely and the search would return empty
+    n_tiles_c = 1 << level
+    tx0 = int(np.clip(int(tx0[0]), 0, n_tiles_c - 1))
+    ty0 = int(np.clip(int(ty0[0]), 0, n_tiles_c - 1))
     n_tiles = 1 << level
     tile_w, tile_h = 360.0 / n_tiles, 180.0 / n_tiles
     marker = np.int64(1) << np.int64(2 * level)
@@ -682,9 +686,18 @@ def dbscan(
         # has no schema to group by)
         return ds.select_columns(["id"]).map_batches(all_noise, batch_format="pyarrow")
 
-    deg = edges.groupby("src").count()
-    cnt_col = "count()" if "count()" in deg.schema().names else deg.schema().names[-1]
-    deg = deg.rename_columns({cnt_col: "n_nbr"})
+    from .group_collect import bucketed_reduce, bucketed_sum
+
+    # degree per point: per-batch unique-count partials + ONE bucketed sum
+    # (generic groupby.count is per-group machinery at corpus-scale key
+    # cardinality — minutes at ~2M groups by the repo's measured rule)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["src"], dtype=np.int64), return_counts=True)
+        return pa.table({"src": pa.array(u), "n_nbr": pa.array(c.astype(np.int64))})
+
+    deg = bucketed_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"), ["src"], ["n_nbr"]
+    )
     # |N(p)| includes p itself in the classic formulation -> degree+1
     core = (
         deg.filter(expr=f"n_nbr >= {min_pts - 1}")
@@ -730,13 +743,23 @@ def dbscan(
     # every point's min core-neighbor cluster: pull dst's component label
     # onto each edge (inner semantics drop non-core dst), groupby-min on src
     comp_kv = comp.rename_columns({"id": "k", "group_id": "v"})
-    neighbor_min = (
+
+    def nmin_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        grp = np.asarray(batch["grp"], dtype=np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, grp)
+        return pa.table({"src": pa.array(u), "grp": pa.array(m)})
+
+    neighbor_min = bucketed_reduce(
         _attach_int64(edges, comp_kv, "dst", "grp", n_buckets)
         .select_columns(["src", "grp"])
-        .groupby("src")
-        .min("grp")
+        .map_batches(nmin_partial, batch_format="pyarrow"),
+        ["src"],
+        {"grp": "min"},
     )
-    nm_col = "min(grp)" if "min(grp)" in neighbor_min.schema().names else "grp"
+    nm_col = "grp"
 
     SENT = np.iinfo(np.int64).max
 
@@ -770,14 +793,12 @@ def dbscan(
             }
         )
 
-    from ray.data.aggregate import Max, Min
-
-    merged = (
+    merged = bucketed_reduce(
         comp.map_batches(comp_rows, batch_format="pyarrow")
         .union(neighbor_min.map_batches(neighbor_rows, batch_format="pyarrow"))
-        .union(ds.select_columns(["id"]).map_batches(base_rows, batch_format="pyarrow"))
-        .groupby("id")
-        .aggregate(Min("grp", alias_name="grp"), Max("is_core", alias_name="is_core"))
+        .union(ds.select_columns(["id"]).map_batches(base_rows, batch_format="pyarrow")),
+        ["id"],
+        {"grp": "min", "is_core": "max"},
     )
 
     ROLES = np.array(["noise", "border", "core"], dtype=object)
