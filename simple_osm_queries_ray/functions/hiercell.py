@@ -51,6 +51,12 @@ def quad_cell(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     tx, ty = tile_xy(lon, lat, level)
+    # clamp boundary coordinates (lon=180 / lat=-90 floor to 2^level) into
+    # the grid — an out-of-range tile would corrupt the level marker bit
+    # and make the feature unfindable by any covering probe
+    hi = np.int64((1 << level) - 1)
+    tx = np.clip(tx, 0, hi)
+    ty = np.clip(ty, 0, hi)
     return (np.int64(1) << np.int64(2 * level)) + morton(tx, ty)
 
 

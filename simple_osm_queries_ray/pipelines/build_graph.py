@@ -35,7 +35,7 @@ from ..sources.synthetic import (
     way_tags_for_groups,
 )
 from ..stages.group_collect import bucket_collect, collect_list_column, segment_unique_lists
-from ..stages.joins import attach_list_column, collect_edge_lists, explode_list
+from ..stages.joins import nulls_to_empty_list, attach_list_column, collect_edge_lists, explode_list
 
 
 def build_ways(raw_nodes: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
@@ -296,7 +296,7 @@ def _apply_parent_updates(batch: pa.Table) -> pa.Table:
     # merge cell lists: concat then per-row unique
     flat_a, off_a = list_parts(batch["cells"])
     cc = batch["c_cells"].combine_chunks()
-    flat_b, off_b = list_parts(_nulls_to_empty(cc))
+    flat_b, off_b = list_parts(nulls_to_empty_list(cc))
     n = len(off_a) - 1
     gi = np.concatenate(
         [
@@ -313,25 +313,6 @@ def _apply_parent_updates(batch: pa.Table) -> pa.Table:
     )
     return batch.drop_columns(_UPDATE_COLS)
 
-
-def _nulls_to_empty(col: pa.ListArray) -> pa.ListArray:
-    if col.null_count == 0:
-        return col
-    offsets = np.asarray(col.offsets, dtype=np.int64)
-    offsets = offsets - offsets[0]
-    valid = ~np.asarray(col.is_null())
-    lengths = np.where(valid, np.diff(offsets), 0)
-    starts = np.where(valid, offsets[:-1], 0)
-    total = int(lengths.sum())
-    if total:
-        base = np.repeat(starts, lengths)
-        within = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
-        flat = np.asarray(col.values, dtype=np.int64)[base + within]
-    else:
-        flat = np.array([], dtype=np.int64)
-    new_off = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=new_off[1:])
-    return collect_list_column(flat, new_off[:-1], new_off[1:], pa.int64())
 
 
 def attach_reverse_membership(

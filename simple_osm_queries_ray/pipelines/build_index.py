@@ -85,17 +85,27 @@ class PartitionPlan:
         return pid
 
     def pids_for_cells(self, cells: np.ndarray) -> np.ndarray:
-        """All partition ids a set of cells can live in (for pruned reads)."""
+        """All partition ids a set of cells can live in (for pruned reads).
+
+        Uses the SAME searchsorted-range mapping as :meth:`assign` — a cell
+        absent from the frozen plan (e.g. a node moved there by an .osc
+        delta after the base import) still resolves to the partition a
+        writer would have used, so refreshed features stay findable. The
+        cost is one possibly-empty extra partition per unknown query cell
+        (weaker pruning, never a miss); exact-intersect pruning here would
+        silently hide refreshed rows."""
         cells = np.asarray(cells, dtype=np.int64)
-        present = np.intersect1d(cells, self.cells)
-        pos = np.searchsorted(self.cells, present)
-        base = self.pids[pos] if len(present) else np.array([], dtype=np.int64)
+        if len(self.pids) == 0 or len(cells) == 0:
+            return np.array([], dtype=np.int64)
+        pos = np.clip(np.searchsorted(self.cells, cells), 0, len(self.cells) - 1)
+        base = self.pids[pos]
         extra = []
+        qset = set(cells.tolist())
         for c, k in self.hot.items():
-            if c in set(present.tolist()):
+            if c in qset:
                 p0 = int(self.pids[np.searchsorted(self.cells, c)])
                 extra.append(np.arange(p0, p0 + k, dtype=np.int64))
-        return np.unique(np.concatenate([base] + extra)) if len(base) or extra else np.array([], dtype=np.int64)
+        return np.unique(np.concatenate([base] + extra))
 
     def to_json(self) -> dict:
         return {
@@ -651,6 +661,22 @@ def _assign_pids(ds: ray.data.Dataset, otype: str, plan_ref) -> ray.data.Dataset
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _hash_cell_repr(v) -> str:
+    """Full-fidelity, side-independent serialization of one object cell:
+    disk reads yield numpy arrays where in-memory tables may yield Python
+    lists, and str(np.ndarray) ELIDES elements past numpy's print threshold
+    (~1000) — two long-way partitions differing deep inside a node list
+    hashed identical before this. Numeric lists hash their float64 buffer
+    (exact below 2^53, type-erasing across int widths); string lists join
+    on an unprintable delimiter; scalars fall back to str."""
+    if isinstance(v, (np.ndarray, list, tuple)):
+        a = np.asarray(v)
+        if a.dtype.kind in "iuf":
+            return a.astype(np.float64).tobytes().hex()
+        return "\x1f".join(str(x) for x in a.tolist())
+    return str(v)
+
+
 def _content_hash_table(tbl: pa.Table) -> str:
     """Deterministic content hash: rows sorted by id, columns sorted by
     name, csv-serialized with full float precision."""
@@ -660,7 +686,11 @@ def _content_hash_table(tbl: pa.Table) -> str:
     df = df.reindex(sorted(df.columns), axis=1).sort_values("id", kind="mergesort")
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # list columns arrive as numpy arrays; str(np.ndarray) elides
+            # past numpy's print threshold (~1000 elements), which made two
+            # partitions differing only deep inside a long way's node list
+            # hash IDENTICAL — serialize the full buffer instead
+            df[c] = df[c].map(_hash_cell_repr)
     return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 

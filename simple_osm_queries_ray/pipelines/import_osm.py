@@ -381,11 +381,14 @@ def merge_changes(
     instead (or swap this probe for the partitioned hash anti-join in
     ``stages/joins.py``).
     """
-    keys = changes.select_columns(["etype", "id"]).to_pandas()
-    per_type = [
-        np.sort(keys["id"][keys["etype"] == t].to_numpy(dtype=np.int64))
-        for t in (0, 1, 2)
-    ]
+    # one collect serves both halves: the broadcast drop set AND the
+    # last-write-wins addition resolution below
+    ctbl = pa.concat_tables(
+        ray.get(changes.to_arrow_refs()), promote_options="default"
+    )
+    keys_et = np.asarray(ctbl["etype"], dtype=np.int64) if ctbl.num_rows else np.array([], dtype=np.int64)
+    keys_id = np.asarray(ctbl["id"], dtype=np.int64) if ctbl.num_rows else np.array([], dtype=np.int64)
+    per_type = [np.sort(keys_id[keys_et == t]) for t in (0, 1, 2)]
     ref = ray.put(per_type)
 
     def drop_changed(batch: pa.Table) -> pa.Table:
@@ -406,13 +409,37 @@ def merge_changes(
 
     from ..sources.osm_xml import OP_DELETE
 
-    def additions(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.not_equal(batch["op"], OP_DELETE)
-        return batch.filter(mask).drop_columns(["op"])
+    # last-write-wins per (etype, id): an element touched by several change
+    # operations (modify in osc1 then osc2, create-then-modify, or
+    # modify-then-delete) must surface ONCE with its final state — naively
+    # appending every non-delete row duplicates it. The delta is the small
+    # side by this function's contract, so resolve ordering driver-side in
+    # Arrow (exact types preserved); ``__seq`` comes from read_osc.
+    if ctbl.num_rows:
+        et = keys_et
+        ids = keys_id
+        seq = (
+            np.asarray(ctbl["__seq"], dtype=np.int64)
+            if "__seq" in ctbl.column_names
+            else np.arange(ctbl.num_rows, dtype=np.int64)
+        )
+        order = np.lexsort((seq, ids, et))
+        ets, idss = et[order], ids[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (ets[1:] != ets[:-1]) | (idss[1:] != idss[:-1])
+        keep = np.zeros(ctbl.num_rows, dtype=bool)
+        keep[order[last]] = True
+        keep &= np.asarray(ctbl["op"], dtype=np.int64) != OP_DELETE
+        adds_tbl = ctbl.filter(pa.array(keep)).drop_columns(
+            [c for c in ("op", "__seq") if c in ctbl.column_names]
+        )
+    else:
+        adds_tbl = ctbl.drop_columns(
+            [c for c in ("op", "__seq") if c in ctbl.column_names]
+        )
 
     base = elems.map_batches(drop_changed, batch_format="pyarrow")
-    adds = changes.map_batches(additions, batch_format="pyarrow")
-    return base.union(adds)
+    return base.union(ray.data.from_arrow(adds_tbl))
 
 
 def import_osm_with_changes(

@@ -329,6 +329,12 @@ class QueryEngine:
         subs = find_substatements(stmt.filter)
         if not subs:
             return candidates, {}
+        # materialize once: _distinct_cells_ref consumes every candidate
+        # batch to collect the cell set, and the downstream filter (plus a
+        # possible _attach_probe_flag) re-reads the same lineage — without
+        # this the pruned read + bbox filter, the most expensive stage of a
+        # sub-statement query, executes twice
+        candidates = candidates.materialize()
         # all sub-statements share the same outer candidate cell set
         cells_needed_ref = self._distinct_cells_ref(candidates, obj_type)
         probes: dict[tuple, tuple[str, object]] = {}

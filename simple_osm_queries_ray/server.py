@@ -143,7 +143,7 @@ def make_handler(engine: QueryEngine):
             if self.path == "/explain":
                 try:
                     plan = engine.explain_string(text)
-                except ParseError as e:
+                except ValueError as e:  # LexError/ParseError/planner errors
                     self.send_response(400)
                     self.send_header("Content-Type", "text/plain; charset=utf-8")
                     self.end_headers()
@@ -155,8 +155,19 @@ def make_handler(engine: QueryEngine):
                 self.wfile.write(json.dumps(plan).encode())
                 return
             try:
+                # parse AND compile before sending any status: LexError,
+                # ParseError and the planner's ValueErrors (bbox-required,
+                # membership gating) must all yield a clean 400 — once 200
+                # + headers are out, an error can only truncate the stream
                 query = parse_query(text, engine.repo.tag_index)
-            except ParseError as e:
+                compiled = [
+                    (
+                        engine.execute_statement(stmt, project=False),
+                        QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type],
+                    )
+                    for stmt in query.statements
+                ]
+            except ValueError as e:
                 self.send_response(400)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
                 self.end_headers()
@@ -168,9 +179,7 @@ def make_handler(engine: QueryEngine):
                 self.end_headers()
                 self.wfile.write(b'{"type":"FeatureCollection","features":[')
                 first = True
-                for stmt in query.statements:
-                    ds = engine.execute_statement(stmt, project=False)
-                    otype = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
+                for ds, otype in compiled:
                     for feat in iter_features(ds, engine.repo.tag_index, otype):
                         if not first:
                             self.wfile.write(b",")

@@ -154,17 +154,33 @@ def parse_osc_bytes(data: bytes) -> pa.Table:
 
 
 def read_osc(paths: str | list[str]) -> ray.data.Dataset:
-    """``.osc`` change file(s) -> element+op Dataset (one task per file)."""
+    """``.osc`` change file(s) -> element+op Dataset (one task per file).
+
+    Adds ``__seq``: (file order in the caller's path list) x 2^32 + row
+    position in the file — osmChange deltas apply IN ORDER, and
+    ``merge_changes`` needs the ordering to resolve an element touched by
+    several operations (last write wins)."""
+    import os
+
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    order = {os.path.abspath(p): i for i, p in enumerate(plist)}
 
     def decode(batch: pa.Table) -> pa.Table:
-        tables = [parse_osc_bytes(blob.as_py()) for blob in batch["bytes"]]
+        tables = []
+        for blob, path in zip(batch["bytes"], batch["path"]):
+            t = parse_osc_bytes(blob.as_py())
+            fseq = order.get(os.path.abspath(str(path.as_py())), 0)
+            seq = (np.int64(fseq) << np.int64(32)) + np.arange(len(t), dtype=np.int64)
+            tables.append(t.append_column("__seq", pa.array(seq)))
         if not tables:
-            return _ELEM_SCHEMA.empty_table().append_column(
-                "op", pa.array([], type=pa.int64())
+            return (
+                _ELEM_SCHEMA.empty_table()
+                .append_column("op", pa.array([], type=pa.int64()))
+                .append_column("__seq", pa.array([], type=pa.int64()))
             )
         return pa.concat_tables(tables)
 
-    return ray.data.read_binary_files(paths).map_batches(
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
         decode, batch_format="pyarrow", batch_size=1
     )
 

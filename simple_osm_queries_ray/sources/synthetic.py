@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..model import NODES_PER_WAY, WAY_ID_BASE, cell_of
+from ..model import NODES_PER_WAY, WAY_ID_BASE, WAYS_PER_REL, cell_of
 
 # Hash/geolocate constants — mirrored verbatim in oracle SQL (see
 # __ray_entry__.sql_nodes_cte()).
@@ -170,20 +170,11 @@ def read_documents(sf_dir: str, replicate: int = 1, stride: int = REP_STRIDE) ->
     with the synthetic way/relation id ranges.
     """
     assert replicate * stride <= WAY_ID_BASE, "node ids would collide with way ids"
-    # Size the read's block count by file size: Ray defaults to ~CPU-count
-    # blocks even for a tiny file, and micro-blocks make every downstream
-    # sort-shuffle pay width^2 task overhead for no parallelism gain.
-    import os as _os
+    from .read import read_parquet_sized
 
-    import ray as _ray
-
-    fsize = _os.path.getsize(f"{sf_dir}/documents.parquet")
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    nblocks = int(min(max(1, fsize // (16 << 20) + (1 if fsize % (16 << 20) else 0)), 4 * cpus))
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source", "n_chars"],
-        override_num_blocks=nblocks,
     )
     if replicate <= 1:
         return ds.map_batches(

@@ -229,6 +229,48 @@ def test_osc_change_merge(tmp_path):
     assert ids(eng.execute_string(f"{bb}.nodes{{backrest=no}}")) == {3}
 
 
+OSC_DELTA_2 = """<osmChange version="0.6">
+  <modify>
+    <node id="3" lon="9.921" lat="53.551">
+      <tag k="amenity" v="bench"/>
+      <tag k="backrest" v="separate"/>
+    </node>
+  </modify>
+  <modify>
+    <node id="99" lon="9.916" lat="53.561">
+      <tag k="natural" v="tree"/>
+      <tag k="height" v="12"/>
+    </node>
+  </modify>
+</osmChange>
+"""
+
+
+def test_osc_sequential_deltas_last_write_wins(tmp_path):
+    """An element modified in BOTH deltas (or created then modified) must
+    surface exactly once with the LAST delta's state — standard sequential
+    minutely-diff semantics; naive append duplicated it."""
+    from simple_osm_queries_ray.pipelines.import_osm import import_osm_with_changes
+
+    osc1 = tmp_path / "d1.osc"
+    osc1.write_text(OSC_DELTA)
+    osc2 = tmp_path / "d2.osc"
+    osc2.write_text(OSC_DELTA_2)
+    repo = import_osm_with_changes(REF_FIXTURE, [str(osc1), str(osc2)])
+    nodes = repo.nodes.to_pandas()
+    # exactly one row each for the twice-touched elements
+    assert (nodes["id"] == 3).sum() == 1
+    assert (nodes["id"] == 99).sum() == 1
+    eng = QueryEngine(repo)
+    bb = "bbox(9.9,53.5,9.94,53.6)"
+    # final states come from delta 2
+    assert ids(eng.execute_string(f"{bb}.nodes{{backrest=separate}}")) == {3}
+    assert ids(eng.execute_string(f"{bb}.nodes{{backrest=no}}")) == set()
+    assert ids(eng.execute_string(f"{bb}.nodes{{height=12}}")) == {99}
+    # delta-1 delete still holds
+    assert ids(eng.execute_string(f"{bb}.nodes{{amenity=bench}}")) == {3}
+
+
 def test_write_osm_xml_shards_roundtrip(tmp_path):
     """write_osm_xml_shards -> read_osm_xml reproduces ids, repr-exact
     coordinates and attribute-escaped tag values."""
