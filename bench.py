@@ -173,9 +173,16 @@ def run_bench() -> dict:
             ways.select_columns(["id", "node_ids"]), "node_ids", "id",
             out_val="way_id", out_key="node_id",
         )
-        way_ids_attached = attach_edges_broadcast(
-            nodes, "id", way_edges, "node_id", "way_id", "way_ids"
-        ).map_batches(_empty_relation_ids, batch_format="pyarrow")
+        way_ids_attached = (
+            attach_edges_broadcast(
+                nodes, "id", way_edges, "node_id", "way_id", "way_ids"
+            )
+            .map_batches(_empty_relation_ids, batch_format="pyarrow")
+            # materialize INSIDE the timed region: attach is lazy, so
+            # without this the stage timer reads only graph construction
+            # and the probe cost silently lands in tag_index_encode
+            .materialize()
+        )
         times["reverse_membership"] = time.time() - t0
 
         # membership semi-join through the query engine (tag filter + this.ways)

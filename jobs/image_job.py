@@ -60,6 +60,19 @@ def main() -> int:
     meta = {"source": args.sf_dir, "waves": args.waves, "pipeline": "image_curation"}
     manifest = Manifest.load_or_create(args.out_dir, meta)
 
+    import glob
+
+    # crashed staging dirs (write finished, os.replace didn't): never
+    # referenced by the manifest, so always safe to remove
+    for d in glob.glob(os.path.join(args.out_dir, "soqr_img_w*")):
+        shutil.rmtree(d, ignore_errors=True)
+    # lineage restart (different source/waves): the fresh manifest rewrites
+    # waves 0..N-1, but a PREVIOUS configuration may have left wave=K dirs
+    # beyond N that would silently mix two configurations in the out_dir
+    if not manifest.waves:
+        for d in glob.glob(os.path.join(args.out_dir, "wave=*")):
+            shutil.rmtree(d, ignore_errors=True)
+
     docs = read_parquet_sized(f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = docs.count()
     per_wave = (n_docs + args.waves - 1) // args.waves

@@ -25,6 +25,17 @@ import pyarrow as pa
 import ray.data
 
 
+_HASH_MUL = np.int64(-7046029254386353131)
+
+
+def bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Fibonacci-hash bucket id in [0, num_buckets): cheap integer spread so
+    consecutive keys don't land in one bucket. THE one shared definition —
+    every hash-bucket shuffle in the package must use it so both sides of
+    any bucketed join agree."""
+    return np.abs((np.asarray(keys, dtype=np.int64) * _HASH_MUL) >> np.int64(32)) % num_buckets
+
+
 def bucket_collect(
     ds: ray.data.Dataset,
     key: str,
@@ -42,10 +53,9 @@ def bucket_collect(
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch[key], dtype=np.int64)
-        # Cheap integer hash spread (Fibonacci hashing) so consecutive keys
-        # don't all land in one bucket.
-        b = ((k * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets
-        return batch.append_column("__bucket", pa.array(np.abs(b).astype(np.int64)))
+        return batch.append_column(
+            "__bucket", pa.array(bucket_of(k, num_buckets).astype(np.int64))
+        )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         tbl = tbl.drop_columns(["__bucket"])
@@ -74,6 +84,13 @@ def collect_list_column(
     Segments must be contiguous ([starts[i], ends[i]) covering the array in
     order), which ``bucket_collect`` guarantees.
     """
+    if len(starts) == 0:
+        # zero groups: Arrow requires list offsets of length >= 1, and the
+        # concat below would produce an empty offsets array (empty blocks
+        # reach here whenever an upstream filter empties a block)
+        return pa.LargeListArray.from_arrays(
+            pa.array([0], type=pa.int64()), pa.array([], type=type_)
+        ).cast(pa.list_(type_))
     offsets = np.concatenate([starts, ends[-1:]]).astype(np.int64)
     if isinstance(flat, np.ndarray):
         flat = pa.array(flat, type=type_)

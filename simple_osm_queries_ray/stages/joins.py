@@ -21,13 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.segments import list_parts
-from .group_collect import bucket_collect, collect_list_column
-
-_HASH_MUL = np.int64(-7046029254386353131)
-
-
-def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    return np.abs((keys * _HASH_MUL) >> np.int64(32)) % num_buckets
+from .group_collect import bucket_collect, bucket_of as _bucket_of, collect_list_column
 
 
 def explode_list(
@@ -164,6 +158,11 @@ def nulls_to_empty_list(col: pa.ListArray) -> pa.ListArray:
     if col.null_count == 0:
         return col
     value_type = col.type.value_type
+    if col.offset != 0:
+        # a sliced array's offsets index into the UNSLICED values buffer;
+        # rebasing them to zero while keeping col.values would gather the
+        # wrong elements (silent corruption) — normalize via a copy first
+        col = pa.concat_arrays([col])
     offsets = np.asarray(col.offsets, dtype=np.int64)
     offsets = offsets - offsets[0]
     valid = ~np.asarray(col.is_null())

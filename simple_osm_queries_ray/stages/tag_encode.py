@@ -52,6 +52,27 @@ def _cached_encode_tables(ti: TagIndex) -> tuple[pa.Array, pa.Array, np.ndarray]
     return keys_arr, pair_strs, pair_vi
 
 
+# decode side: flattened value-string table + per-key offsets depend only on
+# the TagIndex too — rebuilding them per batch (a Python loop over the whole
+# vocabulary) would dominate the vectorized decode they feed at real
+# vocabulary sizes, multiplied by batch count
+_DECODE_CACHE: dict[int, tuple[TagIndex, np.ndarray, pa.Array]] = {}
+
+
+def _cached_decode_tables(ti: TagIndex) -> tuple[np.ndarray, pa.Array]:
+    hit = _DECODE_CACHE.get(id(ti))
+    if hit is not None and hit[0] is ti:
+        return hit[1], hit[2]
+    val_lens = np.array([len(v) for v in ti.values], dtype=np.int64)
+    val_base = np.zeros(len(val_lens) + 1, dtype=np.int64)
+    np.cumsum(val_lens, out=val_base[1:])
+    flat_val_strs = pa.array(
+        [v for values in ti.values for v in values], type=pa.string()
+    )
+    _DECODE_CACHE[id(ti)] = (ti, val_base, flat_val_strs)
+    return val_base, flat_val_strs
+
+
 def encode_tags(ds: ray.data.Dataset, tag_index_ref) -> ray.data.Dataset:
     """Add int32 ``tag_keys`` / ``tag_vals`` columns from the *_str lists.
 
@@ -138,15 +159,11 @@ def decode_tags_to_strings(batch: pa.Table, tag_index: TagIndex) -> list[dict[st
     flat_vals = np.asarray(flat_vals, dtype=np.int64)
     keys_arr, _pair_strs, _pair_vi = _cached_encode_tables(tag_index)
     # per-key value-dictionary offsets: value j of key k lives at
-    # val_base[k] + j in the flattened value table
-    val_lens = np.array([len(v) for v in tag_index.values], dtype=np.int64)
-    val_base = np.zeros(len(val_lens) + 1, dtype=np.int64)
-    np.cumsum(val_lens, out=val_base[1:])
-    flat_val_strs = pa.array(
-        [v for values in tag_index.values for v in values], type=pa.string()
-    )
+    # val_base[k] + j in the flattened value table (cached per TagIndex)
+    val_base, flat_val_strs = _cached_decode_tables(tag_index)
+    n_keys = len(val_base) - 1
     ok = (flat_keys >= 0) & (flat_vals >= 0)
-    safe_k = np.clip(flat_keys, 0, max(len(val_lens) - 1, 0))
+    safe_k = np.clip(flat_keys, 0, max(n_keys - 1, 0))
     key_strs = keys_arr.take(pa.array(safe_k)).to_pylist()
     val_strs = flat_val_strs.take(
         pa.array(np.clip(val_base[safe_k] + flat_vals, 0, max(len(flat_val_strs) - 1, 0)))

@@ -30,7 +30,22 @@ def run_logged(ds, out_dir: str, lineage: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     result_dir = os.path.join(out_dir, "result")
-    ds.write_parquet(result_dir)
+    # stage + atomic replace (the image_job discipline): writing straight
+    # into an existing result/ leaves a crashed or different-lineage run's
+    # files alongside the new ones — uniquely-named parquet files mean the
+    # combined dir double-counts rows and run.json records the wrong count
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="soqr_run_", dir=out_dir)
+    try:
+        ds.write_parquet(staging)
+        if os.path.isdir(result_dir):
+            shutil.rmtree(result_dir)
+        os.replace(staging, result_dir)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     import pyarrow.dataset as pads
 
     rows = pads.dataset(result_dir).count_rows()

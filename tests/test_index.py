@@ -285,6 +285,10 @@ def test_run_logged_artifact(tmp_path):
     # resume: same lineage -> returned without rewriting
     m2 = run_logged(ray.data.range(1000), out, lineage)
     assert m2["finished_at"] == m["finished_at"]
+    # changed lineage -> result REPLACED, not appended: a rerun into an
+    # existing result/ must not double-count rows from the prior run's files
+    m3 = run_logged(ray.data.range(500), out, {"input": "range(500)", "op": "identity", "params": {}})
+    assert m3["rows"] == 500
 
 
 def test_zonemap_written_and_prunes_partitions(index_dir):
