@@ -2163,6 +2163,15 @@ def _q_tpch_q12(sf_dir: str):
     return q12_priority_by_flag(sf_dir)
 
 
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (pipelines/relational.py::q2_cheapest_supplier):
+    correlated MIN decorrelated to two chained bucketed MIN reduces +
+    equality re-join; exact integer floor-division unit prices."""
+    from simple_osm_queries_ray.pipelines.relational import q2_cheapest_supplier
+
+    return q2_cheapest_supplier(sf_dir)
+
+
 def _q_tpch_q10_topk(sf_dir: str):
     """TPC-H Q10 shape (pipelines/relational.py::q10_returned_item_revenue):
     two chained bucketed key-sums (order -> customer) over returned-item
@@ -2583,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": _q_tpch_q18,
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
+        "tpch_q2": _q_tpch_q2,
         "tpch_q10_topk": _q_tpch_q10_topk,
         "tpch_q13": _q_tpch_q13,
         "tpch_q15": _q_tpch_q15,
@@ -5969,6 +5979,28 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
 GROUP BY l.l_returnflag
+""",
+        # Q2 shape: min-cost supplier per part (lineitem unit prices stand in
+        # for partsupp.supplycost); exact integer floor division; ties surface
+        "tpch_q2": """
+WITH bp AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_brand IN ('Brand#21', 'Brand#22')
+),
+unit AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * 1000
+             // CAST(ROUND(l.l_quantity) AS BIGINT)) AS unit_mc
+  FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (SELECT l_partkey, MIN(unit_mc) AS best_mc FROM unit GROUP BY l_partkey)
+SELECT u.l_partkey AS p_partkey, bp.p_brand, u.l_suppkey AS s_suppkey,
+       s.s_name, u.unit_mc AS best_unit_mc
+FROM unit u
+JOIN best b ON b.l_partkey = u.l_partkey AND u.unit_mc = b.best_mc
+JOIN supplier s ON s.s_suppkey = u.l_suppkey
+JOIN bp ON bp.p_partkey = u.l_partkey
+ORDER BY p_partkey, s_suppkey
 """,
         # Q10 shape: returned-item revenue per customer over an order window,
         # top 20, revenue in exact hundredths-of-a-cent, ties by custkey

@@ -1643,3 +1643,100 @@ def q22_global_sales_opportunity(
             }
         )
     return out
+
+
+def q2_cheapest_supplier(
+    sf_dir: str, brands: tuple[str, ...] = ("Brand#21", "Brand#22")
+) -> "pd.DataFrame":
+    """TPC-H Q2 shape (minimum-cost supplier): for every part in a brand
+    subset, the supplier(s) achieving the minimum historical unit price —
+    the correlated MIN subquery decorrelated to aggregate-then-equality-join
+    (the sandbox has no partsupp table, so lineitem's unit prices stand in
+    for supplycost).
+
+    Exactness: unit price = price_cents * 1000 // quantity (integer FLOOR
+    division, identical in numpy and DuckDB's ``//``) — no float rounding
+    to diverge on ties, and argmin ties surface as multiple rows exactly
+    like the classic Q2. Plan: brand part-keys broadcast; two chained
+    bucketed MIN reduces ((part, supp) then part); the per-part minimum
+    re-attaches by partitioned int64 hash join and equality filters the
+    winners; supplier/part metadata gathers driver-side for winners only.
+    Output: (p_partkey, p_brand, s_suppkey, s_name, best_unit_mc)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.group_collect import bucketed_reduce
+    from ..stages.joins import hash_join_attach
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_mask = np.isin(part["p_brand"].to_numpy(zero_copy_only=False), list(brands))
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)[brand_mask]
+    pbrand = part["p_brand"].to_numpy(zero_copy_only=False)[brand_mask].astype(str)
+    order = np.argsort(pk)
+    pk_ref = ray.put(pk[order])
+
+    line = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def unit_partial(batch: pa.Table) -> pa.Table:
+        pks = bget(pk_ref)
+        lp = np.asarray(batch["l_partkey"], dtype=np.int64)
+        if len(pks) == 0:
+            hit = np.zeros(len(lp), dtype=bool)
+        else:
+            pos = np.searchsorted(pks, lp)
+            hit = (pos < len(pks)) & (pks[np.minimum(pos, len(pks) - 1)] == lp)
+        lp = lp[hit]
+        ls = np.asarray(batch["l_suppkey"], dtype=np.int64)[hit]
+        qty = np.round(np.asarray(batch["l_quantity"], dtype=np.float64)[hit]).astype(np.int64)
+        unit = _cents(batch["l_extendedprice"])[hit] * 1000 // qty
+        # within-batch pre-reduce per (part, supp)
+        key = lp * np.int64(1 << 20) + ls  # suppkey < 2^20 at every SF here
+        u, inv = np.unique(key, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, unit)
+        return pa.table(
+            {
+                "pkey": pa.array(u >> 20),
+                "skey": pa.array(u & ((1 << 20) - 1)),
+                "unit_mc": pa.array(m),
+            }
+        )
+
+    per_ps = bucketed_reduce(
+        line.map_batches(unit_partial, batch_format="pyarrow"),
+        ["pkey", "skey"],
+        {"unit_mc": "min"},
+    ).materialize()
+
+    per_part = bucketed_reduce(per_ps, ["pkey"], {"unit_mc": "min"}).map_batches(
+        lambda b: pa.table({"pkey": b["pkey"], "best_mc": b["unit_mc"]}),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join_attach(per_ps, "pkey", per_part, "pkey", {"best_mc": pa.int64()})
+
+    def winners(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch["unit_mc"], dtype=np.int64) == np.asarray(
+            pc.fill_null(batch["best_mc"], np.iinfo(np.int64).max), dtype=np.int64
+        )
+        return batch.filter(pa.array(keep)).select(["pkey", "skey", "unit_mc"])
+
+    won = joined.map_batches(winners, batch_format="pyarrow").to_pandas()
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    ss = np.argsort(sk)
+    spos = ss[np.searchsorted(sk[ss], won["skey"].to_numpy())]
+    ppos = np.searchsorted(pk[order], won["pkey"].to_numpy())
+    out = pd.DataFrame(
+        {
+            "p_partkey": won["pkey"].to_numpy(),
+            "p_brand": pbrand[order][ppos],
+            "s_suppkey": won["skey"].to_numpy(),
+            "s_name": supp["s_name"].to_numpy(zero_copy_only=False)[spos].astype(str),
+            "best_unit_mc": won["unit_mc"].to_numpy(),
+        }
+    )
+    return out.sort_values(["p_partkey", "s_suppkey"]).reset_index(drop=True)
