@@ -1849,6 +1849,16 @@ def _q_events_value_corr(sf_dir: str):
     return events_value_corr(sf_dir)
 
 
+def _q_image_budget_selection(sf_dir: str):
+    """Storage-budget curation (stages/image.py::image_budget_selection):
+    exact quality-ordered prefix under a byte budget via two streaming
+    passes — distinct-score histogram + boundary-class row resolution."""
+    from simple_osm_queries_ray.sources.images import image_meta_table
+    from simple_osm_queries_ray.stages.image import image_budget_selection
+
+    return image_budget_selection(image_meta_table(sf_dir))
+
+
 def _q_image_format_stats(sf_dir: str):
     """Storage-migration rollup per image format (stages/image.py::
     image_format_stats): metadata-only, per-batch partials, 2-key groupby."""
@@ -2593,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q12": _q_tpch_q12,
         "tpch_q2": _q_tpch_q2,
+        "image_budget_selection": _q_image_budget_selection,
         "tpch_q10_topk": _q_tpch_q10_topk,
         "tpch_q13": _q_tpch_q13,
         "tpch_q15": _q_tpch_q15,
@@ -5485,6 +5496,27 @@ FROM st WHERE n * sxx - sx * sx > 0
 """,
         # storage-migration rollup per image format: raw-codec size formula
         # (9-byte header + 3 bytes/pixel) shared with image_shards
+        # byte-budget curation: maximal (score DESC, id) prefix with
+        # running byte sum <= 1/4 of corpus bytes; score = w*h
+        "image_budget_selection": """
+WITH meta AS (
+  SELECT doc_id, CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 7) * 4 AS BIGINT) AS h
+  FROM documents
+),
+m AS (SELECT doc_id, w * h AS score, 9 + 3 * w * h AS bytes FROM meta),
+tot AS (SELECT CAST(SUM(bytes) AS BIGINT) // 4 AS budget FROM m),
+c AS (
+  SELECT doc_id, score, bytes,
+         SUM(bytes) OVER (ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_selected,
+       CAST(MIN(score) AS BIGINT) AS min_score_selected
+FROM c, tot WHERE c.cum <= tot.budget
+""",
         "image_format_stats": """
 WITH meta AS (
   SELECT CAST(8 + (doc_id % 5) * 8 AS BIGINT) AS w,

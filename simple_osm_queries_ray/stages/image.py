@@ -1058,3 +1058,88 @@ def curation_pipeline(sf_dir: str, min_score: float = -1.0) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     return scored
+
+
+def image_budget_selection(
+    meta: ray.data.Dataset, budget_frac: tuple[int, int] = (1, 4)
+) -> "pa.Table":
+    """Curation under a storage budget: the maximal quality-ordered prefix
+    whose cumulative bytes fit ``budget_frac`` of the corpus (exact SQL
+    semantics: ORDER BY score DESC, id; running SUM(bytes) <= budget).
+
+    score = w*h (resolution as the metadata quality proxy), bytes = the
+    codec-exact 9 + 3*w*h. Distributed as two streaming passes — the
+    selection-by-order-statistic discipline (same family as the exact
+    percentiles): (1) per-score (n, bytes) partials through one bucketed
+    sum — the driver sees only DISTINCT scores (bounded by distinct
+    resolutions, not rows); (2) the boundary score class resolves row-level
+    by collecting ONLY that class's (id, bytes) and cumsum-ing in id order.
+    Caveat at corpus scale: a resolution-monoculture corpus makes the
+    boundary class O(N) — add a finer tie-break score (e.g. phash bits) or
+    resolve the class with a distributed id-quantile before the pull.
+    Output: one row (n_selected, bytes_selected, min_score_selected)."""
+    import pyarrow.compute as pc
+
+    from .group_collect import bucketed_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+        score = w * h
+        byt = 9 + 3 * score
+        u, inv = np.unique(score, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        b = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(b, inv, byt)
+        return pa.table({"score": pa.array(u), "n": pa.array(n), "b": pa.array(b)})
+
+    hist = bucketed_sum(
+        meta.map_batches(partial, batch_format="pyarrow"), ["score"], ["n", "b"]
+    ).to_pandas()
+    hist = hist.sort_values("score", ascending=False).reset_index(drop=True)
+    scores = hist["score"].to_numpy()
+    nb = hist["b"].to_numpy()
+    nn = hist["n"].to_numpy()
+    budget = int(nb.sum()) * budget_frac[0] // budget_frac[1]
+
+    cum = np.cumsum(nb)
+    full = cum <= budget  # score classes selected in full
+    n_sel = int(nn[full].sum())
+    b_sel = int(nb[full].sum())
+    min_score = int(scores[full][-1]) if full.any() else None
+    k = int(full.sum())
+    if k < len(scores):
+        # boundary class: row-level resolution in id order
+        bscore = int(scores[k])
+        remaining = budget - b_sel
+
+        def boundary(batch: pa.Table) -> pa.Table:
+            w = np.asarray(batch["w"], dtype=np.int64)
+            h = np.asarray(batch["h"], dtype=np.int64)
+            keep = w * h == bscore
+            ids = pc.cast(
+                pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+            )
+            return pa.table(
+                {
+                    "id": pa.array(np.asarray(ids, dtype=np.int64)[keep]),
+                    "byt": pa.array((9 + 3 * w * h)[keep]),
+                }
+            )
+
+        rows = meta.map_batches(boundary, batch_format="pyarrow").to_pandas()
+        rows = rows.sort_values("id")
+        csum = rows["byt"].cumsum().to_numpy()
+        fit = int((csum <= remaining).sum())
+        if fit:
+            n_sel += fit
+            b_sel += int(csum[fit - 1])
+            min_score = bscore
+    return pa.table(
+        {
+            "n_selected": pa.array([np.int64(n_sel)]),
+            "bytes_selected": pa.array([np.int64(b_sel)]),
+            "min_score_selected": pa.array([np.int64(min_score if min_score is not None else -1)]),
+        }
+    )
