@@ -4120,7 +4120,7 @@ d AS (
   FROM nodes_c n LEFT JOIN nodes_c p ON p.id = n.id - 1 AND p.wg = n.wg
 )
 SELECT id, 100000000 + wg AS way_id,
-       SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS chain_nm
+       CAST(SUM(d_nm) OVER (PARTITION BY wg ORDER BY id) AS BIGINT) AS chain_nm
 FROM d
 """,
         "way_replication_hist": f"""
@@ -6039,8 +6039,8 @@ ORDER BY p_partkey, s_suppkey
         "tpch_q10_topk": """
 WITH rev AS (
   SELECT o.o_custkey,
-         SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
-             * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS revenue_hc
+         CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_hc
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE l.l_returnflag = 'R'
     AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
@@ -6073,8 +6073,8 @@ FROM pc GROUP BY c_count
         "tpch_q15": """
 WITH r AS (
   SELECT l_suppkey,
-         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_revenue_hc
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_hc
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY l_suppkey

@@ -1437,6 +1437,16 @@ def q15_top_supplier(
     per_supp = _bucketed_key_sum(
         line.map_batches(partial, batch_format="pyarrow"), "k", ["rev"]
     ).to_pandas()
+    if per_supp.empty:
+        # an empty bucketed-sum Dataset drops its schema in to_pandas —
+        # pin the documented columns (same guard class as q10/q17/q22)
+        return pd.DataFrame(
+            {
+                "s_suppkey": np.array([], dtype=np.int64),
+                "s_name": np.array([], dtype=object),
+                "total_revenue_hc": np.array([], dtype=np.int64),
+            }
+        )
 
     best = per_supp["rev"].max()
     winners = per_supp[per_supp["rev"] == best].sort_values("k")
@@ -1541,8 +1551,10 @@ def q22_global_sales_opportunity(
 ) -> "pd.DataFrame":
     """TPC-H Q22 shape (global sales opportunity): customers from a nation
     subset (stand-in for the classic phone-prefix filter) whose balance
-    exceeds the average POSITIVE balance of that subset and who have NO
-    orders, rolled up per nation.
+    exceeds the average POSITIVE balance of that subset and who have no
+    URGENT orders (NOT EXISTS restricted to o_orderpriority='1-URGENT' —
+    a deliberate variation so the anti-join side is selective; the SQL twin
+    applies the same restriction), rolled up per nation.
 
     Two decorrelations in one query: the scalar AVG broadcasts as the
     cleared-denominator pair (sum_cents, n) so the comparison
@@ -1672,6 +1684,19 @@ def q2_cheapest_supplier(
     pk = np.asarray(part["p_partkey"], dtype=np.int64)[brand_mask]
     pbrand = part["p_brand"].to_numpy(zero_copy_only=False)[brand_mask].astype(str)
     order = np.argsort(pk)
+    if len(pk) == 0:
+        # no part matches the brand subset: the downstream per_ps dataset
+        # would be empty and schema-less (hash_join_attach then fails on a
+        # None schema) — early-return the documented empty frame instead
+        return pd.DataFrame(
+            {
+                "p_partkey": np.array([], dtype=np.int64),
+                "p_brand": np.array([], dtype=object),
+                "s_suppkey": np.array([], dtype=np.int64),
+                "s_name": np.array([], dtype=object),
+                "best_unit_mc": np.array([], dtype=np.int64),
+            }
+        )
     pk_ref = ray.put(pk[order])
 
     line = read_parquet_sized(

@@ -164,12 +164,29 @@ def read_osc(paths: str | list[str]) -> ray.data.Dataset:
 
     plist = [paths] if isinstance(paths, str) else list(paths)
     order = {os.path.abspath(p): i for i, p in enumerate(plist)}
+    # Ray may report paths in a different form than the caller passed
+    # (URI-style, scheme-prefixed); fall back to basename matching when the
+    # basenames are unique, and FAIL LOUDLY otherwise — a silent fseq=0
+    # default would break last-write-wins ordering across deltas
+    bases = [os.path.basename(p) for p in plist]
+    order_base = (
+        {b: i for i, b in enumerate(bases)} if len(set(bases)) == len(bases) else {}
+    )
 
     def decode(batch: pa.Table) -> pa.Table:
         tables = []
         for blob, path in zip(batch["bytes"], batch["path"]):
             t = parse_osc_bytes(blob.as_py())
-            fseq = order.get(os.path.abspath(str(path.as_py())), 0)
+            key = str(path.as_py())
+            fseq = order.get(os.path.abspath(key))
+            if fseq is None:
+                fseq = order_base.get(os.path.basename(key))
+            if fseq is None:
+                raise ValueError(
+                    f"read_osc: reported file path {key!r} matches no input "
+                    "path (by abspath or unique basename); cannot order "
+                    "osmChange deltas deterministically"
+                )
             seq = (np.int64(fseq) << np.int64(32)) + np.arange(len(t), dtype=np.int64)
             tables.append(t.append_column("__seq", pa.array(seq)))
         if not tables:

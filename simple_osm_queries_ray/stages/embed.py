@@ -190,14 +190,22 @@ def _verify_pairs_cosine(
 
     def pack(out_id: str, out_vec: str):
         # Arrow hash joins reject list-typed non-key fields — ship each
-        # vector as one float64-LE blob and frombuffer it after the join
+        # vector as one float64-LE blob and frombuffer it after the join.
+        # large_binary (not fixed_size_binary(8*d)): an empty upstream block
+        # has no rows to infer d from, and a per-block width would split the
+        # schema across blocks and fail the join — variable-width offsets
+        # give every block the identical type for free.
         def fn(batch: pa.Table) -> pa.Table:
             vecs = np.ascontiguousarray(
                 np.array(batch[vec_col].to_pylist(), dtype=np.float64)
             )
-            n, d = vecs.shape if vecs.ndim == 2 else (len(vecs), 0)
-            blobs = pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(8 * d), n, [None, pa.py_buffer(vecs.tobytes())]
+            n = batch.num_rows
+            d = vecs.shape[1] if vecs.ndim == 2 else 0
+            offsets = np.arange(n + 1, dtype=np.int64) * np.int64(8 * d)
+            blobs = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(vecs.tobytes())],
             )
             return pa.table(
                 {out_id: batch[id_col], out_vec: blobs}

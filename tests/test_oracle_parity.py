@@ -59,6 +59,20 @@ def test_query_matches_oracle(name, con):
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     for c in got.columns:
         g, e = got[c].to_numpy(), exp[c].to_numpy()
+        # The driver's value hash is dtype-sensitive: an engine int64 column
+        # paired with a DuckDB HUGEINT->float64 output hash-mismatches even
+        # when values are identical (round-3 `way_chainage`).  Mirror that
+        # strictness here: integer-vs-float family mismatches FAIL — the
+        # oracle SQL must CAST window/aggregate outputs so both sides agree.
+        fam = lambda k: "i" if k in "iu" else k
+        if fam(g.dtype.kind) != fam(e.dtype.kind) and (
+            g.dtype.kind in "iuf" or e.dtype.kind in "iuf"
+        ):
+            raise AssertionError(
+                f"{name}.{c}: dtype family mismatch engine={g.dtype} "
+                f"oracle={e.dtype} — add CAST(... AS BIGINT/DOUBLE) to the "
+                "SQL twin; the driver hash is dtype-sensitive"
+            )
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             np.testing.assert_array_equal(g.astype(np.float64), e.astype(np.float64), err_msg=f"{name}.{c}")
         elif g.dtype.kind in "iu" or e.dtype.kind in "iu":

@@ -31,3 +31,25 @@ def test_q15_ties_deterministic():
     b = q15_top_supplier(SF)
     assert a.equals(b)
     assert np.all(np.diff(a["s_suppkey"].to_numpy()) > 0) or len(a) <= 1
+
+
+def test_q15_empty_date_window_returns_empty():
+    # ADVICE r03: empty bucketed-sum Dataset drops its schema in to_pandas
+    # -> KeyError 'rev'; q15 must pin the documented columns like q10/q17
+    from simple_osm_queries_ray.pipelines.relational import q15_top_supplier
+
+    out = q15_top_supplier(SF, date_lo="1990-01-01", date_hi="1990-01-02")
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue_hc"]
+
+
+def test_q2_unknown_brand_returns_empty():
+    # ADVICE r03: no matching parts -> schema-less per_ps dataset ->
+    # AttributeError in hash_join_attach; q2 must early-return empty
+    from simple_osm_queries_ray.pipelines.relational import q2_cheapest_supplier
+
+    out = q2_cheapest_supplier(SF, brands=("Brand#9999",))
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "p_partkey", "p_brand", "s_suppkey", "s_name", "best_unit_mc",
+    ]
