@@ -38,20 +38,38 @@ def main(argv: list[str] | None = None) -> int:
             changes = [a for a in argv[3:] if a.endswith(".osc")]
             from .pipelines.build_index import write_index
 
+            # reference parity: `--cell-width W --cell-height H` mirror the
+            # Import cellWidth/cellHeight parameters (src/main.go:87)
+            scheme = None
+            if "--cell-width" in argv or "--cell-height" in argv:
+                from .functions.hiercell import GridCellScheme
+
+                def _flag(name, default):
+                    return (
+                        float(argv[argv.index(name) + 1])
+                        if name in argv
+                        else default
+                    )
+
+                scheme = GridCellScheme(
+                    _flag("--cell-width", 0.1), _flag("--cell-height", 0.1)
+                )
             if src.endswith((".osm", ".pbf", ".bz2", ".gz")):
                 # real OSM input (reference `import` path, main.go:70-96);
                 # trailing .osc args apply as osmChange deltas
                 from .pipelines.import_osm import import_osm, import_osm_with_changes
 
                 repo = (
-                    import_osm_with_changes(src, changes) if changes else import_osm(src)
+                    import_osm_with_changes(src, changes, cell_scheme=scheme)
+                    if changes
+                    else import_osm(src, cell_scheme=scheme)
                 )
             else:
                 # synthetic derivation from a testdata sf directory
                 from .sources.repo import build_repo
 
-                repo = build_repo(src)
-            manifest = write_index(repo, index_dir)
+                repo = build_repo(src, cell_scheme=scheme)
+            manifest = write_index(repo, index_dir, cell_scheme=scheme)
             print(f"index written to {index_dir}: {manifest.total_rows()} rows over "
                   f"{len(manifest.waves)} waves")
             return 0

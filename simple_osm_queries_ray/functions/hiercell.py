@@ -220,34 +220,89 @@ class QuadCellScheme:
 
 
 class GridCellScheme:
-    """The reference's flat 0.1-degree grid (default scheme)."""
+    """The reference's flat lon/lat grid, with a configurable cell size.
 
-    name = "grid"
+    The reference's ``Import`` takes cellWidth/cellHeight parameters
+    (``/root/reference/src/importing/import.go:17``, wired from
+    ``src/main.go:87``, default 0.1 at ``src/main.go:39``) — this scheme is
+    the engine's equivalent knob: ``GridCellScheme(0.05, 0.05)`` plugs into
+    ``build_repo(cell_scheme=...)`` / ``QueryEngine(cell_scheme=...)`` and
+    every downstream plan operates on the resulting opaque int64 cell ids.
+    The default (0.1 x 0.1) matches the reference and the module-level
+    ``model.cell_of`` fast path.
+    """
+
+    def __init__(self, cell_w: float = 0.1, cell_h: float = 0.1):
+        if cell_w <= 0 or cell_h <= 0:
+            raise ValueError("cell_w and cell_h must be positive")
+        self.cell_w = float(cell_w)
+        self.cell_h = float(cell_h)
+        self._default = self.cell_w == 0.1 and self.cell_h == 0.1
+        # name keys the build_repo cache — must distinguish sizes
+        self.name = "grid" if self._default else f"grid-{cell_w}x{cell_h}"
 
     def cell_of(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        from ..model import cell_of
+        from ..model import CELL_PACK
 
-        return cell_of(lon, lat)
+        cx = np.floor(np.asarray(lon, dtype=np.float64) / self.cell_w).astype(np.int64)
+        cy = np.floor(np.asarray(lat, dtype=np.float64) / self.cell_h).astype(np.int64)
+        return cx * CELL_PACK + cy
 
     def cells_for_bbox(
         self, minlon: float, minlat: float, maxlon: float, maxlat: float
     ) -> np.ndarray:
-        from ..model import cells_for_bbox
+        from ..model import pack_cell
 
-        return cells_for_bbox(minlon, minlat, maxlon, maxlat)
+        cx0 = int(np.floor(minlon / self.cell_w))
+        cx1 = int(np.floor(maxlon / self.cell_w))
+        cy0 = int(np.floor(minlat / self.cell_h))
+        cy1 = int(np.floor(maxlat / self.cell_h))
+        xs = np.arange(cx0, cx1 + 1, dtype=np.int64)
+        ys = np.arange(cy0, cy1 + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        return pack_cell(gx.ravel(), gy.ravel())
 
     def expand_cells(self, cells: np.ndarray, eps: float) -> np.ndarray:
         """Grid cells within planar distance ``eps`` of the given cells
         (ring expansion by ceil(eps / cell side) in each axis)."""
-        from ..model import CELL_H, CELL_W, pack_cell, unpack_cell
+        from ..model import pack_cell, unpack_cell
 
         cells = np.asarray(cells, dtype=np.int64)
         if len(cells) == 0:
             return cells
         cx, cy = unpack_cell(cells)
-        rx = int(np.ceil(eps / CELL_W))
-        ry = int(np.ceil(eps / CELL_H))
+        rx = int(np.ceil(eps / self.cell_w))
+        ry = int(np.ceil(eps / self.cell_h))
         dx, dy = np.meshgrid(np.arange(-rx, rx + 1), np.arange(-ry, ry + 1), indexing="ij")
         ex = (cx[:, None] + dx.ravel()[None, :]).ravel()
         ey = (cy[:, None] + dy.ravel()[None, :]).ravel()
         return np.unique(pack_cell(ex, ey))
+
+
+def scheme_to_json(scheme) -> dict:
+    """Serialize a cell scheme for persistence in a written index, so
+    query-side ``DiskRepo`` reconstructs the EXACT scheme the cells were
+    built with (the reference persists cellWidth/cellHeight implicitly in
+    its grid-file directory layout; we persist explicitly)."""
+    if isinstance(scheme, GridCellScheme):
+        return {"kind": "grid", "cell_w": scheme.cell_w, "cell_h": scheme.cell_h}
+    if isinstance(scheme, QuadCellScheme):
+        return {"kind": "quad", "level": scheme.level}
+    from .hexcell import HexCellScheme
+
+    if isinstance(scheme, HexCellScheme):
+        return {"kind": "hex", "size": scheme.size}
+    raise ValueError(f"unknown cell scheme {type(scheme).__name__}")
+
+
+def scheme_from_json(d: dict):
+    kind = d["kind"]
+    if kind == "grid":
+        return GridCellScheme(d["cell_w"], d["cell_h"])
+    if kind == "quad":
+        return QuadCellScheme(d["level"])
+    if kind == "hex":
+        from .hexcell import HexCellScheme
+
+        return HexCellScheme(d["size"])
+    raise ValueError(f"unknown cell scheme kind {kind!r}")

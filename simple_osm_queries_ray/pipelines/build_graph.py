@@ -320,7 +320,7 @@ def attach_reverse_membership(
     ways: ray.data.Dataset,
     relations: ray.data.Dataset,
     num_partitions: int = 16,
-    broadcast_edge_limit: int = 100_000_000,
+    broadcast_edge_limit: int = 25_000_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """node.way_ids / node.relation_ids / way.relation_ids via explode+collect+join.
 
@@ -333,7 +333,11 @@ def attach_reverse_membership(
     when it fits worker memory (``broadcast_edge_limit`` edges ≈ 16 B each)
     the member table is NOT shuffled — the sorted edge array is broadcast and
     probed map-side (``attach_edges_broadcast``). Bigger edge sets fall back
-    to the partitioned hash join with identical semantics.
+    to the partitioned hash join with identical semantics. The default gate
+    is 25 M edges ≈ 400 MB: the broadcast path gather+lexsorts the whole
+    edge set in ONE task, so the gate bounds that task's working set (the
+    r03 audit flagged the previous 100 M ≈ 1.6 GB default as a single-task
+    straggler at the boundary on a real cluster).
     """
     from ..stages.joins import attach_edges_broadcast
 

@@ -162,6 +162,7 @@ def write_index(
     *,
     rows_per_partition: int = 2_000_000,
     num_waves: int = 4,
+    cell_scheme=None,
 ) -> Manifest:
     """Write nodes/ways/relations as hive-partitioned parquet with a manifest.
 
@@ -171,6 +172,14 @@ def write_index(
     """
     meta = {"rows_per_partition": rows_per_partition, "format": 1}
     os.makedirs(index_dir, exist_ok=True)
+    if cell_scheme is not None:
+        # persist the scheme so DiskRepo queries reconstruct the exact cell
+        # geometry the index was built with (reference: cellWidth/cellHeight
+        # import parameters, src/importing/import.go:17)
+        from ..functions.hiercell import scheme_to_json
+
+        with open(os.path.join(index_dir, "scheme.json"), "w") as f:
+            json.dump(scheme_to_json(cell_scheme), f)
     cells, counts = density_histogram(repo.nodes)
     plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition)
     with open(os.path.join(index_dir, "plan.json"), "w") as f:
@@ -271,6 +280,13 @@ class DiskRepo:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "plan.json")) as f:
             self.plan = PartitionPlan.from_json(json.load(f))
+        self.cell_scheme = None
+        scheme_path = os.path.join(index_dir, "scheme.json")
+        if os.path.exists(scheme_path):
+            from ..functions.hiercell import scheme_from_json
+
+            with open(scheme_path) as f:
+                self.cell_scheme = scheme_from_json(json.load(f))
         self.tag_index = TagIndex.load(os.path.join(index_dir, "tag-index"))
         self.tag_index_ref = ray.put(self.tag_index)
         zm_path = os.path.join(index_dir, "zonemap.json")

@@ -446,6 +446,7 @@ def import_osm_with_changes(
     base_paths: str | list[str],
     osc_paths: str | list[str],
     materialize: bool = True,
+    cell_scheme=None,
 ):
     """``import`` + osmChange replication: read the base extract, apply one
     or more ``.osc`` deltas at the element level, then run the exact same
@@ -458,17 +459,26 @@ def import_osm_with_changes(
     from ..sources.osm_xml import read_osc
 
     merged = merge_changes(_read_elements(base_paths), read_osc(osc_paths))
-    return build_repo_from_elements(merged, materialize=materialize)
+    return build_repo_from_elements(
+        merged, materialize=materialize, cell_scheme=cell_scheme
+    )
 
 
-def import_osm(paths: str | list[str], materialize: bool = True):
+def import_osm(paths: str | list[str], materialize: bool = True, cell_scheme=None):
     """``.osm`` / ``.osm.pbf`` file(s) -> FeatureRepo (the reference's
     ``import`` command, ``src/main.go:70-96``, as one Ray pipeline).
+    ``cell_scheme`` mirrors the reference's cellWidth/cellHeight import
+    parameters (``src/importing/import.go:17``) — e.g.
+    ``GridCellScheme(0.05, 0.05)``; default is the 0.1-degree grid.
     """
-    return build_repo_from_elements(_read_elements(paths), materialize=materialize)
+    return build_repo_from_elements(
+        _read_elements(paths), materialize=materialize, cell_scheme=cell_scheme
+    )
 
 
-def build_repo_from_elements(elems: ray.data.Dataset, materialize: bool = True):
+def build_repo_from_elements(
+    elems: ray.data.Dataset, materialize: bool = True, cell_scheme=None
+):
     """Parsed element dataset -> FeatureRepo.
 
     The element dataset is materialized once (the object-store analogue of
@@ -483,8 +493,10 @@ def build_repo_from_elements(elems: ray.data.Dataset, materialize: bool = True):
         elems = elems.materialize()
     raw_nodes, raw_ways, raw_rels = split_elements(elems)
 
+    assign_cell = cell_scheme.cell_of if cell_scheme is not None else cell_of
+
     def add_cell(batch: pa.Table) -> pa.Table:
-        cell = cell_of(
+        cell = assign_cell(
             np.asarray(batch["lon"], dtype=np.float64),
             np.asarray(batch["lat"], dtype=np.float64),
         )

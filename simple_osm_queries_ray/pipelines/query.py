@@ -122,11 +122,19 @@ _MEMBERSHIP = {
 
 class QueryEngine:
     #: matched-ID sets up to this size are broadcast (``ray.put`` of a sorted
-    #: int64 array, ~8 B/id -> 400 MB at the default) and probed map-side;
+    #: int64 array, ~8 B/id -> 80 MB at the default) and probed map-side;
     #: bigger sets route through the partitioned hash-join fallback in
     #: :meth:`_attach_probe_flag` — same semantics, one more shuffle, no
-    #: driver/worker materialization of the id set.
-    BROADCAST_ID_LIMIT = 50_000_000
+    #: driver/worker materialization of the id set. Sizing rationale (r03
+    #: audit): the broadcast array lives once per NODE in plasma (zero-copy
+    #: mapped by every probe task), but the gather+sort task and the
+    #: driver-side ``ray.put`` hold ~2x transiently and every query with k
+    #: probe sub-statements pins k arrays — 10 M ids keeps the worst case
+    #: under ~200 MB/node on a 1-2 GB object-store-per-node budget, while
+    #: the fallback's extra exchange only costs ~1 s at this cardinality
+    #: (bench: attach-probe at 10 M edges). Override per-engine when the
+    #: cluster's object store is known to be larger.
+    BROADCAST_ID_LIMIT = 10_000_000
 
     def __init__(self, repo: FeatureRepo, cell_scheme=None, broadcast_id_limit: int | None = None):
         """``cell_scheme`` must match the scheme the repo's 'cell' columns
@@ -136,7 +144,11 @@ class QueryEngine:
         from ..functions.hiercell import GridCellScheme
 
         self.repo = repo
-        self.cell_scheme = cell_scheme or GridCellScheme()
+        # precedence: explicit arg > the scheme persisted with a written
+        # index (DiskRepo loads scheme.json) > the reference's default grid
+        self.cell_scheme = (
+            cell_scheme or getattr(repo, "cell_scheme", None) or GridCellScheme()
+        )
         self.broadcast_id_limit = (
             self.BROADCAST_ID_LIMIT if broadcast_id_limit is None else broadcast_id_limit
         )

@@ -1023,32 +1023,88 @@ def alignment_scores(
     )
 
 
-def curation_pipeline(sf_dir: str, min_score: float = -1.0) -> ray.data.Dataset:
+#: curation survivor-set broadcast gate: below this many ids the sorted id
+#: array ships once via ray.put (≤ ~60 MB at 5 M 12-byte ids); above it the
+#: semi-join runs as the bucketed int64 hash join — survivor counts are
+#: corpus-scaled, so an unconditional driver pull would be a scale bug
+SURVIVOR_BROADCAST_LIMIT = 5_000_000
+
+
+def _ids_int64(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized ``image_id`` ('img%08d', sources/images.py) -> int64 join
+    key via Arrow kernels (slice off the 'img' prefix, cast)."""
+    import pyarrow.compute as pc
+
+    out = pc.cast(pc.utf8_slice_codeunits(col, 3), pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def curation_pipeline(
+    sf_dir: str,
+    min_score: float = -1.0,
+    *,
+    survivor_broadcast_limit: int = SURVIVOR_BROADCAST_LIMIT,
+) -> ray.data.Dataset:
     """LAION-style curation composite: metadata quality gate (resolution,
     aspect, caption length — never touches pixels) THEN alignment scoring
     of only the survivors (the expensive payload stage runs on the reduced
     set — gate ordering is the point), THEN a score threshold.
+
+    The survivor semi-join is size-gated like the query engine's probe
+    planner (pipelines/query.py): survivor sets under
+    ``survivor_broadcast_limit`` broadcast a sorted id array; bigger sets
+    route through the bucketed int64 hash join of stages/joins.py (one
+    payload exchange — acceptable because every surviving payload must
+    reach a scoring actor anyway).
 
     Output: (image_id, align_score) for kept images.
     """
     from ..sources.images import image_table
 
     imgs = image_table(sf_dir)
-    gated = quality_filter(imgs.drop_columns(["bytes"])).select_columns(["image_id"])
-    # semi-join the payload table against the survivors by id — broadcast
-    # (survivor id set is metadata-sized; at corpus scale swap in the
-    # bucketed int64 join of stages/joins.py, same contract)
-    import ray as _ray
+    gated = (
+        quality_filter(imgs.drop_columns(["bytes"]))
+        .select_columns(["image_id"])
+        .materialize()
+    )
+    if gated.count() <= survivor_broadcast_limit:
+        import ray as _ray
 
-    ids_ref = _ray.put(pa.array(sorted(gated.to_pandas()["image_id"])))
+        ids_ref = _ray.put(pa.array(sorted(gated.to_pandas()["image_id"])))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        mask = pc.is_in(batch["image_id"], value_set=_ray.get(ids_ref))
-        return batch.filter(mask)
+            mask = pc.is_in(batch["image_id"], value_set=_ray.get(ids_ref))
+            return batch.filter(mask)
 
-    survivors = imgs.map_batches(keep, batch_format="pyarrow")
+        survivors = imgs.map_batches(keep, batch_format="pyarrow")
+    else:
+        from .joins import hash_join_attach
+
+        def with_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__k", _ids_int64(batch["image_id"]))
+
+        flagged = gated.map_batches(
+            lambda b: pa.table(
+                {
+                    "__k": _ids_int64(b["image_id"]),
+                    "__m": pa.array(np.ones(len(b), dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        survivors = (
+            hash_join_attach(
+                imgs.map_batches(with_key, batch_format="pyarrow"),
+                "__k",
+                flagged,
+                "__k",
+                {"__m": pa.int8()},
+            )
+            .filter(expr="__m == 1")
+            .drop_columns(["__k", "__m"])
+        )
     scored = alignment_scores(survivors)
     if min_score > -1.0:
         import pyarrow.compute as pc

@@ -1051,10 +1051,12 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> "pd.DataFrame":
     )
 
 
-def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> "pd.DataFrame":
+def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> ray.data.Dataset:
     """Temporal self-join: per user, the number of ordered event pairs
     (a, b) with a.ts < b.ts <= a.ts + window (ties broken by event_id so
-    simultaneous events pair deterministically). Output: (user_id, n_pairs).
+    simultaneous events pair deterministically). Output: (user_id, n_pairs),
+    returned as a Dataset — user cardinality is corpus-scaled, so the result
+    must NOT materialize on the driver (r03 audit).
 
     Shape: ONE shuffle keyed on hash(user) bucket; within a bucket each
     user's events sort once and the pair count is a vectorized two-pointer:
@@ -1112,8 +1114,7 @@ def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> "pd.DataFra
         .map_groups(per_bucket, batch_format="pyarrow"),
         ["user_id"], ["n_pairs"],
     )
-    out = agg.to_pandas().sort_values("user_id").reset_index(drop=True)
-    return out[out["n_pairs"] > 0].reset_index(drop=True)
+    return agg.filter(expr="n_pairs > 0")
 
 
 def weighted_sample(sf_dir: str, rate_per_char: int = 2_147_484) -> ray.data.Dataset:

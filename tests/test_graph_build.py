@@ -104,3 +104,40 @@ def test_build_ways_local_first_matches_shuffle():
             assert list(x) == list(y)
         for x, y in zip(a["cells"], b["cells"]):
             assert list(x) == list(y)
+
+
+def test_reverse_membership_gate_both_paths_agree():
+    """attach_reverse_membership must produce identical reverse lists on
+    both sides of the broadcast-vs-shuffle gate (r03 audit: the gate default
+    dropped to 25M edges to bound the broadcast path's single-task sort;
+    forcing broadcast_edge_limit=0 exercises the partitioned fallback)."""
+    from simple_osm_queries_ray.pipelines.build_graph import (
+        attach_reverse_membership,
+        build_relations,
+        build_ways,
+    )
+    from simple_osm_queries_ray.sources.synthetic import generated_nodes
+
+    nodes = generated_nodes(SF, replicate=1).materialize()
+    ways = build_ways(nodes).materialize()
+    rels = build_relations(nodes, ways).materialize()
+
+    def run(limit):
+        n, w = attach_reverse_membership(
+            nodes, ways, rels, broadcast_edge_limit=limit
+        )
+        ndf = n.to_pandas().sort_values("id").reset_index(drop=True)
+        wdf = w.to_pandas().sort_values("id").reset_index(drop=True)
+        return ndf, wdf
+
+    nb, wb = run(25_000_000)  # broadcast tier (default)
+    nf, wf = run(0)  # forced partitioned fallback
+
+    assert (nb["id"] == nf["id"]).all() and (wb["id"] == wf["id"]).all()
+    for col, a, b in (
+        ("way_ids", nb, nf),
+        ("relation_ids", nb, nf),
+        ("relation_ids", wb, wf),
+    ):
+        for x, y in zip(a[col], b[col]):
+            assert list(x) == list(y), col

@@ -287,6 +287,26 @@ def test_curation_pipeline_deterministic_and_gated():
     assert set(a["image_id"]) <= gated and len(a) == len(gated)
 
 
+def test_curation_pipeline_fallback_join_matches_broadcast():
+    """Forced fallback (survivor_broadcast_limit=0) must route the survivor
+    semi-join through the bucketed int64 hash join and keep EXACTLY the ids
+    the broadcast tier keeps — the r03 audit flagged the unconditional
+    driver pull; this pins the gate."""
+    from simple_osm_queries_ray.stages.image import curation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    bcast = curation_pipeline(sf).to_pandas().sort_values("image_id").reset_index(drop=True)
+    fb = (
+        curation_pipeline(sf, survivor_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert list(fb.columns) == list(bcast.columns)
+    assert (fb["image_id"] == bcast["image_id"]).all()
+    assert np.allclose(fb["align_score"], bcast["align_score"], rtol=0, atol=0)
+
+
 def test_image_job_wave_resume(tmp_path):
     """jobs/image_job.py resume: a crash that leaves one wave's directory on
     disk but unrecorded must be atomically replaced (no duplicated rows),

@@ -422,3 +422,29 @@ def test_projection_pushdown_tag_only_query(index_dir):
     ).statements[0]
     cols2 = eng._stmt_columns(stmt2, "node")
     assert "way_ids" in cols2 and "relation_ids" not in cols2
+
+
+def test_disk_index_custom_cell_size(tmp_path):
+    """An index built at 0.05 degrees (the reference's cellWidth/cellHeight
+    import knob, src/importing/import.go:17) persists its scheme in
+    scheme.json; DiskRepo + QueryEngine reconstruct it WITHOUT the caller
+    passing a scheme, and answers match the default 0.1-degree index."""
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    scheme = GridCellScheme(0.05, 0.05)
+    d = str(tmp_path / "idx005")
+    write_index(
+        build_repo(SF, cell_scheme=scheme), d,
+        rows_per_partition=150, num_waves=2, cell_scheme=scheme,
+    )
+    assert os.path.exists(os.path.join(d, "scheme.json"))
+    disk = QueryEngine(DiskRepo(d))  # no explicit scheme: loaded from disk
+    assert disk.cell_scheme.cell_w == 0.05
+    mem = QueryEngine(build_repo(SF))
+    for q in (
+        "bbox(9.85,53.45,10.05,53.65).nodes{lang=en}",
+        "bbox(9,53,11,55).nodes{lang=de AND this.ways{wtype=primary}}",
+    ):
+        a = set(mem.execute_string(q).to_pandas()["id"])
+        b = set(disk.execute_string(q).to_pandas()["id"])
+        assert a == b and a, q

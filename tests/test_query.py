@@ -522,3 +522,23 @@ def test_relation_buffer_runs(engine):
     # union of DIRECT member geometry (member nodes + member way polylines)
     got = q(engine, f"{bbox_str(BBOX)}.relations{{this.buffer(0.01).nodes{{lang=de}}}}")
     assert isinstance(got, set)
+
+
+def test_custom_cell_size_same_results(engine):
+    """Reference parity: Import takes cellWidth/cellHeight
+    (src/importing/import.go:17, src/main.go:87). A 0.05-degree grid built
+    through the scheme seam must answer bbox, tag-filter, semi-join AND
+    buffered queries with the identical id sets as the default 0.1 grid —
+    cell size is a pruning/partitioning knob, never a semantics knob."""
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    scheme = GridCellScheme(0.05, 0.05)
+    assert scheme.name != GridCellScheme().name  # distinct build_repo cache key
+    eng2 = QueryEngine(build_repo(SF, cell_scheme=scheme), cell_scheme=scheme)
+    for text in (
+        f"{bbox_str(SMALL)}.nodes{{lang=en}}",
+        f"{bbox_str(BBOX)}.nodes{{lang=de AND this.ways{{wtype=primary}}}}",
+        f"{bbox_str(SMALL)}.ways{{wtype=primary}}",
+        f"{bbox_str(SMALL)}.nodes{{lang=de AND this.buffer(0.01).ways{{wtype=primary}}}}",
+    ):
+        assert q(eng2, text) == q(engine, text), text
