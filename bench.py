@@ -165,6 +165,37 @@ def run_bench() -> dict:
         knn_bruteforce(nodes, np.array([(9.95, 53.55), (9.2, 53.8), (10.5, 54.5)]), 10).count()
         times["knn"] = time.time() - t0
 
+        # tag dictionary + encode FIRST (project-early discipline): every
+        # downstream stage then moves int32 tag lists instead of the source
+        # strings, and the reverse-membership attach below materializes a
+        # payload-free table (caption and *_str never reach it). Same work,
+        # same per-stage timers — r03's attach-output carried caption +
+        # string tags through TWO materializes for no reader.
+        t0 = time.time()
+        from simple_osm_queries_ray.pipelines.tag_dictionary import build_tag_index
+        from simple_osm_queries_ray.stages.tag_encode import encode_tags
+
+        ti = build_tag_index(nodes, ways)
+        ti_ref = ray.put(ti)
+        # the two encodes are independent pipelines on one cluster: submit
+        # both and let the streaming executor interleave (the ways table is
+        # 5x smaller and would otherwise serialize behind the node encode)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_nodes = pool.submit(
+                lambda: encode_tags(nodes.drop_columns(["caption"]), ti_ref)
+                .drop_columns(["tag_keys_str", "tag_vals_str"])
+                .materialize()
+            )
+            f_ways = pool.submit(
+                lambda: encode_tags(ways, ti_ref)
+                .drop_columns(["tag_keys_str", "tag_vals_str"])
+                .materialize()
+            )
+            enc_nodes, ways_enc = f_nodes.result(), f_ways.result()
+        times["tag_index_encode"] = time.time() - t0
+
         # reverse membership: real explode -> broadcast-probe attach (J3)
         from simple_osm_queries_ray.stages.joins import attach_edges_broadcast, explode_list
 
@@ -173,36 +204,17 @@ def run_bench() -> dict:
             ways.select_columns(["id", "node_ids"]), "node_ids", "id",
             out_val="way_id", out_key="node_id",
         )
-        way_ids_attached = (
+        enc = (
             attach_edges_broadcast(
-                nodes, "id", way_edges, "node_id", "way_id", "way_ids"
+                enc_nodes, "id", way_edges, "node_id", "way_id", "way_ids"
             )
             .map_batches(_empty_relation_ids, batch_format="pyarrow")
             # materialize INSIDE the timed region: attach is lazy, so
             # without this the stage timer reads only graph construction
-            # and the probe cost silently lands in tag_index_encode
+            # and the probe cost silently lands in the query stage
             .materialize()
         )
         times["reverse_membership"] = time.time() - t0
-
-        # membership semi-join through the query engine (tag filter + this.ways)
-        t0 = time.time()
-        from simple_osm_queries_ray.pipelines.tag_dictionary import build_tag_index
-        from simple_osm_queries_ray.stages.tag_encode import encode_tags
-
-        ti = build_tag_index(nodes, ways)
-        ti_ref = ray.put(ti)
-        # prune payload + source string-tag columns from the query tables: the
-        # engine filters on the encoded int lists and projects id/lon/lat only.
-        enc = (
-            encode_tags(way_ids_attached.drop_columns(["caption"]), ti_ref)
-            .drop_columns(["tag_keys_str", "tag_vals_str"])
-            .materialize()
-        )
-        ways_enc = (
-            encode_tags(ways, ti_ref).drop_columns(["tag_keys_str", "tag_vals_str"]).materialize()
-        )
-        times["tag_index_encode"] = time.time() - t0
 
         t0 = time.time()
         repo = FeatureRepo(enc, ways_enc, ways_enc.limit(1), ti)
@@ -383,10 +395,37 @@ def run_scaling_job() -> dict:
         t_tile = time.time() - t0
         times["polygon_join"] = min(t_join, times.get("polygon_join", t_join))
         times["tile_assign_hist"] = min(t_tile, times.get("tile_assign_hist", t_tile))
+
+    # ---- shuffle-heavy probe (r03 verdict #2): the main job above is
+    # deliberately compute-dense; this second probe is the OPPOSITE — the
+    # way-assembly exchange, a genuine corpus-wide all-to-all of full
+    # 40-byte rows hash-bucketed on the way-group key. Reported ALONGSIDE
+    # the frozen main measurement (never added into its `sec`): the north
+    # rule is about the whole pipeline, and a shuffle's scaling story
+    # (object-store exchange, aggregator actors) differs from a map stage's.
+    # Fixed layout at every cluster size: 192 generation blocks, 96 buckets.
+    shuffle = None
+    if os.environ.get("BENCH_SCALING_SHUFFLE", "1") != "0":
+        from simple_osm_queries_ray.pipelines.build_graph import build_ways
+
+        sh_replicate = int(os.environ.get("BENCH_SHUFFLE_REPLICATE", "2000"))
+        sh_nodes = generated_points(
+            SF_DIR, replicate=sh_replicate, stride=STRIDE, num_blocks=num_blocks
+        ).materialize()
+        sh_rows = sh_nodes.count()
+        t0 = time.time()
+        n_ways = build_ways(sh_nodes, num_buckets=96).count()
+        t_shuffle = time.time() - t0
+        shuffle = {
+            "sec": round(t_shuffle, 3),
+            "rows": int(sh_rows),
+            "rows_per_s": round(sh_rows / t_shuffle, 1),
+            "ways": int(n_ways),
+        }
     ray.shutdown()
 
     total = sum(times.values())
-    return {
+    out = {
         "metric": "scaling_job_rows_per_s",
         "rows": int(n_rows),
         "sec": round(total, 3),
@@ -396,6 +435,9 @@ def run_scaling_job() -> dict:
         "num_cpus": NUM_CPUS,
         "replicate": replicate,
     }
+    if shuffle is not None:
+        out["shuffle"] = shuffle
+    return out
 
 
 def run_scaling(cycles: int | None = None) -> dict:
@@ -439,6 +481,24 @@ def run_scaling(cycles: int | None = None) -> dict:
     r_lo = min(runs_lo, key=lambda r: r["sec"])
     r_hi = min(runs_hi, key=lambda r: r["sec"])
     eff = (r_hi["rows_per_s"] / r_lo["rows_per_s"]) / (hi / lo)
+    # shuffle probe: same per-side-min estimator, computed on the probe's
+    # own seconds (separate from — and never mixed into — the main job)
+    shuffle_probe = None
+    if all("shuffle" in r for r in runs_lo + runs_hi):
+        s_lo = min(r["shuffle"]["sec"] for r in runs_lo)
+        s_hi = min(r["shuffle"]["sec"] for r in runs_hi)
+        sh_rows = runs_lo[0]["shuffle"]["rows"]
+        shuffle_probe = {
+            "stage": "way_assembly_exchange",
+            "rows": sh_rows,
+            "sec_lo": round(s_lo, 3),
+            "sec_hi": round(s_hi, 3),
+            "rows_per_s_lo": round(sh_rows / s_lo, 1),
+            "rows_per_s_hi": round(sh_rows / s_hi, 1),
+            "scaling_efficiency": round((s_lo / s_hi) / (hi / lo), 3),
+            "all_cycle_secs_lo": [r["shuffle"]["sec"] for r in runs_lo],
+            "all_cycle_secs_hi": [r["shuffle"]["sec"] for r in runs_hi],
+        }
     return {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "rows": r_lo["rows"],
@@ -456,6 +516,7 @@ def run_scaling(cycles: int | None = None) -> dict:
         ],
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
+        **({"shuffle_probe": shuffle_probe} if shuffle_probe else {}),
     }
 
 

@@ -6,7 +6,7 @@ Usage (run from the repo root so workers resolve the package):
 
     python -m simple_osm_queries_ray.cli import <sf_dir|file.osm[.bz2|.gz]|file.pbf> <index_dir> [delta.osc ...]
     python -m simple_osm_queries_ray.cli refresh <src> <index_dir> [deltas.osc...]
-    python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain]
+    python -m simple_osm_queries_ray.cli query <index_dir> '<query>' [out.geojson|--explain|--profile [q.prof]]
     python -m simple_osm_queries_ray.cli stats <index_dir>
     python -m simple_osm_queries_ray.cli server <index_dir> [port]
     python -m simple_osm_queries_ray.cli shard <sf_dir> <out_dir> [k] [waves]
@@ -107,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
                 plan = QueryEngine(DiskRepo(index_dir)).explain_string(qtext)
                 print(_json.dumps(plan, indent=1))
                 return 0
+            # --profile [path.prof]: the reference's --profiling CPU-profile
+            # flag (src/main.go:73-83) — wrap the DRIVER side in cProfile
+            # (worker-side cost shows up in the per-dataset ds.stats(),
+            # printed alongside) and write a pstats artifact
+            profile_path = None
+            if "--profile" in argv:
+                i = argv.index("--profile")
+                if len(argv) > i + 1 and not argv[i + 1].startswith("--"):
+                    profile_path = argv[i + 1]
+                    argv = argv[:i] + argv[i + 2 :]
+                else:
+                    profile_path = "query.prof"
+                    argv = argv[:i] + argv[i + 1 :]
             out = argv[3] if len(argv) > 3 else "output.geojson"
             from .model import QUERY_TYPE_TO_OBJECT_TYPE
             from .parser import parse_query
@@ -117,14 +130,31 @@ def main(argv: list[str] | None = None) -> int:
             repo = DiskRepo(index_dir)
             engine = QueryEngine(repo)
             query = parse_query(qtext, repo.tag_index)
-            total = 0
-            # one file per statement type keeps geometry homogeneous; the
-            # reference concatenates — do the same for single-statement queries
-            for stmt in query.statements:
-                ds = engine.execute_statement(stmt, project=False)
-                total += write_geojson(
-                    ds, out, repo.tag_index, QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
-                )
+
+            def run_query() -> int:
+                total = 0
+                # one file per statement type keeps geometry homogeneous; the
+                # reference concatenates — same for single-statement queries
+                for stmt in query.statements:
+                    ds = engine.execute_statement(stmt, project=False)
+                    total += write_geojson(
+                        ds, out, repo.tag_index, QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
+                    )
+                    if profile_path:
+                        print(ds.stats(), file=sys.stderr)
+                return total
+
+            if profile_path:
+                import cProfile
+                import pstats
+
+                prof = cProfile.Profile()
+                total = prof.runcall(run_query)
+                prof.dump_stats(profile_path)
+                pstats.Stats(prof).sort_stats("cumulative").print_stats(15)
+                print(f"profile written to {profile_path}")
+            else:
+                total = run_query()
             print(f"wrote {total} features to {out}")
             return 0
         if cmd == "stats":
