@@ -1124,15 +1124,17 @@ def image_budget_selection(
     semantics: ORDER BY score DESC, id; running SUM(bytes) <= budget).
 
     score = w*h (resolution as the metadata quality proxy), bytes = the
-    codec-exact 9 + 3*w*h. Distributed as two streaming passes — the
+    codec-exact 9 + 3*w*h. Distributed as ONE streaming pass — the
     selection-by-order-statistic discipline (same family as the exact
-    percentiles): (1) per-score (n, bytes) partials through one bucketed
-    sum — the driver sees only DISTINCT scores (bounded by distinct
-    resolutions, not rows); (2) the boundary score class resolves row-level
-    by collecting ONLY that class's (id, bytes) and cumsum-ing in id order.
-    Caveat at corpus scale: a resolution-monoculture corpus makes the
-    boundary class O(N) — add a finer tie-break score (e.g. phash bits) or
-    resolve the class with a distributed id-quantile before the pull.
+    percentiles): per-score (n, bytes) partials through one bucketed sum —
+    the driver sees only DISTINCT scores (bounded by distinct resolutions,
+    not rows). The boundary score class needs no row pull at all: bytes is
+    a pure function of score (9 + 3*score), so every row of the class costs
+    the same and the ORDER BY (score DESC, id) prefix that fits is exactly
+    floor(remaining_budget / class_byte_cost) rows — arithmetic, identical
+    to the SQL running-sum semantics. (r03 listed the then row-level
+    boundary pull as O(N) on a resolution-monoculture corpus; this removes
+    the pull entirely.)
     Output: one row (n_selected, bytes_selected, min_score_selected)."""
     import pyarrow.compute as pc
 
@@ -1166,31 +1168,16 @@ def image_budget_selection(
     min_score = int(scores[full][-1]) if full.any() else None
     k = int(full.sum())
     if k < len(scores):
-        # boundary class: row-level resolution in id order
+        # boundary class: every row costs the same (bytes = 9 + 3*score), so
+        # the id-ordered prefix that fits is floor(remaining / cost) rows —
+        # no row-level collection needed, at any class cardinality
         bscore = int(scores[k])
         remaining = budget - b_sel
-
-        def boundary(batch: pa.Table) -> pa.Table:
-            w = np.asarray(batch["w"], dtype=np.int64)
-            h = np.asarray(batch["h"], dtype=np.int64)
-            keep = w * h == bscore
-            ids = pc.cast(
-                pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
-            )
-            return pa.table(
-                {
-                    "id": pa.array(np.asarray(ids, dtype=np.int64)[keep]),
-                    "byt": pa.array((9 + 3 * w * h)[keep]),
-                }
-            )
-
-        rows = meta.map_batches(boundary, batch_format="pyarrow").to_pandas()
-        rows = rows.sort_values("id")
-        csum = rows["byt"].cumsum().to_numpy()
-        fit = int((csum <= remaining).sum())
+        row_cost = 9 + 3 * bscore
+        fit = min(int(remaining // row_cost), int(nn[k]))
         if fit:
             n_sel += fit
-            b_sel += int(csum[fit - 1])
+            b_sel += fit * row_cost
             min_score = bscore
     return pa.table(
         {
