@@ -170,16 +170,29 @@ def write_index(
     one of their cells (the reference's per-cell replication,
     ``grid_writer.go:142-145``); readers deduplicate by id after pruning.
     """
-    meta = {"rows_per_partition": rows_per_partition, "format": 1}
+    # the scheme is part of the index's lineage: a manifest whose meta
+    # disagrees (e.g. re-import at a different cell size) restarts clean
+    scheme_name = cell_scheme.name if cell_scheme is not None else "grid"
+    meta = {
+        "rows_per_partition": rows_per_partition,
+        "format": 1,
+        "cell_scheme": scheme_name,
+    }
     os.makedirs(index_dir, exist_ok=True)
+    scheme_path = os.path.join(index_dir, "scheme.json")
     if cell_scheme is not None:
         # persist the scheme so DiskRepo queries reconstruct the exact cell
         # geometry the index was built with (reference: cellWidth/cellHeight
         # import parameters, src/importing/import.go:17)
         from ..functions.hiercell import scheme_to_json
 
-        with open(os.path.join(index_dir, "scheme.json"), "w") as f:
+        with open(scheme_path, "w") as f:
             json.dump(scheme_to_json(cell_scheme), f)
+    elif os.path.exists(scheme_path):
+        # default-scheme rebuild into a dir that previously held a custom
+        # scheme: a stale scheme.json would make DiskRepo probe with the
+        # wrong geometry
+        os.remove(scheme_path)
     cells, counts = density_histogram(repo.nodes)
     plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition)
     with open(os.path.join(index_dir, "plan.json"), "w") as f:

@@ -448,3 +448,33 @@ def test_disk_index_custom_cell_size(tmp_path):
         a = set(mem.execute_string(q).to_pandas()["id"])
         b = set(disk.execute_string(q).to_pandas()["id"])
         assert a == b and a, q
+
+
+def test_default_rebuild_clears_stale_scheme(tmp_path):
+    """Rebuilding an index at the DEFAULT scheme into a directory that
+    previously held a custom-scheme index must remove the stale scheme.json
+    (and the manifest's lineage meta must invalidate the old waves) — a
+    leftover scheme would make DiskRepo probe with the wrong geometry."""
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    d = str(tmp_path / "idx")
+    scheme = GridCellScheme(0.05, 0.05)
+    write_index(
+        build_repo(SF, cell_scheme=scheme), d,
+        rows_per_partition=150, num_waves=2, cell_scheme=scheme,
+    )
+    assert os.path.exists(os.path.join(d, "scheme.json"))
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    assert not os.path.exists(os.path.join(d, "scheme.json"))
+    disk = QueryEngine(DiskRepo(d))
+    assert disk.cell_scheme.cell_w == 0.1
+    got = set(
+        disk.execute_string("bbox(9.85,53.45,10.05,53.65).nodes{lang=en}")
+        .to_pandas()["id"]
+    )
+    mem = QueryEngine(build_repo(SF))
+    exp = set(
+        mem.execute_string("bbox(9.85,53.45,10.05,53.65).nodes{lang=en}")
+        .to_pandas()["id"]
+    )
+    assert got == exp and got
