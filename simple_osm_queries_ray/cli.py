@@ -26,7 +26,11 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # only shut Ray down if THIS call initialized it: when main() runs
+    # embedded (tests, a server framework, repeated in-process calls) a
+    # shutdown would orphan every Dataset the host session still holds
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -45,11 +49,17 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.hiercell import GridCellScheme
 
                 def _flag(name, default):
-                    return (
-                        float(argv[argv.index(name) + 1])
-                        if name in argv
-                        else default
-                    )
+                    if name not in argv:
+                        return default
+                    i = argv.index(name)
+                    if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                        raise SystemExit(f"{name} requires a numeric value")
+                    try:
+                        return float(argv[i + 1])
+                    except ValueError:
+                        raise SystemExit(
+                            f"{name} requires a numeric value, got {argv[i + 1]!r}"
+                        ) from None
 
                 scheme = GridCellScheme(
                     _flag("--cell-width", 0.1), _flag("--cell-height", 0.1)
@@ -79,18 +89,35 @@ def main(argv: list[str] | None = None) -> int:
             # index under its original plan
             src, index_dir = argv[1], argv[2]
             changes = [a for a in argv[3:] if a.endswith(".osc")]
+            import os as _os
+
             from .pipelines.build_index import refresh_index
 
+            # the refreshed repo MUST be rebuilt with the scheme the index
+            # was written with (persisted scheme.json) — a default-grid
+            # rebuild of a custom-cell index would rewrite partitions whose
+            # cell ids no query probe could ever match
+            scheme = None
+            scheme_path = _os.path.join(index_dir, "scheme.json")
+            if _os.path.exists(scheme_path):
+                import json as _json
+
+                from .functions.hiercell import scheme_from_json
+
+                with open(scheme_path) as f:
+                    scheme = scheme_from_json(_json.load(f))
             if src.endswith((".osm", ".pbf", ".bz2", ".gz")):
                 from .pipelines.import_osm import import_osm, import_osm_with_changes
 
                 repo = (
-                    import_osm_with_changes(src, changes) if changes else import_osm(src)
+                    import_osm_with_changes(src, changes, cell_scheme=scheme)
+                    if changes
+                    else import_osm(src, cell_scheme=scheme)
                 )
             else:
                 from .sources.repo import build_repo
 
-                repo = build_repo(src)
+                repo = build_repo(src, cell_scheme=scheme)
             report = refresh_index(index_dir, repo)
             import json as _json
 
@@ -223,7 +250,8 @@ def main(argv: list[str] | None = None) -> int:
                 pass
             return 0
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
     print(f"unknown command {cmd!r}")
     return 2
 

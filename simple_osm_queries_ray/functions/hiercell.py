@@ -235,6 +235,18 @@ class GridCellScheme:
     def __init__(self, cell_w: float = 0.1, cell_h: float = 0.1):
         if cell_w <= 0 or cell_h <= 0:
             raise ValueError("cell_w and cell_h must be positive")
+        from ..model import CELL_PACK
+
+        # packing capacity: cell = cx*CELL_PACK + cy collides when the cy
+        # range (latitude span / cell_h) reaches CELL_PACK — reject sizes
+        # the decimal pack cannot represent instead of silently conflating
+        # distant cells (pruning would still be correct but degenerate)
+        if 180.0 / cell_h >= CELL_PACK:
+            raise ValueError(
+                f"cell_h={cell_h} too small for the cell packing: latitude "
+                f"span 180/{cell_h} >= CELL_PACK ({CELL_PACK}); minimum "
+                f"supported cell_h is {180.0 / CELL_PACK}"
+            )
         self.cell_w = float(cell_w)
         self.cell_h = float(cell_h)
         self._default = self.cell_w == 0.1 and self.cell_h == 0.1

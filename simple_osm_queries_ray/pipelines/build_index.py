@@ -170,6 +170,11 @@ def write_index(
     one of their cells (the reference's per-cell replication,
     ``grid_writer.go:142-145``); readers deduplicate by id after pruning.
     """
+    if cell_scheme is None:
+        # the repo records the scheme it was built with (FeatureRepo /
+        # DiskRepo attribute); defaulting from it means callers cannot
+        # desync build-time and index-time geometry by forgetting the arg
+        cell_scheme = getattr(repo, "cell_scheme", None)
     # the scheme is part of the index's lineage: a manifest whose meta
     # disagrees (e.g. re-import at a different cell size) restarts clean
     scheme_name = cell_scheme.name if cell_scheme is not None else "grid"
@@ -199,6 +204,17 @@ def write_index(
         json.dump(plan.to_json(), f)
     repo.tag_index.save(os.path.join(index_dir, "tag-index"))
     manifest = Manifest.load_or_create(index_dir, meta)
+    if not manifest.waves:
+        # fresh build OR lineage-mismatch restart: remove any feature data a
+        # previous generation left behind — write_parquet APPENDS, so stale
+        # pid= dirs would otherwise mix two generations (duplicate features,
+        # resurrected deletions)
+        import shutil
+
+        for otype in (OSM_NODE, OSM_WAY, OSM_RELATION):
+            d = os.path.join(index_dir, otype)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     plan_ref = ray.put(plan)
 
     for otype, ds in ((OSM_NODE, repo.nodes), (OSM_WAY, repo.ways), (OSM_RELATION, repo.relations)):
@@ -246,6 +262,17 @@ def write_index(
                     return sub.append_column("pid", pa.array(pairs[:, 1]))
 
             out_dir = os.path.join(index_dir, otype)
+            # crash window between write_parquet and manifest.record: the
+            # wave's pid= dirs may exist unrecorded. Each pid belongs to
+            # exactly ONE wave (waves partition the pid range), so removing
+            # the wave's own dirs before the append-mode write makes the
+            # rewrite idempotent instead of duplicating rows
+            if os.path.isdir(out_dir):
+                import shutil
+
+                for pid_dir in os.listdir(out_dir):
+                    if pid_dir.startswith("pid=") and int(pid_dir.split("=")[1]) in wave_set:
+                        shutil.rmtree(os.path.join(out_dir, pid_dir))
             wave_ds = ds.map_batches(assign, batch_format="pyarrow")
             wave_ds.write_parquet(out_dir, partition_cols=["pid"])
             # an empty type table (e.g. an extract with no ways) writes no

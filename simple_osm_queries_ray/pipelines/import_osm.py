@@ -530,4 +530,4 @@ def build_repo_from_elements(
         nodes = nodes.materialize()
         ways = ways.materialize()
         rels = rels.materialize()
-    return FeatureRepo(nodes, ways, rels, tag_index)
+    return FeatureRepo(nodes, ways, rels, tag_index, cell_scheme=cell_scheme)

@@ -1734,6 +1734,19 @@ def q2_cheapest_supplier(
         ["pkey", "skey"],
         {"unit_mc": "min"},
     ).materialize()
+    if per_ps.count() == 0:
+        # brand parts exist but no lineitem references them: per_ps is a
+        # schema-less empty dataset and hash_join_attach would fail on a
+        # None schema — same empty contract as the len(pk)==0 guard above
+        return pd.DataFrame(
+            {
+                "p_partkey": np.array([], dtype=np.int64),
+                "p_brand": np.array([], dtype=object),
+                "s_suppkey": np.array([], dtype=np.int64),
+                "s_name": np.array([], dtype=object),
+                "best_unit_mc": np.array([], dtype=np.int64),
+            }
+        )
 
     per_part = bucketed_reduce(per_ps, ["pkey"], {"unit_mc": "min"}).map_batches(
         lambda b: pa.table({"pkey": b["pkey"], "best_mc": b["unit_mc"]}),

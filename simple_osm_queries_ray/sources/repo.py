@@ -32,12 +32,18 @@ class FeatureRepo:
         ways: ray.data.Dataset,
         relations: ray.data.Dataset,
         tag_index: TagIndex,
+        cell_scheme=None,
     ):
         self.nodes = nodes
         self.ways = ways
         self.relations = relations
         self.tag_index = tag_index
         self.tag_index_ref = ray.put(tag_index)
+        # the scheme the 'cell' columns were built with (None = default
+        # grid); QueryEngine and write_index read it so callers cannot
+        # desync build-time and query-time geometry by forgetting to pass
+        # the scheme twice
+        self.cell_scheme = cell_scheme
 
     def table(self, object_type: str) -> ray.data.Dataset:
         return {
@@ -59,7 +65,13 @@ def build_repo(
     """``cell_scheme`` (functions/hiercell.py) overrides the flat-grid cell
     assignment; way/relation cell lists inherit the scheme automatically
     (they are unions of member-node cells)."""
-    key = (sf_dir, replicate, cell_scheme.name if cell_scheme else "grid")
+    # cache entries are only valid within the Ray session that created
+    # their datasets — after a shutdown/re-init the old object refs have no
+    # owner and any consumption fails with "owner is unknown"
+    import ray as _ray
+
+    session = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
+    key = (session, sf_dir, replicate, cell_scheme.name if cell_scheme else "grid")
     if key in _CACHE:
         return _CACHE[key]
 
@@ -100,6 +112,6 @@ def build_repo(
         ways = ways.materialize()
         rels = rels.materialize()
 
-    repo = FeatureRepo(nodes, ways, rels, tag_index)
+    repo = FeatureRepo(nodes, ways, rels, tag_index, cell_scheme=cell_scheme)
     _CACHE[key] = repo
     return repo

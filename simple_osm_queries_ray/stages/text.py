@@ -1114,7 +1114,11 @@ def events_window_pairs(sf_dir: str, window_us: int = 60_000_000) -> ray.data.Da
         .map_groups(per_bucket, batch_format="pyarrow"),
         ["user_id"], ["n_pairs"],
     )
-    return agg.filter(expr="n_pairs > 0")
+    agg = agg.materialize()
+    # an empty events corpus yields a schema-less aggregate dataset; the
+    # expression filter would fail on the missing column (same guard as
+    # stages/raster.py's zonal empty case)
+    return agg.filter(expr="n_pairs > 0") if agg.count() else agg
 
 
 def weighted_sample(sf_dir: str, rate_per_char: int = 2_147_484) -> ray.data.Dataset:

@@ -113,3 +113,22 @@ def test_lsh_params_hold_recall_at_any_scale():
         s = 1.0 - np.arccos(tau) / np.pi
         recall = 1 - (1 - s**p) ** b
         assert recall >= 0.998, (n, tau, p, b, recall)
+
+
+def test_events_window_pairs_empty_corpus(tmp_path):
+    """An empty events table yields a schema-less aggregate dataset; the
+    n_pairs filter must return empty instead of erroring on the missing
+    column (review r04; same class as the zonal empty guard)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    ev = pq.read_table(f"{d}/events.parquet")
+    pq.write_table(ev.slice(0, 0), f"{d}/events.parquet")
+
+    from simple_osm_queries_ray.stages.text import events_window_pairs
+
+    out = events_window_pairs(d)
+    assert out.count() == 0

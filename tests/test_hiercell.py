@@ -151,3 +151,18 @@ def test_quad_compact_exact_and_minimal():
     assert counts.max() < 4
     # and no duplicates / no ancestor-descendant overlap (expansion size check)
     assert len(set(cells.tolist())) == len(cells)
+
+
+def test_grid_scheme_rejects_unpackable_cell_height():
+    """cell = cx*CELL_PACK + cy collides once the latitude span in cells
+    reaches CELL_PACK — the constructor must reject such sizes instead of
+    silently conflating distant cells (review r04)."""
+    import pytest
+
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    with pytest.raises(ValueError, match="cell_h"):
+        GridCellScheme(0.1, 0.001)
+    with pytest.raises(ValueError):
+        GridCellScheme(0.1, -1.0)
+    GridCellScheme(0.001, 0.05)  # narrow WIDTH is fine (cx is unbounded)

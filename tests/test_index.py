@@ -478,3 +478,61 @@ def test_default_rebuild_clears_stale_scheme(tmp_path):
         .to_pandas()["id"]
     )
     assert got == exp and got
+
+
+def test_rebuild_with_new_params_replaces_old_generation(tmp_path):
+    """write_parquet APPENDS: a lineage-mismatch restart (manifest meta
+    change) must remove the previous generation's pid= dirs, otherwise the
+    rebuilt index mixes two generations and node reads (never id-deduped)
+    return duplicates (review r04)."""
+    d = str(tmp_path / "idx")
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    n_before = DiskRepo(d).table("node").count()
+    # different rows_per_partition -> meta mismatch -> clean restart
+    write_index(build_repo(SF), d, rows_per_partition=300, num_waves=2)
+    assert DiskRepo(d).table("node").count() == n_before
+
+
+def test_unrecorded_wave_rewrite_is_idempotent(tmp_path):
+    """Crash window between write_parquet and manifest.record: the wave's
+    pid= dirs exist unrecorded; the resume must REPLACE them, not append a
+    second copy of every row (review r04)."""
+    import json as _json
+    import shutil
+
+    d = str(tmp_path / "idx")
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    n_before = DiskRepo(d).table("node").count()
+    # simulate the crash: erase one node wave's manifest record but leave
+    # its parquet files on disk
+    with open(os.path.join(d, "manifest.json")) as f:
+        man = _json.load(f)
+    assert "node/wave0" in man["waves"]
+    del man["waves"]["node/wave0"]
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        _json.dump(man, f)
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    assert DiskRepo(d).table("node").count() == n_before
+
+
+def test_cli_refresh_preserves_custom_scheme(tmp_path):
+    """`cli refresh` must rebuild the repo with the index's persisted
+    scheme (review r04: it used the default 0.1 grid, rewriting partitions
+    with cell ids no 0.05-scheme query probe could match)."""
+    from simple_osm_queries_ray import cli
+
+    d = str(tmp_path / "idx")
+    assert cli.main(["import", SF, d, "--cell-width", "0.05", "--cell-height", "0.05"]) == 0
+    assert cli.main(["refresh", SF, d]) == 0
+    disk = QueryEngine(DiskRepo(d))
+    assert disk.cell_scheme.cell_w == 0.05
+    got = set(
+        disk.execute_string("bbox(9.85,53.45,10.05,53.65).nodes{lang=en}")
+        .to_pandas()["id"]
+    )
+    mem = QueryEngine(build_repo(SF))
+    exp = set(
+        mem.execute_string("bbox(9.85,53.45,10.05,53.65).nodes{lang=en}")
+        .to_pandas()["id"]
+    )
+    assert got == exp and got

@@ -542,3 +542,21 @@ def test_custom_cell_size_same_results(engine):
         f"{bbox_str(SMALL)}.nodes{{lang=de AND this.buffer(0.01).ways{{wtype=primary}}}}",
     ):
         assert q(eng2, text) == q(engine, text), text
+
+
+def test_build_repo_records_scheme_and_engine_autoresolves():
+    """build_repo stores the scheme on the repo (review r04): QueryEngine
+    and write_index pick it up without the caller passing it twice —
+    forgetting the second pass used to silently probe the wrong geometry."""
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    scheme = GridCellScheme(0.05, 0.05)
+    repo = build_repo(SF, cell_scheme=scheme)
+    # attribute equality, not identity: the repo cache may return a repo
+    # built earlier with an equal scheme instance
+    assert (repo.cell_scheme.cell_w, repo.cell_scheme.cell_h) == (0.05, 0.05)
+    eng = QueryEngine(repo)  # no explicit scheme
+    assert eng.cell_scheme is repo.cell_scheme
+    default_eng = QueryEngine(build_repo(SF))
+    text = f"{bbox_str(SMALL)}.nodes{{lang=en}}"
+    assert q(eng, text) == q(default_eng, text)

@@ -53,3 +53,37 @@ def test_q2_unknown_brand_returns_empty():
     assert list(out.columns) == [
         "p_partkey", "p_brand", "s_suppkey", "s_name", "best_unit_mc",
     ]
+
+
+def test_q2_brand_with_no_lineitems_returns_empty(tmp_path):
+    # review r04: the len(pk)==0 guard misses the case where brand parts
+    # exist but NO lineitem references them — per_ps is then a schema-less
+    # empty dataset and hash_join_attach crashed on a None schema
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    shutil.copytree(SF, d)
+    part = pq.read_table(f"{d}/part.parquet")
+    extra = pa.table(
+        {
+            "p_partkey": pa.array([99_999_999], type=part["p_partkey"].type),
+            "p_brand": pa.array(["Brand#ZZ"], type=part["p_brand"].type),
+            **{
+                c: pa.nulls(1, part[c].type)
+                for c in part.column_names
+                if c not in ("p_partkey", "p_brand")
+            },
+        }
+    ).select(part.column_names)
+    pq.write_table(pa.concat_tables([part, extra]), f"{d}/part.parquet")
+
+    from simple_osm_queries_ray.pipelines.relational import q2_cheapest_supplier
+
+    out = q2_cheapest_supplier(d, brands=("Brand#ZZ",))
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "p_partkey", "p_brand", "s_suppkey", "s_name", "best_unit_mc",
+    ]
