@@ -6,6 +6,14 @@ exact geometry refinement (``/root/reference/src/index/grid_reader.go:168-184``)
 arithmetic chosen to be bit-reproducible in DuckDB SQL (division + floor +
 comparisons only; no transcendentals), so the driver's oracle can recompute
 them exactly.
+
+Contract note (cell schemes): kernels in this module that read a dataset's
+stored ``cell`` column against a locally derived cell set assume the DEFAULT
+0.1-degree grid unless they take a ``cell_scheme`` parameter
+(``filter_in_polygon`` does). The scheme-aware query planner lives in
+``pipelines/query.py``; kNN has per-scheme ring variants in ``stages/knn.py``.
+Kernels that derive BOTH sides from raw lon/lat (``polygon_join``, the tile
+and supercover traces) are internally consistent under any repo scheme.
 """
 
 from __future__ import annotations
@@ -119,19 +127,23 @@ def point_in_polygon_mask(
 
 
 def filter_in_polygon(
-    ds: ray.data.Dataset, polygon: list[tuple[float, float]]
+    ds: ray.data.Dataset, polygon: list[tuple[float, float]], cell_scheme=None
 ) -> ray.data.Dataset:
     """Spatial join against one polygon: cell prune + exact ray-cast refine.
 
     Cell prune uses the polygon's bbox cell rectangle (the reference's prune,
     two-phase join shape); the refine is the vectorized crossing test.
+    ``cell_scheme`` must match the scheme the dataset's ``cell`` column was
+    built with (default: the 0.1-degree grid) — a mismatched prune set would
+    silently drop matching rows.
     """
     from ..model import cells_for_bbox
     from .semi_join import isin_sorted
 
     xs = [p[0] for p in polygon]
     ys = [p[1] for p in polygon]
-    cellset = np.sort(cells_for_bbox(min(xs), min(ys), max(xs), max(ys)))
+    mk = cell_scheme.cells_for_bbox if cell_scheme is not None else cells_for_bbox
+    cellset = np.sort(mk(min(xs), min(ys), max(xs), max(ys)))
 
     def fn(batch: pa.Table) -> pa.Table:
         in_cells = isin_sorted(np.asarray(batch["cell"], dtype=np.int64), cellset)

@@ -347,3 +347,26 @@ def test_polygon_join_prefilter_false_identical():
     b = polygon_join(ds, polys, prefilter=False).to_pandas()
     key = lambda df: sorted(zip(df["id"].astype(int), df["poly_id"].astype(int)))
     assert key(a) == key(b) and len(a) > 0
+
+
+def test_filter_in_polygon_custom_scheme_matches_default():
+    """The cell prune must use the scheme the dataset's cell column was
+    built with — a 0.05-grid dataset pruned with 0.1-grid ids would drop
+    matching rows silently (r04 contract note)."""
+    import numpy as np
+
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+    from simple_osm_queries_ray.sources.repo import build_repo
+    from simple_osm_queries_ray.stages.geo import filter_in_polygon
+
+    tri = [(9.05, 53.05), (10.95, 53.1), (9.5, 54.9)]
+    scheme = GridCellScheme(0.05, 0.05)
+    custom = build_repo("/root/testdata/sf0.001", cell_scheme=scheme)
+    default = build_repo("/root/testdata/sf0.001")
+    a = set(
+        filter_in_polygon(default.nodes, tri).to_pandas()["id"]
+    )
+    b = set(
+        filter_in_polygon(custom.nodes, tri, cell_scheme=scheme).to_pandas()["id"]
+    )
+    assert a == b and a
