@@ -167,6 +167,10 @@ class QueryEngine:
         for stmt in parse_query(text, self.repo.tag_index).statements:
             obj_type = QUERY_TYPE_TO_OBJECT_TYPE[stmt.query_type]
             loc = stmt.location
+            if isinstance(loc, CircleLocation):
+                # same normalization execute_statement applies: a circle
+                # plans as its enclosing bbox + an exact refine
+                loc = loc.enclosing_bbox()
             cells = np.sort(
                 self.cell_scheme.cells_for_bbox(loc.minlon, loc.minlat, loc.maxlon, loc.maxlat)
             )
@@ -191,7 +195,40 @@ class QueryEngine:
         return out
 
     def execute(self, query: Query) -> ray.data.Dataset:
+        if not query.statements:
+            from ..parser import ParseError
+
+            raise ParseError(
+                "query contains no statements (empty or comment-only input)"
+            )
         results = [self.execute_statement(s) for s in query.statements]
+        otypes = {QUERY_TYPE_TO_OBJECT_TYPE[s.query_type] for s in query.statements}
+        if len(otypes) > 1:
+            # mixed-type multi-statement query (reference query.go:29-35
+            # concatenates feature sets): node projections (id, lon, lat)
+            # and extended projections (id, minlon..maxlat) have different
+            # schemas, and a raw union of mismatched block schemas breaks
+            # downstream consumption — normalize every statement to the
+            # common bbox-envelope form (a node's envelope is degenerate)
+            def envelope(node_side: bool):
+                def fn(b: pa.Table) -> pa.Table:
+                    if node_side:
+                        lon, lat = b["lon"], b["lat"]
+                        return pa.table(
+                            {"id": b["id"], "minlon": lon, "minlat": lat,
+                             "maxlon": lon, "maxlat": lat}
+                        )
+                    return b.select(["id", "minlon", "minlat", "maxlon", "maxlat"])
+
+                return fn
+
+            results = [
+                r.map_batches(
+                    envelope(QUERY_TYPE_TO_OBJECT_TYPE[s.query_type] == OSM_NODE),
+                    batch_format="pyarrow",
+                )
+                for r, s in zip(results, query.statements)
+            ]
         out = results[0]
         for r in results[1:]:
             out = out.union(r)
@@ -531,6 +568,18 @@ class QueryEngine:
                     extra_columns=("node_lons", "node_lats"),
                 )
                 pairs = way_way_buffer_join(outer_geom, matched, eps=eps)
+
+                # a way is within 0 of itself: drop self-pairs so an outer
+                # way that itself matches the inner filter does not qualify
+                # trivially (same semantics as the node-node kernel's
+                # equal-id exclusion; relation outers keep self-pairs
+                # because their a_id is a relation id)
+                def _drop_self(b: pa.Table) -> pa.Table:
+                    a = np.asarray(b["a_id"], dtype=np.int64)
+                    bb = np.asarray(b["b_id"], dtype=np.int64)
+                    return b.filter(pa.array(a != bb))
+
+                pairs = pairs.map_batches(_drop_self, batch_format="pyarrow")
                 return sorted_unique_id_array(pairs, "a_id")
             raise ValueError(
                 f"this.buffer(...) supports .nodes/.ways sub-statements, got "
@@ -547,8 +596,10 @@ class QueryEngine:
             # edges, attach member geometry via partitioned hash joins, and
             # run the same bucketed pair kernels as the node/way outers with
             # the member's id REPLACED by the owning relation id, so pairs
-            # carry relation ids directly (id spaces are disjoint, so the
-            # node-node kernel's equal-id self-pair exclusion never fires).
+            # carry relation ids directly (the node-node kernel runs with
+            # exclude_equal_ids=False — relation and node id spaces may
+            # collide numerically on raw OSM imports, and such a pair is
+            # two distinct objects, not a self-pair).
             # Member reads prune on the outer candidates' cell set — sound
             # because a relation's cell list is the union over member cells.
             from ..stages.joins import explode_list, hash_join_attach
@@ -601,7 +652,13 @@ class QueryEngine:
                 matched = self._matched_features(
                     inner_stmt, None, bbox_intersect=expanded
                 )
-                p_nodes = node_node_buffer_join(member_pts, matched, eps=eps)
+                # exclude_equal_ids=False: member_pts carry RELATION ids —
+                # a relation id numerically equal to an inner node id (raw
+                # OSM imports keep per-type id spaces) is a different
+                # object, not a self-pair
+                p_nodes = node_node_buffer_join(
+                    member_pts, matched, eps=eps, exclude_equal_ids=False
+                )
                 p_ways = node_way_buffer_join(matched, member_ways, eps=eps)
                 hits = p_nodes.select_columns(["node_id"]).union(
                     p_ways.select_columns(["way_id"]).rename_columns(

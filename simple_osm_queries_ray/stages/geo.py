@@ -823,11 +823,16 @@ def way_way_buffer_join(
 
 
 def node_node_buffer_join(
-    nodes: ray.data.Dataset, inner: ray.data.Dataset, eps: float
+    nodes: ray.data.Dataset, inner: ray.data.Dataset, eps: float,
+    *, exclude_equal_ids: bool = True,
 ) -> ray.data.Dataset:
     """Cross-table radius join: (node_id, other_id) pairs where an ``inner``
     point lies within planar degree distance ``eps`` of a ``nodes`` point
-    (self-pairs with equal ids excluded). Backs the ``this.buffer(r).nodes``
+    (self-pairs with equal ids excluded by default — pass
+    ``exclude_equal_ids=False`` when the two sides live in DIFFERENT id
+    spaces that may collide numerically, e.g. relation-member points probed
+    against nodes on raw OSM ids, where relation 123 and node 123 are
+    distinct objects). Backs the ``this.buffer(r).nodes``
     sub-statement; unlike :func:`~.knn.radius_join` (a self-join) the two
     sides are different filtered datasets.
 
@@ -905,7 +910,9 @@ def node_node_buffer_join(
         iy = np.asarray(tbl["olat"].take(pa.array(ii)), dtype=np.float64)
         ddx = nx[:, None] - ix[None, :]
         ddy = ny[:, None] - iy[None, :]
-        hit = (ddx * ddx + ddy * ddy <= e2) & (nid[:, None] != iid[None, :])
+        hit = ddx * ddx + ddy * ddy <= e2
+        if exclude_equal_ids:
+            hit &= nid[:, None] != iid[None, :]
         a, b = np.nonzero(hit)
         if len(a) == 0:
             return empty

@@ -89,14 +89,10 @@ def _key_parts(batch: pa.Table):
 def _has_key(key_index: int, batch: pa.Table) -> np.ndarray:
     if key_index == NOT_FOUND:
         return np.zeros(len(batch), dtype=bool)
-    flat_keys, _, offsets = list_parts_cached(batch)
-    return segment_any(flat_keys == key_index, offsets)
-
-
-# list_parts per batch is cheap (offset arithmetic), no caching machinery needed;
-# alias for readability.
-def list_parts_cached(batch: pa.Table):
-    return _key_parts(batch)
+    # key presence needs only the tag_keys column — list_parts is offset
+    # arithmetic, no tag_vals flatten
+    flat_keys, offsets = list_parts(batch["tag_keys"])
+    return segment_any(np.asarray(flat_keys, dtype=np.int32) == key_index, offsets)
 
 
 def _tag_mask(expr: TagFilter, batch: pa.Table) -> np.ndarray:

@@ -560,3 +560,78 @@ def test_build_repo_records_scheme_and_engine_autoresolves():
     default_eng = QueryEngine(build_repo(SF))
     text = f"{bbox_str(SMALL)}.nodes{{lang=en}}"
     assert q(eng, text) == q(default_eng, text)
+
+
+def test_way_buffer_ways_excludes_self(engine, graph):
+    """A way is within 0 of itself: 'primary ways near a primary way' must
+    NOT return every primary way trivially (r04 review). Oracle: brute
+    min-segment-distance to ANOTHER matching way."""
+    _, ways_df, _ = graph
+    got = q(
+        engine,
+        f"{bbox_str(SMALL)}.ways{{wtype=primary AND this.buffer(0.01).ways{{wtype=primary}}}}",
+    )
+    prim = [w for w in ways_df.itertuples() if w.tags.get("wtype") == "primary"]
+    # restrict outer like the engine: bounds intersect AND the way's cell
+    # list (member-node home cells — the reference's replication rule) hits
+    # the bbox cell rectangle
+    from simple_osm_queries_ray.model import cells_for_bbox
+
+    bbox_cells = set(cells_for_bbox(*SMALL).tolist())
+
+    def _in_bbox(w):
+        bounds = not (
+            w.minlon > SMALL[2] or w.maxlon < SMALL[0]
+            or w.minlat > SMALL[3] or w.maxlat < SMALL[1]
+        )
+        return bounds and bool(bbox_cells & set(w.cells))
+    import numpy as np
+    from simple_osm_queries_ray.stages.geo import _seg_min_d2
+
+    def min_d2(a, b):
+        ax, ay = np.asarray(a.lons), np.asarray(a.lats)
+        bx, by = np.asarray(b.lons), np.asarray(b.lats)
+        best = np.inf
+        # endpoint-to-opposite-segment in both directions (matches kernel)
+        for (px, py, sx, sy) in ((ax, ay, bx, by), (bx, by, ax, ay)):
+            if len(sx) >= 2:
+                d2 = _seg_min_d2(px, py, sx[:-1], sy[:-1], sx[1:], sy[1:])
+                best = min(best, float(d2.min()))
+        return best
+
+    eps2 = 0.01 * 0.01
+    exp = set()
+    for a in prim:
+        if not _in_bbox(a):
+            continue
+        for b in prim:
+            if b.id != a.id and min_d2(a, b) <= eps2 + 1e-15:
+                exp.add(a.id)
+                break
+    assert got == exp
+
+
+def test_execute_empty_query_raises_parse_error(engine):
+    from simple_osm_queries_ray.parser import ParseError, parse_query
+
+    for text in ("", "// just a comment"):
+        with pytest.raises(ParseError):
+            engine.execute(parse_query(text, engine.repo.tag_index))
+
+
+def test_explain_circle_location(engine):
+    plans = engine.explain_string("circle(9.95,53.55,0.05).nodes{lang=en}")
+    assert len(plans) == 1 and plans[0]["n_candidate_cells"] >= 1
+
+
+def test_mixed_type_multi_statement_union(engine, graph):
+    """Mixed node+way multi-statement queries (reference query.go:29-35)
+    must union under ONE schema — the bbox envelope (r04 review)."""
+    ds = engine.execute_string(
+        f"{bbox_str(SMALL)}.nodes{{lang=en}} {bbox_str(SMALL)}.ways{{wtype=primary}}"
+    )
+    df = ds.to_pandas()
+    assert list(df.columns) == ["id", "minlon", "minlat", "maxlon", "maxlat"]
+    n_nodes = len(q(engine, f"{bbox_str(SMALL)}.nodes{{lang=en}}"))
+    n_ways = len(q(engine, f"{bbox_str(SMALL)}.ways{{wtype=primary}}"))
+    assert len(df) == n_nodes + n_ways
