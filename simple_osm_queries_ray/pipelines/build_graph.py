@@ -46,20 +46,23 @@ def build_ways(raw_nodes: ray.data.Dataset, num_buckets: int = 64) -> ray.data.D
     bound (minlon..maxlat), tag_keys_str/tag_vals_str, relation_ids.
     """
 
-    def add_wg(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["id"], dtype=np.int64)
-        t = batch.select(["id", "lon", "lat", "cell"])
-        return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
-
     assemble = _way_assemble_fn()
 
     return bucket_collect(
-        raw_nodes.map_batches(add_wg, batch_format="pyarrow"),
+        raw_nodes.map_batches(_add_wg, batch_format="pyarrow"),
         "wg",
         assemble,
         sort_col="id",
         num_buckets=num_buckets,
     )
+
+
+def _add_wg(batch: pa.Table) -> pa.Table:
+    """Shared way-group keying (build_ways + build_ways_local_first must
+    derive the key identically — their equivalence is pinned by test)."""
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    t = batch.select(["id", "lon", "lat", "cell"])
+    return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
 
 
 def build_relations(
@@ -200,6 +203,10 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
     # broadcast; candidate edges are formulaic +-REL_NEST so either works.
     from ..stages.semi_join import filter_list_to_idset, sorted_id_array
 
+    # materialize ONCE: sorted_id_array eagerly executes the lineage for the
+    # id gather and the resolve pass below re-consumes it — without this the
+    # whole relation-assembly shuffle runs twice (r04 review)
+    relations = relations.materialize()
     ids_ref = sorted_id_array(relations)
 
     def resolve(batch: pa.Table) -> pa.Table:
@@ -225,6 +232,10 @@ def flow_child_bounds(
     each iteration propagates one nesting level (the reference instead relies
     on members-before-parents file order, ``grid_writer.go:94-97``)."""
     for _ in range(max_depth):
+        # materialize per iteration: `resolved` feeds BOTH the edge explode
+        # and the join's left side; an unmaterialized lineage would embed
+        # twice per level and re-execute 2^max_depth times (r04 review)
+        resolved = resolved.materialize()
         child_edges = resolved.map_batches(
             lambda b: _parent_bound_edges(b), batch_format="pyarrow"
         )
@@ -447,29 +458,24 @@ def _empty_ways_table() -> pa.Table:
 def build_ways_local_first(
     raw_nodes: ray.data.Dataset,
     num_buckets: int = 64,
-    expected_group_size: int = None,
 ) -> ray.data.Dataset:
-    """build_ways with MAP-SIDE grouping: a way group whose
-    ``expected_group_size`` members all sit in one input block assembles
-    locally without touching the exchange; only the residue — groups split
-    across blocks (boundary groups, or any input that is not clustered by
-    way) — goes through the keyed shuffle. Results are identical to
-    :func:`build_ways` for any input (pinned by test); the win scales with
-    input clustering: the bench generator emits whole replicas per task, so
-    its residue is empty and the headline's dominant all-to-all disappears.
+    """build_ways with MAP-SIDE grouping: a way group whose NODES_PER_WAY
+    members all sit in one input block assembles locally without touching
+    the exchange; only the residue — groups split across blocks (boundary
+    groups, or any input that is not clustered by way) — goes through the
+    keyed shuffle. Results are identical to :func:`build_ways` for any
+    input (pinned by test); the win scales with input clustering: the bench
+    generator emits whole replicas per task, so its residue is empty and
+    the headline's dominant all-to-all disappears.
 
     This is the grouping analogue of a map-side combine: exploit physical
-    clustering when present, stay correct when absent. The id-derived group
-    key guarantees a group can never EXCEED the expected size, so
-    'reached expected size' == 'complete'."""
-    if expected_group_size is None:
-        expected_group_size = NODES_PER_WAY
+    clustering when present, stay correct when absent. The completeness
+    threshold is NODES_PER_WAY — the same constant the group key derives
+    from, NOT a parameter: any other value would declare partial groups
+    'complete' and emit duplicate way ids (r04 review removed the knob)."""
+    expected_group_size = NODES_PER_WAY
 
-    def add_wg(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["id"], dtype=np.int64)
-        t = batch.select(["id", "lon", "lat", "cell"])
-        return t.append_column("wg", pa.array(ids // NODES_PER_WAY))
-
+    add_wg = _add_wg
     assemble = _way_assemble_fn()
 
     def local_or_residue(batch: pa.Table) -> pa.Table:

@@ -82,6 +82,13 @@ def hash_join_attach(
     left_schema = left.schema()
     left_names = list(left_schema.names)
     left_types = list(left_schema.types)
+    clash = set(left_names) & set(attach_cols)
+    if clash:
+        raise ValueError(
+            f"hash_join_attach: attach column(s) {sorted(clash)} already "
+            "exist on the left table — drop or rename them first (a "
+            "duplicate-named schema would only fail deep inside the merge)"
+        )
     out_names = left_names + list(attach_cols)
 
     def prep_left(batch: pa.Table) -> pa.Table:
@@ -120,6 +127,15 @@ def hash_join_attach(
         rkeys = keys[right_idx]
         order = np.argsort(rkeys, kind="stable")
         rkeys_sorted = rkeys[order]
+        if len(rkeys_sorted) > 1 and bool(
+            (rkeys_sorted[1:] == rkeys_sorted[:-1]).any()
+        ):
+            dup = int(rkeys_sorted[1:][rkeys_sorted[1:] == rkeys_sorted[:-1]][0])
+            raise ValueError(
+                "hash_join_attach: right side has duplicate join key "
+                f"{dup} — the contract is at most one row per key (a "
+                "silent first-match attach would drop data)"
+            )
         pos = np.searchsorted(rkeys_sorted, lkeys)
         pos_c = np.clip(pos, 0, max(len(rkeys_sorted) - 1, 0))
         matched = (
@@ -177,7 +193,43 @@ def nulls_to_empty_list(col: pa.ListArray) -> pa.ListArray:
         flat = pa.array([], type=value_type)
     new_off = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=new_off[1:])
+    if new_off[-1] > np.iinfo(np.int32).max:
+        # list<> offsets are int32; a silent wrap would produce a
+        # negative-offset array Arrow does not validate (the sibling
+        # collect_list_column uses checked int64 large_list offsets, but
+        # here the output must keep the input's list<> type)
+        raise OverflowError(
+            f"nulls_to_empty_list: {int(new_off[-1])} child elements exceed "
+            "int32 list offsets — split the batch or use large_list upstream"
+        )
     return pa.ListArray.from_arrays(pa.array(new_off.astype(np.int32)), flat)
+
+
+# single-task worker-side concat + lexsort, NOT a driver pull: the edge
+# array must fit ONE worker's memory by attach_edges_broadcast's contract
+# (a range-partitioned distributed sort only added a corpus-wide exchange
+# before the same-sized gather — measured 5.3 s vs 2.9 s at 10 M edges),
+# but routing the gather through the driver exposed the sort to the driver
+# process's allocator state — on the virtualized bench host, driver-side
+# page-fault storms intermittently tripled this stage. The blocks travel
+# object-store -> worker zero-copy and the sorted pair returns as a plain
+# object ref the probe tasks read directly; the driver only brokers refs.
+# np.lexsort on <= 10^8 int64 pairs is seconds. Module-level @ray.remote:
+# a per-call wrapper would re-pickle and re-export the function per query.
+@ray.remote(num_returns=1)
+def _gather_sort_edges(edge_key: str, edge_val: str, *blocks):
+    ks, vs = [], []
+    for b in blocks:
+        if edge_key not in b.schema.names:  # Ray emits schema-less empty blocks
+            continue
+        ks.append(np.asarray(b[edge_key], dtype=np.int64))
+        vs.append(np.asarray(b[edge_val], dtype=np.int64))
+    if ks:
+        k = np.concatenate(ks)
+        v = np.concatenate(vs)
+        order = np.lexsort((v, k))
+        return k[order], v[order]
+    return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
 
 
 def attach_edges_broadcast(
@@ -202,35 +254,8 @@ def attach_edges_broadcast(
     bigger edge sets use :func:`attach_list_column`, the partitioned hash
     join with identical semantics.
     """
-    import ray as _ray
-
-    # single-task worker-side concat + lexsort, NOT a driver pull: the edge
-    # array must fit ONE worker's memory by this path's contract (a range-
-    # partitioned distributed sort only added a corpus-wide exchange before
-    # the same-sized gather — measured 5.3 s vs 2.9 s at 10 M edges), but
-    # routing the gather through the driver exposed the sort to the driver
-    # process's allocator state — on the virtualized bench host, driver-side
-    # page-fault storms intermittently tripled this stage. The blocks travel
-    # object-store -> worker zero-copy and the sorted pair returns as a
-    # plain object ref the probe tasks read directly; the driver only
-    # brokers refs. np.lexsort on <= 10^8 int64 pairs is seconds.
-    @_ray.remote(num_returns=1)
-    def _gather_sort(*blocks):
-        ks, vs = [], []
-        for b in blocks:
-            if edge_key not in b.schema.names:  # Ray emits schema-less empty blocks
-                continue
-            ks.append(np.asarray(b[edge_key], dtype=np.int64))
-            vs.append(np.asarray(b[edge_val], dtype=np.int64))
-        if ks:
-            k = np.concatenate(ks)
-            v = np.concatenate(vs)
-            order = np.lexsort((v, k))
-            return k[order], v[order]
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-
     block_refs = edges.select_columns([edge_key, edge_val]).to_arrow_refs()
-    edges_ref = _gather_sort.remote(*block_refs)
+    edges_ref = _gather_sort_edges.remote(edge_key, edge_val, *block_refs)
 
     def attach(batch: pa.Table) -> pa.Table:
         from ..state.broadcast import get as bget

@@ -28,6 +28,7 @@ from ..state.broadcast import get as bget
 from .group_collect import collect_list_column
 
 
+@ray.remote(num_returns=1)
 def _gather_ids_task(id_col: str, unique: bool, *blocks):
     parts = []
     for b in blocks:
@@ -48,7 +49,7 @@ def sorted_id_array(ds: ray.data.Dataset, id_col: str = "id") -> "ray.ObjectRef"
     rationale as attach_edges_broadcast: keep the driver process's
     allocator out of the hot path and let the sort overlap scheduling."""
     refs = ds.select_columns([id_col]).to_arrow_refs()
-    return ray.remote(_gather_ids_task).remote(id_col, False, *refs)
+    return _gather_ids_task.remote(id_col, False, *refs)
 
 
 def sorted_unique_id_array(ds: "ray.data.Dataset", id_col: str = "id") -> "ray.ObjectRef":
@@ -56,7 +57,7 @@ def sorted_unique_id_array(ds: "ray.data.Dataset", id_col: str = "id") -> "ray.O
     per JOIN PAIR (e.g. buffer-join output), where the same id recurs once
     per partner and broadcasting duplicates would bloat the probe array."""
     refs = ds.select_columns([id_col]).to_arrow_refs()
-    return ray.remote(_gather_ids_task).remote(id_col, True, *refs)
+    return _gather_ids_task.remote(id_col, True, *refs)
 
 
 def isin_sorted(values: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:

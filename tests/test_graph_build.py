@@ -141,3 +141,31 @@ def test_reverse_membership_gate_both_paths_agree():
     ):
         for x, y in zip(a[col], b[col]):
             assert list(x) == list(y), col
+
+
+def test_hash_join_attach_rejects_duplicate_right_keys():
+    """The right side's at-most-one-row-per-key contract is now ENFORCED —
+    a silent first-match attach would drop data (r04 review)."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from simple_osm_queries_ray.stages.joins import hash_join_attach
+
+    left = ray.data.from_arrow(pa.table({"id": [1, 2, 3]}))
+    right = ray.data.from_arrow(pa.table({"k": [1, 1, 2], "v": [10, 11, 20]}))
+    with pytest.raises(Exception, match="duplicate join key"):
+        hash_join_attach(left, "id", right, "k", {"v": pa.int64()}).materialize()
+
+
+def test_hash_join_attach_rejects_clashing_attach_name():
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from simple_osm_queries_ray.stages.joins import hash_join_attach
+
+    left = ray.data.from_arrow(pa.table({"id": [1], "v": [0]}))
+    right = ray.data.from_arrow(pa.table({"k": [1], "v": [10]}))
+    with pytest.raises(ValueError, match="already"):
+        hash_join_attach(left, "id", right, "k", {"v": pa.int64()})
