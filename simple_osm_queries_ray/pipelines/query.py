@@ -672,11 +672,45 @@ class QueryEngine:
                     extra_columns=("node_lons", "node_lats"),
                 )
                 p_nodes = node_way_buffer_join(member_pts, matched, eps=eps)
-                p_ways = way_way_buffer_join(member_ways, matched, eps=eps)
-                hits = p_nodes.select_columns(["node_id"]).union(
-                    p_ways.select_columns(["a_id"]).rename_columns(
-                        {"a_id": "node_id"}
+                # member-way probe keyed on the WAY's own id, not the owning
+                # relation id: way_way_buffer_join attaches geometry through
+                # a one-row-per-key join, and a relation's several member
+                # ways sharing its id would all get the FIRST member's
+                # polyline (a false negative when only a later member is
+                # within eps — latent until the join's contract check, r04).
+                # Hit way ids then map back to owning relations via the
+                # membership edges.
+                from ..stages.semi_join import probe_scalar
+
+                edges_w = explode_list(
+                    candidates.select_columns(["id", "way_ids"]),
+                    "way_ids", "id", out_val="__rel", out_key="__member",
+                ).materialize()
+                mem_ids_ref = sorted_unique_id_array(edges_w, "__member")
+
+                def keep_members(b: pa.Table) -> pa.Table:
+                    keep = probe_scalar(
+                        np.asarray(b["id"], dtype=np.int64), mem_ids_ref
                     )
+                    return b.filter(pa.array(keep))
+
+                mw_geo = self._table(
+                    OSM_WAY, cells=cells, columns=["id"] + way_geo_cols
+                ).map_batches(keep_members, batch_format="pyarrow")
+                p_ways = way_way_buffer_join(mw_geo, matched, eps=eps)
+                hit_ways_ref = sorted_unique_id_array(p_ways, "a_id")
+
+                def rels_of_hit_ways(b: pa.Table) -> pa.Table:
+                    hit = probe_scalar(
+                        np.asarray(b["__member"], dtype=np.int64), hit_ways_ref
+                    )
+                    return pa.table({"rel": b["__rel"].filter(pa.array(hit))})
+
+                rel_hits = edges_w.map_batches(
+                    rels_of_hit_ways, batch_format="pyarrow"
+                )
+                hits = p_nodes.select_columns(["node_id"]).union(
+                    rel_hits.rename_columns({"rel": "node_id"})
                 )
                 return sorted_unique_id_array(hits, "node_id")
             raise ValueError(

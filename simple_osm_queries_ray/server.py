@@ -62,7 +62,8 @@ function draw(){
    ctx.closePath();ctx.fill();ctx.stroke();}
   else if(g.type==='LineString'){ctx.strokeStyle='#2a6496';
    ctx.beginPath();g.coordinates.forEach((c,i)=>{const[x,y]=px(c[0],c[1]);i?ctx.lineTo(x,y):ctx.moveTo(x,y);});ctx.stroke();}}}
-function bounds(){let b=null;for(const f of feats){const cs=f.geometry.type==='Point'?[f.geometry.coordinates]:f.geometry.coordinates.flat(1);
+function flatPairs(a){return Array.isArray(a[0])?a.flatMap(flatPairs):[a];}
+function bounds(){let b=null;for(const f of feats){const cs=flatPairs(f.geometry.coordinates);
  for(const c of cs){if(!b)b=[c[0],c[1],c[0],c[1]];else{b[0]=Math.min(b[0],c[0]);b[1]=Math.min(b[1],c[1]);b[2]=Math.max(b[2],c[0]);b[3]=Math.max(b[3],c[1]);}}}return b;}
 function fit(){const b=bounds();if(!b)return;view.lon=(b[0]+b[2])/2;view.lat=(b[1]+b[3])/2;
  view.scale=Math.min(cv.width/Math.max(b[2]-b[0],1e-4),cv.height/Math.max(b[3]-b[1],1e-4))*0.9;draw();}
@@ -96,6 +97,10 @@ resize();
 
 
 def make_handler(engine: QueryEngine):
+    import threading
+
+    _stats_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -113,18 +118,22 @@ def make_handler(engine: QueryEngine):
                 self.wfile.write(b'{"status":"ok"}')
             elif self.path.rstrip("/") == "/stats":
                 # feature counts are cached after the first call — counting a
-                # Dataset is cheap (metadata) but not free under load
-                if not hasattr(engine, "_stats_cache"):
-                    ti = engine.repo.tag_index
-                    engine._stats_cache = json.dumps(
-                        {
-                            "nodes": engine.repo.nodes.count(),
-                            "ways": engine.repo.ways.count(),
-                            "relations": engine.repo.relations.count(),
-                            "tag_keys": len(ti.keys),
-                            "tag_values": int(sum(len(v) for v in ti.values)),
-                        }
-                    ).encode()
+                # Dataset is cheap (metadata) but not free under load. The
+                # lock serializes the first computation under the threading
+                # server, and repo.table() works for BOTH repo kinds (a
+                # DiskRepo has no .nodes/.ways/.relations attributes)
+                with _stats_lock:
+                    if not hasattr(engine, "_stats_cache"):
+                        ti = engine.repo.tag_index
+                        engine._stats_cache = json.dumps(
+                            {
+                                "nodes": engine.repo.table("node").count(),
+                                "ways": engine.repo.table("way").count(),
+                                "relations": engine.repo.table("relation").count(),
+                                "tag_keys": len(ti.keys),
+                                "tag_values": int(sum(len(v) for v in ti.values)),
+                            }
+                        ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
@@ -160,6 +169,10 @@ def make_handler(engine: QueryEngine):
                 # membership gating) must all yield a clean 400 — once 200
                 # + headers are out, an error can only truncate the stream
                 query = parse_query(text, engine.repo.tag_index)
+                if not query.statements:
+                    raise ValueError(
+                        "query contains no statements (empty or comment-only input)"
+                    )
                 compiled = [
                     (
                         engine.execute_statement(stmt, project=False),

@@ -120,15 +120,24 @@ def read_geojson(path: str, *, parallelism: int = 8) -> ray.data.Dataset:
             out["tag_keys_str"].append(list(tags.keys()))
             out["tag_vals_str"].append([str(v) for v in tags.values()])
             if geom.get("type") == "Point":
-                x, y = geom["coordinates"]
+                # RFC 7946 allows a third (altitude) element — take lon/lat
+                x, y = geom["coordinates"][:2]
                 out["lon"].append(float(x)); out["lat"].append(float(y))
                 out["node_lons"].append(None); out["node_lats"].append(None)
                 out["minlon"].append(float(x)); out["minlat"].append(float(y))
                 out["maxlon"].append(float(x)); out["maxlat"].append(float(y))
             else:
                 coords = geom.get("coordinates", [])
-                if geom.get("type") == "Polygon":
+                gtype = geom.get("type")
+                if gtype == "Polygon":
                     coords = coords[0] if coords else []
+                elif gtype == "MultiLineString":
+                    coords = [c for part in coords for c in part]
+                elif gtype == "MultiPolygon":
+                    # outer rings of every polygon, concatenated
+                    coords = [c for poly in coords for c in (poly[0] if poly else [])]
+                elif gtype == "MultiPoint":
+                    pass  # already a flat list of positions
                 xs = [float(c[0]) for c in coords]
                 ys = [float(c[1]) for c in coords]
                 out["lon"].append(None); out["lat"].append(None)

@@ -65,12 +65,7 @@ def decode_image(data: bytes) -> np.ndarray:
         return ((body.astype(np.uint8) << QUANT_SHIFT) + (1 << (QUANT_SHIFT - 1))).astype(
             np.uint8
         )
-    if magic == MAGIC_RAW:
-        return body.copy()
-    raise NotImplementedError(
-        "real PNG/JPEG decode requires an image library not present in this "
-        "container; only the SOQR stand-in codec is supported"
-    )
+    return body.copy()  # MAGIC_RAW (the guard above admits only the two)
 
 
 def average_hash(pixels: np.ndarray) -> int:

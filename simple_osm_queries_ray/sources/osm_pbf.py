@@ -540,17 +540,17 @@ def write_osm_pbf(path: str, elements: pa.Table, *, nodes_per_block: int = 8000)
             )
         )
 
-    # one block: nodes (dense) + ways + relations (small fixtures)
-    all_tags = tag_lists(node_rows) + tag_lists(way_rows) + tag_lists(rel_rows)
-    table, index = str_table(all_tags)
-    body = [st_msg(table)]
-
-    if len(node_rows):
-        ids = np.asarray(node_rows["id"], dtype=np.int64)
-        lon = np.round(np.asarray(node_rows["lon"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
-        lat = np.round(np.asarray(node_rows["lat"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
+    # nodes chunk into nodes_per_block-sized DenseNodes blobs (each
+    # PrimitiveBlock carries its OWN string table and restarts the delta
+    # coding, per spec) so read_osm_pbf's one-task-per-blob parallelism is
+    # real for round-trip fixtures; ways + relations follow in one blob
+    def node_blob(chunk: pa.Table) -> bytes:
+        table, index = str_table(tag_lists(chunk))
+        ids = np.asarray(chunk["id"], dtype=np.int64)
+        lon = np.round(np.asarray(chunk["lon"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
+        lat = np.round(np.asarray(chunk["lat"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
         kv = []
-        for keys, vals in tag_lists(node_rows):
+        for keys, vals in tag_lists(chunk):
             for k, v in zip(keys, vals):
                 kv += [index[k], index[v]]
             kv.append(0)
@@ -560,7 +560,15 @@ def write_osm_pbf(path: str, elements: pa.Table, *, nodes_per_block: int = 8000)
             + _packed(9, [_zigzag(int(d)) for d in np.diff(lon, prepend=0)])
             + _packed(10, kv)
         )
-        body.append(_field(2, 2, _field(2, 2, dense)))
+        return st_msg(table) + _field(2, 2, _field(2, 2, dense))
+
+    for start in range(0, len(node_rows), nodes_per_block):
+        out.append(
+            blob_frame("OSMData", node_blob(node_rows.slice(start, nodes_per_block)))
+        )
+
+    table, index = str_table(tag_lists(way_rows) + tag_lists(rel_rows))
+    body = [st_msg(table)]
 
     for i in range(len(way_rows)):
         keys = way_rows["tag_keys_str"][i].as_py()
@@ -593,6 +601,7 @@ def write_osm_pbf(path: str, elements: pa.Table, *, nodes_per_block: int = 8000)
         )
         body.append(_field(2, 2, _field(4, 2, msg)))
 
-    out.append(blob_frame("OSMData", b"".join(body)))
+    if len(way_rows) or len(rel_rows):
+        out.append(blob_frame("OSMData", b"".join(body)))
     with open(path, "wb") as f:
         f.write(b"".join(out))

@@ -41,7 +41,19 @@ def read_feature_table(path: str, columns: list[str] | None = None, **kwargs) ->
 
 def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     try:
-        fsize = os.path.getsize(path)
+        if os.path.isdir(path):
+            # getsize() on a directory returns the dirent size (~4 KB) and
+            # would force a multi-GB dataset into ONE block — sum the
+            # parquet members instead (one level; hive layouts nest once)
+            fsize = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        fsize += os.path.getsize(os.path.join(root, f))
+            if fsize == 0:
+                fsize = None
+        else:
+            fsize = os.path.getsize(path)
     except OSError:
         fsize = None
     if fsize is not None and "override_num_blocks" not in kwargs:

@@ -71,7 +71,10 @@ def build_repo(
     import ray as _ray
 
     session = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
-    key = (session, sf_dir, replicate, cell_scheme.name if cell_scheme else "grid")
+    key = (
+        session, sf_dir, replicate, materialize,
+        cell_scheme.name if cell_scheme else "grid",
+    )
     if key in _CACHE:
         return _CACHE[key]
 

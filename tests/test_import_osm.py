@@ -305,3 +305,39 @@ def test_write_osm_xml_shards_roundtrip(tmp_path):
     assert got["lat"].tolist() == tbl["lat"].to_pylist()
     assert got["tag_vals_str"].tolist()[0] == ['a"b<c>&d']
     assert len(got["tag_keys_str"].tolist()[2]) == 0  # None tag omitted
+
+
+def test_pbf_writer_chunks_node_blocks(tmp_path):
+    """write_osm_pbf must honor nodes_per_block: multiple DenseNodes blobs
+    (per-blob string tables, restarted deltas) so blob-parallel reads have
+    real parallelism (r04 review: the parameter was dead)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.sources.osm_pbf import read_osm_pbf, write_osm_pbf
+
+    n = 25
+    elems = pa.table(
+        {
+            "etype": pa.array(np.zeros(n, dtype=np.int64)),
+            "id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "lon": pa.array(np.linspace(9.0, 10.0, n)),
+            "lat": pa.array(np.linspace(53.0, 54.0, n)),
+            "refs": pa.array([[]] * n, type=pa.list_(pa.int64())),
+            "member_nodes": pa.array([[]] * n, type=pa.list_(pa.int64())),
+            "member_ways": pa.array([[]] * n, type=pa.list_(pa.int64())),
+            "member_rels": pa.array([[]] * n, type=pa.list_(pa.int64())),
+            "tag_keys_str": pa.array([["k"]] * n, type=pa.list_(pa.string())),
+            "tag_vals_str": pa.array([["v"]] * n, type=pa.list_(pa.string())),
+        }
+    )
+    path = str(tmp_path / "chunked.osm.pbf")
+    write_osm_pbf(path, elems, nodes_per_block=10)
+    # 25 nodes at 10/block -> 3 OSMData blobs (the module's own scanner)
+    from simple_osm_queries_ray.sources.osm_pbf import scan_blob_spans
+
+    n_data = sum(1 for _o, _s, t in scan_blob_spans(path) if t == "OSMData")
+    assert n_data == 3
+    got = read_osm_pbf(path).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == n
+    assert list(got["id"]) == list(range(1, n + 1))
