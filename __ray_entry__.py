@@ -2093,6 +2093,48 @@ def _q_tpch_q5(sf_dir: str):
     return q5_local_supplier_revenue(sf_dir)
 
 
+def _q_tpch_q8(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
+def _q_tpch_q9(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q9_product_profit
+
+    return q9_product_profit(sf_dir)
+
+
+def _q_tpch_q11(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
+def _q_tpch_q16(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q16_supplier_part_census
+
+    return q16_supplier_part_census(sf_dir)
+
+
+def _q_tpch_q19(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q19_disjunctive_revenue
+
+    return q19_disjunctive_revenue(sf_dir)
+
+
+def _q_tpch_q20(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q20_promotion_suppliers
+
+    return q20_promotion_suppliers(sf_dir)
+
+
+def _q_tpch_q21(sf_dir: str):
+    from simple_osm_queries_ray.pipelines.relational import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(sf_dir)
+
+
 def _q_weighted_sample(sf_dir: str):
     from simple_osm_queries_ray.stages.text import weighted_sample
 
@@ -2609,6 +2651,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "dataset_version_diff": _q_dataset_version_diff,
         "partition_checksums": _q_partition_checksums,
         "events_debounce": _q_events_debounce,
@@ -5812,6 +5861,97 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 GROUP BY n_name
+""",
+        # Q8 shape: the share ratio is returned as exact integer
+        # numerator/denominator (hundredths-of-cents) — a float division
+        # output would hash differently under different sum orders
+        "tpch_q8": """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS v_hc,
+         s_nationkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01')
+SELECT o_year,
+  CAST(SUM(CASE WHEN s_nationkey = 19 THEN v_hc ELSE 0 END) AS BIGINT) AS share_num_hc,
+  CAST(SUM(v_hc) AS BIGINT) AS share_den_hc
+FROM vol GROUP BY o_year
+""",
+        # Q9 shape adapted: no partsupp, so profit = discounted revenue
+        "tpch_q9": """
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS profit_hc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%rod%'
+GROUP BY n_name, o_year
+""",
+        # Q11 shape: scale-free global threshold (1.5x the mean per-part
+        # value) in cross-multiplied integer form
+        "tpch_q11": """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, value_c FROM pv
+WHERE value_c * 2 * (SELECT COUNT(*) FROM pv) > 3 * (SELECT SUM(value_c) FROM pv)
+""",
+        # Q16 shape adapted: no s_comment, so 'complaints' = low acctbal
+        "tpch_q16": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+""",
+        # Q19 shape adapted: no container/shipmode — brand x size-range x
+        # quantity-range conjunct groups
+        "tpch_q19": """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_hc
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+        # Q20 shape adapted: no partsupp availqty — fixed quantity gate
+        "tpch_q20": """
+SELECT s_name, CAST(q AS BIGINT) AS total_qty FROM (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'cold%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey) t JOIN supplier ON l_suppkey = s_suppkey
+WHERE q > 50
+""",
+        # Q21 shape adapted: late = shipped > 60 days after order date;
+        # SUM(s*late) recovers the unique late supplier when n_late = 1
+        "tpch_q21": """
+WITH pairs AS (
+  SELECT l_orderkey AS o, l_suppkey AS s,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+po AS (
+  SELECT o, COUNT(*) AS n_supp, SUM(late) AS n_late, SUM(s*late) AS late_s
+  FROM pairs GROUP BY o)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON late_s = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
 """,
         "orders_rollup": """
 SELECT COALESCE(n_name, 'ALL') AS n_name,

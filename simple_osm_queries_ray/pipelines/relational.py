@@ -1778,3 +1778,667 @@ def q2_cheapest_supplier(
         }
     )
     return out.sort_values(["p_partkey", "s_suppkey"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: the remaining TPC-H decorrelation shapes (Q8, Q9, Q11,
+# Q16, Q19, Q20, Q21), adapted to the columns the sandbox tables carry (no
+# partsupp, no receipt/commit dates, no container/shipmode) — the point is
+# each query's DISTRIBUTED SHAPE (market-share ratio aggregate, multi-dim
+# profit rollup, global-threshold HAVING subquery, count-distinct with an
+# anti-join, disjunctive predicate scan, aggregate-gated semi-join, and the
+# exists/not-exists double correlation), not spec fidelity. With q1-q6,
+# q10, q12-q15, q17, q18, q22 and nation_trade_matrix (q7), every one of
+# the 22 TPC-H shapes now has a Ray pipeline + exact integer oracle.
+# ---------------------------------------------------------------------------
+
+
+def _part_keys_where(sf_dir: str, mask_fn) -> np.ndarray:
+    """Sorted int64 partkeys passing a vectorized predicate over the part
+    table. The part DIMENSION is broadcast-sized relative to lineitem at
+    every TPC-H scale (SF*200k rows vs SF*6M); filtered subsets are smaller
+    still — same small-side-broadcast call the q17/q2 shapes make."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet")
+    keep = mask_fn(part)
+    return np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[keep])
+
+
+def _sorted_member_mask(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_keys, probe), 0, len(sorted_keys) - 1)
+    return sorted_keys[pos] == probe
+
+
+def _year_of(col) -> np.ndarray:
+    d = np.asarray(col, dtype="datetime64[Y]")
+    return d.astype(np.int64) + 1970
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    p_type: str = "STANDARD",
+    nation_key: int = 19,
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q8 shape: one nation's share of regional order volume for one
+    part type, per order year. The share is returned as its two exact
+    integer components (numerator/denominator in hundredths-of-cents) so the
+    distributed sum order cannot perturb a float division.
+
+    Plan: part-type keys and the supplier->nation map broadcast; orders
+    (date-windowed) x customer is partitioned hash join #1 with the region
+    filter applied map-side right after the attach; lineitem (pre-filtered
+    by the broadcast part set BEFORE its shuffle) x the order/year table is
+    hash join #2; numerator/denominator partials reduce per batch so the
+    final groupby moves only per-year pairs."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    pk = _part_keys_where(
+        sf_dir, lambda t: np.asarray(t["p_type"].to_pandas() == p_type)
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region
+    }
+    region_nations = np.sort(
+        np.asarray(
+            [r["n_nationkey"] for r in nat.to_pylist() if r["n_regionkey"] in rkeys],
+            dtype=np.int64,
+        )
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    s_nat = np.asarray(sup["s_nationkey"], dtype=np.int64)
+    so = np.argsort(s_keys)
+    ref = ray.put((pk, region_nations, s_keys[so], s_nat[so]))
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], dtype="datetime64[D]")
+        keep = (d >= lo) & (d < hi)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+                "o_year": pa.array(_year_of(batch["o_orderdate"])[keep], type=pa.int64()),
+            }
+        )
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders_cn = hash_join_attach(
+        orders_f, "o_custkey", customer, "c_custkey", {"c_nationkey": pa.int32()}
+    )
+
+    def regional(batch: pa.Table) -> pa.Table:
+        _pk, rn, _sk, _sn = bget(ref)
+        cn = np.asarray(batch["c_nationkey"].combine_chunks().fill_null(-1), dtype=np.int64)
+        keep = _sorted_member_mask(rn, cn)
+        return batch.select(["o_orderkey", "o_year"]).filter(pa.array(keep))
+
+    orders_r = orders_cn.map_batches(regional, batch_format="pyarrow")
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        _pk, _rn, _sk, _sn = bget(ref)
+        keep = _sorted_member_mask(_pk, np.asarray(batch["l_partkey"], dtype=np.int64))
+        price_c = _cents(batch["l_extendedprice"])[keep]
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64)[keep] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(keep)),
+                "l_suppkey": batch["l_suppkey"].filter(pa.array(keep)),
+                "v_hc": pa.array(price_c * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = lineitem.map_batches(li_filter, batch_format="pyarrow")
+    joined = hash_join_attach(li, "l_orderkey", orders_r, "o_orderkey", {"o_year": pa.int64()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _pk, _rn, sk, sn = bget(ref)
+        yr_col = batch["o_year"].combine_chunks()
+        valid = ~np.asarray(yr_col.is_null())
+        if not valid.any():
+            return pa.table(
+                {
+                    "o_year": pa.array([], type=pa.int64()),
+                    "share_num_hc": pa.array([], type=pa.int64()),
+                    "share_den_hc": pa.array([], type=pa.int64()),
+                }
+            )
+        yr = np.asarray(yr_col.fill_null(-1), dtype=np.int64)[valid]
+        lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)[valid]
+        v = np.asarray(batch["v_hc"], dtype=np.int64)[valid]
+        pos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        sup_nat = np.where(sk[pos] == lsk, sn[pos], -2)
+        num = np.where(sup_nat == nation_key, v, 0)
+        df = (
+            pd.DataFrame({"o_year": yr, "share_num_hc": num, "share_den_hc": v})
+            .groupby("o_year", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("o_year", pa.int64()),
+                    ("share_num_hc", pa.int64()),
+                    ("share_den_hc", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("o_year")
+        .aggregate(
+            Sum("share_num_hc", alias_name="share_num_hc"),
+            Sum("share_den_hc", alias_name="share_den_hc"),
+        )
+    )
+
+
+def q9_product_profit(sf_dir: str, name_sub: str = "rod") -> ray.data.Dataset:
+    """TPC-H Q9 shape (no partsupp in the sandbox tables, so profit is the
+    discounted revenue rather than revenue minus supply cost): per
+    (supplier nation, order year) profit over lineitems of parts whose name
+    contains ``name_sub``. Broadcast part-name keys prune lineitem BEFORE
+    its only shuffle (the orderkey hash join that attaches the year);
+    supplier->nation-name is a broadcast gather; the final groupby carries
+    ~nations x years rows."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join_attach
+
+    pk = _part_keys_where(
+        sf_dir,
+        lambda t: t["p_name"].to_pandas().str.contains(name_sub, regex=False).to_numpy(),
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    s_keys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    s_nat = np.asarray(sup["s_nationkey"], dtype=np.int64)
+    so = np.argsort(s_keys)
+    ref = ray.put((pk, s_keys[so], s_nat[so], names))
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def order_years(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pa.array(_year_of(batch["o_orderdate"]), type=pa.int64()),
+            }
+        )
+
+    oy = orders.map_batches(order_years, batch_format="pyarrow")
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        _pk, _sk, _sn, _names = bget(ref)
+        keep = _sorted_member_mask(_pk, np.asarray(batch["l_partkey"], dtype=np.int64))
+        price_c = _cents(batch["l_extendedprice"])[keep]
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64)[keep] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(keep)),
+                "l_suppkey": batch["l_suppkey"].filter(pa.array(keep)),
+                "v_hc": pa.array(price_c * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = lineitem.map_batches(li_filter, batch_format="pyarrow")
+    joined = hash_join_attach(li, "l_orderkey", oy, "o_orderkey", {"o_year": pa.int64()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _pk, sk, sn, nm = bget(ref)
+        yr_col = batch["o_year"].combine_chunks()
+        valid = ~np.asarray(yr_col.is_null())
+        if not valid.any():
+            return pa.table(
+                {
+                    "n_name": pa.array([], type=pa.string()),
+                    "o_year": pa.array([], type=pa.int64()),
+                    "profit_hc": pa.array([], type=pa.int64()),
+                }
+            )
+        yr = np.asarray(yr_col.fill_null(-1), dtype=np.int64)[valid]
+        lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)[valid]
+        v = np.asarray(batch["v_hc"], dtype=np.int64)[valid]
+        pos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        nk = np.where(sk[pos] == lsk, sn[pos], -2)
+        df = (
+            pd.DataFrame({"nk": nk, "o_year": yr, "profit_hc": v})
+            .groupby(["nk", "o_year"], as_index=False)
+            .sum()
+        )
+        df = df[df["nk"].isin(nm)]
+        return pa.table(
+            {
+                "n_name": pa.array([nm[k] for k in df["nk"]], type=pa.string()),
+                "o_year": pa.array(df["o_year"].to_numpy(), type=pa.int64()),
+                "profit_hc": pa.array(df["profit_hc"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_hc", alias_name="profit_hc"))
+    )
+
+
+def q11_important_parts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 shape: per-key value sums kept only where the key's value
+    beats a GLOBAL scalar-subquery threshold (here 1.5x the mean per-part
+    value, in exact integer cross-multiplied form: value*2*n > 3*total —
+    scale-free where Q11's fixed fraction empties at larger SF). One
+    bucketed shuffle builds the per-part sums; the threshold is two scalar
+    aggregates off the SAME materialized per-part table (no second scan of
+    lineitem); the filter is a map-side mask."""
+    from ..stages.group_collect import bucketed_sum
+
+    per_part = bucketed_sum(
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_partkey": b["l_partkey"],
+                    "value_c": pa.array(_cents(b["l_extendedprice"]), type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["l_partkey"],
+        ["value_c"],
+    ).materialize()
+    total = per_part.sum("value_c")
+    n = per_part.count()
+    if total is None or n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": pa.array([], type=pa.int64()),
+                    "value_c": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value_c"], dtype=np.int64)
+        return batch.filter(pa.array(v * 2 * n > 3 * total))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def q16_supplier_part_census(
+    sf_dir: str,
+    exclude_brand: str = "Brand#13",
+    exclude_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 16, 25, 36, 49),
+    complaint_acctbal: float = 1000.0,
+) -> ray.data.Dataset:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part-attribute combo,
+    minus an anti-joined supplier blocklist (no s_comment column, so the
+    'complaints' stand-in is s_acctbal < threshold). Part attrs are
+    factorized driver-side into dense combo ids (part is the broadcast-sized
+    dimension); lineitem emits batch-deduped (combo, suppkey) pairs; one
+    bucketed DISTINCT then a bucketed count per combo — the corpus-scaled
+    table never shuffles its payload, only int64 pairs."""
+    import pyarrow.parquet as pq
+
+    from ..stages.group_collect import bucketed_distinct, bucketed_sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet")
+    brand = part["p_brand"].to_pandas()
+    ptype = part["p_type"].to_pandas()
+    psize = np.asarray(part["p_size"], dtype=np.int64)
+    keep = (
+        (brand != exclude_brand).to_numpy()
+        & (ptype != exclude_type).to_numpy()
+        & np.isin(psize, np.asarray(sizes, dtype=np.int64))
+    )
+    pkeys = np.asarray(part["p_partkey"], dtype=np.int64)[keep]
+    combos = pd.DataFrame(
+        {"p_brand": brand[keep].to_numpy(), "p_type": ptype[keep].to_numpy(), "p_size": psize[keep]}
+    )
+    combo_id, uniq = pd.factorize(
+        pd.Series(zip(combos["p_brand"], combos["p_type"], combos["p_size"]))
+    )
+    order = np.argsort(pkeys)
+    ref = ray.put((pkeys[order], combo_id[order].astype(np.int64)))
+
+    bad = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    bad_keys = np.sort(
+        np.asarray(bad["s_suppkey"], dtype=np.int64)[
+            np.asarray(bad["s_acctbal"], dtype=np.float64) < complaint_acctbal
+        ]
+    )
+    bad_ref = ray.put(bad_keys)
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        pk, cid = bget(ref)
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        m = _sorted_member_mask(pk, lpk) & ~_sorted_member_mask(bget(bad_ref), lsk)
+        pos = np.searchsorted(pk, lpk[m])
+        both = np.unique(  # batch-level pre-dedup cuts the shuffle volume
+            np.stack([cid[pos], lsk[m]], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "combo": pa.array(both[:, 0] if len(both) else [], type=pa.int64()),
+                "supp": pa.array(both[:, 1] if len(both) else [], type=pa.int64()),
+            }
+        )
+
+    distinct_pairs = bucketed_distinct(
+        lineitem.map_batches(pairs, batch_format="pyarrow"), ["combo", "supp"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"combo": b["combo"], "supplier_cnt": pa.array(np.ones(len(b), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    counts = bucketed_sum(distinct_pairs, ["combo"], ["supplier_cnt"])
+
+    u_brand = pa.array([u[0] for u in uniq], type=pa.string())
+    u_type = pa.array([u[1] for u in uniq], type=pa.string())
+    u_size = pa.array([int(u[2]) for u in uniq], type=pa.int64())
+    attrs_ref = ray.put((u_brand, u_type, u_size))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ub, ut, us = bget(attrs_ref)
+        idx = pa.array(np.asarray(batch["combo"], dtype=np.int64))
+        return pa.table(
+            {
+                "p_brand": ub.take(idx),
+                "p_type": ut.take(idx),
+                "p_size": us.take(idx),
+                "supplier_cnt": batch["supplier_cnt"],
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def q19_disjunctive_revenue(
+    sf_dir: str,
+    clauses: tuple[tuple[str, int, int, int, int], ...] = (
+        ("Brand#12", 1, 15, 1, 21),
+        ("Brand#23", 1, 25, 10, 30),
+        ("Brand#34", 1, 35, 20, 40),
+    ),
+) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) conjunct groups — the disjunctive-predicate scan. Part
+    attrs gather through one broadcast sorted array; the whole disjunction
+    is a vectorized mask; the driver sees one integer per batch. Each clause
+    is (brand, size_lo, size_hi, qty_lo, qty_hi)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pkeys = np.asarray(part["p_partkey"], dtype=np.int64)
+    order = np.argsort(pkeys)
+    brands = pd.factorize(part["p_brand"].to_pandas())
+    brand_code = {b: i for i, b in enumerate(brands[1])}
+    ref = ray.put(
+        (
+            pkeys[order],
+            brands[0][order].astype(np.int64),
+            np.asarray(part["p_size"], dtype=np.int64)[order],
+            tuple(
+                (brand_code.get(b, -1), slo, shi, qlo, qhi)
+                for b, slo, shi, qlo, qhi in clauses
+            ),
+        )
+    )
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, pb, ps, cls = bget(ref)
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk, lpk), 0, len(pk) - 1)
+        hit = pk[pos] == lpk
+        b = np.where(hit, pb[pos], -9)
+        s = np.where(hit, ps[pos], -9)
+        q = np.asarray(batch["l_quantity"], dtype=np.int64)
+        m = np.zeros(len(batch), dtype=bool)
+        for bc, slo, shi, qlo, qhi in cls:
+            m |= (b == bc) & (s >= slo) & (s <= shi) & (q >= qlo) & (q <= qhi)
+        price_c = _cents(batch["l_extendedprice"])[m]
+        disc = np.round(
+            np.asarray(batch["l_discount"], dtype=np.float64)[m] * 100
+        ).astype(np.int64)
+        rev = int((price_c * (100 - disc)).sum())
+        return pa.table({"revenue_hc": pa.array([rev], type=pa.int64())})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_hc", alias_name="revenue_hc")
+    )
+    return pd.DataFrame([{"revenue_hc": agg["revenue_hc"]}])
+
+
+def q20_promotion_suppliers(
+    sf_dir: str,
+    name_prefix: str = "cold",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    min_qty: int = 50,
+) -> ray.data.Dataset:
+    """TPC-H Q20 shape: suppliers whose aggregate shipped quantity of a
+    part-name family inside a date window beats a threshold — the
+    aggregate-gated semi-join (no partsupp availqty, so the gate is a fixed
+    threshold). Broadcast part-prefix keys prune lineitem map-side; ONE
+    bucketed per-supplier sum; the supplier dimension attaches by broadcast
+    gather. Output: (s_name, total_qty)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.group_collect import bucketed_sum
+
+    pk = _part_keys_where(
+        sf_dir,
+        lambda t: t["p_name"].to_pandas().str.startswith(name_prefix).to_numpy(),
+    )
+    ref = ray.put(pk)
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["l_shipdate"], dtype="datetime64[D]")
+        keep = (
+            _sorted_member_mask(bget(ref), np.asarray(batch["l_partkey"], dtype=np.int64))
+            & (d >= lo)
+            & (d < hi)
+        )
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"].filter(pa.array(keep)),
+                "total_qty": pa.array(
+                    np.asarray(batch["l_quantity"], dtype=np.int64)[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    per_supp = bucketed_sum(
+        lineitem.map_batches(prune, batch_format="pyarrow"), ["l_suppkey"], ["total_qty"]
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    so = np.argsort(sk)
+    names_ref = ray.put((sk[so], supp["s_name"].take(pa.array(so))))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        sk_s, nm = bget(names_ref)
+        q = np.asarray(batch["total_qty"], dtype=np.int64)
+        keep = q > min_qty
+        ks = np.asarray(batch["l_suppkey"], dtype=np.int64)[keep]
+        pos = np.searchsorted(sk_s, ks)
+        return pa.table(
+            {
+                "s_name": nm.take(pa.array(pos)),
+                "total_qty": pa.array(q[keep], type=pa.int64()),
+            }
+        )
+
+    return per_supp.map_batches(gate, batch_format="pyarrow")
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = 60) -> ray.data.Dataset:
+    """TPC-H Q21 shape: for finalized orders served by >= 2 suppliers where
+    EXACTLY ONE supplier shipped late, count waiting incidents per late
+    supplier — the exists/not-exists double correlation. No
+    receipt/commit dates in the sandbox tables, so 'late' is l_shipdate >
+    o_orderdate + late_days.
+
+    Plan: orders(status F) hash-joins its orderdate onto lineitem (the one
+    corpus-scaled exchange); pair lateness reduces per (order, supplier)
+    with a bucketed MAX; per-order counts reduce with a bucketed SUM whose
+    sum(s*late) recovers the single late supplier arithmetically when
+    n_late == 1 (no argmax machinery); the per-supplier tally is a third
+    bucketed SUM over tiny rows. Output: (s_name, numwait)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.group_collect import bucketed_reduce, bucketed_sum
+    from ..stages.joins import hash_join_attach
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    )
+
+    def final_orders(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(
+            pc.equal(batch["o_orderstatus"], "F").combine_chunks()
+            if isinstance(batch["o_orderstatus"], pa.ChunkedArray)
+            else pc.equal(batch["o_orderstatus"], "F")
+        )
+        d = np.asarray(batch["o_orderdate"], dtype="datetime64[D]").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_days": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    of = orders.map_batches(final_orders, batch_format="pyarrow")
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    joined = hash_join_attach(lineitem, "l_orderkey", of, "o_orderkey", {"o_days": pa.int64()})
+
+    def lateness(batch: pa.Table) -> pa.Table:
+        od = batch["o_days"].combine_chunks()
+        valid = ~np.asarray(od.is_null())
+        ship = np.asarray(batch["l_shipdate"], dtype="datetime64[D]").astype(np.int64)[valid]
+        odv = np.asarray(od.fill_null(0), dtype=np.int64)[valid]
+        return pa.table(
+            {
+                "o": batch["l_orderkey"].filter(pa.array(valid)),
+                "s": batch["l_suppkey"].filter(pa.array(valid)),
+                "late": pa.array((ship > odv + late_days).astype(np.int64)),
+            }
+        )
+
+    pairs = bucketed_reduce(
+        joined.map_batches(lateness, batch_format="pyarrow"), ["o", "s"], {"late": "max"}
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["s"], dtype=np.int64)
+        late = np.asarray(batch["late"], dtype=np.int64)
+        return pa.table(
+            {
+                "o": batch["o"],
+                "n_supp": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "n_late": batch["late"],
+                "late_s": pa.array(s * late, type=pa.int64()),
+            }
+        )
+
+    per_order = bucketed_reduce(
+        pairs.map_batches(widen, batch_format="pyarrow"),
+        ["o"],
+        {"n_supp": "sum", "n_late": "sum", "late_s": "sum"},
+    )
+
+    def waiting(batch: pa.Table) -> pa.Table:
+        keep = (np.asarray(batch["n_supp"], dtype=np.int64) >= 2) & (
+            np.asarray(batch["n_late"], dtype=np.int64) == 1
+        )
+        return pa.table(
+            {
+                "late_s": batch["late_s"].filter(pa.array(keep)),
+                "numwait": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    tally = bucketed_sum(
+        per_order.map_batches(waiting, batch_format="pyarrow"), ["late_s"], ["numwait"]
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    so = np.argsort(sk)
+    names_ref = ray.put((sk[so], supp["s_name"].take(pa.array(so))))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sk_s, nm = bget(names_ref)
+        ks = np.asarray(batch["late_s"], dtype=np.int64)
+        pos = np.searchsorted(sk_s, ks)
+        return pa.table({"s_name": nm.take(pa.array(pos)), "numwait": batch["numwait"]})
+
+    return tally.map_batches(attach, batch_format="pyarrow")
