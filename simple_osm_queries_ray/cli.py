@@ -88,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
             # deltas) and rewrite ONLY the changed partitions of an existing
             # index under its original plan
             src, index_dir = argv[1], argv[2]
+            if "--cell-width" in argv or "--cell-height" in argv:
+                # refresh rewrites partitions under the index's PERSISTED
+                # scheme — accepting (and ignoring) a cell-size flag here
+                # would hide user error; a scheme change needs a re-import
+                raise SystemExit(
+                    "refresh does not take --cell-width/--cell-height: the "
+                    "index's persisted scheme is used; re-run `import` to "
+                    "change the cell size"
+                )
             changes = [a for a in argv[3:] if a.endswith(".osc")]
             import os as _os
 
@@ -141,7 +150,15 @@ def main(argv: list[str] | None = None) -> int:
             profile_path = None
             if "--profile" in argv:
                 i = argv.index("--profile")
-                if len(argv) > i + 1 and not argv[i + 1].startswith("--"):
+                # only a .prof token binds as the profile path: anything else
+                # after --profile is a positional operand (e.g. out.geojson) —
+                # consuming it silently redirected the user's GeoJSON path
+                # into the pstats artifact
+                if (
+                    len(argv) > i + 1
+                    and not argv[i + 1].startswith("--")
+                    and argv[i + 1].endswith(".prof")
+                ):
                     profile_path = argv[i + 1]
                     argv = argv[:i] + argv[i + 2 :]
                 else:

@@ -156,6 +156,14 @@ def _cells_of_table(batch: pa.Table, otype: str) -> np.ndarray:
     return out
 
 
+def _atomic_json(path: str, payload: dict) -> None:
+    """Write JSON via tmp+rename so readers never observe a torn file."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def write_index(
     repo,
     index_dir: str,
@@ -184,25 +192,11 @@ def write_index(
         "cell_scheme": scheme_name,
     }
     os.makedirs(index_dir, exist_ok=True)
-    scheme_path = os.path.join(index_dir, "scheme.json")
-    if cell_scheme is not None:
-        # persist the scheme so DiskRepo queries reconstruct the exact cell
-        # geometry the index was built with (reference: cellWidth/cellHeight
-        # import parameters, src/importing/import.go:17)
-        from ..functions.hiercell import scheme_to_json
-
-        with open(scheme_path, "w") as f:
-            json.dump(scheme_to_json(cell_scheme), f)
-    elif os.path.exists(scheme_path):
-        # default-scheme rebuild into a dir that previously held a custom
-        # scheme: a stale scheme.json would make DiskRepo probe with the
-        # wrong geometry
-        os.remove(scheme_path)
+    # The (long) histogram/plan computation runs BEFORE any generation
+    # metadata touches disk: a crash here leaves the previous generation's
+    # scheme.json/plan.json/tag-index/data fully consistent for readers.
     cells, counts = density_histogram(repo.nodes)
     plan = PartitionPlan.from_histogram(cells, counts, rows_per_partition)
-    with open(os.path.join(index_dir, "plan.json"), "w") as f:
-        json.dump(plan.to_json(), f)
-    repo.tag_index.save(os.path.join(index_dir, "tag-index"))
     manifest = Manifest.load_or_create(index_dir, meta)
     if not manifest.waves:
         # fresh build OR lineage-mismatch restart: remove any feature data a
@@ -215,6 +209,26 @@ def write_index(
             d = os.path.join(index_dir, otype)
             if os.path.isdir(d):
                 shutil.rmtree(d)
+    # Generation metadata lands only after the lineage check + stale-data
+    # cleanup, adjacent to the data rewrite it describes. A crash between
+    # here and the first completed wave leaves scheme.json disagreeing with
+    # the on-disk manifest meta — DiskRepo cross-checks the two and fails
+    # loudly instead of probing old data with new geometry.
+    scheme_path = os.path.join(index_dir, "scheme.json")
+    if cell_scheme is not None:
+        # persist the scheme so DiskRepo queries reconstruct the exact cell
+        # geometry the index was built with (reference: cellWidth/cellHeight
+        # import parameters, src/importing/import.go:17)
+        from ..functions.hiercell import scheme_to_json
+
+        _atomic_json(scheme_path, scheme_to_json(cell_scheme))
+    elif os.path.exists(scheme_path):
+        # default-scheme rebuild into a dir that previously held a custom
+        # scheme: a stale scheme.json would make DiskRepo probe with the
+        # wrong geometry
+        os.remove(scheme_path)
+    _atomic_json(os.path.join(index_dir, "plan.json"), plan.to_json())
+    repo.tag_index.save(os.path.join(index_dir, "tag-index"))
     plan_ref = ray.put(plan)
 
     for otype, ds in ((OSM_NODE, repo.nodes), (OSM_WAY, repo.ways), (OSM_RELATION, repo.relations)):
@@ -327,6 +341,23 @@ class DiskRepo:
 
             with open(scheme_path) as f:
                 self.cell_scheme = scheme_from_json(json.load(f))
+        # Lineage cross-check: the manifest records the cell scheme its data
+        # was written under. A crashed re-import at a different cell size can
+        # leave scheme.json from one generation next to data from another —
+        # fail loudly instead of silently probing with the wrong geometry.
+        man_path = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man_meta = json.load(f).get("meta", {})
+            expect = man_meta.get("cell_scheme")
+            got = self.cell_scheme.name if self.cell_scheme is not None else "grid"
+            if expect is not None and expect != got:
+                raise RuntimeError(
+                    f"index at {index_dir!r} is inconsistent: manifest was "
+                    f"written under cell scheme {expect!r} but scheme.json "
+                    f"says {got!r} — a re-import at a different cell size "
+                    "crashed mid-rebuild; re-run the import to completion"
+                )
         self.tag_index = TagIndex.load(os.path.join(index_dir, "tag-index"))
         self.tag_index_ref = ray.put(self.tag_index)
         zm_path = os.path.join(index_dir, "zonemap.json")

@@ -1933,7 +1933,12 @@ def q8_market_share(
         lsk = np.asarray(batch["l_suppkey"], dtype=np.int64)[valid]
         v = np.asarray(batch["v_hc"], dtype=np.int64)[valid]
         pos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
-        sup_nat = np.where(sk[pos] == lsk, sn[pos], -2)
+        hit = sk[pos] == lsk
+        # inner-join semantics (match the SQL twin): a lineitem whose
+        # suppkey has no supplier row is excluded from BOTH components,
+        # not counted in the denominator with an unknown nation
+        yr, v = yr[hit], v[hit]
+        sup_nat = sn[pos][hit]
         num = np.where(sup_nat == nation_key, v, 0)
         df = (
             pd.DataFrame({"o_year": yr, "share_num_hc": num, "share_den_hc": v})

@@ -545,12 +545,13 @@ def write_osm_pbf(path: str, elements: pa.Table, *, nodes_per_block: int = 8000)
     # coding, per spec) so read_osm_pbf's one-task-per-blob parallelism is
     # real for round-trip fixtures; ways + relations follow in one blob
     def node_blob(chunk: pa.Table) -> bytes:
-        table, index = str_table(tag_lists(chunk))
+        tl = tag_lists(chunk)
+        table, index = str_table(tl)
         ids = np.asarray(chunk["id"], dtype=np.int64)
         lon = np.round(np.asarray(chunk["lon"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
         lat = np.round(np.asarray(chunk["lat"], dtype=np.float64) * 1e9 / 100).astype(np.int64)
         kv = []
-        for keys, vals in tag_lists(chunk):
+        for keys, vals in tl:
             for k, v in zip(keys, vals):
                 kv += [index[k], index[v]]
             kv.append(0)

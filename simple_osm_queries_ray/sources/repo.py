@@ -71,6 +71,11 @@ def build_repo(
     import ray as _ray
 
     session = _ray.get_runtime_context().get_job_id() if _ray.is_initialized() else None
+    # evict entries from dead sessions: their Datasets hold object refs with
+    # no owner, and a long-lived process cycling ray.init/shutdown would
+    # otherwise accumulate unreachable repos without bound
+    for stale in [k for k in _CACHE if k[0] != session]:
+        del _CACHE[stale]
     key = (
         session, sf_dir, replicate, materialize,
         cell_scheme.name if cell_scheme else "grid",

@@ -536,3 +536,87 @@ def test_cli_refresh_preserves_custom_scheme(tmp_path):
         .to_pandas()["id"]
     )
     assert got == exp and got
+
+
+def test_disk_repo_rejects_scheme_manifest_disagreement(tmp_path):
+    # review r04: a re-import at a different cell size that crashes between
+    # the scheme.json write and the first completed wave must fail LOUDLY at
+    # DiskRepo load, not silently probe old-generation data with the new
+    # geometry
+    import json
+    import os
+
+    from simple_osm_queries_ray.functions.hiercell import (
+        GridCellScheme,
+        scheme_to_json,
+    )
+
+    d = str(tmp_path / "idx")
+    repo = build_repo(SF)
+    write_index(repo, d, rows_per_partition=150, num_waves=2)
+    # simulate the crash window: new-generation scheme.json next to the old
+    # generation's manifest + data
+    with open(os.path.join(d, "scheme.json"), "w") as f:
+        json.dump(scheme_to_json(GridCellScheme(0.05, 0.05)), f)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="cell scheme"):
+        DiskRepo(d)
+
+
+def test_write_index_defers_scheme_write_until_lineage_check(tmp_path):
+    # the scheme/plan/tag-index metadata must land AFTER the manifest
+    # lineage check: build custom-scheme, then default — the default rebuild
+    # must clear scheme.json and serve consistently
+    import os
+
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+
+    d = str(tmp_path / "idx")
+    scheme = GridCellScheme(0.05, 0.05)
+    repo_c = build_repo(SF, cell_scheme=scheme)
+    write_index(repo_c, d, rows_per_partition=150, num_waves=2, cell_scheme=scheme)
+    assert DiskRepo(d).cell_scheme is not None
+    repo_d = build_repo(SF)
+    write_index(repo_d, d, rows_per_partition=150, num_waves=2)
+    assert not os.path.exists(os.path.join(d, "scheme.json"))
+    disk = DiskRepo(d)
+    assert disk.cell_scheme is None
+    assert disk.table("node").count() == repo_d.nodes.count()
+
+
+def test_cli_profile_does_not_consume_output_operand(tmp_path):
+    # review r04: `query ... --profile out.geojson` bound the GeoJSON path
+    # as the pstats artifact; only a .prof token binds as the profile path
+    import json
+    import os
+
+    from simple_osm_queries_ray import cli
+
+    d = str(tmp_path / "idx")
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    out = str(tmp_path / "hits.geojson")
+    prof_default = os.path.join(os.getcwd(), "query.prof")
+    had_default = os.path.exists(prof_default)
+    assert (
+        cli.main(["query", d, "bbox(9.85,53.45,10.05,53.65).nodes{lang=en}",
+                  "--profile", out]) == 0
+    )
+    with open(out) as f:
+        gj = json.load(f)
+    assert gj["features"], "features must land in the user's operand path"
+    if not had_default and os.path.exists(prof_default):
+        os.remove(prof_default)  # default artifact, not the user's operand
+
+
+def test_cli_refresh_rejects_cell_size_flags(tmp_path):
+    # review r04: refresh silently dropped --cell-width/--cell-height; a
+    # scheme change requires re-import and must be rejected loudly
+    import pytest
+
+    from simple_osm_queries_ray import cli
+
+    d = str(tmp_path / "idx")
+    write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
+    with pytest.raises(SystemExit, match="cell-width"):
+        cli.main(["refresh", SF, d, "--cell-width", "0.05"])

@@ -87,3 +87,82 @@ def test_q2_brand_with_no_lineitems_returns_empty(tmp_path):
     assert list(out.columns) == [
         "p_partkey", "p_brand", "s_suppkey", "s_name", "best_unit_mc",
     ]
+
+
+def test_q8_orphan_suppkey_excluded_from_denominator(tmp_path):
+    # review r04: a lineitem whose l_suppkey has no supplier row must be
+    # dropped from BOTH share components (the SQL twin inner-joins
+    # supplier); the engine previously kept its volume in share_den_hc
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    shutil.copytree(SF, d)
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region", "part", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    # an order inside the q8 window from an ASIA customer, and a STANDARD
+    # part — the orphan lineitem must otherwise fully qualify for vol
+    row = con.sql(
+        """
+        SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+        LIMIT 1
+        """
+    ).fetchall()
+    pk_row = con.sql(
+        "SELECT p_partkey FROM part WHERE p_type = 'STANDARD' LIMIT 1"
+    ).fetchall()
+    assert row and pk_row, "sf0.001 fixture must contain a qualifying order/part"
+
+    li = pq.read_table(f"{d}/lineitem.parquet")
+    orphan = pa.table(
+        {
+            "l_orderkey": pa.array([row[0][0]], type=li["l_orderkey"].type),
+            "l_partkey": pa.array([pk_row[0][0]], type=li["l_partkey"].type),
+            "l_suppkey": pa.array([99_999_999], type=li["l_suppkey"].type),
+            "l_extendedprice": pa.array([1000.0], type=li["l_extendedprice"].type),
+            "l_discount": pa.array([0.0], type=li["l_discount"].type),
+            **{
+                c: pa.nulls(1, li[c].type)
+                for c in li.column_names
+                if c
+                not in (
+                    "l_orderkey", "l_partkey", "l_suppkey",
+                    "l_extendedprice", "l_discount",
+                )
+            },
+        }
+    ).select(li.column_names)
+    pq.write_table(pa.concat_tables([li, orphan]), f"{d}/lineitem.parquet")
+
+    from simple_osm_queries_ray.pipelines.relational import q8_market_share
+
+    eng = (
+        q8_market_share(d)
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+    import __ray_entry__ as entrymod
+
+    con2 = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region", "part", "lineitem", "supplier"):
+        con2.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    ora = (
+        con2.sql(entrymod.oracle_sql()["tpch_q8"])
+        .df()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    assert eng["o_year"].tolist() == ora["o_year"].tolist()
+    assert eng["share_num_hc"].tolist() == ora["share_num_hc"].tolist()
+    assert eng["share_den_hc"].tolist() == ora["share_den_hc"].tolist()
