@@ -86,9 +86,17 @@ def pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
 
 
 def unpack_cell(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact inverse of :func:`pack_cell` for SIGNED cy (southern
+    hemisphere). The naive ``cell % CELL_PACK`` wraps negative cy to
+    ``cy + CELL_PACK`` (and shifts cx by -1); every scheme keeps
+    ``|cy| < CELL_PACK/2`` (GridCellScheme rejects cell_h where
+    180/cell_h >= CELL_PACK), so a centered modulo recovers the true pair.
+    Round-trip sites (``pack_cell(unpack_cell(c) + offset)``) are identical
+    under either convention; coordinate comparisons need this one."""
     cell = np.asarray(cell, dtype=np.int64)
-    cy = cell % CELL_PACK
-    cx = cell // CELL_PACK
+    half = CELL_PACK // 2
+    cy = (cell % CELL_PACK + half) % CELL_PACK - half
+    cx = (cell - cy) // CELL_PACK
     return cx, cy
 
 

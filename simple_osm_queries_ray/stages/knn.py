@@ -109,6 +109,29 @@ def knn_bruteforce(
     return cand.repartition(4).groupby("qid").map_groups(reduce_group, batch_format="pyarrow")
 
 
+def _exact_topk_scan(source, qlon: float, qlat: float, k: int) -> list:
+    """Exact top-k by one distributed scan: per-batch (d2, id)-lexsorted
+    top-k partials, tiny driver merge. The ring searches fall back to this
+    when ``max_rings`` is exhausted before their distance bound is met, so
+    the cap is a cost knob — never a silent correctness knob."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        d2 = (lon - qlon) ** 2 + (lat - qlat) ** 2
+        idx = np.lexsort((ids, d2))[:k]  # same (dist, id) tie-break as rings
+        return pa.table({"id": pa.array(ids[idx]), "d2": pa.array(d2[idx])})
+
+    df = (
+        source.select_columns(["id", "lon", "lat"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = df.sort_values(["d2", "id"]).head(k)
+    return [(float(d), int(i)) for d, i in zip(df["d2"], df["id"])]
+
+
 def knn_cell_ring(
     ds: "ray.data.Dataset | None",
     query_point: tuple[float, float],
@@ -180,6 +203,13 @@ def knn_cell_ring(
         next_min = (r * min(CELL_W, CELL_H)) ** 2
         if len(best) == k and best[-1][0] <= next_min:
             break
+    else:
+        # rings exhausted before the bound was met (sparse data, or k
+        # larger than the ring-covered population): one exact scan
+        # finalizes — a corner candidate must never beat an unscanned ring
+        best = _exact_topk_scan(
+            repo.table("node") if repo is not None else ds, qlon, qlat, k
+        )
     arr = best[:k]
     return pa.table(
         {
@@ -256,6 +286,11 @@ def knn_hex_ring(
         lower = 1.5 * size * (r + 1) - 2.0 * size
         if len(best) == k and lower > 0 and best[-1][0] <= lower * lower:
             break
+    else:
+        # max_rings exhausted without meeting the bound: exact-scan finalize
+        best = _exact_topk_scan(
+            repo.table("node") if repo is not None else ds, qlon, qlat, k
+        )
     arr = best[:k]
     return pa.table(
         {
@@ -338,6 +373,13 @@ def knn_quad_ring(
         next_min = (r * min(tile_w, tile_h)) ** 2
         if len(best) == k and best[-1][0] <= next_min:
             break
+    else:
+        # max_rings exhausted without meeting the bound: exact-scan finalize
+        # (the `if not ring: break` exit above means the WHOLE grid was
+        # scanned, which is complete — it correctly skips this fallback)
+        best = _exact_topk_scan(
+            repo.table("node") if repo is not None else ds, qlon, qlat, k
+        )
     arr = best[:k]
     return pa.table(
         {
@@ -439,6 +481,33 @@ def radius_join(ds: ray.data.Dataset, radius: float) -> ray.data.Dataset:
     )
 
 
+def _replicate_3x3_cells(batch: pa.Table) -> pa.Table:
+    """9-neighborhood index-cell replication shared by :func:`nn_join` and
+    :func:`knn_join`: (bucket, id, lon, lat, home) rows, one per point per
+    3x3 cell-block member, home marking the center copy."""
+    from ..model import cell_xy, pack_cell
+
+    ids_ = np.asarray(batch["id"], dtype=np.int64)
+    lon = np.asarray(batch["lon"], dtype=np.float64)
+    lat = np.asarray(batch["lat"], dtype=np.float64)
+    cx, cy = cell_xy(lon, lat)
+    out_bucket, out_home = [], []
+    n = len(ids_)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            out_bucket.append(pack_cell(cx + dx, cy + dy))
+            out_home.append(np.full(n, dx == 0 and dy == 0, dtype=np.bool_))
+    return pa.table(
+        {
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            "id": pa.array(np.tile(ids_, 9)),
+            "lon": pa.array(np.tile(lon, 9)),
+            "lat": pa.array(np.tile(lat, 9)),
+            "home": pa.array(np.concatenate(out_home)),
+        }
+    )
+
+
 def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Nearest-neighbour self-join: for every feature, the id and squared
     planar distance of its closest other feature (tie -> smallest id).
@@ -456,26 +525,7 @@ def nn_join(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     guarantee2 = float(min(CELL_W, CELL_H)) ** 2
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        lon = np.asarray(batch["lon"], dtype=np.float64)
-        lat = np.asarray(batch["lat"], dtype=np.float64)
-        cx, cy = cell_xy(lon, lat)
-        out_bucket, out_home = [], []
-        n = len(ids_)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                out_bucket.append(pack_cell(cx + dx, cy + dy))
-                out_home.append(np.full(n, dx == 0 and dy == 0, dtype=np.bool_))
-        return pa.table(
-            {
-                "bucket": pa.array(np.concatenate(out_bucket)),
-                "id": pa.array(np.tile(ids_, 9)),
-                "lon": pa.array(np.tile(lon, 9)),
-                "lat": pa.array(np.tile(lat, 9)),
-                "home": pa.array(np.concatenate(out_home)),
-            }
-        )
+    replicate = _replicate_3x3_cells
 
     INF = np.inf
     BIG_ID = np.iinfo(np.int64).max
@@ -1161,26 +1211,7 @@ def knn_join(ds: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
 
     guarantee2 = float(min(CELL_W, CELL_H)) ** 2
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        ids_ = np.asarray(batch["id"], dtype=np.int64)
-        lon = np.asarray(batch["lon"], dtype=np.float64)
-        lat = np.asarray(batch["lat"], dtype=np.float64)
-        cx, cy = cell_xy(lon, lat)
-        out_bucket, out_home = [], []
-        n = len(ids_)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                out_bucket.append(pack_cell(cx + dx, cy + dy))
-                out_home.append(np.full(n, dx == 0 and dy == 0, dtype=np.bool_))
-        return pa.table(
-            {
-                "bucket": pa.array(np.concatenate(out_bucket)),
-                "id": pa.array(np.tile(ids_, 9)),
-                "lon": pa.array(np.tile(lon, 9)),
-                "lat": pa.array(np.tile(lat, 9)),
-                "home": pa.array(np.concatenate(out_home)),
-            }
-        )
+    replicate = _replicate_3x3_cells
 
     def block_topk(tbl: pa.Table) -> pa.Table:
         ids_ = np.asarray(tbl["id"], dtype=np.int64)

@@ -250,7 +250,9 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
 
     if not 1 <= zoom <= 24:
         # zoom=0 would never terminate the coarse-to-fine loop (it starts
-        # at level max(1, zoom-4)); > 24 overflows the packed way*nt^2 key
+        # at level max(1, zoom-4)); > 24 leaves no row-index headroom in the
+        # packed row*nt^2 dedup key (the pack uses the batch-local row
+        # index, never the way id, so id magnitude cannot overflow it)
         raise ValueError(f"way_segment_tiles: zoom must be in [1, 24], got {zoom}")
 
     nt = np.int64(1 << zoom)
@@ -296,6 +298,15 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
     COARSE_LEVELS = 4  # start 4 zooms up: 16x fewer seed candidates per axis
 
     def fn(batch: pa.Table) -> pa.Table:
+        # int64 pack bound: the dedup key is row_index * nt^2 + tile — the
+        # batch-local ROW index, not the way id (real OSM way ids ~1.4e9
+        # would wrap the pack at zoom > ~16). Row counts only exceed the
+        # bound at extreme zooms; slice-and-recurse keeps the pack exact.
+        max_rows = max(1, (2**63 - 1) // (nt * nt) - 1)
+        if len(batch) > max_rows:
+            return pa.concat_tables(
+                [fn(batch.slice(s, max_rows)) for s in range(0, len(batch), max_rows)]
+            )
         lons, off = list_parts(batch["node_lons"])
         lats, _ = list_parts(batch["node_lats"])
         lons = np.asarray(lons, dtype=np.float64)
@@ -308,7 +319,9 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
         valid[(off[1:] - 1)[nz]] = False  # a row's last node starts no segment
         si = np.flatnonzero(valid)
         x1, y1, x2, y2 = lons[si], lats[si], lons[si + 1], lats[si + 1]
-        seg_way = np.repeat(wid, np.maximum(counts - 1, 0))
+        seg_row = np.repeat(
+            np.arange(len(wid), dtype=np.int64), np.maximum(counts - 1, 0)
+        )
         n_seg = len(si)
         if n_seg == 0:
             return pa.table(
@@ -345,9 +358,11 @@ def way_segment_tiles(ways: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
             )
             seg, tx, ty = seg[inb], tx[inb], ty[inb]
 
-        key = seg_way[seg] * (nt * nt) + ty * nt + tx
+        key = seg_row[seg] * (nt * nt) + ty * nt + tx
         uk = np.unique(key)
-        return pa.table({"id": uk // (nt * nt), "tile": uk % (nt * nt)})
+        return pa.table(
+            {"id": pa.array(wid[uk // (nt * nt)]), "tile": pa.array(uk % (nt * nt))}
+        )
 
     return ways.select_columns(["id", "node_lons", "node_lats"]).map_batches(
         fn, batch_format="pyarrow"
@@ -475,6 +490,12 @@ def way_polygon_join(
             & (pminy[None, :] <= wmaxy[:, None])
         )
         cw, cp = np.nonzero(ov)
+        if len(cw) == 0:
+            return empty
+        # a zero-node way has no first vertex: off[i] == off[i+1] would read
+        # the NEXT way's first node (or index past the end on the last row)
+        has_pts = (np.diff(off) > 0)[cw]
+        cw, cp = cw[has_pts], cp[has_pts]
         if len(cw) == 0:
             return empty
         # containment of the way's first node (ray-casting parity)
@@ -910,6 +931,14 @@ def getis_ord_gi(nodes: ray.data.Dataset) -> ray.data.Dataset:
         .materialize()
     )
 
+    if hist.count() == 0:
+        # zero input nodes: the Min/Max aggregate below would yield None
+        # keys (same guard class as moran_cells)
+        c = lambda: pa.array([], type=pa.int64())
+        return ray.data.from_arrow(
+            pa.table({"cell": c(), "x": c(), "wsum": c(), "wn": c()})
+        )
+
     def cxy(batch: pa.Table) -> pa.Table:
         cx, cy = unpack_cell(np.asarray(batch["cell"], dtype=np.int64))
         return pa.table({"cx": pa.array(cx), "cy": pa.array(cy)})
@@ -984,6 +1013,12 @@ def tile_boundary(nodes: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
     )
+
+    if hist.count() == 0:
+        # zero input nodes: the empty grouped dataset has no schema, which
+        # would crash _attach_int64 — return the documented empty layout
+        c = lambda: pa.array([], type=pa.int64())
+        return ray.data.from_arrow(pa.table({"tile": c(), "n": c(), "nb": c()}))
 
     def scatter(batch: pa.Table) -> pa.Table:
         t = np.asarray(batch["tile"], dtype=np.int64)

@@ -96,12 +96,146 @@ def hilbert_shards(
     )
 
 
+# above this many total rows in boundary-straddling cells, _plan_shards
+# switches from pulling their ids to the 3-pass bucketed rank selection
+_STRADDLE_PULL_LIMIT = 2_000_000
+
+
+def _bucketed_rank_ids(
+    with_hd: ray.data.Dataset,
+    id_col: str,
+    cut_ranks: dict[int, np.ndarray],
+    n_buckets: int = 4096,
+) -> dict[int, np.ndarray]:
+    """For each straddled cell, the id values at the given within-cell ranks
+    (ranks are by ascending id) — WITHOUT pulling the cell's rows to the
+    driver. Three narrow passes: (A) per-cell id min/max, (B) per
+    (cell, id-range-bucket) counts, (C) pull only the buckets a cut rank
+    lands in (~count/n_buckets rows per cut). The bucket map only needs to
+    be deterministic and monotone in id, so float64 rounding in the scale
+    factor is harmless (both passes share the formula)."""
+    sc_arr = np.array(sorted(cut_ranks), dtype=np.int64)
+
+    def match(batch: pa.Table):
+        hd = np.asarray(batch["hd"], dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        pos = np.clip(np.searchsorted(sc_arr, hd), 0, len(sc_arr) - 1)
+        m = sc_arr[pos] == hd
+        return pos[m], ids[m]
+
+    # pass A: per-cell id min/max (combined on the tiny driver side)
+    def mnmx(batch: pa.Table) -> pa.Table:
+        pos, ids = match(batch)
+        if not len(pos):
+            e = np.array([], dtype=np.int64)
+            return pa.table({"p": e, "mn": e, "mx": e})
+        order_ = np.argsort(pos, kind="stable")
+        pos, ids = pos[order_], ids[order_]
+        u, st = np.unique(pos, return_index=True)
+        return pa.table(
+            {
+                "p": pa.array(u),
+                "mn": pa.array(np.minimum.reduceat(ids, st)),
+                "mx": pa.array(np.maximum.reduceat(ids, st)),
+            }
+        )
+
+    hd_ids = with_hd.select_columns(["hd", id_col])
+    a = hd_ids.map_batches(mnmx, batch_format="pyarrow").to_pandas()
+    g = a.groupby("p").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mnf = np.zeros(len(sc_arr), dtype=np.float64)
+    scale = np.ones(len(sc_arr), dtype=np.float64)
+    for p, r in g.iterrows():
+        mnf[int(p)] = float(r["mn"])
+        span = float(r["mx"]) - float(r["mn"]) + 1.0
+        scale[int(p)] = n_buckets / span
+
+    def bucket_of(pos: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        b = np.floor((ids.astype(np.float64) - mnf[pos]) * scale[pos])
+        return np.clip(b, 0, n_buckets - 1).astype(np.int64)
+
+    # pass B: per (cell, bucket) counts
+    def bcount(batch: pa.Table) -> pa.Table:
+        pos, ids = match(batch)
+        if not len(pos):
+            e = np.array([], dtype=np.int64)
+            return pa.table({"k": e, "n": e})
+        key = pos * np.int64(n_buckets) + bucket_of(pos, ids)
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u), "n": pa.array(n.astype(np.int64))})
+
+    b = (
+        hd_ids.map_batches(bcount, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("k")
+        .sum("n")
+        .to_pandas()
+    )
+    key = b["k"].to_numpy()
+    cnt = b["sum(n)"].to_numpy()
+    order_ = np.argsort(key)
+    key, cnt = key[order_], cnt[order_]
+
+    # locate the bucket containing each cut rank; remember the rank of the
+    # bucket's first row so pass C resolves the within-bucket offset
+    need: dict[int, set[int]] = {}
+    bucket_base: dict[tuple[int, int], int] = {}
+    for p, c in enumerate(sc_arr):
+        in_cell = (key >= p * n_buckets) & (key < (p + 1) * n_buckets)
+        kb = (key[in_cell] - p * n_buckets).astype(np.int64)
+        kc = cnt[in_cell]
+        cum = np.concatenate([[0], np.cumsum(kc)])
+        for r in cut_ranks[int(c)]:
+            bi = int(np.searchsorted(cum, int(r), side="right") - 1)
+            need.setdefault(p, set()).add(int(kb[bi]))
+            bucket_base[(p, int(kb[bi]))] = int(cum[bi])
+
+    need_keys = np.sort(
+        np.array(
+            [p * n_buckets + bb for p, bs in need.items() for bb in bs],
+            dtype=np.int64,
+        )
+    )
+
+    # pass C: pull ONLY the needed buckets' ids
+    def pick(batch: pa.Table) -> pa.Table:
+        pos, ids = match(batch)
+        if not len(pos):
+            e = np.array([], dtype=np.int64)
+            return pa.table({"k": e, "v": e})
+        key_ = pos * np.int64(n_buckets) + bucket_of(pos, ids)
+        j = np.clip(np.searchsorted(need_keys, key_), 0, len(need_keys) - 1)
+        m = need_keys[j] == key_
+        return pa.table({"k": pa.array(key_[m]), "v": pa.array(ids[m])})
+
+    picked = hd_ids.map_batches(pick, batch_format="pyarrow").to_pandas()
+    pk = picked["k"].to_numpy()
+    pv = picked["v"].to_numpy()
+
+    out: dict[int, np.ndarray] = {}
+    for p, c in enumerate(sc_arr):
+        vals = []
+        for r in cut_ranks[int(c)]:
+            # which bucket held this rank (recompute: same walk as above)
+            in_cell = (key >= p * n_buckets) & (key < (p + 1) * n_buckets)
+            kb = (key[in_cell] - p * n_buckets).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(cnt[in_cell])])
+            bi = int(np.searchsorted(cum, int(r), side="right") - 1)
+            bb = int(kb[bi])
+            ids_b = np.sort(pv[pk == p * n_buckets + bb])
+            vals.append(int(ids_b[int(r) - bucket_base[(p, bb)]]))
+        out[int(c)] = np.array(vals, dtype=np.int64)
+    return out
+
+
 def _plan_shards(
     with_hd: ray.data.Dataset, k: int, order: int, id_col: str
 ):
-    """The tiny driver-side shard plan: one histogram pass + boundary-cell id
-    collection.  Returns a ray.put handle to (cell_shard, straddle) plus the
-    histogram arrays for lineage (cells, counts, starts)."""
+    """The tiny driver-side shard plan: one histogram pass + boundary-cell
+    cut resolution (direct id pull below _STRADDLE_PULL_LIMIT rows, bucketed
+    rank selection above).  Returns a ray.put handle to (cell_shard,
+    straddle) plus the histogram arrays for lineage (cells, counts,
+    starts)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         hd = np.asarray(batch["hd"])
@@ -150,32 +284,45 @@ def _plan_shards(
     clean = first_shard == last_shard
     cell_shard[cells[clean]] = first_shard[clean].astype(np.int32)
 
-    # resolve straddled cells: collect ONLY their ids (<= k-1 cells)
+    # resolve straddled cells: <= k-1 cells, but each can be corpus-scaled
+    # (a dense metro cell). Below _STRADDLE_PULL_LIMIT total rows the ids
+    # pull to the driver directly; above it, a bucketed rank-selection
+    # (3 narrow passes) pulls only the id buckets containing a cut rank.
     straddle: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     if len(straddle_idx):
-        scells = set(int(c) for c in cells[straddle_idx])
-        sc_arr = np.array(sorted(scells), dtype=np.int64)
-
-        def pick(batch: pa.Table) -> pa.Table:
-            hd = np.asarray(batch["hd"])
-            m = np.isin(hd, sc_arr)
-            return pa.table(
-                {"hd": hd[m], id_col: np.asarray(batch[id_col])[m]}
-            )
-
-        picked = (
-            with_hd.select_columns(["hd", id_col])
-            .map_batches(pick, batch_format="pyarrow")
-            .to_pandas()
-        )
+        # within-cell rank (by ascending id) of every shard cut per cell
+        cut_ranks: dict[int, np.ndarray] = {}
         for ci in straddle_idx:
             c = int(cells[ci])
-            ids = np.sort(picked.loc[picked["hd"] == c, id_col].to_numpy())
-            # shard cut ranks that fall strictly inside this cell's rank span
             lo, span = int(cum_before[ci]), int(counts[ci])
-            cuts = starts[(starts > lo) & (starts < lo + span)] - lo
+            cut_ranks[c] = starts[(starts > lo) & (starts < lo + span)] - lo
+
+        total_straddle = int(counts[straddle_idx].sum())
+        if total_straddle <= _STRADDLE_PULL_LIMIT:
+            sc_arr = np.sort(cells[straddle_idx].astype(np.int64))
+
+            def pick(batch: pa.Table) -> pa.Table:
+                hd = np.asarray(batch["hd"])
+                m = np.isin(hd, sc_arr)
+                return pa.table(
+                    {"hd": hd[m], id_col: np.asarray(batch[id_col])[m]}
+                )
+
+            picked = (
+                with_hd.select_columns(["hd", id_col])
+                .map_batches(pick, batch_format="pyarrow")
+                .to_pandas()
+            )
+            thr = {
+                c: np.sort(picked.loc[picked["hd"] == c, id_col].to_numpy())[r]
+                for c, r in cut_ranks.items()
+            }
+        else:
+            thr = _bucketed_rank_ids(with_hd, id_col, cut_ranks)
+        for ci in straddle_idx:
+            c = int(cells[ci])
             # row with within-cell rank r belongs to shard first + #(cuts <= r)
-            straddle[c] = (ids[cuts], np.int32(first_shard[ci]))
+            straddle[c] = (thr[c], np.int32(first_shard[ci]))
 
     handle = ray.put((cell_shard, straddle))
     return {
@@ -252,7 +399,13 @@ def write_hilbert_partitioned(
 
     from ..state.manifest import Manifest
 
-    with_hd = assign_hilbert(ds, order)
+    # Materialize the hd-stamped input ONCE: the plan takes two narrow scans
+    # (histogram + straddle) and every wave another filtered scan — without
+    # this, each pass RE-EXECUTES the whole upstream pipeline (read + hilbert
+    # assign), i.e. waves+2 full recomputes of a corpus-sized input. Cached
+    # blocks spill through the object store, which is one write+read of the
+    # data instead of ~6 recomputes of it.
+    with_hd = assign_hilbert(ds, order).materialize()
     plan = _plan_shards(with_hd, k, order, id_col)
     cells, counts, starts = plan["cells"], plan["counts"], plan["starts"]
     bounds = _shard_hd_bounds(cells, counts, starts)

@@ -174,3 +174,41 @@ def test_query_engine_on_hex_scheme(tmp_path):
         .reset_index(drop=True)
     )
     assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_knn_rings_exhausted_fall_back_to_exact_scan():
+    # review r04: max_rings exhausted before the distance bound previously
+    # returned silently incomplete / non-nearest results; all three ring
+    # searches must finalize with an exact scan instead
+    import ray.data
+
+    from simple_osm_queries_ray.stages.knn import (
+        knn_cell_ring,
+        knn_hex_ring,
+        knn_quad_ring,
+    )
+
+    # two clusters far apart: rings from the query exhaust long before
+    # reaching the far cluster
+    lon = np.array([9.01, 9.02, 9.03, 15.01, 15.02, 15.03])
+    lat = np.array([53.01, 53.02, 53.03, 58.01, 58.02, 58.03])
+    ids = np.arange(6, dtype=np.int64)
+    qp, k = (9.0, 53.0), 5
+    d2 = (lon - qp[0]) ** 2 + (lat - qp[1]) ** 2
+    order = np.lexsort((ids, d2))[:k]
+
+    from simple_osm_queries_ray.functions.hexcell import hex_cell
+    from simple_osm_queries_ray.functions.hiercell import QuadCellScheme
+    from simple_osm_queries_ray.model import cell_of
+
+    for fn, cells, kw in (
+        (knn_cell_ring, cell_of(lon, lat), {}),
+        (knn_hex_ring, hex_cell(lon, lat, 0.05), {"size": 0.05}),
+        (knn_quad_ring, QuadCellScheme(12).cell_of(lon, lat), {"level": 12}),
+    ):
+        ds = ray.data.from_arrow(
+            pa.table({"id": ids, "lon": lon, "lat": lat, "cell": cells})
+        )
+        got = fn(ds, qp, k, max_rings=3, **kw).to_pandas()
+        assert got["id"].tolist() == ids[order].tolist(), fn.__name__
+        assert np.allclose(got["dist2"].to_numpy(), d2[order]), fn.__name__

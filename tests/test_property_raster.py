@@ -271,3 +271,128 @@ def test_getis_window_clips_at_region_corner():
     # uniform x=1 per cell: wsum == occupied cells in the window == wn here
     np.testing.assert_array_equal(out["wsum"].to_numpy(), out["wn"].to_numpy())
     np.testing.assert_array_equal(out["x"].to_numpy(), np.ones(9, dtype=np.int64))
+
+
+def test_unpack_cell_signed_roundtrip():
+    # review r04: unpack must be the exact inverse of pack for NEGATIVE cy
+    # (southern hemisphere) — the naive modulo wrapped cy by +CELL_PACK and
+    # shifted cx by -1
+    from simple_osm_queries_ray.model import pack_cell, unpack_cell
+
+    cx = np.array([-1800, -1, 0, 1, 100, 1799], dtype=np.int64)
+    cy = np.array([-900, -1, 0, 1, -899, 899], dtype=np.int64)
+    gx, gy = np.meshgrid(cx, cy)
+    packed = pack_cell(gx.ravel(), gy.ravel())
+    ux, uy = unpack_cell(packed)
+    np.testing.assert_array_equal(ux, gx.ravel())
+    np.testing.assert_array_equal(uy, gy.ravel())
+
+
+def test_getis_southern_hemisphere_window():
+    """review r04: the wrapped unpack broke wn for any data with lat < 0 —
+    a 3x3 block straddling the equator must read the same wn pattern as the
+    northern-block test above."""
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.model import pack_cell
+    from simple_osm_queries_ray.stages.raster import getis_ord_gi
+
+    # 3x3 occupied block with cy in {-1, 0, 1} (lat -0.05, 0.05, 0.15)
+    lons = [9.05 + 0.1 * i for i in range(3) for _ in range(3)]
+    lats = [-0.05 + 0.1 * j for _ in range(3) for j in range(3)]
+    cells = pack_cell(
+        np.floor(np.array(lons) / 0.1).astype(np.int64),
+        np.floor(np.array(lats) / 0.1).astype(np.int64),
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"cell": cells})).repartition(2)
+    out = getis_ord_gi(ds).to_pandas().sort_values("cell").reset_index(drop=True)
+    assert len(out) == 9
+    assert sorted(out["wn"]) == [4, 4, 4, 4, 6, 6, 6, 6, 9]
+    np.testing.assert_array_equal(out["wsum"].to_numpy(), out["wn"].to_numpy())
+
+
+def test_cell_blob_stats_southern_hemisphere_bbox():
+    # review r04: blob bbox from wrapped unpack mixed cx-1 with cx and put
+    # min_cy/max_cy at 0/99999 for equator-crossing blobs
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.model import pack_cell
+    from simple_osm_queries_ray.stages.raster import cell_blob_stats
+
+    # a vertical 2-cell blob crossing the equator: (cx=100, cy=-1), (100, 0)
+    lon = np.repeat([10.05, 10.05], 3)
+    lat = np.repeat([-0.05, 0.05], 3)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(6, dtype=np.int64), "lon": lon, "lat": lat})
+    ).repartition(2)
+    out = cell_blob_stats(ds, 2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["min_cx"], r["max_cx"]) == (100, 100)
+    assert (r["min_cy"], r["max_cy"]) == (-1, 0)
+    assert r["n_cells"] == 2 and r["n_rows"] == 6
+
+
+def test_getis_and_tile_boundary_empty_input():
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.stages.raster import getis_ord_gi, tile_boundary
+
+    empty_cells = ray.data.from_pandas(
+        pd.DataFrame({"cell": np.array([], dtype=np.int64)})
+    )
+    out = getis_ord_gi(empty_cells)
+    assert out.count() == 0
+    # NB: Ray's to_pandas drops columns on 0-row datasets; check the schema
+    assert out.schema().names == ["cell", "x", "wsum", "wn"]
+
+    empty_pts = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "lon": np.array([], dtype=np.float64),
+                "lat": np.array([], dtype=np.float64),
+            }
+        )
+    )
+    out2 = tile_boundary(empty_pts, 10)
+    assert out2.count() == 0
+    assert out2.schema().names == ["tile", "n", "nb"]
+
+
+def test_way_segment_tiles_huge_way_ids_high_zoom():
+    # review r04: the dedup key packed way_id * 4^zoom — real OSM way ids
+    # (~1.4e9) wrapped int64 at zoom 20 and returned garbage ids; the pack
+    # now uses the batch-local row index. Same ways under tiny ids must
+    # yield identical tile sets under huge ids.
+    import pandas as pd
+    import ray.data
+
+    from simple_osm_queries_ray.stages.raster import way_segment_tiles
+
+    rng = np.random.RandomState(3)
+    n = 20
+    lons = [list(9.0 + rng.rand(3) * 0.01) for _ in range(n)]
+    lats = [list(53.0 + rng.rand(3) * 0.01) for _ in range(n)]
+    small = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "node_lons": lons, "node_lats": lats}
+    )
+    huge = small.assign(id=small["id"] + 1_400_000_000)
+    zoom = 20
+    a = (
+        way_segment_tiles(ray.data.from_pandas(small), zoom)
+        .to_pandas()
+        .sort_values(["id", "tile"])
+        .reset_index(drop=True)
+    )
+    b = (
+        way_segment_tiles(ray.data.from_pandas(huge), zoom)
+        .to_pandas()
+        .sort_values(["id", "tile"])
+        .reset_index(drop=True)
+    )
+    assert (b["id"] - a["id"] == 1_400_000_000).all()
+    np.testing.assert_array_equal(a["tile"].to_numpy(), b["tile"].to_numpy())
+    assert (a["id"] >= 0).all() and (b["id"] >= 1_400_000_000).all()

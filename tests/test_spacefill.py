@@ -650,3 +650,82 @@ def test_write_hilbert_partitioned_crash_resume_no_duplicates(tmp_path):
     write_hilbert_partitioned(ray.data.from_pandas(df), out, k=k, order=6, waves=3)
     back = ray.data.read_parquet(f"{out}/data").to_pandas()
     assert sorted(back["id"]) == sorted(df["id"])  # exactly once each
+
+
+def test_plan_shards_bucketed_rank_selection_matches_pull(monkeypatch):
+    # review r04: straddled cells can be corpus-scaled — above
+    # _STRADDLE_PULL_LIMIT the plan resolves cut ids via the 3-pass
+    # bucketed rank selection instead of pulling every (hd, id) row to the
+    # driver. The two paths must assign IDENTICAL shards.
+    import simple_osm_queries_ray.stages.spacefill as sp
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    # concentrate points so several Hilbert cells straddle shard cuts, and
+    # use non-contiguous ids so rank-by-id is non-trivial
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(np.arange(n) * 17 + 3),
+            "lon": 9.0 + rng.rand(n) * 0.02,
+            "lat": 53.0 + rng.rand(n) * 2.0,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    base = hilbert_shards(ds, k=16, order=6).to_pandas().sort_values("id")
+
+    monkeypatch.setattr(sp, "_STRADDLE_PULL_LIMIT", 0)  # force bucketed path
+    bucketed = hilbert_shards(ds, k=16, order=6).to_pandas().sort_values("id")
+
+    np.testing.assert_array_equal(
+        base["shard"].to_numpy(), bucketed["shard"].to_numpy()
+    )
+    sizes = bucketed.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_way_polygon_join_skips_zero_node_ways():
+    # review r04: a zero-node way with a (stale) bbox overlapping a polygon
+    # read the NEXT way's first vertex — or indexed past the end on the
+    # last row
+    import pyarrow as pa
+
+    from simple_osm_queries_ray.sources.synthetic import synthetic_polygons
+    from simple_osm_queries_ray.stages.raster import way_polygon_join
+
+    polys = synthetic_polygons(6)
+    # way 0: empty node list, bbox covering everything; way 1: a normal way
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1], type=pa.int64()),
+                "node_lons": pa.array([[], [9.5, 9.6]], type=pa.list_(pa.float64())),
+                "node_lats": pa.array([[], [53.5, 53.6]], type=pa.list_(pa.float64())),
+                "minlon": pa.array([0.0, 9.5]),
+                "minlat": pa.array([0.0, 53.5]),
+                "maxlon": pa.array([20.0, 9.6]),
+                "maxlat": pa.array([90.0, 53.6]),
+            }
+        )
+    )
+    got = way_polygon_join(ds, polys).to_pandas()
+    assert (got["id"] != 0).all()  # the empty way must emit nothing
+
+    # empty way as the LAST row previously indexed past the flat buffer
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 0], type=pa.int64()),
+                "node_lons": pa.array([[9.5, 9.6], []], type=pa.list_(pa.float64())),
+                "node_lats": pa.array([[53.5, 53.6], []], type=pa.list_(pa.float64())),
+                "minlon": pa.array([9.5, 0.0]),
+                "minlat": pa.array([53.5, 0.0]),
+                "maxlon": pa.array([9.6, 20.0]),
+                "maxlat": pa.array([53.6, 90.0]),
+            }
+        )
+    )
+    got2 = way_polygon_join(ds2, polys).to_pandas()
+    assert (got2["id"] != 0).all()
+    assert got.sort_values(["id", "poly_id"]).reset_index(drop=True).equals(
+        got2.sort_values(["id", "poly_id"]).reset_index(drop=True)
+    )
