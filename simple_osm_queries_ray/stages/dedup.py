@@ -102,8 +102,13 @@ def _shingle_hashes(tok: np.ndarray, offsets: np.ndarray, n: int = 3, mix: int =
     """3-gram shingles: combine consecutive token hashes; valid only within rows.
 
     Returns (flat shingle hashes, shingle-row offsets). ``mix`` selects one of
-    two independent mixers (compound 128-bit gram identity).
+    two independent mixers (compound 128-bit gram identity). The body is the
+    unrolled 3-gram fast path; any other ``n`` delegates to the general
+    kernel (the parameter previously desynced hashes from offsets for
+    n != 3).
     """
+    if n != 3:
+        return _shingle_hashes_n(tok, offsets, n, mix)
     total = len(tok)
     lens = np.diff(offsets)
     sh_lens = np.maximum(lens - (n - 1), 0)
@@ -182,6 +187,34 @@ _PERM_B = _rng.randint(0, 2**62, size=_K_PERM).astype(np.uint64)
 _BANDS = 32
 _ROWS_PER_BAND = _K_PERM // _BANDS
 _BAND_W = _rng.randint(1, 2**62, size=_ROWS_PER_BAND).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+# extra weights for non-default rows-per-band configurations; the first two
+# entries stay the original _BAND_W so default band hashes are unchanged
+_BAND_W_FULL = np.concatenate(
+    [
+        _BAND_W,
+        (
+            np.random.RandomState(20260820).randint(
+                1, 2**62, size=_K_PERM - _ROWS_PER_BAND
+            ).astype(np.uint64)
+            * np.uint64(2)
+            + np.uint64(1)
+        ),
+    ]
+)
+
+
+def _lsh_rows_per_band(threshold: float, recall: float = 0.999) -> int:
+    """Largest rows-per-band (divisor of _K_PERM) whose banded recall at
+    Jaccard exactly ``threshold`` stays >= ``recall``. The fixed 32x2 config
+    was tuned for threshold >= 0.5 — at threshold 0.2 it silently lost ~27%
+    of qualifying pairs (1-(1-0.2^2)^32 = 0.73); bigger rows-per-band at
+    high thresholds instead cuts false-candidate volume."""
+    best = 1
+    for r in (1, 2, 4, 8, 16, 32, 64):
+        b = _K_PERM // r
+        if 1.0 - (1.0 - float(threshold) ** r) ** b >= recall:
+            best = r
+    return best
 
 
 def minhash_signatures(texts: pd.Series) -> np.ndarray:
@@ -192,24 +225,36 @@ def minhash_signatures(texts: pd.Series) -> np.ndarray:
     sig = np.full((n, _K_PERM), _MASK, dtype=np.uint64)
     if len(sh) == 0:
         return sig
-    hashed = (sh[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) & _MASK  # (S, K)
     nonempty = np.diff(sh_off) > 0
+    if not nonempty.any():
+        return sig
+    starts = sh_off[:-1][nonempty]
     # reduceat ONLY at nonempty rows' starts (strictly increasing, all in
     # range): the clamped-starts variant stole the last shingle from the
     # final nonempty row whenever trailing rows were empty, making
-    # signatures batch-boundary-dependent (same class as fingerprint_batch)
-    if nonempty.any():
-        sig[nonempty] = np.minimum.reduceat(hashed, sh_off[:-1][nonempty], axis=0)
+    # signatures batch-boundary-dependent (same class as fingerprint_batch).
+    # Permutations process in chunks so the (n_shingles, chunk) transient is
+    # bounded: the full (S, 64) uint64 matrix is 512 B/shingle — ~4 GB for a
+    # batch of 4096 2k-token docs, multiplied by concurrent tasks.
+    _CH = 16
+    for c0 in range(0, _K_PERM, _CH):
+        hashed = (
+            sh[:, None] * _PERM_A[None, c0 : c0 + _CH]
+            + _PERM_B[None, c0 : c0 + _CH]
+        ) & _MASK
+        sig[nonempty, c0 : c0 + _CH] = np.minimum.reduceat(hashed, starts, axis=0)
     return sig
 
 
-def band_hashes(sig: np.ndarray) -> np.ndarray:
-    """(n_rows, BANDS) uint64: one bucket hash per band."""
+def band_hashes(sig: np.ndarray, rows_per_band: int = _ROWS_PER_BAND) -> np.ndarray:
+    """(n_rows, K_PERM//rows_per_band) uint64: one bucket hash per band."""
     n = sig.shape[0]
-    out = np.empty((n, _BANDS), dtype=np.uint64)
-    for b in range(_BANDS):
-        chunk = sig[:, b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-        out[:, b] = (chunk * _BAND_W[None, :]).sum(axis=1, dtype=np.uint64) & _MASK
+    bands = _K_PERM // rows_per_band
+    w = _BAND_W_FULL[:rows_per_band]
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        out[:, b] = (chunk * w[None, :]).sum(axis=1, dtype=np.uint64) & _MASK
     return out
 
 
@@ -472,10 +517,12 @@ def minhash_lsh_pairs(
     volume is O(candidates x text bytes), not corpus-sized.
     """
 
+    rows_per_band = _lsh_rows_per_band(threshold)
+
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
         sig = minhash_signatures(texts)
-        bh = band_hashes(sig)
+        bh = band_hashes(sig, rows_per_band)
         n, B = bh.shape
         ids = np.asarray(batch[id_col], dtype=np.int64)
         return pa.table(
@@ -700,7 +747,6 @@ def _local_cc(labels: ray.data.Dataset, edges: ray.data.Dataset) -> ray.data.Dat
         .map_batches(cc_task, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    import pandas as _pd
 
     cdf = comp.to_pandas()  # bounded by the gate; sorted by construction
     ref = ray.put(
@@ -734,10 +780,15 @@ def connected_components(
     labeled with the MINIMUM id reachable through the pair graph (the
     canonical "dedup group" resolution — keep min, drop the rest).
 
-    Hash-min label propagation: per round, every vertex takes the min of its
-    own label and its neighbors' labels (edges join labels on src; tiny
-    groupby-min merges). Rounds needed = graph diameter; the loop stops as
-    soon as a round changes nothing. Convergence detection is folded into
+    Hash-min label propagation WITH POINTER JUMPING: per round, every vertex
+    takes the min of its own label, its neighbors' labels (edges join labels
+    on src) and the label OF its label (labels self-join) — the jump halves
+    the remaining distance to the component minimum each round, so rounds
+    needed = O(log diameter), not diameter (a 1M-document near-dup chain
+    converges in ~20 rounds instead of 1M). The loop stops as soon as a
+    round changes nothing and RAISES if max_iters is exhausted first —
+    silently returning unconverged labels would split one true component
+    into several dedup groups. Convergence detection is folded into
     the round's own aggregate — each vertex's previous label rides along as
     a second Min column (edge-derived rows carry +inf there), so "did
     anything change" is a vectorized sum over the already-materialized
@@ -746,7 +797,6 @@ def connected_components(
 
     Returns (id, group_id).
     """
-    from ray.data.aggregate import Min
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -810,13 +860,29 @@ def connected_components(
             .select_columns(["dst", "src_label"])
             .rename_columns({"dst": "id", "src_label": "label"})
         )
+        # pointer jump: vertex v with label l also considers label(l) —
+        # label values are vertex ids, so labels self-join on the label col
+        jump = (
+            labels.rename_columns({"label": "l"})
+            .join(
+                labels.rename_columns({"id": "l", "label": "jl"}),
+                "inner",
+                num_partitions,
+                on=("l",),
+            )
+            .select_columns(["id", "jl"])
+            .rename_columns({"jl": "label"})
+        )
         from .group_collect import bucketed_reduce as _breduce
 
         # vertex count is corpus-sized in the above-gate regime: bucketed
         # min reduce per round, not the generic aggregate
         merged = _breduce(
             labels.map_batches(tag_old, batch_format="pyarrow")
-            .union(cand.map_batches(tag_inf, batch_format="pyarrow")),
+            .union(
+                cand.map_batches(tag_inf, batch_format="pyarrow"),
+                jump.map_batches(tag_inf, batch_format="pyarrow"),
+            ),
             ["id"],
             {"label": "min", "old": "min"},
         ).materialize()
@@ -827,6 +893,13 @@ def connected_components(
         labels = merged.select_columns(["id", "label"])
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (with pointer jumping that bounds component "
+            f"diameter by ~2^{max_iters}); raise max_iters — returning "
+            "unconverged labels would silently split dedup groups"
+        )
     return labels.rename_columns({"label": "group_id"})
 
 
@@ -868,7 +941,6 @@ def dedup_keep_best(
 
     Returns (group_id, kept_id, n_members).
     """
-    from ray.data.aggregate import Count, Max
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -1025,7 +1097,6 @@ def dup_span_docs(
     doc, then a doc-keyed dedup of the (bounded-by-corpus-size) hits — the
     exact-substring-dedup building block (Lee et al. 2022's 'deduplicating
     training data' span step at shingle granularity)."""
-    from ray.data.aggregate import Count
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
@@ -1198,7 +1269,6 @@ def image_dedup_savings(ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Sum
 
     out = (
         groups.map_batches(fold, batch_format="pyarrow")
@@ -1233,7 +1303,6 @@ def doc_novelty(ds: ray.data.Dataset, *, num_buckets: int = 64) -> ray.data.Data
     novelty flags, pre-summed to (doc, grams, novel) partials -> tiny
     doc-keyed groupby. Docs with no trigram (under 3 tokens) are absent on
     both engines. Output: (id, n_grams, n_novel)."""
-    from ray.data.aggregate import Sum
 
     def to_grams(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch["text"].to_pylist(), dtype=object)

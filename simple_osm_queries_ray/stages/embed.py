@@ -40,8 +40,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def _collect_matrix(ds: ray.data.Dataset, id_col: str, vec_col: str):
     ids, vecs = [], []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not len(b):
+            continue
         ids.append(np.asarray(b[id_col], dtype=np.int64))
-        vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        vecs.append(_batch_matrix(b[vec_col]))
     ids = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
     vecs = np.vstack(vecs) if vecs else np.zeros((0, 1))
     order = np.argsort(ids)
@@ -58,7 +60,7 @@ def embedding_near_dup_exact(
     def fn(batch: pa.Table) -> pa.Table:
         ids_r, mat = bget(ref)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(_batch_matrix(batch[vec_col], mat.shape[1]))
         cos = vecs @ mat.T  # (b, N)
         ii, jj = np.nonzero(cos >= tau)
         a = ids[ii]
@@ -116,6 +118,7 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     planes_per_band: int | None = None,
     n_bands: int | None = None,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """LSH-bucketed near-dup: hyperplane sign bands -> candidate pairs ->
     distributed exact-cosine verify (the minhash_pairs discipline).
@@ -132,10 +135,33 @@ def embedding_near_dup_lsh(
     dedup through the bucketed reduce, and each surviving pair attaches its
     two vectors via two partitioned hash joins for a vectorized row-wise
     cosine — verify volume is O(candidates x dim), never corpus-sized."""
-    if planes_per_band is None or n_bands is None:
-        auto_p, auto_b = _lsh_params(ds.count(), tau)
-        planes_per_band = auto_p if planes_per_band is None else planes_per_band
-        n_bands = auto_b if n_bands is None else n_bands
+    if planes_per_band is None and n_bands is None:
+        # the router already executed the pipeline for its count — reuse it
+        planes_per_band, n_bands = _lsh_params(
+            ds.count() if n_rows is None else n_rows, tau
+        )
+    elif n_bands is None:
+        # bands must be derived from the PINNED planes count: pairing a
+        # user-pinned planes_per_band with the band count computed for the
+        # (smaller) auto planes collapses the 0.999 recall contract
+        s = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+        p_band = s**planes_per_band
+        if p_band >= 1.0:
+            n_bands = 1
+        elif p_band <= 0.0:
+            raise ValueError(
+                f"planes_per_band={planes_per_band} at tau={tau} gives zero "
+                "band-collision probability; no band count can hold recall"
+            )
+        else:
+            n_bands = max(1, int(np.ceil(np.log(1.0 - 0.999) / np.log(1.0 - p_band))))
+    elif planes_per_band is None:
+        # planes capped so the recall target stays reachable within the
+        # pinned band budget (bigger buckets = more verify work, documented
+        # trade in _lsh_params)
+        planes_per_band, _ = _lsh_params(
+            ds.count() if n_rows is None else n_rows, tau, max_bands=n_bands
+        )
     per_band = planes_per_band
     nb = n_bands
     rng = np.random.RandomState(42)
@@ -145,7 +171,7 @@ def embedding_near_dup_lsh(
     def to_buckets(batch: pa.Table) -> pa.Table:
         pl = bget(planes_ref)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _batch_matrix(batch[vec_col], pl.shape[1])
         signs = (vecs @ pl.T) > 0  # (n, P)
         n = len(ids)
         bands = np.empty((n, nb), dtype=np.int64)
@@ -196,11 +222,9 @@ def _verify_pairs_cosine(
         # schema across blocks and fail the join — variable-width offsets
         # give every block the identical type for free.
         def fn(batch: pa.Table) -> pa.Table:
-            vecs = np.ascontiguousarray(
-                np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-            )
+            vecs = np.ascontiguousarray(_batch_matrix(batch[vec_col]))
             n = batch.num_rows
-            d = vecs.shape[1] if vecs.ndim == 2 else 0
+            d = vecs.shape[1] if n else 0
             offsets = np.arange(n + 1, dtype=np.int64) * np.int64(8 * d)
             blobs = pa.LargeBinaryArray.from_buffers(
                 pa.large_binary(),
@@ -263,10 +287,11 @@ def embedding_near_dup(
     <= ``exact_limit`` rows: :func:`embedding_near_dup_exact` (exact,
     oracle-identical). Above: :func:`embedding_near_dup_lsh` with
     corpus-scaled parameters — no ``_collect_matrix``, no O(N^2)."""
-    if ds.count() <= exact_limit:
+    n = ds.count()
+    if n <= exact_limit:
         return embedding_near_dup_exact(ds, tau, id_col=id_col, vec_col=vec_col)
     return embedding_near_dup_lsh(
-        ds, tau, dim=dim, id_col=id_col, vec_col=vec_col
+        ds, tau, dim=dim, id_col=id_col, vec_col=vec_col, n_rows=n
     )
 
 
@@ -286,7 +311,7 @@ def ann_search(
     def candidates(batch: pa.Table) -> pa.Table:
         qids, qmat = bget(q_ref)
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(_batch_matrix(batch[vec_col], qmat.shape[1]))
         # pre-sort the batch by id so a STABLE sort on -cos below breaks
         # score ties by id asc — argpartition alone drops an arbitrary one
         # of two equal-cosine candidates at the k boundary (planted exact
@@ -337,8 +362,10 @@ def _query_matrix(ds, query_ids, id_col, vec_col):
 
     ids, vecs = [], []
     for b in ds.map_batches(take, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None):
+        if not len(b):
+            continue
         ids.append(np.asarray(b[id_col], dtype=np.int64))
-        vecs.append(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+        vecs.append(_batch_matrix(b[vec_col]))
     ids = np.concatenate(ids)
     vecs = np.vstack(vecs)
     order = np.argsort(ids)
@@ -397,9 +424,22 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = bget(cents_ref)
-        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(_batch_matrix(batch[vec_col], c.shape[1]))
         lists = np.argmax(vecs @ c.T, axis=1).astype(np.int64)
         return batch.append_column("list_id", pa.array(lists))
+
+    # Idempotency: write_parquet APPENDS uniquely-named files, and the
+    # reuse gate in ann_search_ivf is centroids.parquet's existence — a
+    # build that crashed between the data write and the centroid write
+    # would re-run here and silently DOUBLE every vector. Clear any
+    # previous generation's list partitions first.
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(index_dir):
+        for entry in _os.listdir(index_dir):
+            if entry.startswith("list_id="):
+                _shutil.rmtree(_os.path.join(index_dir, entry), ignore_errors=True)
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["list_id"]
@@ -454,7 +494,7 @@ def ivf_probe_search(
     def candidates(batch: pa.Table) -> pa.Table:
         qids, qmat, ok_lists, c = bget(state_ref)
         ids_ = np.asarray(batch[id_col], dtype=np.int64)
-        vecs_ = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs_ = _normalize(_batch_matrix(batch[vec_col], c.shape[1]))
         # re-derive each row's list from the centroids (cheap b x L matmul)
         # instead of depending on hive-column parsing of leaf-dir reads
         bo = np.argsort(ids_, kind="stable")  # id-asc tie-break (see ann_search)
@@ -534,18 +574,30 @@ def _batch_matrix(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np
     dim — no per-row to_pylist materialization."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # flatten() silently drops null lists, which would misalign the
+        # reshape below (or masquerade as a ragged column)
+        raise ValueError("null embedding rows are not supported")
     values = np.asarray(col.flatten(), dtype=np.float64)
     n = len(col)
     if n == 0:
-        return np.zeros((0, dim or 1))
+        return np.zeros((0, dim if dim is not None else 1))
     offsets = np.asarray(col.offsets, dtype=np.int64)
     widths = np.diff(offsets)
     if dim is None:
         dim = int(widths[0])
     if not np.all(widths == dim):
         raise ValueError("ragged embedding column")
-    # account for a possible non-zero slice offset into the values buffer
-    return values[offsets[0] : offsets[0] + n * dim].reshape(n, dim)
+    # flatten() REBASES sliced arrays (while .offsets stays absolute), so
+    # values already starts at this array's first row; an offset-based slice
+    # here would double-subtract. flatten() also drops null lists — catch
+    # the resulting misalignment loudly instead of reshaping garbage.
+    if len(values) != n * dim:
+        raise ValueError(
+            f"embedding column: {len(values)} values for {n} rows x {dim} "
+            "dims — null embedding rows are not supported"
+        )
+    return values.reshape(n, dim)
 
 
 def kmeans_assign(

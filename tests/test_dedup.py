@@ -379,3 +379,97 @@ def test_value_percentiles_recursion_and_ties(tmp_path, ray_session):
     for q in (0.1, 0.5, 0.9):
         k = int(np.floor((len(vals) - 1) * q))
         assert got[q] == srt[k], (q, got[q], srt[k])
+
+
+def test_connected_components_long_chain_pointer_jumping(monkeypatch):
+    """review r04: plain hash-min needs O(diameter) rounds — a chain longer
+    than max_iters previously returned SILENTLY unconverged labels on the
+    distributed path. Pointer jumping converges in O(log d) rounds; if the
+    cap is still exhausted, the call must raise, never return wrong groups."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    import simple_osm_queries_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "_LOCAL_CC_EDGE_LIMIT", 0)  # force distributed
+    n = 70  # chain diameter 69 >> 10 rounds of plain propagation
+    ids = ray.data.from_arrow(pa.table({"id": list(range(n))}))
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    got = dict(
+        dd.connected_components(ids, pairs, max_iters=10)
+        .to_pandas()[["id", "group_id"]]
+        .values.tolist()
+    )
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(ids, pairs, max_iters=1).to_pandas()
+
+
+def test_minhash_lsh_rows_per_band_scales_with_threshold():
+    """review r04: the fixed 32x2 banding lost ~27% of J=0.2 pairs; the
+    band config must now be derived from the threshold so the >= 0.999
+    recall contract holds at any threshold."""
+    from simple_osm_queries_ray.stages.dedup import _K_PERM, _lsh_rows_per_band
+
+    for t in (0.2, 0.5, 0.7, 0.9):
+        r = _lsh_rows_per_band(t)
+        b = _K_PERM // r
+        assert 1.0 - (1.0 - t**r) ** b >= 0.999, (t, r)
+    assert _lsh_rows_per_band(0.5) == 2  # default config unchanged
+    assert _lsh_rows_per_band(0.2) == 1  # low threshold -> wider bands
+    assert _lsh_rows_per_band(0.9) >= 4  # high threshold -> cheaper verify
+    # below the attainable-recall floor (64 perms), the max-recall config
+    assert _lsh_rows_per_band(0.1) == 1
+
+
+def test_minhash_lsh_pairs_low_threshold_recall():
+    # two docs sharing ~27% of trigrams must be found at threshold 0.25
+    # (previously P(candidate) ~ 0.87 per pair under the fixed banding —
+    # with the fixed hash seeds, concretely missable)
+    import pyarrow as pa
+    import ray.data
+
+    from simple_osm_queries_ray.stages.dedup import jaccard, minhash_lsh_pairs
+
+    common = " ".join(f"shared{i}" for i in range(30))
+    a = common + " " + " ".join(f"aonly{i}" for i in range(40))
+    b = common + " " + " ".join(f"bonly{i}" for i in range(40))
+    j = jaccard(a, b)
+    assert 0.15 < j < 0.35
+    ds = ray.data.from_arrow(
+        pa.table({"id": [1, 2, 3], "text": [a, b, "totally different words here"]})
+    )
+    got = minhash_lsh_pairs(ds, threshold=min(0.25, j)).to_pandas()
+    assert (1, 2) in set(zip(got.id_a, got.id_b))
+
+
+def test_minhash_signatures_chunked_matches_full_matrix():
+    # the permutation chunking must be byte-identical to the one-shot
+    # (n_shingles, 64) matrix it replaced
+    import pandas as pd
+
+    from simple_osm_queries_ray.stages.dedup import (
+        _MASK,
+        _PERM_A,
+        _PERM_B,
+        _K_PERM,
+        _shingle_hashes,
+        _token_hashes,
+        minhash_signatures,
+    )
+
+    texts = pd.Series(
+        ["the quick brown fox jumps over the lazy dog", "", "a b", "x y z w v"]
+    )
+    got = minhash_signatures(texts)
+    tok, offsets = _token_hashes(texts)
+    sh, sh_off = _shingle_hashes(tok, offsets)
+    exp = np.full((len(texts), _K_PERM), _MASK, dtype=np.uint64)
+    hashed = (sh[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) & _MASK
+    nonempty = np.diff(sh_off) > 0
+    exp[nonempty] = np.minimum.reduceat(hashed, sh_off[:-1][nonempty], axis=0)
+    np.testing.assert_array_equal(got, exp)

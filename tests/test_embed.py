@@ -136,3 +136,66 @@ def test_embed_near_dup_planner_routes(ray_session):
     # forced LSH tier
     big = embedding_near_dup(de, 0.9, exact_limit=0).to_pandas()
     assert set(zip(big.id_a, big.id_b)) == pe
+
+
+def test_lsh_pinned_planes_derives_bands_for_recall(ray_session):
+    """review r04: pinning only planes_per_band previously paired it with
+    the band count computed for the (smaller) auto planes, collapsing
+    recall. Bands must now be derived from the pinned planes — planted
+    near-dup pairs stay fully recalled."""
+    de = dup_embeddings(SF)
+    exact = embedding_near_dup_exact(de, 0.9).to_pandas()
+    pe = set(zip(exact.id_a, exact.id_b))
+    assert pe
+    lsh = embedding_near_dup_lsh(de, 0.9, planes_per_band=20).to_pandas()
+    pl = set(zip(lsh.id_a, lsh.id_b))
+    assert pl == pe
+
+
+def test_build_ivf_index_rebuild_does_not_duplicate(emb, tmp_path):
+    """review r04: write_parquet appends — a rebuild into the same dir
+    (e.g. retry after a crash between the data write and the centroid
+    write) must not double every vector."""
+    import pyarrow.parquet as pq
+
+    from simple_osm_queries_ray.stages.embed import build_ivf_index
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+    import os
+
+    n_first = sum(
+        pq.read_table(os.path.join(root, f)).num_rows
+        for root, _d, files in os.walk(idx)
+        for f in files
+        if f.endswith(".parquet") and "list_id=" in root
+    )
+    # simulate the crash window: centroids.parquet missing -> retry rebuilds
+    os.remove(os.path.join(idx, "centroids.parquet"))
+    build_ivf_index(emb, idx)
+    n_second = sum(
+        pq.read_table(os.path.join(root, f)).num_rows
+        for root, _d, files in os.walk(idx)
+        for f in files
+        if f.endswith(".parquet") and "list_id=" in root
+    )
+    assert n_first == n_second == emb.count()
+
+
+def test_batch_matrix_sliced_and_empty():
+    """review r04: _batch_matrix double-subtracted the slice offset for a
+    plain sliced Array (flatten() rebases, .offsets stays absolute) and
+    silently misaligned on null rows (now loud)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from simple_osm_queries_ray.stages.embed import _batch_matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float64()))
+    sl = arr.slice(1, 2)
+    np.testing.assert_array_equal(_batch_matrix(sl), [[3.0, 4.0], [5.0, 6.0]])
+    assert _batch_matrix(arr.slice(0, 0), 2).shape == (0, 2)
+    withnull = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
+    with _pytest.raises(ValueError, match="null"):
+        _batch_matrix(withnull)
