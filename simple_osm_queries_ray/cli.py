@@ -154,11 +154,16 @@ def main(argv: list[str] | None = None) -> int:
                 # after --profile is a positional operand (e.g. out.geojson) —
                 # consuming it silently redirected the user's GeoJSON path
                 # into the pstats artifact
-                if (
-                    len(argv) > i + 1
-                    and not argv[i + 1].startswith("--")
-                    and argv[i + 1].endswith(".prof")
-                ):
+                if len(argv) > i + 1 and not argv[i + 1].startswith("--"):
+                    if not argv[i + 1].endswith(".prof"):
+                        # ambiguous: is this the profile path or a positional
+                        # operand (e.g. the GeoJSON output)? Guessing either
+                        # way silently misroutes a file — refuse instead.
+                        raise SystemExit(
+                            f"--profile: ambiguous token {argv[i + 1]!r} — "
+                            "profile paths must end in .prof (move positional "
+                            "operands before --profile)"
+                        )
                     profile_path = argv[i + 1]
                     argv = argv[:i] + argv[i + 2 :]
                 else:

@@ -632,8 +632,15 @@ def table_cached(
     ]
     if not paths:
         return ray.data.from_arrow(_empty_like(base))
-    ds = ray.data.from_items([{"path": p} for p in paths]).map_batches(
-        CachedCellReader, concurrency=concurrency, batch_size=4, batch_format="pyarrow"
+    # split the path list into ~batch-sized blocks so the pool can actually
+    # spread, and run an autoscaling (1, n) pool — a fixed min > block count
+    # just warns and idles actors
+    nblocks = max(1, (len(paths) + 3) // 4)
+    ds = ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=nblocks
+    ).map_batches(
+        CachedCellReader, concurrency=(1, max(1, concurrency)),
+        batch_size=4, batch_format="pyarrow",
     )
     if otype == "node":
         return ds

@@ -209,11 +209,27 @@ def _lsh_rows_per_band(threshold: float, recall: float = 0.999) -> int:
     was tuned for threshold >= 0.5 — at threshold 0.2 it silently lost ~27%
     of qualifying pairs (1-(1-0.2^2)^32 = 0.73); bigger rows-per-band at
     high thresholds instead cuts false-candidate volume."""
-    best = 1
+    best = None
     for r in (1, 2, 4, 8, 16, 32, 64):
         b = _K_PERM // r
         if 1.0 - (1.0 - float(threshold) ** r) ** b >= recall:
             best = r
+    if best is None:
+        # even 1 row/band (the most permissive banding K_PERM permutations
+        # allow) cannot hit the recall target — e.g. threshold ~0.05 with 64
+        # perms tops out near 0.96. Degrading silently is the exact failure
+        # mode this function exists to prevent, so say so.
+        import warnings
+
+        achievable = 1.0 - (1.0 - float(threshold)) ** _K_PERM
+        warnings.warn(
+            f"minhash LSH at threshold={threshold} cannot reach recall="
+            f"{recall} with {_K_PERM} permutations even at 1 row/band "
+            f"(achievable ~{achievable:.4f}); proceeding at r=1 with "
+            "degraded recall",
+            stacklevel=2,
+        )
+        best = 1
     return best
 
 

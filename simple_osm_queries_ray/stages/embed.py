@@ -155,6 +155,20 @@ def embedding_near_dup_lsh(
             )
         else:
             n_bands = max(1, int(np.ceil(np.log(1.0 - 0.999) / np.log(1.0 - p_band))))
+            if n_bands > 64:
+                # the auto path (_lsh_params) caps at 64 bands; a pinned
+                # planes_per_band can demand orders of magnitude more —
+                # keep the recall contract, but make the shuffle-volume
+                # explosion visible rather than silent
+                import warnings
+
+                warnings.warn(
+                    f"planes_per_band={planes_per_band} at tau={tau} needs "
+                    f"n_bands={n_bands} for 0.999 recall ({n_bands / 64:.0f}x "
+                    "the auto path's 64-band cap in bucket-shuffle volume); "
+                    "pass n_bands explicitly to pin a budget",
+                    stacklevel=2,
+                )
     elif planes_per_band is None:
         # planes capped so the recall target stays reachable within the
         # pinned band budget (bigger buckets = more verify work, documented
@@ -437,6 +451,15 @@ def build_ivf_index(
     import shutil as _shutil
 
     if _os.path.isdir(index_dir):
+        # Drop the reuse gate FIRST: a rebuild that crashes after clearing
+        # the list partitions but before rewriting them must not leave a
+        # prior generation's centroids.parquet satisfying ann_search_ivf's
+        # reuse gate over now-empty lists (searches would silently return
+        # zero candidates instead of triggering a rebuild).
+        try:
+            _os.remove(_os.path.join(index_dir, "centroids.parquet"))
+        except FileNotFoundError:
+            pass
         for entry in _os.listdir(index_dir):
             if entry.startswith("list_id="):
                 _shutil.rmtree(_os.path.join(index_dir, entry), ignore_errors=True)

@@ -50,6 +50,17 @@ class ImageDecoder:
         )
 
 
+def _pool(concurrency):
+    """Normalize a concurrency spec to an autoscaling (1, n) actor pool.
+
+    A fixed int pins min actors == n; when the input has fewer blocks than
+    n, Ray warns (and can deadlock on tight CPU budgets). Min-1 pools keep
+    the same ceiling without demanding more actors than there is input."""
+    if isinstance(concurrency, int):
+        return (1, max(1, concurrency))
+    return concurrency
+
+
 def decode_features(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
     # small batches: binary payload rows are wide (guide: size batch x
     # concurrency to the worker heap); pool sized to half the CPUs so the
@@ -61,7 +72,8 @@ def decode_features(ds: ray.data.Dataset, concurrency: int | None = None) -> ray
         # input has fewer blocks than the pool or the CPU budget is tight
         concurrency = (1, max(1, int(_ray.cluster_resources().get("CPU", 4)) // 2))
     return ds.map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+        ImageDecoder, batch_format="pyarrow", batch_size=256,
+        concurrency=_pool(concurrency),
     )
 
 
@@ -98,7 +110,7 @@ def resize_images(ds: ray.data.Dataset, w: int = 16, h: int = 16, concurrency=(1
         fn_constructor_kwargs={"out_w": w, "out_h": h},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )
 
 
@@ -203,7 +215,7 @@ def sample_video_frames(
         fn_constructor_kwargs={"every_n": every_n},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )
 
 
@@ -360,7 +372,8 @@ def tile_mosaic(ds: ray.data.Dataset, zoom: int = 6, *, concurrency: int = 4):
 
     agg = (
         ds.select_columns(["image_id", "bytes"])
-        .map_batches(TileMosaicPartial(zoom), concurrency=concurrency,
+        .map_batches(TileMosaicPartial, fn_constructor_args=(zoom,),
+                     concurrency=_pool(concurrency),
                      batch_size=256, batch_format="pyarrow")
         .repartition(4)
         .groupby("tile")
@@ -1019,7 +1032,7 @@ def alignment_scores(
         AlignmentScorer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )
 
 

@@ -586,27 +586,34 @@ def test_write_index_defers_scheme_write_until_lineage_check(tmp_path):
 
 
 def test_cli_profile_does_not_consume_output_operand(tmp_path):
-    # review r04: `query ... --profile out.geojson` bound the GeoJSON path
-    # as the pstats artifact; only a .prof token binds as the profile path
+    # review r04 bound only .prof tokens as the profile path, silently
+    # writing query.prof and reusing the operand; review r05 tightened
+    # that to a loud SystemExit — a non-flag token after --profile that
+    # is not a .prof path is ambiguous (profile path or GeoJSON operand?)
     import json
     import os
+
+    import pytest
 
     from simple_osm_queries_ray import cli
 
     d = str(tmp_path / "idx")
     write_index(build_repo(SF), d, rows_per_partition=150, num_waves=2)
     out = str(tmp_path / "hits.geojson")
-    prof_default = os.path.join(os.getcwd(), "query.prof")
-    had_default = os.path.exists(prof_default)
+    with pytest.raises(SystemExit, match="ambiguous"):
+        cli.main(["query", d, "bbox(9.85,53.45,10.05,53.65).nodes{lang=en}",
+                  "--profile", out])
+    assert not os.path.exists(out)
+    # unambiguous forms still work: explicit .prof path plus the operand
+    prof = str(tmp_path / "run.prof")
     assert (
         cli.main(["query", d, "bbox(9.85,53.45,10.05,53.65).nodes{lang=en}",
-                  "--profile", out]) == 0
+                  out, "--profile", prof]) == 0
     )
     with open(out) as f:
         gj = json.load(f)
     assert gj["features"], "features must land in the user's operand path"
-    if not had_default and os.path.exists(prof_default):
-        os.remove(prof_default)  # default artifact, not the user's operand
+    assert os.path.exists(prof)
 
 
 def test_cli_refresh_rejects_cell_size_flags(tmp_path):
