@@ -1739,21 +1739,201 @@ def events_rolling_max(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
     )
 
 
-def covisit_pairs(sf_dir: str) -> "ray.data.Dataset":
+#: distinct odd mixers so a member's salt is independent of its routing
+#: bucket (same-constant salting would send every salt group to one bucket)
+_PAIR_MIX_A = np.int64(-7046029254386353131)
+_PAIR_MIX_B = np.int64(-7723592293110706197)
+
+
+def salted_key_pairs(
+    triples: "ray.data.Dataset",
+    *,
+    hot_threshold: int = 4096,
+    num_buckets: int = 64,
+    max_task_pairs: int | None = None,
+) -> "ray.data.Dataset":
+    """All-pairs-per-key with two-level hot-key salting: for a Dataset of
+    (key, user_id) int64 rows (cross-batch duplicates allowed), emit
+    (pair, n) where pair packs the user pair as ``min*2^31 + max`` and n
+    counts the DISTINCT keys under which the two users co-occur. The shared
+    engine behind :func:`covisit_pairs` (key = packed cell-hour meeting)
+    and :func:`user_cell_jaccard` (key = cell, n = intersection size).
+
+    The skew problem this solves: naive per-key pair enumeration puts one
+    dense key (an urban cell-hour with k participants) in ONE task doing the
+    full k^2/2 work — exactly the hot-key skew the scale rule names. Scheme
+    (triangle partitioning, the :func:`..stages.knn.radius_join` exactly-once
+    ownership discipline):
+
+    1. COUNT pass: per-batch-distinct partial counts -> bucketed sum; keys
+       whose (upper-bound) member count exceeds ``hot_threshold`` become hot,
+       with g = ceil(count / hot_threshold) salt groups. The hot set is tiny
+       by construction (<= total_rows / hot_threshold entries) and ships once
+       via ray.put.
+    2. ROUTE pass: a member of hot key K gets salt s = hash(user) % g and is
+       replicated to the g tasks {(min(s,t), max(s,t)) : t < g}; non-hot rows
+       route as (K, 0, 0) with no replication. Tasks spread by a hash of
+       (key, i, j), so one dense meeting fans across the cluster.
+    3. ENUMERATE: task (K, i, i) pairs its salt-i members (triangular); task
+       (K, i, j), i < j, pairs salt-i members against salt-j members (cross
+       product only). A pair with salts (su, sv) is owned by exactly task
+       (min(su,sv), max(su,sv)) — every pair exactly once, and no task holds
+       more than ~2*hot_threshold members of any key (in expectation under
+       the salt hash), so per-task pair work is bounded by ~hot_threshold^2
+       regardless of key density.
+    4. The per-task pair partials pre-aggregate (np.unique counts), then one
+       bucketed pair-keyed sum merges across keys.
+
+    ``triples`` is consumed twice (count + route); it re-executes from
+    lineage, so callers may pass a lazy derivation (recompute-over-pin: the
+    triples stream is corpus-sized and cheap to re-derive).
+    ``max_task_pairs`` is a test hook: when set, every per-task segment
+    asserts its enumerated pair count stays under it, pinning the skew
+    bound (production default None — a failed bound is a plan bug, not a
+    data error)."""
+    from .group_collect import bucketed_sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["key"], dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        rows = np.unique(np.stack([k, u], axis=1), axis=0)
+        kk, nn = np.unique(rows[:, 0], return_counts=True)
+        return pa.table({"key": pa.array(kk), "n": pa.array(nn.astype(np.int64))})
+
+    counts = bucketed_sum(
+        triples.map_batches(count_partial, batch_format="pyarrow"),
+        ["key"], ["n"], num_buckets=num_buckets,
+    )
+    # cross-batch duplicates make these counts an UPPER bound on distinct
+    # members — that only ever raises g (more salt groups than strictly
+    # needed), never misses a hot key
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
+        batch_format="pyarrow",
+    )
+    # concat defensively: empty blocks can arrive schema-less
+    hparts = [
+        t for t in (ray.get(r) for r in hot.to_arrow_refs())
+        if t.num_rows and t.num_columns
+    ]
+    if hparts:
+        hot_tbl = pa.concat_tables(hparts)
+        hk = np.asarray(hot_tbl["key"], dtype=np.int64)
+        hn = np.asarray(hot_tbl["n"], dtype=np.int64)
+    else:
+        hk = np.empty(0, dtype=np.int64)
+        hn = np.empty(0, dtype=np.int64)
+    o = np.argsort(hk)
+    hk, hn = hk[o], hn[o]
+    hg = np.maximum(2, -(-hn // hot_threshold))  # ceil, min 2 groups
+    hot_ref = ray.put((hk, hg))
+
+    def route(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get as bget
+
+        keys_h, g_h = bget(hot_ref)
+        k = np.asarray(batch["key"], dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        rows = np.unique(np.stack([k, u], axis=1), axis=0)
+        k, u = rows[:, 0], rows[:, 1]
+        assert (u >= 0).all() and (u < (1 << 31)).all(), "user ids must fit 31 bits"
+        if len(keys_h):
+            idx = np.clip(np.searchsorted(keys_h, k), 0, len(keys_h) - 1)
+            g = np.where(keys_h[idx] == k, g_h[idx], 1).astype(np.int64)
+        else:
+            g = np.ones(len(k), dtype=np.int64)
+        s = (np.abs(u * _PAIR_MIX_B) >> np.int64(33)) % g
+        # ragged expansion: row -> g copies, one per counterpart salt t
+        total = int(g.sum())
+        row = np.repeat(np.arange(len(k)), g)
+        starts = np.concatenate([[0], np.cumsum(g)[:-1]])
+        t = np.arange(total) - np.repeat(starts, g)
+        sr = s[row]
+        i = np.minimum(sr, t)
+        j = np.maximum(sr, t)
+        kr, ur = k[row], u[row]
+        h = kr * _PAIR_MIX_A + (i * np.int64(1_000_003) + j) * _PAIR_MIX_B
+        b = np.abs(h >> np.int64(32)) % num_buckets
+        return pa.table(
+            {
+                "key": pa.array(kr),
+                "user_id": pa.array(ur),
+                "s": pa.array(sr),
+                "i": pa.array(i),
+                "j": pa.array(j),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    def per_task(tbl: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [np.asarray(tbl[c], dtype=np.int64) for c in ("key", "i", "j", "user_id", "s")],
+            axis=1,
+        )
+        arr = np.unique(arr, axis=0)  # cross-batch dedup; lexsorted (key,i,j,user)
+        k, i, j, u, s = arr.T
+        kij = (k, i, j)
+        changed = np.zeros(len(k), dtype=bool)
+        changed[0:1] = True
+        for col in kij:
+            changed[1:] |= col[1:] != col[:-1]
+        seg_starts = np.flatnonzero(changed)
+        seg_ends = np.r_[seg_starts[1:], len(k)]
+        out = []
+        for st, en in zip(seg_starts, seg_ends):
+            us, ss = u[st:en], s[st:en]
+            ii, jj = i[st], j[st]
+            if ii == jj:
+                m = en - st
+                if m < 2:
+                    continue
+                ia, ib = np.triu_indices(m, k=1)
+                a, b = us[ia], us[ib]  # us ascending -> a < b
+            else:
+                ua_ = us[ss == ii]
+                ub_ = us[ss == jj]
+                if not len(ua_) or not len(ub_):
+                    continue
+                a = np.repeat(ua_, len(ub_))
+                b = np.tile(ub_, len(ua_))
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            if max_task_pairs is not None:  # test hook: pin the skew bound
+                assert len(a) <= max_task_pairs, (
+                    f"salted pair task enumerated {len(a)} pairs for one "
+                    f"(key, i, j) segment (> {max_task_pairs})"
+                )
+            out.append(a * (np.int64(1) << np.int64(31)) + b)
+        if not out:
+            return pa.table(
+                {"pair": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        pair, n = np.unique(np.concatenate(out), return_counts=True)
+        return pa.table({"pair": pa.array(pair), "n": pa.array(n.astype(np.int64))})
+
+    tasks = (
+        triples.map_batches(route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_task, batch_format="pyarrow")
+    )
+    return bucketed_sum(tasks, ["pair"], ["n"], num_buckets=num_buckets)
+
+
+def covisit_pairs(sf_dir: str, *, hot_threshold: int = 4096) -> "ray.data.Dataset":
     """Spatio-temporal co-occurrence ("co-visitation"): pairs of users with
     events in the same grid cell within the same UTC hour, with the number
     of distinct (cell, hour) meetings. The contact-graph primitive.
 
-    Plan: per-batch distinct (user, cell, hour) triples, ONE shuffle keyed on
-    the packed (cell, hour) — all of a meeting's participants land in one
-    group, where cross-batch duplicates dedup and the user pairs enumerate
-    vectorized (each pair once per meeting by construction) — then a pair-
-    keyed groupby sums meetings. Pack bounds: |cell| < 2^28 (0.1-degree
+    Plan: per-batch distinct (user, cell, hour) triples feed
+    :func:`salted_key_pairs` keyed on the packed (cell, hour) — dense
+    meetings split into salt groups with exactly-once triangle-partitioned
+    pair ownership (no single task enumerates more than ~hot_threshold^2
+    pairs, however hot one urban cell-hour gets), then the pair-keyed
+    bucketed sum counts meetings. Pack bounds: |cell| < 2^28 (0.1-degree
     grid), hour-since-epoch < 2^22 through year ~2400, so cell*2^22 + hour
     fits int64; user pairs pack as ua*2^31 + ub while user ids stay below
-    2^31 (asserted). A cell-hour dense at corpus scale is the usual skew
-    caveat: salt hot meetings before pairing if one group outgrows a worker.
-    Output: (user_a, user_b, n_meetings)."""
+    2^31 (asserted in the route pass). Output: (user_a, user_b,
+    n_meetings)."""
     from ..model import cell_xy, pack_cell
     from ..sources.read import read_parquet_sized
     from ..sources.synthetic import geolocate
@@ -1771,55 +1951,13 @@ def covisit_pairs(sf_dir: str) -> "ray.data.Dataset":
         hr = ts // 3_600_000_000
         key = cell * (np.int64(1) << np.int64(22)) + hr
         rows = np.unique(np.stack([key, u], axis=1), axis=0)
-        b = np.abs((rows[:, 0] * np.int64(-7046029254386353131)) >> np.int64(32)) % 64
         return pa.table(
-            {
-                "key": pa.array(rows[:, 0]),
-                "user_id": pa.array(rows[:, 1]),
-                "__bucket": pa.array(b),
-            }
+            {"key": pa.array(rows[:, 0]), "user_id": pa.array(rows[:, 1])}
         )
 
-    def per_meeting(tbl: pa.Table) -> pa.Table:
-        k = np.asarray(tbl["key"], dtype=np.int64)
-        u = np.asarray(tbl["user_id"], dtype=np.int64)
-        rows = np.unique(np.stack([k, u], axis=1), axis=0)  # cross-batch dedup
-        k, u = rows[:, 0], rows[:, 1]
-        assert (u >= 0).all() and (u < (1 << 31)).all(), "user ids must fit 31 bits"
-        out_a, out_b = [], []
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        ends = np.r_[starts[1:], len(k)]
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            us = u[s:e]  # sorted ascending within the meeting (unique rows)
-            ia, ib = np.triu_indices(m, k=1)
-            out_a.append(us[ia])
-            out_b.append(us[ib])
-        if not out_a:
-            return pa.table({"pair": pa.array([], type=pa.int64())})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pa.table({"pair": pa.array(a * (np.int64(1) << np.int64(31)) + b)})
-
-    from .group_collect import bucketed_sum
-
-    meetings = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("__bucket")  # many meetings per group: one task handles a
-        # bucket of (cell, hour) keys instead of one Python call per meeting
-        .map_groups(per_meeting, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column(
-                "n", pa.array(np.ones(len(t), dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
+    pairs = salted_key_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), hot_threshold=hot_threshold
     )
-    # pair-keyed merge via the bucketed reduce: pair cardinality is far past
-    # the generic aggregate's ~10^3-group comfort zone (group_collect.py)
-    pairs = bucketed_sum(meetings, ["pair"], ["n"])
 
     def unpack(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch["pair"], dtype=np.int64)
@@ -2071,7 +2209,7 @@ def od_matrix(sf_dir: str) -> "ray.data.Dataset":
 
 
 def user_cell_jaccard(
-    sf_dir: str, tau_pct: int = 5
+    sf_dir: str, tau_pct: int = 5, *, hot_threshold: int = 4096
 ) -> "ray.data.Dataset":
     """User-similarity by visited-cell overlap: pairs of users whose
     DISTINCT visited-cell sets have Jaccard >= tau_pct/100, reported with
@@ -2081,16 +2219,15 @@ def user_cell_jaccard(
     dedup family). The collaborative-filtering / contact-similarity
     primitive over trajectories.
 
-    Plan: per-batch distinct (cell, user) pairs -> ONE shuffle keyed on
-    hash(cell) buckets; within a bucket, cross-batch dedup then per-cell
-    pair enumeration with PAIR PRE-AGGREGATION inside the bucket (one row
-    per distinct pair per bucket ships to the pair groupby, not one per
-    meeting). Per-user distinct-cell counts come from a parallel
+    Plan: globally-distinct (cell, user) pairs feed
+    :func:`salted_key_pairs` keyed on cell — intersection sizes come out as
+    the per-pair distinct-key counts, with dense cells split into salt
+    groups under the exactly-once triangle-partitioned ownership (no single
+    task enumerates more than ~hot_threshold^2 pairs, however populous one
+    cell gets). Per-user distinct-cell counts come from a parallel
     cell-deduped partial sum and broadcast as SORTED ARRAYS (searchsorted
     lookup per batch, not a Python dict — the distinctive_terms
-    discipline). Dense cells are the usual quadratic-pair skew caveat:
-    at corpus scale, cap or salt cells whose population outgrows a
-    worker (documented, same as covisit_pairs).
+    discipline).
 
     Output: (user_a, user_b, inter, union_n) with user_a < user_b."""
     from ..model import cell_of
@@ -2116,30 +2253,6 @@ def user_cell_jaccard(
                 "__bucket": pa.array(b),
             }
         )
-
-    def per_cell_bucket(tbl: pa.Table) -> pa.Table:
-        c = np.asarray(tbl["cell"], dtype=np.int64)
-        u = np.asarray(tbl["user_id"], dtype=np.int64)
-        rows = np.unique(np.stack([c, u], axis=1), axis=0)  # cross-batch dedup
-        c, u = rows[:, 0], rows[:, 1]
-        assert (u >= 0).all() and (u < (1 << 31)).all()
-        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        ends = np.r_[starts[1:], len(c)]
-        out = []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            us = u[s:e]
-            ia, ib = np.triu_indices(m, k=1)
-            out.append(us[ia] * (np.int64(1) << np.int64(31)) + us[ib])
-        if not out:
-            return pa.table(
-                {"pair": pa.array([], type=pa.int64()),
-                 "n": pa.array([], type=pa.int64())}
-            )
-        pair, n = np.unique(np.concatenate(out), return_counts=True)
-        return pa.table({"pair": pa.array(pair), "n": pa.array(n.astype(np.int64))})
 
     distinct = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -2169,22 +2282,13 @@ def user_cell_jaccard(
     o = np.argsort(cu)
     counts_ref = ray.put((cu[o], cn[o]))
 
-    from ray.data.aggregate import Sum
-
-    from .group_collect import bucketed_sum
-
-    pairs = bucketed_sum(
+    pairs = salted_key_pairs(
         distinct.map_batches(
-            lambda t: pa.table(
-                {"cell": t["cell"], "user_id": t["user_id"],
-                 "__bucket": pa.array(np.abs((np.asarray(t["cell"], dtype=np.int64)
-                     * np.int64(-7046029254386353131)) >> np.int64(32)) % num_buckets)}
-            ),
+            lambda t: pa.table({"key": t["cell"], "user_id": t["user_id"]}),
             batch_format="pyarrow",
-        )
-        .groupby("__bucket")
-        .map_groups(per_cell_bucket, batch_format="pyarrow"),
-        ["pair"], ["n"],
+        ),
+        hot_threshold=hot_threshold,
+        num_buckets=num_buckets,
     ).rename_columns({"n": "inter"})
 
     def finish(batch: pa.Table) -> pa.Table:
