@@ -413,6 +413,23 @@ def run_scaling_job() -> dict:
             SF_DIR, replicate=sh_replicate, stride=STRIDE, num_blocks=num_blocks
         ).materialize()
         sh_rows = sh_nodes.count()
+        # bytes-moved accounting (untimed): measure the Arrow size of the
+        # exchange payload under the compact (wg, int8 r, lon, lat)
+        # projection vs the legacy 40-byte full-row layout — the shuffle's
+        # cost is byte-volume-bound, so this is the probe's second axis
+        from simple_osm_queries_ray.pipelines.build_graph import (
+            _add_wg,
+            _add_wg_compact,
+        )
+
+        compact_b = sh_nodes.map_batches(
+            _add_wg_compact, batch_format="pyarrow"
+        ).materialize()
+        bytes_compact = int(compact_b.size_bytes())
+        del compact_b
+        full_b = sh_nodes.map_batches(_add_wg, batch_format="pyarrow").materialize()
+        bytes_full = int(full_b.size_bytes())
+        del full_b
         t0 = time.time()
         n_ways = build_ways(sh_nodes, num_buckets=96).count()
         t_shuffle = time.time() - t0
@@ -421,6 +438,9 @@ def run_scaling_job() -> dict:
             "rows": int(sh_rows),
             "rows_per_s": round(sh_rows / t_shuffle, 1),
             "ways": int(n_ways),
+            "bytes_exchanged": bytes_compact,
+            "bytes_full_rows": bytes_full,
+            "bytes_reduction": round(bytes_full / bytes_compact, 3),
         }
     ray.shutdown()
 
@@ -498,6 +518,9 @@ def run_scaling(cycles: int | None = None) -> dict:
             "scaling_efficiency": round((s_lo / s_hi) / (hi / lo), 3),
             "all_cycle_secs_lo": [r["shuffle"]["sec"] for r in runs_lo],
             "all_cycle_secs_hi": [r["shuffle"]["sec"] for r in runs_hi],
+            "bytes_exchanged": runs_lo[0]["shuffle"].get("bytes_exchanged"),
+            "bytes_full_rows": runs_lo[0]["shuffle"].get("bytes_full_rows"),
+            "bytes_reduction": runs_lo[0]["shuffle"].get("bytes_reduction"),
         }
     return {
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",

@@ -100,7 +100,11 @@ def build_repo(
         nodes0 = nodes0.map_batches(recell, batch_format="pyarrow")
     if materialize:
         nodes0 = nodes0.materialize()
-    ways0 = build_ways(nodes0)
+    # the compact exchange recomputes cells receive-side: hand it the same
+    # derivation the cell column was produced with
+    ways0 = build_ways(
+        nodes0, cell_fn=cell_scheme.cell_of if cell_scheme is not None else None
+    )
     if materialize:
         ways0 = ways0.materialize()
     rels0 = nest_relations(build_relations(nodes0, ways0))

@@ -106,6 +106,56 @@ def test_build_ways_local_first_matches_shuffle():
             assert list(x) == list(y)
 
 
+def test_build_ways_compact_exchange_matches_full_rows():
+    """The 26-byte compact exchange payload (wg, int8 residual, lon, lat)
+    must reconstruct ids and cells byte-identically to the 40-byte full-row
+    exchange — including under a custom cell scheme, where the receive-side
+    cell recomputation must use the scheme's derivation, not the flat grid."""
+    import pandas as pd
+
+    from simple_osm_queries_ray.functions.hiercell import GridCellScheme
+    from simple_osm_queries_ray.pipelines.build_graph import build_ways
+    from simple_osm_queries_ray.sources.synthetic import generated_nodes
+
+    nodes = generated_nodes("/root/testdata/sf0.001", replicate=2).materialize()
+
+    def cmp(kwargs_a, kwargs_b, ds):
+        a = build_ways(ds, **kwargs_a).to_pandas().sort_values("id").reset_index(drop=True)
+        b = build_ways(ds, **kwargs_b).to_pandas().sort_values("id").reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        for col in a.columns:
+            for x, y in zip(a[col], b[col]):
+                if isinstance(x, (list, tuple)) or hasattr(x, "__len__") and not isinstance(x, str):
+                    assert list(x) == list(y), col
+                else:
+                    assert x == y, col
+
+    cmp({"compact_exchange": True}, {"compact_exchange": False}, nodes)
+
+    # custom scheme: recell the input the way sources/repo.py does, and pass
+    # the scheme's cell_of through — results must match the full-row path
+    scheme = GridCellScheme(0.05, 0.05)
+
+    def recell(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        c = scheme.cell_of(
+            np.asarray(batch["lon"], dtype=np.float64),
+            np.asarray(batch["lat"], dtype=np.float64),
+        )
+        return batch.set_column(
+            batch.column_names.index("cell"), "cell", pa.array(c, type=pa.int64())
+        )
+
+    nodes_s = nodes.map_batches(recell, batch_format="pyarrow").materialize()
+    cmp(
+        {"compact_exchange": True, "cell_fn": scheme.cell_of},
+        {"compact_exchange": False},
+        nodes_s,
+    )
+
+
 def test_reverse_membership_gate_both_paths_agree():
     """attach_reverse_membership must produce identical reverse lists on
     both sides of the broadcast-vs-shuffle gate (r03 audit: the gate default
