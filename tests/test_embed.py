@@ -46,6 +46,28 @@ def test_ann_ivf_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.45, recalls
 
 
+def test_ann_ivf_recall_clustered_fixture(ray_session):
+    """The production recall contract: on a CLUSTERED corpus (what IVF is
+    for — random uniform vectors are its worst case and are covered by the
+    floor above), recall@10 at the DEFAULT nprobe must be >= 0.9 vs the
+    exact brute-force tier. Deterministic fixture: sources/
+    clustered_embeddings (64 natural clusters, 16 lists)."""
+    from simple_osm_queries_ray.sources.clustered_embeddings import (
+        clustered_embeddings,
+    )
+
+    ds = clustered_embeddings(5000, dim=32, n_clusters=64).materialize()
+    queries = list(range(0, 2000, 100))  # 20 queries across clusters
+    exact = ann_search(ds, queries, K).to_pandas()
+    ivf = ann_search_ivf(ds, queries, K).to_pandas()  # default n_lists/nprobe
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.qid == q].vec_id)
+        i = set(ivf[ivf.qid == q].vec_id)
+        recalls.append(len(e & i) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_ivf_partition_pruning(emb, tmp_path):
     """The IVF is a real inverted file: search touches only the probed
     lists' partitions, strictly fewer than the index's partition count."""
