@@ -1421,6 +1421,17 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(dup_documents(sf_dir), threshold=0.5)
 
 
+def _q_incremental_minhash(sf_dir: str):
+    # incremental re-crawl dedup: v1 state persisted, v2 pairs computed by
+    # signing only the delta; result == batch rerun (oracle = the exact
+    # trigram-Jaccard SQL over the evolved dup_docs_v2 corpus)
+    from simple_osm_queries_ray.pipelines.incremental_dedup import (
+        incremental_minhash_query,
+    )
+
+    return incremental_minhash_query(sf_dir)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from simple_osm_queries_ray.sources.dup_docs import dup_documents
     from simple_osm_queries_ray.stages.dedup import simhash_pairs
@@ -2584,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soq_caption_tags": _q_soq_caption_tags,
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
+        "incremental_minhash_dedup": _q_incremental_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "doc_novelty": _q_doc_novelty,
@@ -3988,6 +4000,30 @@ FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
 """
 
+    # incremental_minhash_dedup result == the BATCH pair set over the
+    # evolved corpus (pipelines/incremental_dedup.py proof sketch), so its
+    # oracle is the same exact trigram-Jaccard join over dup_docs_v2
+    from simple_osm_queries_ray.pipelines.incremental_dedup import DUP_DOCS_V2_SQL
+
+    ngram_jaccard_v2_sql = f"""
+WITH {DUP_DOCS_SQL},
+{DUP_DOCS_V2_SQL.strip()},
+toks AS (SELECT id, string_split(text, ' ') AS t FROM dup_docs_v2),
+tri AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+sizes AS (SELECT id, count(*) AS n FROM tri GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM tri a JOIN tri b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+"""
+
     return {
         "nodes_cells": f"{W} SELECT id, lon, lat, cell FROM nodes_c",
         "cell_density": f"{W} SELECT cell, count(*) AS n_nodes FROM nodes_c GROUP BY cell",
@@ -4777,6 +4813,7 @@ SELECT rank, id, dist2 FROM ranked WHERE rank <= {KNN_K}
         # J >= 0.5 exceed 0.9999 (stages/dedup.py band comment), so the
         # exact SQL is a safe twin.
         "minhash_pairs": ngram_jaccard_sql,
+        "incremental_minhash_dedup": ngram_jaccard_v2_sql,
         "ngram_jaccard_pairs": ngram_jaccard_sql,
         # caption-exact dedup what-if: keep-largest per caption group, the
         # raw-codec size formula shared with image_shards

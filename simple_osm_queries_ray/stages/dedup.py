@@ -516,6 +516,39 @@ def exact_dedup_keep_ids(ds: ray.data.Dataset, text_col: str = "text", id_col: s
     return out.select_columns([id_col])
 
 
+def minhash_band_rows(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> ray.data.Dataset:
+    """(band, bhash, id) LSH band rows for every doc — the signing stage of
+    :func:`minhash_lsh_pairs`, exposed so the incremental-dedup pipeline
+    (pipelines/incremental_dedup.py) can persist signatures for one corpus
+    version and re-sign ONLY the delta on the next. Band derivation is
+    threshold-dependent (:func:`_lsh_rows_per_band`) but corpus-size
+    independent, so rows signed under the same threshold are comparable
+    across versions."""
+    rows_per_band = _lsh_rows_per_band(threshold)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
+        sig = minhash_signatures(texts)
+        bh = band_hashes(sig, rows_per_band)
+        n, B = bh.shape
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
+                "bhash": pa.array(bh.ravel().astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, B)),
+            }
+        )
+
+    return ds.map_batches(to_bands, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     *,
@@ -533,23 +566,7 @@ def minhash_lsh_pairs(
     volume is O(candidates x text bytes), not corpus-sized.
     """
 
-    rows_per_band = _lsh_rows_per_band(threshold)
-
-    def to_bands(batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch[text_col].to_pylist(), dtype=object)
-        sig = minhash_signatures(texts)
-        bh = band_hashes(sig, rows_per_band)
-        n, B = bh.shape
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
-                "bhash": pa.array(bh.ravel().astype(np.int64)),
-                id_col: pa.array(np.repeat(ids, B)),
-            }
-        )
-
-    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    bands = minhash_band_rows(ds, threshold=threshold, text_col=text_col, id_col=id_col)
     from .group_collect import bucketed_distinct
 
     cand = bucketed_distinct(
