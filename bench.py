@@ -239,6 +239,25 @@ def run_bench() -> dict:
     # warm the OS page cache (untimed) so we measure compute + shuffle
     _ = raw_nodes(SF_DIR, replicate=1).count()
 
+    # BENCH_MEMSAMPLE=1: sample object-store usage (cluster minus available)
+    # every 0.5 s on a daemon thread — the memory-pressure evidence for
+    # above-sf0.1 runs (BASELINE.md round-5 notes)
+    peak_store = {"bytes": 0}
+    stop_sampler = None
+    if os.environ.get("BENCH_MEMSAMPLE") == "1":
+        import threading
+
+        total_store = ray.cluster_resources().get("object_store_memory", 0)
+        stop_sampler = threading.Event()
+
+        def sample():
+            while not stop_sampler.is_set():
+                avail = ray.available_resources().get("object_store_memory", total_store)
+                peak_store["bytes"] = max(peak_store["bytes"], int(total_store - avail))
+                stop_sampler.wait(0.5)
+
+        threading.Thread(target=sample, daemon=True).start()
+
     # the sandbox host shows intermittent multi-x contention spikes; report
     # the per-stage MIN over BENCH_RUNS full passes (labeled warm benchmark)
     runs = int(os.environ.get("BENCH_RUNS", "3"))
@@ -247,6 +266,8 @@ def run_bench() -> dict:
         t, counts, n_nodes = one_pass()
         times = {k: min(v, times.get(k, v)) for k, v in t.items()}
 
+    if stop_sampler is not None:
+        stop_sampler.set()
     ray.shutdown()
 
     spatial_secs = (
@@ -268,6 +289,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "replicate": REPLICATE,
         "runs": runs,
+        **(
+            {"peak_object_store_bytes": peak_store["bytes"]}
+            if peak_store["bytes"]
+            else {}
+        ),
     }
 
 

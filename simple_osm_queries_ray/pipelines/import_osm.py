@@ -315,8 +315,16 @@ def assemble_relations(
         )
 
     # seq sort keeps member order inside node_ids/way_ids; the self edge
-    # (seq = -1) sorts first and contributes nothing to either list
-    rels = bucket_collect(edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets)
+    # (seq = -1) sorts first and contributes nothing to either list.
+    # MATERIALIZE here: the assembled relation table (one row per relation,
+    # tiny vs the member-edge volume that produced it) fans out to several
+    # consumers below (sorted_id_array, resolve_children, the parent-edge
+    # explode, the broadcast attach, flow_child_bounds) — unpinned, each
+    # re-executes the full edge assembly (observed 415 s vs ~15 s at 500k
+    # nodes; same rule at every later fan-out point in this function)
+    rels = bucket_collect(
+        edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets
+    ).materialize()
     rels = hash_join_attach(
         rels,
         "id",
@@ -336,6 +344,7 @@ def assemble_relations(
     from ..stages.semi_join import filter_list_to_idset, sorted_id_array
     from ..stages.joins import attach_edges_broadcast, explode_list
 
+    rels = rels.materialize()  # joined tags/member_rels: same fan-out rule
     ids_ref = sorted_id_array(rels)
 
     def resolve_children(batch: pa.Table) -> pa.Table:
@@ -344,7 +353,7 @@ def assemble_relations(
         )
         return batch.drop_columns(["member_rels"])
 
-    rels = rels.map_batches(resolve_children, batch_format="pyarrow")
+    rels = rels.map_batches(resolve_children, batch_format="pyarrow").materialize()
     parent_edges = explode_list(
         rels.select_columns(["id", "child_relation_ids"]),
         "child_relation_ids",
@@ -359,10 +368,17 @@ def assemble_relations(
 
 
 def _read_elements(paths: str | list[str]) -> ray.data.Dataset:
-    if isinstance(paths, str) and paths.endswith(".pbf"):
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    pbf = [p for p in plist if p.endswith(".pbf")]
+    if pbf and len(pbf) != len(plist):
+        raise ValueError(
+            "cannot mix .pbf and XML inputs in one import: "
+            f"{len(pbf)} of {len(plist)} paths are .pbf"
+        )
+    if pbf:
         from ..sources.osm_pbf import read_osm_pbf
 
-        return read_osm_pbf(paths)
+        return read_osm_pbf(pbf)
     return read_osm_xml(paths)
 
 

@@ -472,24 +472,29 @@ def decode_primitive_block(data: bytes) -> pa.Table:
     return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
 
 
-def read_osm_pbf(path: str) -> ray.data.Dataset:
-    """``.osm.pbf`` -> element Dataset; one decode task per data blob."""
+def read_osm_pbf(path: str | list[str]) -> ray.data.Dataset:
+    """``.osm.pbf`` file(s) -> element Dataset; one decode task per data
+    blob (blobs from every file share one task pool — a sharded fixture
+    parallelizes identically to one big file)."""
+    paths = [path] if isinstance(path, str) else list(path)
     spans = [
-        {"offset": off, "size": size}
-        for off, size, btype in scan_blob_spans(path)
+        {"path": p, "offset": off, "size": size}
+        for p in paths
+        for off, size, btype in scan_blob_spans(p)
         if btype == "OSMData"
     ]
 
     def decode(batch: pa.Table) -> pa.Table:
         tables = []
-        with open(path, "rb") as f:
-            for off, size in zip(
-                np.asarray(batch["offset"], dtype=np.int64),
-                np.asarray(batch["size"], dtype=np.int64),
-            ):
+        for p, off, size in zip(
+            batch["path"].to_pylist(),
+            np.asarray(batch["offset"], dtype=np.int64),
+            np.asarray(batch["size"], dtype=np.int64),
+        ):
+            with open(p, "rb") as f:
                 f.seek(int(off))
                 blob = f.read(int(size))
-                tables.append(decode_primitive_block(_blob_payload(blob)))
+            tables.append(decode_primitive_block(_blob_payload(blob)))
         return pa.concat_tables(tables) if tables else _ELEM_SCHEMA.empty_table()
 
     if not spans:

@@ -341,3 +341,54 @@ def test_pbf_writer_chunks_node_blocks(tmp_path):
     got = read_osm_pbf(path).to_pandas().sort_values("id").reset_index(drop=True)
     assert len(got) == n
     assert list(got["id"]) == list(range(1, n + 1))
+
+
+def test_synthetic_pbf_shards_import_end_to_end(tmp_path):
+    """The import-bench fixture (sources/synthetic_pbf.py) round-trips
+    through the sharded PBF reader and the full import pipeline: element
+    counts, way topology (5 consecutive node refs), relation membership,
+    and a queryable repo."""
+    import numpy as np
+
+    from simple_osm_queries_ray.pipelines.import_osm import import_osm
+    from simple_osm_queries_ray.sources.synthetic_pbf import (
+        NODES_PER_WAY,
+        WAYS_PER_REL,
+        shard_elements,
+        write_synthetic_pbf,
+    )
+
+    n = 40_000
+    paths, nbytes = write_synthetic_pbf(str(tmp_path / "fix"), n, nodes_per_shard=20_000)
+    assert len(paths) == 2 and nbytes > 0
+
+    # decode equals the generator's element tables, id-for-id
+    from simple_osm_queries_ray.sources.osm_pbf import read_osm_pbf
+
+    back = read_osm_pbf(paths).to_pandas()
+    assert len(back) == n + n // NODES_PER_WAY + n // NODES_PER_WAY // WAYS_PER_REL
+    ref = shard_elements(1, 20_000).to_pandas()
+    b_nodes = back[(back.etype == 0) & (back.id >= 20_000)].sort_values("id")
+    r_nodes = ref[ref.etype == 0].sort_values("id")
+    assert np.allclose(b_nodes.lon.to_numpy(), r_nodes.lon.to_numpy(), atol=1e-7)
+    w = back[back.etype == 1].sort_values("id").iloc[0]
+    assert list(w.refs) == list(range(NODES_PER_WAY))
+    r = back[back.etype == 2].sort_values("id").iloc[0]
+    assert len(r.member_ways) == WAYS_PER_REL and len(r.member_nodes) == 3
+
+    repo = import_osm(paths)
+    assert repo.nodes.count() == n
+    assert repo.ways.count() == n // NODES_PER_WAY
+    assert repo.relations.count() == n // NODES_PER_WAY // WAYS_PER_REL
+    # assembled ways carry real member coordinates
+    wdf = repo.ways.to_pandas().sort_values("id").head(1)
+    assert len(wdf.iloc[0]["node_lons"]) == NODES_PER_WAY
+
+
+def test_read_elements_rejects_mixed_formats(tmp_path):
+    import pytest
+
+    from simple_osm_queries_ray.pipelines.import_osm import _read_elements
+
+    with pytest.raises(ValueError, match="mix"):
+        _read_elements(["a.osm.pbf", "b.osm"])
