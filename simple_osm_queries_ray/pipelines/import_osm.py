@@ -68,6 +68,28 @@ _EMPTY_RELS = pa.schema(
 )
 
 
+def _coalesce_small_blocks(
+    ds: ray.data.Dataset, *, rows_per_block: int = 250_000, min_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Collapse post-shuffle block fragmentation on a MATERIALIZED dataset.
+
+    Reduce-side block count follows the map-side count, so a small table
+    exiting a wide op inherits hundreds of near-empty blocks (the decoded
+    element stream has one block per PBF blob), and every later shuffle
+    pays its per-block fixed cost times that count — observed 268 s in
+    flow_child_bounds over a 2,500-row, 528-block relation table vs 1.5 s
+    at 8 blocks. Repartition to row-proportional blocks, floored at twice
+    the CPU count so map parallelism is preserved."""
+    if min_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        min_blocks = 2 * cpus
+    n = ds.count()
+    target = max(min_blocks, -(-n // rows_per_block))
+    if ds.num_blocks() > 4 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def _explode_with_seq(ds: ray.data.Dataset, list_col: str, out_key: str) -> ray.data.Dataset:
     """(id, [refs]) -> (id, seq, ref) rows preserving document order."""
     from ..functions.segments import list_parts
@@ -322,9 +344,11 @@ def assemble_relations(
     # explode, the broadcast attach, flow_child_bounds) — unpinned, each
     # re-executes the full edge assembly (observed 415 s vs ~15 s at 500k
     # nodes; same rule at every later fan-out point in this function)
-    rels = bucket_collect(
-        edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets
-    ).materialize()
+    rels = _coalesce_small_blocks(
+        bucket_collect(
+            edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets
+        ).materialize()
+    )
     rels = hash_join_attach(
         rels,
         "id",
@@ -528,7 +552,7 @@ def build_repo_from_elements(
     else:
         ways0 = assemble_ways(raw_ways, nodes0)
     if materialize:
-        ways0 = ways0.materialize()
+        ways0 = _coalesce_small_blocks(ways0.materialize())
     if raw_rels.count() == 0:
         rels0 = ray.data.from_arrow(_EMPTY_RELS.empty_table())
     else:
