@@ -297,8 +297,12 @@ def flow_child_bounds(
     for _ in range(max_depth):
         # materialize per iteration: `resolved` feeds BOTH the edge explode
         # and the join's left side; an unmaterialized lineage would embed
-        # twice per level and re-execute 2^max_depth times (r04 review)
-        resolved = resolved.materialize()
+        # twice per level and re-execute 2^max_depth times (r04 review).
+        # Coalesce too — the joins re-fragment block counts each level and
+        # the next level's shuffles pay per-block cost (group_collect.py)
+        from ..stages.group_collect import coalesce_small_blocks
+
+        resolved = coalesce_small_blocks(resolved.materialize())
         child_edges = resolved.map_batches(
             lambda b: _parent_bound_edges(b), batch_format="pyarrow"
         )

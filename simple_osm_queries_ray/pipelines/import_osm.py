@@ -27,11 +27,17 @@ import ray.data
 
 from ..model import cell_of
 from ..sources.osm_xml import read_osm_xml, split_elements
-from ..stages.group_collect import bucket_collect, collect_list_column, segment_unique_lists
+from ..stages.group_collect import (
+    bucket_collect,
+    coalesce_small_blocks as _coalesce_small_blocks,
+    collect_list_column,
+    segment_unique_lists,
+)
 from ..stages.joins import hash_join_attach
 from .build_graph import attach_reverse_membership, flow_child_bounds
 
 _SELF_SEQ = -1  # self-marker rows sort before real members (seq/member ids >= 0)
+_TAG_SEQ = -2  # per-way tag rows sort before everything (fused tag attach)
 
 _BOUND_FIELDS = [
     ("minlon", pa.float64()),
@@ -68,28 +74,6 @@ _EMPTY_RELS = pa.schema(
 )
 
 
-def _coalesce_small_blocks(
-    ds: ray.data.Dataset, *, rows_per_block: int = 250_000, min_blocks: int | None = None
-) -> ray.data.Dataset:
-    """Collapse post-shuffle block fragmentation on a MATERIALIZED dataset.
-
-    Reduce-side block count follows the map-side count, so a small table
-    exiting a wide op inherits hundreds of near-empty blocks (the decoded
-    element stream has one block per PBF blob), and every later shuffle
-    pays its per-block fixed cost times that count — observed 268 s in
-    flow_child_bounds over a 2,500-row, 528-block relation table vs 1.5 s
-    at 8 blocks. Repartition to row-proportional blocks, floored at twice
-    the CPU count so map parallelism is preserved."""
-    if min_blocks is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        min_blocks = 2 * cpus
-    n = ds.count()
-    target = max(min_blocks, -(-n // rows_per_block))
-    if ds.num_blocks() > 4 * target:
-        ds = ds.repartition(target).materialize()
-    return ds
-
-
 def _explode_with_seq(ds: ray.data.Dataset, list_col: str, out_key: str) -> ray.data.Dataset:
     """(id, [refs]) -> (id, seq, ref) rows preserving document order."""
     from ..functions.segments import list_parts
@@ -112,7 +96,7 @@ def _explode_with_seq(ds: ray.data.Dataset, list_col: str, out_key: str) -> ray.
 
 
 def assemble_ways(
-    raw_ways: ray.data.Dataset, nodes: ray.data.Dataset, num_buckets: int = 16
+    raw_ways: ray.data.Dataset, nodes: ray.data.Dataset, num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """(id, refs, tags) + node coords -> full way features.
 
@@ -122,6 +106,12 @@ def assemble_ways(
     (``grid_writer.go:125-145`` semantics: a way lives in every cell one of
     its nodes touches). Refs to unknown nodes are dropped.
     """
+    if num_buckets is None:
+        # reduce tasks = buckets: a fixed 16 underuses a 32-core node (and a
+        # 256-node cluster); size to the cluster
+        num_buckets = max(
+            16, int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+        )
     edges = _explode_with_seq(raw_ways.select_columns(["id", "refs"]), "refs", "node_ref")
     edges = hash_join_attach(
         edges,
@@ -135,44 +125,95 @@ def assemble_ways(
     )
 
     def drop_unknown(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.compute.is_valid(batch["__nlon"]))
+        batch = batch.filter(pa.compute.is_valid(batch["__nlon"]))
+        n = len(batch)
+        # tag columns ride as nulls on member rows; the tag row (seq = -2,
+        # one per way, below) carries the real lists. Fusing tags into the
+        # SAME bucket exchange replaces the former second hash join, which
+        # re-shuffled the assembled ways with their full coordinate-list
+        # payload (measured: the tag join cost ~half the whole assembly)
+        return batch.append_column(
+            "tag_keys_str", pa.nulls(n, pa.list_(pa.string()))
+        ).append_column("tag_vals_str", pa.nulls(n, pa.list_(pa.string())))
 
     edges = edges.map_batches(drop_unknown, batch_format="pyarrow")
 
-    def assemble(tbl: pa.Table, wids: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
-        ids = np.asarray(tbl["node_ref"], dtype=np.int64)
-        lon = np.asarray(tbl["__nlon"], dtype=np.float64)
-        lat = np.asarray(tbl["__nlat"], dtype=np.float64)
-        cells = np.asarray(tbl["__ncell"], dtype=np.int64)
-        n = len(wids)
-        group_idx = np.repeat(np.arange(n, dtype=np.int64), ends - starts)
-        ucells, uoff = segment_unique_lists(group_idx, cells, n)
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         return pa.table(
             {
-                "id": pa.array(wids, type=pa.int64()),
-                "node_ids": collect_list_column(ids, starts, ends, pa.int64()),
-                "node_lons": collect_list_column(lon, starts, ends, pa.float64()),
-                "node_lats": collect_list_column(lat, starts, ends, pa.float64()),
-                "cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
-                "minlon": pa.array(np.minimum.reduceat(lon, starts), type=pa.float64()),
-                "minlat": pa.array(np.minimum.reduceat(lat, starts), type=pa.float64()),
-                "maxlon": pa.array(np.maximum.reduceat(lon, starts), type=pa.float64()),
-                "maxlat": pa.array(np.maximum.reduceat(lat, starts), type=pa.float64()),
+                "node_ref": pa.array(np.full(n, -1, dtype=np.int64)),
+                "owner_id": batch["id"].cast(pa.int64()),
+                "seq": pa.array(np.full(n, _TAG_SEQ, dtype=np.int64)),
+                "__nlon": pa.nulls(n, pa.float64()),
+                "__nlat": pa.nulls(n, pa.float64()),
+                "__ncell": pa.nulls(n, pa.int64()),
+                "tag_keys_str": batch["tag_keys_str"],
+                "tag_vals_str": batch["tag_vals_str"],
             }
         )
 
-    ways = bucket_collect(edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets)
-    return hash_join_attach(
-        ways,
-        "id",
-        raw_ways.select_columns(["id", "tag_keys_str", "tag_vals_str"]),
-        "id",
-        {
-            "tag_keys_str": pa.list_(pa.string()),
-            "tag_vals_str": pa.list_(pa.string()),
-        },
-        num_buckets=num_buckets,
-        fill_empty_list_cols=("tag_keys_str", "tag_vals_str"),
+    edges = edges.union(
+        raw_ways.select_columns(["id", "tag_keys_str", "tag_vals_str"]).map_batches(
+            tag_rows, batch_format="pyarrow"
+        )
+    )
+
+    def assemble(tbl: pa.Table, wids: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        from ..stages.joins import nulls_to_empty_list
+
+        seq = np.asarray(tbl["seq"], dtype=np.int64)
+        is_member = seq != _TAG_SEQ
+        # tag row (seq = -2) sorts first within its way; the member range is
+        # [start + has_tag, end). Ways with no resolved members are dropped
+        # (same semantics as the former inner collect + tag attach).
+        has_tag = ~is_member[starts]
+        lens = ends - starts - has_tag.astype(np.int64)
+        keep = lens > 0
+        row_grp = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        member_sel = is_member & keep[row_grp]
+        wids = wids[keep]
+        lens = lens[keep]
+        n = len(wids)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        seg_starts, seg_ends = offs[:-1], offs[1:]
+        ids = np.asarray(tbl["node_ref"], dtype=np.int64)[member_sel]
+        lon = np.asarray(
+            tbl["__nlon"].combine_chunks().fill_null(np.nan), dtype=np.float64
+        )[member_sel]
+        lat = np.asarray(
+            tbl["__nlat"].combine_chunks().fill_null(np.nan), dtype=np.float64
+        )[member_sel]
+        cells = np.asarray(
+            tbl["__ncell"].combine_chunks().fill_null(0), dtype=np.int64
+        )[member_sel]
+        group_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ucells, uoff = segment_unique_lists(group_idx, cells, n)
+        # tags come from the way's first row: the tag row when present, else
+        # a member row whose (null) tag lists become empty lists
+        take_idx = pa.array(starts[keep])
+        tk = nulls_to_empty_list(tbl["tag_keys_str"].take(take_idx))
+        tv = nulls_to_empty_list(tbl["tag_vals_str"].take(take_idx))
+        empty_f = np.array([], dtype=np.float64)
+        return pa.table(
+            {
+                "id": pa.array(wids, type=pa.int64()),
+                "node_ids": collect_list_column(ids, seg_starts, seg_ends, pa.int64()),
+                "node_lons": collect_list_column(lon, seg_starts, seg_ends, pa.float64()),
+                "node_lats": collect_list_column(lat, seg_starts, seg_ends, pa.float64()),
+                "cells": collect_list_column(ucells, uoff[:-1], uoff[1:], pa.int64()),
+                "minlon": pa.array(np.minimum.reduceat(lon, seg_starts) if n else empty_f, type=pa.float64()),
+                "minlat": pa.array(np.minimum.reduceat(lat, seg_starts) if n else empty_f, type=pa.float64()),
+                "maxlon": pa.array(np.maximum.reduceat(lon, seg_starts) if n else empty_f, type=pa.float64()),
+                "maxlat": pa.array(np.maximum.reduceat(lat, seg_starts) if n else empty_f, type=pa.float64()),
+                "tag_keys_str": tk,
+                "tag_vals_str": tv,
+            }
+        )
+
+    return bucket_collect(
+        edges, "owner_id", assemble, sort_col="seq", num_buckets=num_buckets
     )
 
 
@@ -180,7 +221,7 @@ def assemble_relations(
     raw_rels: ray.data.Dataset,
     nodes: ray.data.Dataset,
     ways: ray.data.Dataset,
-    num_buckets: int = 8,
+    num_buckets: int | None = None,
     max_nesting: int = 2,
 ) -> ray.data.Dataset:
     """(id, member lists, tags) -> relation features with bbox/cell union.
@@ -192,6 +233,11 @@ def assemble_relations(
     nested bounds flow with :func:`flow_child_bounds` for ``max_nesting``
     levels (reference: file-order dependence, ``grid_writer.go:94-106``).
     """
+    if num_buckets is None:
+        num_buckets = max(
+            16, int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+        )
+
     node_edges = _explode_with_seq(
         raw_rels.select_columns(["id", "member_nodes"]), "member_nodes", "member_id"
     )

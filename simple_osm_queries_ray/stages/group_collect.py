@@ -212,3 +212,25 @@ def bucketed_distinct(
 ) -> ray.data.Dataset:
     """Global DISTINCT over int64 key tuples — see :func:`bucketed_reduce`."""
     return bucketed_reduce(ds, key_cols, {}, num_buckets=num_buckets)
+
+
+def coalesce_small_blocks(
+    ds: ray.data.Dataset, *, rows_per_block: int = 250_000, min_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Collapse post-shuffle block fragmentation on a MATERIALIZED dataset.
+
+    Reduce-side block count follows the map-side count, so a small table
+    exiting a wide op inherits hundreds of near-empty blocks (e.g. the
+    decoded OSM element stream has one block per PBF blob), and every
+    later shuffle pays its per-block fixed cost times that count —
+    observed 268 s in flow_child_bounds over a 2,500-row, 528-block
+    relation table vs 1.5 s at 8 blocks. Repartition to row-proportional
+    blocks, floored at twice the CPU count so map parallelism survives."""
+    if min_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        min_blocks = 2 * cpus
+    n = ds.count()
+    target = max(min_blocks, -(-n // rows_per_block))
+    if ds.num_blocks() > 4 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
