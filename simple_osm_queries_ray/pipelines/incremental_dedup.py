@@ -184,18 +184,13 @@ def _membership_filter(
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     num_partitions = max(2, cpus // 2)
-    marker = ids_ds.map_batches(
-        lambda t: pa.table(
-            {col: t["id"].cast(pa.int64()),
-             "__m": pa.array(np.ones(len(t), dtype=np.int64))}
-        ),
-        batch_format="pyarrow",
+    ids_r = ids_ds.map_batches(
+        lambda t: pa.table({col: t["id"].cast(pa.int64())}), batch_format="pyarrow"
     )
-    joined = ds.join(marker, "left_outer", num_partitions, on=(col,))
-    pred = pc.is_valid if keep_in else pc.is_null
-    return joined.map_batches(
-        lambda t: t.filter(pred(t["__m"])).drop_columns(["__m"]),
-        batch_format="pyarrow",
+    # semi/anti emit each left row at most once even with duplicate right
+    # keys, so no pre-dedup of the id side is needed
+    return ds.join(
+        ids_r, "left_semi" if keep_in else "left_anti", num_partitions, on=(col,)
     )
 
 

@@ -63,3 +63,37 @@ def test_incremental_guards(ray_session, tmp_path):
     build_minhash_state(dup_documents(SF), state, threshold=0.5)
     with pytest.raises(ValueError, match="threshold"):
         incremental_minhash_dedup(dup_documents_v2(SF), state, threshold=0.3)
+
+
+def test_membership_filter_join_path_matches_broadcast(ray_session):
+    # force the partitioned semi/anti-join fallback (ID_BROADCAST_LIMIT = -1)
+    # and pin equality with the broadcast probe on both polarities
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    import simple_osm_queries_ray.pipelines.incremental_dedup as mod
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(1000, dtype=np.int64)),
+                  "v": pa.array(np.arange(1000, dtype=np.int64) * 7)})
+    ).repartition(4)
+    ids = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(0, 1000, 3, dtype=np.int64))})
+    )
+    for keep_in in (True, False):
+        bc = (
+            mod._membership_filter(ds, "id", ids, keep_in=keep_in)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        old = mod.ID_BROADCAST_LIMIT
+        mod.ID_BROADCAST_LIMIT = -1
+        try:
+            jn = (
+                mod._membership_filter(ds, "id", ids, keep_in=keep_in)
+                .to_pandas().sort_values("id").reset_index(drop=True)
+            )
+        finally:
+            mod.ID_BROADCAST_LIMIT = old
+        assert len(bc) > 0
+        assert bc[["id", "v"]].equals(jn[["id", "v"]]), keep_in
