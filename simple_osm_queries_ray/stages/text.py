@@ -2234,9 +2234,12 @@ def user_cell_jaccard(
     from ..sources.read import read_parquet_sized
     from ..sources.synthetic import geolocate
 
+    # no materialize: the raw read feeds ONE consumer (the distinct build);
+    # the fan-out point is `distinct` below, which IS pinned — pinning the
+    # corpus-sized raw stream here was pure object-store pressure
     ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
-    ).materialize()
+    )
     num_buckets = 64
 
     def prep(batch: pa.Table) -> pa.Table:
