@@ -590,7 +590,10 @@ def build_repo_from_elements(
 
     nodes0 = raw_nodes.map_batches(add_cell, batch_format="pyarrow")
     if materialize:
-        nodes0 = nodes0.materialize()
+        # coalesce as well: the decoded element stream inherits one block
+        # per PBF blob, and downstream sort-shuffle task counts are
+        # quadratic in block count (group_collect.coalesce_small_blocks)
+        nodes0 = _coalesce_small_blocks(nodes0.materialize())
     # empty way/relation inputs short-circuit to typed empty tables: the
     # collect/join machinery cannot infer schemas from zero-row lineages
     if raw_ways.count() == 0:
@@ -607,6 +610,11 @@ def build_repo_from_elements(
         rels0 = rels0.materialize()
 
     nodes1, ways1 = attach_reverse_membership(nodes0, ways0, rels0)
+    if materialize:
+        # both feed TWO consumers (tag index + encode); unpinned, the
+        # attach lineage re-executes per consumer
+        nodes1 = nodes1.materialize()
+        ways1 = ways1.materialize()
     tag_index = build_tag_index(nodes1, ways1, rels0)
     ti_ref = ray.put(tag_index)
     nodes = encode_tags(nodes1, ti_ref)

@@ -499,8 +499,15 @@ def read_osm_pbf(path: str | list[str]) -> ray.data.Dataset:
 
     if not spans:
         return ray.data.from_arrow(_ELEM_SCHEMA.empty_table())
+    # several blobs per decode task: real-world PBFs carry ~8000 nodes per
+    # blob, and one OUTPUT BLOCK per blob (batch_size=1) fragments a 50 M-
+    # node file into ~6000 tiny blocks — the sort-shuffle task count
+    # downstream is quadratic in block count and the driver's scheduling
+    # loop saturates long before the workers do (observed: 30 min at 100%
+    # driver CPU at 50 M nodes). 8 blobs/task ~ 64k rows/block keeps decode
+    # parallelism in the hundreds while bounding downstream task counts.
     return ray.data.from_items(spans).map_batches(
-        decode, batch_format="pyarrow", batch_size=1
+        decode, batch_format="pyarrow", batch_size=8
     )
 
 
