@@ -256,6 +256,12 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
             "cand_parent_ids", collect_list_column(flat_parents, parent_off[:-1], parent_off[1:], pa.int64())
         )
 
+    # materialize ONCE, and BEFORE deriving anything: both the candidate
+    # pass and sorted_id_array's gather consume the relation table — the r04
+    # fix pinned it after with_cand was already derived from the unpinned
+    # handle, so the assembly still executed twice (once for the gather,
+    # once through with_cand -> resolve)
+    relations = relations.materialize()
     with_cand = relations.map_batches(add_cand, batch_format="pyarrow")
 
     # Existence semi-join: keep candidate ids present in the relation table.
@@ -266,10 +272,6 @@ def nest_relations(relations: ray.data.Dataset, max_depth: int = 1) -> ray.data.
     # broadcast; candidate edges are formulaic +-REL_NEST so either works.
     from ..stages.semi_join import filter_list_to_idset, sorted_id_array
 
-    # materialize ONCE: sorted_id_array eagerly executes the lineage for the
-    # id gather and the resolve pass below re-consumes it — without this the
-    # whole relation-assembly shuffle runs twice (r04 review)
-    relations = relations.materialize()
     ids_ref = sorted_id_array(relations)
 
     def resolve(batch: pa.Table) -> pa.Table:
