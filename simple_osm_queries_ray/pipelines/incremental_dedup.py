@@ -244,7 +244,17 @@ def incremental_minhash_dedup(
 
     ``stats_out`` (optional dict) receives ``signed_docs`` / ``delta_docs``
     / ``stale_docs`` so callers can assert the incremental contract.
-    ``update_state_dir`` rolls the state forward for version 3."""
+    ``update_state_dir`` rolls the state forward for version 3 (must be a
+    DIFFERENT directory: the rolled bands/pairs lineages lazily read the
+    old state, so an in-place rewrite would read-while-write corrupt)."""
+    if update_state_dir is not None and os.path.abspath(
+        update_state_dir
+    ) == os.path.abspath(state_dir):
+        raise ValueError(
+            "update_state_dir must differ from state_dir: the rolled state "
+            "is derived lazily FROM the old state's files (write-generations "
+            "alternate between two dirs, or copy afterwards)"
+        )
     meta_path = os.path.join(state_dir, "meta.json")
     if not os.path.exists(meta_path):
         raise FileNotFoundError(

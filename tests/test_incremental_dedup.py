@@ -97,3 +97,12 @@ def test_membership_filter_join_path_matches_broadcast(ray_session):
             mod.ID_BROADCAST_LIMIT = old
         assert len(bc) > 0
         assert bc[["id", "v"]].equals(jn[["id", "v"]]), keep_in
+
+
+def test_in_place_roll_forward_rejected(ray_session, tmp_path):
+    state = str(tmp_path / "s")
+    build_minhash_state(dup_documents(SF), state)
+    with pytest.raises(ValueError, match="must differ"):
+        incremental_minhash_dedup(
+            dup_documents_v2(SF), state, update_state_dir=state
+        )
