@@ -115,18 +115,32 @@ def main(argv: list[str] | None = None) -> int:
 
                 with open(scheme_path) as f:
                     scheme = scheme_from_json(_json.load(f))
+            # STABLE dictionary evolution: rebuild the repo against the
+            # index's persisted tag dictionary (extended_with) so existing
+            # key indices never move and unchanged features re-encode
+            # byte-identically — otherwise one novel tag key would shift
+            # the dictionary and cascade a rewrite of every partition whose
+            # features carry a later-sorting key
+            from .functions.tags import TagIndex
+
+            base_ti = None
+            ti_path = _os.path.join(index_dir, "tag-index")
+            if _os.path.exists(ti_path):
+                base_ti = TagIndex.load(ti_path)
             if src.endswith((".osm", ".pbf", ".bz2", ".gz")):
                 from .pipelines.import_osm import import_osm, import_osm_with_changes
 
                 repo = (
-                    import_osm_with_changes(src, changes, cell_scheme=scheme)
+                    import_osm_with_changes(
+                        src, changes, cell_scheme=scheme, base_tag_index=base_ti
+                    )
                     if changes
-                    else import_osm(src, cell_scheme=scheme)
+                    else import_osm(src, cell_scheme=scheme, base_tag_index=base_ti)
                 )
             else:
                 from .sources.repo import build_repo
 
-                repo = build_repo(src, cell_scheme=scheme)
+                repo = build_repo(src, cell_scheme=scheme, base_tag_index=base_ti)
             report = refresh_index(index_dir, repo)
             import json as _json
 

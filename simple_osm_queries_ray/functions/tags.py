@@ -69,6 +69,35 @@ class TagIndex:
         values = [natural_sorted(list(dict.fromkeys(per_key_values[k]))) for k in keys]
         return cls(keys=keys, values=values)
 
+    def extended_with(self, per_key_values: dict[str, list[str]]) -> "TagIndex":
+        """Evolve the dictionary for incremental maintenance: existing KEY
+        indices never move (key order carries no semantics — only value
+        order does), new keys append at the end; each key's value list is
+        the natural-sorted union of old and new values (value order IS
+        semantic — the comparison rewrite maps ``> >= < <=`` to index
+        ranges over the sorted list — so a brand-new value can shift later
+        value indices of ITS key; the cascade stays bounded to features
+        carrying that key, instead of a full-dictionary re-index shifting
+        every key that happens to sort after a new one).
+
+        With no novel pairs the result encodes identically to ``self``
+        (pinned by test) — refresh_index then rewrites nothing."""
+        keys = list(self.keys)
+        values = [list(vs) for vs in self.values]
+        rev = {k: i for i, k in enumerate(keys)}
+        for k in per_key_values:
+            new_vals = per_key_values[k]
+            if k in rev:
+                ki = rev[k]
+                merged = list(dict.fromkeys(values[ki] + list(new_vals)))
+                if len(merged) != len(values[ki]):
+                    values[ki] = natural_sorted(merged)
+            else:
+                rev[k] = len(keys)
+                keys.append(k)
+                values.append(natural_sorted(list(dict.fromkeys(new_vals))))
+        return TagIndex(keys=keys, values=values)
+
     # --- lookups (reference tag.go:172-230) ------------------------------
     def key_index(self, key: str) -> int:
         return self._key_rev.get(key, NOT_FOUND)

@@ -877,6 +877,13 @@ def refresh_index(index_dir: str, repo) -> dict:
             "unchanged": len([p for p in newh if newh[p] == oldh.get(p)]),
         }
 
+    # persist the (possibly evolved) dictionary: the rewritten partitions
+    # encode against repo.tag_index, and a stale on-disk tag-index would
+    # make DiskRepo decode new codes with old entries (review r05 — before
+    # this, a refresh that introduced a tag key left the index internally
+    # inconsistent). With cli refresh's stable evolution (extended_with),
+    # old entries keep their indices, so untouched partitions stay valid.
+    repo.tag_index.save(os.path.join(index_dir, "tag-index"))
     tmp = hashes_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(new_hashes, f)

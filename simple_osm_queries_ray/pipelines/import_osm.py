@@ -533,6 +533,7 @@ def import_osm_with_changes(
     osc_paths: str | list[str],
     materialize: bool = True,
     cell_scheme=None,
+    base_tag_index=None,
 ):
     """``import`` + osmChange replication: read the base extract, apply one
     or more ``.osc`` deltas at the element level, then run the exact same
@@ -550,7 +551,7 @@ def import_osm_with_changes(
     )
 
 
-def import_osm(paths: str | list[str], materialize: bool = True, cell_scheme=None):
+def import_osm(paths: str | list[str], materialize: bool = True, cell_scheme=None, base_tag_index=None):
     """``.osm`` / ``.osm.pbf`` file(s) -> FeatureRepo (the reference's
     ``import`` command, ``src/main.go:70-96``, as one Ray pipeline).
     ``cell_scheme`` mirrors the reference's cellWidth/cellHeight import
@@ -558,12 +559,14 @@ def import_osm(paths: str | list[str], materialize: bool = True, cell_scheme=Non
     ``GridCellScheme(0.05, 0.05)``; default is the 0.1-degree grid.
     """
     return build_repo_from_elements(
-        _read_elements(paths), materialize=materialize, cell_scheme=cell_scheme
+        _read_elements(paths), materialize=materialize, cell_scheme=cell_scheme,
+        base_tag_index=base_tag_index,
     )
 
 
 def build_repo_from_elements(
-    elems: ray.data.Dataset, materialize: bool = True, cell_scheme=None
+    elems: ray.data.Dataset, materialize: bool = True, cell_scheme=None,
+    base_tag_index=None,
 ):
     """Parsed element dataset -> FeatureRepo.
 
@@ -615,7 +618,7 @@ def build_repo_from_elements(
         # attach lineage re-executes per consumer
         nodes1 = nodes1.materialize()
         ways1 = ways1.materialize()
-    tag_index = build_tag_index(nodes1, ways1, rels0)
+    tag_index = build_tag_index(nodes1, ways1, rels0, base=base_tag_index)
     ti_ref = ray.put(tag_index)
     nodes = encode_tags(nodes1, ti_ref)
     ways = encode_tags(ways1, ti_ref)

@@ -30,11 +30,18 @@ def _distinct_pairs_batch_flat(batch: pa.Table) -> pa.Table:
     return batch.group_by(["key", "value"]).aggregate([])
 
 
-def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
+def build_tag_index(
+    *datasets: ray.data.Dataset, base: TagIndex | None = None
+) -> TagIndex:
     """Distinct (key, value) pairs across all feature datasets -> TagIndex.
 
     The shuffle moves only pre-deduplicated pairs; the final dictionary is
     driver-side state by design (it is broadcast, never sharded — ST1).
+
+    ``base``: evolve an existing dictionary instead of building fresh
+    (:meth:`TagIndex.extended_with`) — incremental refresh keeps existing
+    key indices stable so unchanged features re-encode byte-identically
+    and refresh_index rewrites only genuinely-changed partitions.
     """
     parts = [
         ds.select_columns(["tag_keys_str", "tag_vals_str"]).map_batches(
@@ -66,4 +73,6 @@ def build_tag_index(*datasets: ray.data.Dataset) -> TagIndex:
     # in a parallel engine, so we fix key order lexicographically (key order
     # carries no semantics — only value order does).
     ordered = {k: per_key[k] for k in sorted(per_key)}
+    if base is not None:
+        return base.extended_with(ordered)
     return TagIndex.from_tag_lists(ordered)

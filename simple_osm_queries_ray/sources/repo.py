@@ -61,6 +61,7 @@ def build_repo(
     replicate: int = 1,
     materialize: bool = True,
     cell_scheme=None,
+    base_tag_index=None,
 ) -> FeatureRepo:
     """``cell_scheme`` (functions/hiercell.py) overrides the flat-grid cell
     assignment; way/relation cell lists inherit the scheme automatically
@@ -80,7 +81,10 @@ def build_repo(
         session, sf_dir, replicate, materialize,
         cell_scheme.name if cell_scheme else "grid",
     )
-    if key in _CACHE:
+    # evolved-dictionary builds (refresh path) bypass the cache: the cache
+    # key cannot see the base dictionary's content, and a fresh-dictionary
+    # repo encodes differently
+    if base_tag_index is None and key in _CACHE:
         return _CACHE[key]
 
     nodes0 = raw_nodes(sf_dir, replicate)
@@ -113,7 +117,7 @@ def build_repo(
 
     nodes1, ways1 = attach_reverse_membership(nodes0, ways0, rels0)
 
-    tag_index = build_tag_index(nodes1, ways1, rels0)
+    tag_index = build_tag_index(nodes1, ways1, rels0, base=base_tag_index)
     ti_ref = ray.put(tag_index)
 
     nodes = encode_tags(nodes1, ti_ref)
@@ -125,5 +129,6 @@ def build_repo(
         rels = rels.materialize()
 
     repo = FeatureRepo(nodes, ways, rels, tag_index, cell_scheme=cell_scheme)
-    _CACHE[key] = repo
+    if base_tag_index is None:
+        _CACHE[key] = repo
     return repo

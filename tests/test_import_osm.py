@@ -392,3 +392,47 @@ def test_read_elements_rejects_mixed_formats(tmp_path):
 
     with pytest.raises(ValueError, match="mix"):
         _read_elements(["a.osm.pbf", "b.osm"])
+
+
+def test_refresh_evolves_dictionary_without_reencode_cascade(tmp_path):
+    """A refresh source introducing a brand-new tag key must NOT rewrite
+    partitions of untouched features: cli refresh rebuilds against the
+    index's persisted dictionary (TagIndex.extended_with), so existing key
+    indices stay stable. Without the evolved dictionary, a new key 'aaa'
+    (sorting before every existing key) would shift ALL key indices and
+    cascade a rewrite of every partition."""
+    import glob
+    import json
+    import os
+
+    from simple_osm_queries_ray import cli
+    from simple_osm_queries_ray.functions.tags import TagIndex
+
+    base = str(tmp_path / "base.osm")
+    with open(base, "w") as f:
+        f.write(WAYREL_XML)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["import", base, idx]) == 0
+    ti0 = TagIndex.load(os.path.join(idx, "tag-index"))
+    mtimes0 = {f: os.path.getmtime(f) for f in glob.glob(f"{idx}/*/pid=*/*.parquet")}
+
+    # node 1 gains a new tag with a key sorting before everything
+    evolved_xml = WAYREL_XML.replace(
+        "<node id='1' lat='53.10' lon='9.10'><tag k='kind' v='a' /></node>",
+        "<node id='1' lat='53.10' lon='9.10'><tag k='kind' v='a' />"
+        "<tag k='aaa' v='new' /></node>",
+    )
+    v2 = str(tmp_path / "v2.osm")
+    with open(v2, "w") as f:
+        f.write(evolved_xml)
+    assert cli.main(["refresh", v2, idx]) == 0
+
+    ti1 = TagIndex.load(os.path.join(idx, "tag-index"))
+    # existing key indices unchanged; new key appended at the end
+    for k in ti0.keys:
+        assert ti1.key_index(k) == ti0.key_index(k)
+    assert ti1.key_index("aaa") == len(ti0.keys)
+    # untouched families rewrote nothing
+    for f, t in mtimes0.items():
+        if "/way/" in f or "/relation/" in f:
+            assert os.path.getmtime(f) == t, f

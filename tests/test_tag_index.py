@@ -82,3 +82,34 @@ def test_check_validity(ray_session):
     ref = ray.put(ti)
     assert check_validity(ray.data.from_arrow(good), ref) == 0
     assert check_validity(ray.data.from_arrow(bad), ref) == 2
+
+
+def test_extended_with_keeps_existing_key_indices_stable():
+    # stable dictionary evolution for incremental refresh: existing keys
+    # never move, new keys append (key order carries no semantics)
+    base = TagIndex(keys=["lang", "rtype", "wtype"],
+                    values=[["de", "en"], ["route"], ["primary", "track"]])
+    evolved = base.extended_with({"touched": ["yes"], "lang": ["en"]})
+    assert evolved.keys == ["lang", "rtype", "wtype", "touched"]
+    for k in ("lang", "rtype", "wtype"):
+        assert evolved.key_index(k) == base.key_index(k)
+    assert evolved.key_index("touched") == 3
+    # unchanged value dictionaries are identical objects-by-content
+    assert evolved.values[:3] == base.values[:3]
+
+
+def test_extended_with_identity_when_no_novelty():
+    base = TagIndex(keys=["a", "b"], values=[["1", "2"], ["x"]])
+    same = base.extended_with({"a": ["2", "1"], "b": ["x"]})
+    assert same.keys == base.keys
+    assert same.values == base.values
+
+
+def test_extended_with_new_value_resorts_only_its_key():
+    base = TagIndex(keys=["a", "b"], values=[["v1", "v3"], ["x", "y"]])
+    ev = base.extended_with({"a": ["v2"]})
+    # value order stays natural-sorted (the comparison rewrite depends on
+    # it), so v3's index shifts — bounded to key 'a'
+    assert ev.values[0] == ["v1", "v2", "v3"]
+    assert ev.values[1] == ["x", "y"]
+    assert ev.value_index("b", "y") == base.value_index("b", "y")
