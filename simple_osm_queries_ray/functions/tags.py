@@ -81,7 +81,12 @@ class TagIndex:
         every key that happens to sort after a new one).
 
         With no novel pairs the result encodes identically to ``self``
-        (pinned by test) — refresh_index then rewrites nothing."""
+        (pinned by test) — refresh_index then rewrites nothing.
+
+        Append-only means DELETED keys/values persist across refreshes
+        (harmless: no feature references them; predicates on them match
+        nothing). A dictionary bloated by many dead entries compacts on
+        the next full re-import, which rebuilds from scratch."""
         keys = list(self.keys)
         values = [list(vs) for vs in self.values]
         rev = {k: i for i, k in enumerate(keys)}
