@@ -436,3 +436,27 @@ def test_refresh_evolves_dictionary_without_reencode_cascade(tmp_path):
     for f, t in mtimes0.items():
         if "/way/" in f or "/relation/" in f:
             assert os.path.getmtime(f) == t, f
+
+
+def test_way_with_all_unknown_refs_is_dropped(tmp_path):
+    """Fused tag-attach parity with the old two-join path: a way whose refs
+    all point at absent nodes must NOT appear (its tag row alone cannot
+    create an empty way), while partially-resolvable ways keep the subset."""
+    xml = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version='0.6' generator='t'>
+  <node id='1' lat='53.1' lon='9.1'><tag k='kind' v='a' /></node>
+  <node id='2' lat='53.2' lon='9.2'><tag k='kind' v='b' /></node>
+  <way id='10'><nd ref='1' /><nd ref='2' /><tag k='highway' v='x' /></way>
+  <way id='11'><nd ref='777' /><nd ref='888' /><tag k='highway' v='y' /></way>
+  <way id='12'><nd ref='2' /><nd ref='999' /><tag k='highway' v='z' /></way>
+</osm>
+"""
+    p = str(tmp_path / "t.osm")
+    with open(p, "w") as f:
+        f.write(xml)
+    from simple_osm_queries_ray.pipelines.import_osm import import_osm
+
+    ways = import_osm(p).ways.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(ways["id"]) == [10, 12]
+    assert list(ways.loc[ways["id"] == 12, "node_ids"].iloc[0]) == [2]
+    assert list(ways.loc[ways["id"] == 10, "tag_keys_str"].iloc[0]) == ["highway"]
