@@ -598,17 +598,47 @@ def _verify_pairs_jaccard(
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         num_partitions = max(2, cpus // 2)
-    docs_a = docs.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "id_a", text_col: "__text_a"}
+
+    # the attaches run on the engine's own hash_join_attach rather than
+    # Dataset.join: sparse-candidate corpora (the realistic case — most
+    # buckets hold no pair) emit schema-LESS empty blocks upstream, Ray
+    # skips map UDFs on empty blocks so they cannot be normalized away, and
+    # Dataset.join's aggregator fails on them with "No match for FieldRef
+    # id_a" (found by bench_dedup.py's non-pathological corpus; the
+    # planted-dup fixtures always had pairs in every block). The bucketed
+    # groupby machinery never routes empty blocks into a merge task.
+    # Candidate ids always exist in the corpus, so the left attach is an
+    # inner join in effect; a defensive null filter keeps the contract.
+    from .joins import hash_join_attach
+
+    joined = hash_join_attach(
+        pairs,
+        "id_a",
+        docs.select_columns([id_col, text_col]).rename_columns(
+            {id_col: "__ja", text_col: "__text_a"}
+        ),
+        "__ja",
+        {"__text_a": pa.string()},
+        num_buckets=num_partitions,
     )
-    docs_b = docs.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "id_b", text_col: "__text_b"}
-    )
-    joined = pairs.join(docs_a, "inner", num_partitions, on=("id_a",)).join(
-        docs_b, "inner", num_partitions, on=("id_b",)
+    joined = hash_join_attach(
+        joined,
+        "id_b",
+        docs.select_columns([id_col, text_col]).rename_columns(
+            {id_col: "__jb", text_col: "__text_b"}
+        ),
+        "__jb",
+        {"__text_b": pa.string()},
+        num_buckets=num_partitions,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pa.compute.and_(
+                pa.compute.is_valid(batch["__text_a"]),
+                pa.compute.is_valid(batch["__text_b"]),
+            )
+        )
         ta = pd.Series(batch["__text_a"].to_pylist(), dtype=object)
         tb = pd.Series(batch["__text_b"].to_pylist(), dtype=object)
         keep = pa.array(_pair_jaccard_batch(ta, tb) >= threshold)
