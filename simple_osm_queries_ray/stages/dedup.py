@@ -869,9 +869,14 @@ def connected_components(
         v = batch[id_col]
         return pa.table({"id": v, "label": v})
 
+    # repartition BEFORE materializing: upstream pair/id streams can carry
+    # schema-less empty blocks (pair-less reduce partitions; Ray skips map
+    # UDFs on empty blocks so they survive every normalization attempt) and
+    # the per-round Dataset.joins below fail on them — physically merging
+    # blocks resolves empties against the real schema
     labels = ids.select_columns([id_col]).map_batches(
         init_labels, batch_format="pyarrow"
-    ).materialize()
+    ).repartition(num_partitions).materialize()
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["id_a"], dtype=np.int64)
@@ -883,7 +888,11 @@ def connected_components(
             }
         )
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .repartition(num_partitions)  # same schema-less-empty rationale
+        .materialize()
+    )
     n_edges = edges.count()
     if n_edges == 0:
         return labels.rename_columns({"label": "group_id"})
@@ -1022,8 +1031,17 @@ def dedup_keep_best(
 
     from .group_collect import bucketed_reduce
 
+    from .joins import hash_join_attach
+
     keys = ds.map_batches(length_key, batch_format="pyarrow")
-    joined = groups.join(keys, "inner", num_partitions, on=("id",))
+    # hash_join_attach, not Dataset.join: the CC-derived groups stream can
+    # carry schema-less empty blocks on sparse corpora (same class as
+    # _verify_pairs_jaccard); keys are unique per id, so the left attach is
+    # an inner join in effect (every grouped id exists in the corpus)
+    joined = hash_join_attach(
+        groups, "id", keys.rename_columns({"id": "__kid"}), "__kid",
+        {"key": pa.int64()}, num_buckets=num_partitions,
+    )
     # group count ~ corpus size: bucketed mixed-op reduce, not the generic
     # aggregate (group_collect.py rationale)
     agg = bucketed_reduce(

@@ -251,10 +251,24 @@ def _verify_pairs_cosine(
 
         return fn
 
-    side_a = vecs_ds.map_batches(pack("id_a", "__vec_a"), batch_format="pyarrow")
-    side_b = vecs_ds.map_batches(pack("id_b", "__vec_b"), batch_format="pyarrow")
-    joined = pairs.join(side_a, "inner", num_partitions, on=("id_a",)).join(
-        side_b, "inner", num_partitions, on=("id_b",)
+    # the engine's own hash_join_attach, not Dataset.join: sparse-candidate
+    # corpora leave schema-less empty blocks in the pair stream (pair-less
+    # LSH buckets; Ray skips map UDFs on empty blocks so they cannot be
+    # normalized away) and Dataset.join's pyarrow planner fails on them —
+    # same fix as dedup._verify_pairs_jaccard. Candidate ids always exist
+    # in the corpus, so the left attach is an inner join in effect; the
+    # verify batch drops any null-vector row defensively.
+    from ..stages.joins import hash_join_attach
+
+    side_a = vecs_ds.map_batches(pack("__ja", "__vec_a"), batch_format="pyarrow")
+    side_b = vecs_ds.map_batches(pack("__jb", "__vec_b"), batch_format="pyarrow")
+    joined = hash_join_attach(
+        pairs, "id_a", side_a, "__ja", {"__vec_a": pa.large_binary()},
+        num_buckets=num_partitions,
+    )
+    joined = hash_join_attach(
+        joined, "id_b", side_b, "__jb", {"__vec_b": pa.large_binary()},
+        num_buckets=num_partitions,
     )
 
     def unpack(col: pa.ChunkedArray) -> np.ndarray:
@@ -265,6 +279,12 @@ def _verify_pairs_cosine(
         return flat.reshape(n, -1) if n else np.zeros((0, 1))
 
     def verify(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pa.compute.and_(
+                pa.compute.is_valid(batch["__vec_a"]),
+                pa.compute.is_valid(batch["__vec_b"]),
+            )
+        )
         if batch.num_rows == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
